@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for the engine's entry points.
+  *
+  * Scale-relevant settings:
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  *    which is the 100 TB safety net for skewed keys;
+  *  - shuffle partitions sized to the local core count (the driver contract
+  *    runs local[N]; on a real cluster this would be ~2-3x total cores or
+  *    left to AQE);
+  *  - UTC session timezone for oracle parity;
+  *  - nanosAsLong: the harness events table carries TIMESTAMP(NANOS), which
+  *    Spark's vectorized parquet reader refuses by default; we read it as
+  *    long and convert (graft.sources.Tables handles the µs conversion).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactNum._
+
+/** Event-log (time-series) operators over the `events` table. Batch forms
+  * here; the streaming equivalents (Structured Streaming with watermarks /
+  * mapGroupsWithState) live in graft.streaming and share the same
+  * aggregation logic.
+  *
+  * Scale notes: all of these shuffle once, on (key) or (key, bucket); the
+  * windowed forms pre-bucket on the time column so partial aggregation
+  * happens map-side. Sessionization is a single window-function pass —
+  * one shuffle on user_id, linear in events per user.
+  */
+object EventOps {
+
+  /** Date-function projection + monthly counts (SURVEY §2.8 date funcs). */
+  def monthlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("y"), col("m"), col("event_type"))
+
+  /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
+    * batch twin of the Structured Streaming windowed aggregation. */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity): one window pass computes
+    * session starts; the batch twin of flatMapGroupsWithState. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+            gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user running total (window frame aggregate, SURVEY §2.10).
+    * Exact-decimal accumulation so the running values are reproducible
+    * regardless of the engine's window-aggregation algorithm. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        sum(dec2(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Pivot: per-user counts by event type (manual conditional aggregation
+    * keeps it one scan + one shuffle; same plan Spark's pivot() makes). */
+  def userEventTypeMatrix(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+      .orderBy(col("user_id"))
+}

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.ExactNum._
+
+/** Core relational operators, expressed as declarative DataFrame plans so
+  * Catalyst owns optimization (pushdown, pruning, join selection, AQE).
+  *
+  * Scale notes (100 TB design):
+  *  - aggregations are hash-based with map-side partial aggregation — the
+  *    shuffle carries one row per (group, partition), not per input row;
+  *  - dimension joins broadcast explicitly (`broadcast(dim)`), so the fact
+  *    table never shuffles for them;
+  *  - top-k uses orderBy+limit which Catalyst plans as
+  *    TakeOrderedAndProject: per-partition heaps + a k-row merge on the
+  *    driver, never a global sort;
+  *  - every output carries a deterministic total order for verification;
+  *    on a production run the final orderBy is the only optional stage.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-shaped pricing summary (SURVEY §2.5 A1/A2: multi-aggregate).
+    * Exact-decimal sums so the result is order-independent at any
+    * parallelism. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumDisc(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        dsumDiscTax(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection (SURVEY §2.3 F3/F5, §2.2 P8). Both predicates and
+    * the 4-column projection reach the parquet scan (PushedFilters /
+    * ReadSchema) — at 100 TB this reads a fraction of the table bytes. */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-06-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top-k by value (SURVEY §2.6 O1/O2) → TakeOrderedAndProject. */
+  def topKOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Broadcast dimension join + group-by (SURVEY §2.10 joins, §2.5 A2).
+    * customer is the small side — broadcast it; orders never shuffles. */
+  def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Multi-way star join (TPC-H Q5 shape): all dimensions broadcast, the
+    * fact (lineitem) streams through a single stage; one shuffle for the
+    * final group-by on n_name (25 groups). */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    lineitem
+      .join(orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(dims),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** LIKE-filtered count + sum (SURVEY §2.3 F5, §2.5 A3). */
+  def filteredPartStats(part: DataFrame, typePrefix: String): DataFrame =
+    part
+      .filter(col("p_type").like(s"$typePrefix%"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("total_retail"))
+
+  /** Exact count-distinct per group (SURVEY §2.5 A4). At 100 TB prefer the
+    * approxCountDistinct variant below (single-pass HLL, no per-key state). */
+  def distinctCustomersByStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** HLL-sketch variant — constant memory per group, one shuffle; the
+    * 100 TB answer to A4. No oracle (sketch values are engine-specific). */
+  def approxDistinctCustomersByStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Per-group top-n via window row_number (SURVEY §2.10 windows; same plan
+    * shape as first-wins dedup D1). */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Semi join: customers having at least one order (EXISTS). The semi join
+    * shuffles only the key column of the probe side. */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")),
+        customer("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join: customers with no URGENT order (NOT EXISTS) — the same plan
+    * shape that computes the "inserted" set of the reference's upsert
+    * (D2/D3). The filter on the build side happens before the join, so the
+    * anti join probes a much smaller set. */
+  def customersWithoutUrgentOrders(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        customer("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** UNION ALL metric report (SURVEY §2.5 A6 / monitor.sh). */
+  def statsReport(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def one(metric: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("value"))
+        .select(lit(metric).as("metric"), col("value"))
+    one("total_orders", orders)
+      .unionByName(one("total_customers", customer))
+      .unionByName(one("total_lineitems", lineitem))
+      .orderBy(col("metric"))
+  }
+
+  /** Conditional counts in one pass (SURVEY §2.3 F4 / job_statistics):
+    * count(CASE WHEN ...) buckets — one scan, no self-joins. */
+  def orderDateBuckets(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("total_orders"),
+      count(when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"), 1))
+        .as("since_1998"),
+      count(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"), 1))
+        .as("since_2000"),
+      countDistinct(col("o_custkey")).as("unique_customers"),
+      max(col("o_orderdate")).as("latest_order"),
+      min(col("o_orderdate")).as("earliest_order"))
+
+  /** CASE expression projection + group-by (SURVEY §2.8 scalar exprs). */
+  def priorityTiers(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("tier",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .when(col("o_orderpriority") === "3-MEDIUM", "medium")
+          .otherwise("low"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("tier"))
+
+  /** ROLLUP aggregate (beyond the reference; SURVEY §2.10). */
+  def rollupStatusPriority(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** INTERSECT: customers ordering in both years (SURVEY §2.7 gap). */
+  def customersBothYears(orders: DataFrame): DataFrame = {
+    def keys(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    keys(1996).intersect(keys(1997)).orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT: customers ordering in 1996 but not 1997. */
+  def customers1996Only(orders: DataFrame): DataFrame = {
+    def keys(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    keys(1996).except(keys(1997)).orderBy(col("o_custkey"))
+  }
+
+  /** GROUP BY ... HAVING (filter over aggregates). */
+  def bigSpenders(orders: DataFrame, minTotal: Double): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spent"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("spent") > minTotal)
+      .orderBy(col("o_custkey"))
+
+  /** String-function projection (SURVEY §2.8: trim/concat_ws/substring/
+    * upper/like) over a broadcast join. */
+  def customerLabels(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        concat_ws(", ", trim(col("c_name")), upper(col("n_name")))
+          .as("label"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        col("c_name").like("Customer%").as("is_customer"))
+      .orderBy(col("c_custkey"))
+}
