@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+/** Upsert merge semantics + stats, mirroring the reference's integration
+  * tier (tests/test_integration.py:70-151 — insert {2,0,2}; update path
+  * keeps row count, changes fields, preserves created_at, bumps
+  * updated_at; re-run idempotence). */
+class UpsertSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_upsert").toFile
+    d.delete() // Upsert creates it via the staged rename
+    d.getAbsolutePath
+  }
+
+  test("initial load inserts all rows: {2, 0, 2}") {
+    val path = freshDir()
+    val batch = Seq(("https://x.gov/1", "Data Engineer", "DoD"),
+      ("https://x.gov/2", "Analyst", "DoT"))
+      .toDF("position_uri", "position_title", "organization_name")
+    val stats = Upsert.mergeParquet(spark, batch, path, "position_uri")
+    assert(stats == Upsert.UpsertStats(2, 0, 2))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("conflict updates fields, preserves created_at, bumps updated_at") {
+    val path = freshDir()
+    val first = Seq(("https://x.gov/1", "Original Title"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquet(spark, first, path, "position_uri")
+    val before = spark.read.parquet(path)
+      .select("created_at", "updated_at").head
+    Thread.sleep(1100) // timestamp resolution guard
+
+    val second = Seq(("https://x.gov/1", "Updated Title"),
+      ("https://x.gov/3", "Brand New")).toDF("position_uri", "position_title")
+    val stats = Upsert.mergeParquet(spark, second, path, "position_uri")
+    assert(stats == Upsert.UpsertStats(1, 1, 2))
+
+    val rows = spark.read.parquet(path).orderBy("position_uri").collect()
+    assert(rows.length == 2)
+    val updated = rows(0)
+    assert(updated.getAs[String]("position_title") == "Updated Title")
+    assert(updated.getAs[Timestamp]("created_at") ==
+      before.getAs[Timestamp]("created_at"))
+    assert(updated.getAs[Timestamp]("updated_at")
+      .after(before.getAs[Timestamp]("updated_at")))
+  }
+
+  test("re-upserting the same batch is idempotent: inserted=0") {
+    val path = freshDir()
+    val batch = Seq(("https://x.gov/1", "A"), ("https://x.gov/2", "B"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquet(spark, batch, path, "position_uri")
+    val again = Upsert.mergeParquet(spark, batch, path, "position_uri")
+    assert(again.inserted == 0)
+    assert(again.updated == 2)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+}
