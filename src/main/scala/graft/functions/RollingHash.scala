@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the polynomial rolling hash
+  * h = (h·31 + codepoint) mod 1e9+7 — the document-fingerprinting
+  * primitive, implemented with whole-stage codegen so the hot path is a
+  * tight generated loop instead of the equivalent
+  * split→transform→aggregate expression tree (TextFunctions.rollingHash),
+  * which materializes a per-character array. Same result, ~10× less
+  * allocation on long documents; this is the preferred extension point
+  * order from SURVEY §4.2 (custom Expression before custom operator).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("str")
+      val h = ctx.freshName("hash")
+      val i = ctx.freshName("idx")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-API access for custom expressions. */
+object GraftFunctions {
+  val ROLLING_HASH = "graft_rolling_hash"
+
+  /** Idempotent; register once per session, then use from Column API or
+    * SQL (`SELECT graft_rolling_hash(text) ...`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ROLLING_HASH, exprs => RollingHash(exprs.head), "built-in")
+
+  def rollingHash(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(ROLLING_HASH, c)
+  }
+}
