@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the polynomial rolling hash
@@ -17,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * order from SURVEY §4.2 (custom Expression before custom operator).
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got " +
+        child.dataType.catalogString)
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash"
 

@@ -78,7 +78,7 @@ object TextFunctions {
     val w = tokens(text)
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, n), " "))))
+        i => array_join(slice(w, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
 
