@@ -50,10 +50,13 @@ object Curate {
         ParseExprs.parseDate(d("PositionEndDate")).as("position_end_date"),
         trim(coalesce(d("OrganizationName"), lit(""))).as("organization_name"),
         trim(coalesce(d("DepartmentName"), lit(""))).as("department_name"),
-        coalesce(element_at(d("JobCategory"), 1).getField("Name"), lit(""))
-          .as("job_category"),
-        coalesce(element_at(d("JobGrade"), 1).getField("Code"), lit(""))
-          .as("job_grade"),
+        // try_element_at: ANSI mode makes element_at on a present-but-empty
+        // array throw; the reference treats [] as falsy and yields ""
+        // (etl/etl.py:260-268).
+        coalesce(try_element_at(d("JobCategory"), lit(1)).getField("Name"),
+          lit("")).as("job_category"),
+        coalesce(try_element_at(d("JobGrade"), lit(1)).getField("Code"),
+          lit("")).as("job_grade"),
         current_timestamp().as("extracted_at"))
       .filter(ParseExprs.isValidPosting(col("position_title"),
         col("position_uri")))

@@ -65,6 +65,25 @@ class CurateSpec extends SparkSuite {
     assert(out.head.getAs[String]("position_remuneration") == "Not specified")
   }
 
+  test("empty JobCategory/JobGrade/arrays degrade to defaults under ANSI") {
+    // the reference treats [] as falsy → "" (etl/etl.py:260-268); ANSI
+    // element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT here
+    val emptyArrays =
+      """{"SearchResult": {"SearchResultCount": 1, "SearchResultCountAll": 1,
+        |  "SearchResultItems": [
+        |   {"MatchedObjectDescriptor": {"PositionTitle": "Empty Arrays",
+        |    "PositionURI": "https://x.gov/ea",
+        |    "PositionLocation": [], "PositionRemuneration": [],
+        |    "JobCategory": [], "JobGrade": []}}]}}""".stripMargin
+    val rows = Curate(Curate.fromJsonStrings(spark, Seq(emptyArrays))).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("job_category") == "")
+    assert(rows(0).getAs[String]("job_grade") == "")
+    assert(rows(0).getAs[String]("position_location") ==
+      "Location not specified")
+    assert(rows(0).getAs[String]("position_remuneration") == "Not specified")
+  }
+
   test("empty response curates to zero rows") {
     val empty =
       """{"SearchResult": {"SearchResultCount": 0,
