@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventOps, RelationalOps}
+import graft.operators.{EventOps, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -81,9 +81,37 @@ object SparkEntry {
       EventOps.runningUserTotals(t(s, d, "events"))),
     "q23_user_event_matrix" -> ((s, d) =>
       EventOps.userEventTypeMatrix(t(s, d, "events"))),
+    // --- LLM-data-pipeline operators over documents/embeddings ---
+    "q24_doc_stats_by_source" -> ((s, d) =>
+      TextOps.docStatsBySource(t(s, d, "documents"))),
+    "q25_lang_profile" -> ((s, d) =>
+      TextOps.langProfile(t(s, d, "documents"))),
+    "q26_doc_profile" -> ((s, d) =>
+      TextOps.docProfile(t(s, d, "documents"))),
+    "q27_token_frequency" -> ((s, d) =>
+      TextOps.tokenFrequency(t(s, d, "documents"), 50)),
+    "q28_fingerprints" -> ((s, d) =>
+      TextOps.fingerprints(s, t(s, d, "documents"))),
+    "q29_jaccard_pairs" -> ((s, d) =>
+      NearDup.jaccardPairs(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    "q30_ann_topk" -> ((s, d) =>
+      VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
+    "q31_cosine_pairs" -> ((s, d) =>
+      VectorOps.cosineSimilarityJoin(t(s, d, "embeddings"), 0.45)),
     // Sketch-based variant of q07: engine-specific values, rows-only check.
     "x01_approx_distinct_customers" -> ((s, d) =>
       RelationalOps.approxDistinctCustomersByStatus(t(s, d, "orders"))),
+    // MinHash+LSH near-dup (the 100 TB dedup path): candidates from band
+    // join, exactly verified — subset of q29 by construction; engine-seeded
+    // hashes, so rows-only here, equivalence tested in NearDupSpec.
+    "x02_minhash_lsh_pairs" -> ((s, d) =>
+      NearDup.minHashLshPairs(t(s, d, "documents"))),
+    "x03_simhash_pairs" -> ((s, d) =>
+      NearDup.simHashPairs(t(s, d, "documents"), maxHamming = 6)),
+    "x04_ann_ivf" -> ((s, d) =>
+      VectorOps.annIvf(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 2)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -246,5 +274,102 @@ object SparkEntry {
          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
          count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
+    //  * whitespace tokens = string_split on ' ' with empties dropped,
+    //    matching TextFunctions.tokens exactly;
+    //  * every DOUBLE is a single division of exact integers (or a
+    //    left-to-right double reduction identical to Spark's aggregate),
+    //    so values are bit-identical;
+    //  * DuckDB len()/sum() return BIGINT/HUGEINT → cast to match Spark.
+    "q24_doc_stats_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS total_tokens,
+         max(n_chars) AS max_chars, min(n_chars) AS min_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "q25_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS alpha_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS total_tokens,
+         CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS DOUBLE)
+           / sum(length(text)) AS alpha_pct
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q26_doc_profile" ->
+      """WITH d AS (SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents)
+         SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_subtokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_token_len,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 'und'
+              WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x)))) > 0 THEN 'en'
+              ELSE 'und' END AS lang_guess
+         FROM d ORDER BY doc_id""",
+    "q27_token_frequency" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+    "q28_fingerprints" ->
+      """SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split_regex(text, ''),
+               ch -> CAST(unicode(ch) AS BIGINT))),
+           (acc, cp) -> (acc * 31 + cp) % 1000000007) AS rh
+         FROM documents ORDER BY doc_id""",
+    "q29_jaccard_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS n_a, len(b.sh) AS n_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+         FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.7
+         ORDER BY a_id, b_id""",
+    "q30_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         s AS (SELECT q.q_id, c.vec_id AS n_id,
+                 list_reduce(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i]),
+                   (x, y) -> x + y) / (q.qn * c.nrm) AS cosine
+               FROM q, n c WHERE c.vec_id != q.q_id),
+         r AS (SELECT q_id, n_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+               FROM s)
+         SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 10
+         ORDER BY q_id, rank""",
+    "q31_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+               FROM e)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+             (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+             (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
+         ORDER BY a_id, b_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

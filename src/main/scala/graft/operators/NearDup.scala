@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (content fingerprint), exact n-gram Jaccard (inverted-index join), and
+  * MinHash+LSH near-dup at scale shape.
+  *
+  * Scale design (the whole point of this module):
+  *  - NOTHING here is a cartesian product. Exact Jaccard pairs come from
+  *    an equi-join on the shingle (inverted index): only documents that
+  *    SHARE a shingle ever meet, and the join is an ordinary hash shuffle
+  *    on the shingle key.
+  *  - MinHash+LSH replaces the shingle join with a (band, bandHash)
+  *    equi-join: candidate generation touches b·N rows regardless of
+  *    document length, and only candidates are verified exactly. This is
+  *    the 100 TB path — recall is tunable via (numHashes, bands).
+  *  - Very frequent shingles (boilerplate) are the skew risk in the
+  *    inverted index; `maxShingleFreq` drops them (a shingle shared by
+  *    thousands of docs contributes ~0 bits to Jaccard but quadratic
+  *    join output). AQE skew-join splitting is the runtime backstop.
+  */
+object NearDup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Fingerprint groups: one row per distinct normalized content, with
+    * the group size and the smallest doc_id (the canonical survivor). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(TextFunctions.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp"))
+
+  /** Exact dedup: keep the smallest doc_id per content fingerprint.
+    * One shuffle on the fingerprint; deterministic survivor choice. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    Dedup.firstWins(
+      docs.withColumn("_fp", TextFunctions.fingerprint(col("text"))),
+      Seq("_fp"), col("doc_id").asc)
+      .drop("_fp")
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Inverted index: (doc_id, shingle), distinct per doc. */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+
+  /** All pairs with n-gram Jaccard >= minJ, via the inverted index:
+    * self-equi-join on shingle -> per-pair common count -> Jaccard from
+    * the per-doc shingle counts. Exact (this is the oracle-checked
+    * baseline); MinHash+LSH below is the approximate scale path.
+    *
+    * `maxShingleFreq`: shingles occurring in more than this many docs are
+    * excluded from PAIR GENERATION only (skew guard). Pass Int.MaxValue
+    * for fully-exact semantics; the DuckDB oracle uses that setting. Note
+    * that the denominator always uses full per-doc shingle counts, so
+    * with a finite cap Jaccard is a lower bound (candidates may be lost,
+    * never inflated). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleTable(docs, n)
+    val counts = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val postings =
+      if (maxShingleFreq == Int.MaxValue) sh
+      else {
+        val freq = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxShingleFreq)
+        sh.join(freq, "shingle").drop("_df")
+      }
+    val common = postings.as("a")
+      .join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("a_id"),
+        col("n_sh").as("n_a")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"),
+        col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------- MinHash + LSH
+
+  /** Mersenne prime 2^31-1: the universal-hash modulus. Shingle hashes
+    * are first reduced below it so a*h+b stays < 2^62 — no ANSI-mode
+    * overflow. */
+  private val P = 2147483647L
+
+  /** Deterministic (a, b) seed pairs for the k min-hash functions. */
+  private def seedPairs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(0x6f0a75L) // fixed engine seed
+    val a = Seq.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Seq.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** doc_id + MinHash signature (array of numHashes longs) from n-gram
+    * shingles. Pure projection: signatures are computed map-side with a
+    * nested higher-order expression (no UDF, no shuffle). Documents with
+    * fewer than n tokens produce no shingles and are dropped (they cannot
+    * near-duplicate by shingle overlap). */
+  def minHashSignatures(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame = {
+    val (aS, bS) = seedPairs(numHashes)
+    val aLit = array(aS.map(lit): _*)
+    val bLit = array(bS.map(lit): _*)
+    val shingleHashes =
+      transform(TextFunctions.shingles(col("text"), n),
+        s => pmod(xxhash64(s), lit(P)))
+    val signature =
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(col("_sh_hashes"), h =>
+          pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
+            lit(P)))))
+    docs
+      .withColumn("_sh_hashes", shingleHashes)
+      .filter(size(col("_sh_hashes")) > 0)
+      .select(col("doc_id"), signature.as("signature"))
+  }
+
+  /** Candidate pairs via LSH banding: split each signature into `bands`
+    * bands of numHashes/bands rows, hash each band, and equi-join on
+    * (band, bandHash). Distinct pairs only. */
+  def lshCandidates(signatures: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = array((0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(slice(col("signature"), bIdx * r + 1, r)).as("bh"))
+    }: _*)
+    val banded = signatures
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exactly verified: candidates from the
+    * band join, then true n-gram Jaccard computed ONLY for candidates
+    * (array_intersect over the two shingle sets), filtered at minJ.
+    * Output is a subset of jaccardPairs(docs, n, minJ) — LSH controls
+    * recall, verification guarantees precision = 1. */
+  def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJ: Double = 0.7): DataFrame = {
+    val candidates =
+      lshCandidates(minHashSignatures(docs, n, numHashes), numHashes, bands)
+    val withSh = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), n).as("sh"))
+    candidates
+      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")),
+        "a_id")
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        "b_id")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** Bit masks 2^0 .. 2^62 (63-bit SimHash: the sign bit is unused so
+    * every value stays a non-negative long under ANSI arithmetic). */
+  private val BitMasks = array((0 to 62).map(b => lit(1L << b)): _*)
+
+  /** 63-bit SimHash over whitespace tokens: bit b is set when more than
+    * half the token hashes have bit b set. Pure expression tree — the
+    * aggregate packs bits MSB-first via acc*2+bit (never overflows 63
+    * bits). Near-dup docs differ in few bits (small Hamming distance). */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    aggregate(sequence(lit(62), lit(0), lit(-1)), lit(0L), (acc, b) =>
+      acc * 2 + when(
+        size(filter(hashes,
+          h => h.bitwiseAND(element_at(BitMasks, b + 1)) =!= 0)) * 2 >
+          size(hashes), lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** doc_id + simhash, map-side only. */
+  def simHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simHash(col("text")).as("simhash"))
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxHamming, found via
+    * chunk blocking (pigeonhole: with 7 chunks of 9 bits, any pair within
+    * Hamming distance 6 shares at least one identical chunk). Equi-join
+    * on (chunk index, chunk value) — never all-pairs — then the exact
+    * Hamming distance via bit_count(xor) filters candidates. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      "7-chunk blocking guarantees recall only up to Hamming distance 6")
+    val sh = simHashes(docs)
+    val chunkStructs = array((0 until 7).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), 9 * c).bitwiseAND(511L)
+          .as("cv"))
+    }: _*)
+    val chunked = sh
+      .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk").as("chunk"), col("c.cv").as("cv"))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Text-analysis operators over the `documents` table — the LLM-data-
+  * pipeline half of the north star (token budgeting, quality scoring,
+  * language ID, content fingerprinting). Everything is a native Column
+  * expression tree (TextFunctions) inside ordinary aggregate/project
+  * plans, so each query is one scan + (at most) one shuffle:
+  *
+  *  - per-doc profiles are pure map-side projections — no shuffle at all,
+  *    embarrassingly parallel at 100 TB;
+  *  - per-group stats are partial+final hash aggregates on low-cardinality
+  *    keys (source/lang) — the map-side combine shrinks the shuffle to
+  *    #groups × #partitions rows;
+  *  - token frequency is the only data-sized shuffle (explode + group by
+  *    token) and ends in a TakeOrderedAndProject for the top-k.
+  */
+object TextOps {
+
+  /** Stopword list shared with the DuckDB oracle — keep in sync with
+    * SparkEntry.oracleSql. */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Corpus stats per source: doc/char/token totals (SURVEY §2.5 A1/A2
+    * generalized to the documents table). */
+  def docStatsBySource(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("source"))
+
+  /** Per-language corpus profile. The alpha ratio is a ratio of integer
+    * SUMS (not an average of per-doc doubles), so the result is exact and
+    * independent of accumulation order — reproducible at any parallelism. */
+  def langProfile(docs: DataFrame): DataFrame = {
+    val alphaChars =
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(alphaChars).as("alpha_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+      .withColumn("alpha_pct",
+        col("alpha_chars").cast("double") / col("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-document quality/token profile: the feature vector a training-
+    * data pipeline filters on. Pure projection — no shuffle. Every double
+    * column is a single division of exact integers, so values are
+    * bit-identical across engines and partitionings. */
+  def docProfile(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
+      TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe_est"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.meanTokenLength(col("text")).as("mean_token_len"),
+      TextFunctions.stopwordRatio(col("text"), DefaultStopwords)
+        .as("stopword_ratio"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  /** Global token frequency, top k. The one genuinely data-sized shuffle
+    * in this module: explode to (token) then hash-aggregate; partial
+    * aggregation collapses each map partition to its distinct tokens
+    * before the shuffle, and the final top-k is TakeOrderedAndProject. */
+  def tokenFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Content fingerprints per document: md5 of whitespace-normalized text
+    * (engine-portable) + the codegen'd polynomial rolling hash (native
+    * Catalyst expression graft.functions.RollingHash). Map-side only. */
+  def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      GraftFunctions.rollingHash(spark, col("text")).as("rh"))
+      .orderBy(col("doc_id"))
+}

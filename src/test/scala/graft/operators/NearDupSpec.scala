@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** Dedup operators over planted fixtures + the harness documents table.
+  * The planted frame has a known structure: an exact-dup pair, a one-word-
+  * edit near-dup pair, and mutually disjoint fillers — so expected Jaccard
+  * values are hand-computable. */
+class NearDupSpec extends SparkSuite {
+
+  private val base =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+  private val oneEdit = base.replace("november", "NOVEMBER_EDIT")
+
+  private lazy val planted: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, "  " + base.toUpperCase + "  "), // exact dup of 1 after normalize
+      (3L, oneEdit), // near dup of 1
+      (4L, "zulu yankee xray whiskey victor uniform tree stone rock moon " +
+        "lake iron hill glass fire earth dust cloud brick ash"),
+      (5L, "one two three") // too short for 3-shingles? no: 1 shingle
+    ).toDF("doc_id", "text")
+  }
+
+  private lazy val sfDocs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exactDupGroups groups normalized-identical docs; first_doc = min") {
+    val groups = NearDup.exactDupGroups(planted).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("n_docs") == 2L)
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("first_doc") == 1L)
+    assert(groups.map(_.getAs[Long]("n_docs")).sum == 5L)
+  }
+
+  test("dedupExact keeps the smallest doc_id per fingerprint") {
+    val kept = NearDup.dedupExact(planted).collect().map(_.getAs[Long]("doc_id"))
+    assert(kept.toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccardPairs: one-word edit at 20 tokens gives J=15/21") {
+    // base: 18 distinct 3-shingles; the edit at position 14 changes
+    // shingles 12,13,14 -> common=15, union=18+18-15=21
+    val pairs = NearDup.jaccardPairs(planted, n = 3, minJ = 0.5).collect()
+    val p13 = pairs.find(r =>
+      r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 3L)
+    assert(p13.isDefined)
+    assert(math.abs(p13.get.getAs[Double]("jaccard") - 15.0 / 21) < 1e-12)
+    // disjoint docs never pair
+    assert(!pairs.exists(r => r.getAs[Long]("b_id") == 4L))
+  }
+
+  test("jaccardPairs maxShingleFreq drops ubiquitous shingles " +
+      "from pair generation (skew guard)") {
+    import spark.implicits._
+    // a shingle present in every doc would pair everything without the cap
+    val boiler = Seq(
+      (1L, "common header text aaa bbb ccc"),
+      (2L, "common header text ddd eee fff"),
+      (3L, "common header text ggg hhh iii")).toDF("doc_id", "text")
+    val uncapped = NearDup.jaccardPairs(boiler, 3, 0.1, Int.MaxValue).count()
+    val capped = NearDup.jaccardPairs(boiler, 3, 0.1, 2).count()
+    assert(uncapped == 3L && capped == 0L)
+  }
+
+  test("minHashLshPairs == exact jaccardPairs on harness docs (sf0.001)") {
+    val exact = NearDup.jaccardPairs(sfDocs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minHashLshPairs(sfDocs, 3, 64, 16, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction (candidates exactly verified)
+    assert(lsh.subsetOf(exact))
+    // at 64 hashes / 16 bands the planted near-dups are all recalled
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+    assert(exact.nonEmpty) // the harness data has planted near-dups
+  }
+
+  test("minHash signatures are deterministic across runs") {
+    val s1 = NearDup.minHashSignatures(planted, 3, 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val s2 = NearDup.minHashSignatures(planted, 3, 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(s1 == s2)
+    assert(s1(1L).length == 16)
+  }
+
+  test("simHash: exact dups collide, near-dups are close, " +
+      "disjoint docs are far") {
+    val sh = NearDup.simHashes(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // doc2 is an exact dup after CASE normalization — but simHash tokens
+    // are case-sensitive, so only structural similarity holds; doc1/doc3
+    // differ by one token out of 20:
+    assert(hamming(sh(1L), sh(3L)) <= 6,
+      s"near-dup hamming ${hamming(sh(1L), sh(3L))}")
+    assert(hamming(sh(1L), sh(4L)) > 6,
+      s"disjoint hamming ${hamming(sh(1L), sh(4L))}")
+    assert(sh.values.forall(_ >= 0L)) // 63-bit: never negative
+  }
+
+  test("simHashPairs: blocking finds the near pair, not the disjoint one") {
+    val pairs = NearDup.simHashPairs(planted, maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}

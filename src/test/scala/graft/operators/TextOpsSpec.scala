@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Goldens for every TextFunctions op + the TextOps query shapes.
+  * Golden values are hand-computed (and, for the rolling hash, cross-
+  * checked against DuckDB's list_reduce on the same recurrence). */
+class TextOpsSpec extends SparkSuite {
+
+  private def one(text: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  private def evalStr(text: String, c: org.apache.spark.sql.Column): String =
+    one(text).select(c.cast("string")).head.getString(0)
+
+  test("tokens / tokenCount drop empty tokens") {
+    assert(evalStr("a  b c", TextFunctions.tokenCount(col("text"))) == "3")
+    assert(evalStr("", TextFunctions.tokenCount(col("text"))) == "0")
+    assert(evalStr("   ", TextFunctions.tokenCount(col("text"))) == "0")
+  }
+
+  test("subTokenCount splits on non-alphanumeric runs") {
+    assert(evalStr("Hello, world! 42",
+      TextFunctions.subTokenCount(col("text"))) == "3")
+    assert(evalStr("one-two_three",
+      TextFunctions.subTokenCount(col("text"))) == "3")
+  }
+
+  test("approxBpeTokenCount is ceil(chars/4)") {
+    assert(evalStr("abcdefgh",
+      TextFunctions.approxBpeTokenCount(col("text"))) == "2")
+    assert(evalStr("abcdefghi",
+      TextFunctions.approxBpeTokenCount(col("text"))) == "3")
+  }
+
+  test("alphaRatio counts ASCII letters only") {
+    assert(evalStr("ab12", TextFunctions.alphaRatio(col("text"))) == "0.5")
+    assert(evalStr("", TextFunctions.alphaRatio(col("text"))) == "0.0")
+  }
+
+  test("meanTokenLength") {
+    assert(evalStr("ab abcd",
+      TextFunctions.meanTokenLength(col("text"))) == "3.0")
+    assert(evalStr("", TextFunctions.meanTokenLength(col("text"))) == "0.0")
+  }
+
+  test("stopwordRatio") {
+    assert(evalStr("the cat",
+      TextFunctions.stopwordRatio(col("text"), TextOps.DefaultStopwords))
+      == "0.5")
+  }
+
+  test("langIdHeuristic: en markers, else und") {
+    assert(evalStr("The cat sat on a mat",
+      TextFunctions.langIdHeuristic(col("text"))) == "en")
+    assert(evalStr("xyz qqq zzz",
+      TextFunctions.langIdHeuristic(col("text"))) == "und")
+    assert(evalStr("", TextFunctions.langIdHeuristic(col("text"))) == "und")
+  }
+
+  test("normalized collapses whitespace, trims, lowercases") {
+    assert(evalStr("  A  b\t c ", TextFunctions.normalized(col("text")))
+      == "a b c")
+  }
+
+  test("fingerprint is md5 of the normalized text") {
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(evalStr("  A  b\t c ", TextFunctions.fingerprint(col("text")))
+      == expected)
+  }
+
+  test("shingles: distinct n-grams; short docs yield empty array") {
+    assert(evalStr("a b c d", TextFunctions.shingles(col("text"), 2))
+      == "[a b, b c, c d]")
+    assert(evalStr("a b", TextFunctions.shingles(col("text"), 3)) == "[]")
+    assert(evalStr("a b a b a b", TextFunctions.shingles(col("text"), 2))
+      == "[a b, b a]")
+  }
+
+  test("rollingHash golden: cross-engine constant for 'hello world'") {
+    // DuckDB: list_reduce over unicode codepoints gives 204910434
+    assert(evalStr("hello world",
+      TextFunctions.rollingHash(col("text"))) == "204910434")
+    assert(evalStr("hello world",
+      GraftFunctions.rollingHash(spark, col("text"))) == "204910434")
+    assert(evalStr("", TextFunctions.rollingHash(col("text"))) == "0")
+    assert(evalStr("", GraftFunctions.rollingHash(spark, col("text"))) == "0")
+  }
+
+  test("rollingHash: expression tree and native expression agree " +
+      "(ASCII + BMP + supplementary planes)") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "Hello, World! 123",
+      "café naïve", // Latin-1 accents
+      "日本語テスト", // CJK (BMP)
+      new String(Character.toChars(0x1F600)) + " emoji " +
+        new String(Character.toChars(0x1F680)), // supplementary plane
+      "mixed é日" + new String(Character.toChars(0x10400)))
+    val df = samples.toDF("text")
+    val both = df.select(
+      TextFunctions.rollingHash(col("text")).as("tree"),
+      GraftFunctions.rollingHash(spark, col("text")).as("native")).collect()
+    both.zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"tree=${r.getLong(0)} native=${r.getLong(1)} for '$s'")
+    }
+  }
+
+  test("native RollingHash: interpreted eval matches codegen result") {
+    import graft.functions.RollingHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = "The quick brown fox é日"
+    val interpreted = RollingHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(s))).eval(null)
+    val viaPlan = evalStr(s, GraftFunctions.rollingHash(spark, col("text")))
+    assert(interpreted.toString == viaPlan)
+  }
+
+  test("docProfile over a tiny frame: all features in one projection") {
+    val out = TextOps.docProfile(one("the cat sat")).collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[String]("lang_guess") == "en")
+    assert(out.getAs[Double]("stopword_ratio") == 1.0 / 3)
+  }
+
+  test("tokenFrequency: counts and deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextOps.tokenFrequency(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+}
