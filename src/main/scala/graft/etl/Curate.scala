@@ -35,10 +35,18 @@ object Curate {
   }
 
   /** Explode → project → validate. Output schema = JobPosting. */
-  def apply(raw: DataFrame): DataFrame = {
+  def apply(raw: DataFrame): DataFrame = curateItems(items(raw))
+
+  /** The explode stage alone — exposed so callers (EtlJob) can attach an
+    * `observe` node between explode and projection and count extracted
+    * items on the same single action as the sink write. */
+  def items(raw: DataFrame): DataFrame =
+    raw.select(explode(col("SearchResult.SearchResultItems")).as("item"))
+
+  /** Projection + validation over exploded items. */
+  def curateItems(itemsDf: DataFrame): DataFrame = {
     val d: String => Column = f => col(s"item.MatchedObjectDescriptor.$f")
-    raw
-      .select(explode(col("SearchResult.SearchResultItems")).as("item"))
+    itemsDf
       .select(
         trim(coalesce(d("PositionTitle"), lit(""))).as("position_title"),
         trim(coalesce(d("PositionURI"), lit(""))).as("position_uri"),

@@ -1,6 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Analytics, Dedup, Upsert}
@@ -16,15 +18,20 @@ import graft.sources.UsaJobsClient.{PageCounts, Transport}
   * the per-page Python loop becomes a single lazy plan over the union of
   * page documents; validation/dedup/stats are Catalyst-optimized plan
   * stages rather than driver-side passes; the only materialization is the
-  * sink write. Run metrics come from `observe()` so counting costs no
-  * extra scan.
+  * sink write. Run metrics ride that single action as `Observation`s —
+  * extracted/valid counts cost no extra scan — and the pagination
+  * counters in the drain loop are parsed driver-side with Jackson (no
+  * Spark job per fetched page).
   */
 object EtlJob {
 
   /** Run summary — mirrors the reference's self.metrics + run result
-    * (etl/etl.py:571-578, 674-682). */
+    * (etl/etl.py:571-578, 674-682). jobsValid counts postings that passed
+    * validation BEFORE key-dedup (the reference's total_jobs_extracted
+    * semantics); jobsLoaded is the post-dedup merge total. */
   case class RunSummary(pagesFetched: Int, jobsExtracted: Long,
-      jobsValid: Long, inserted: Long, updated: Long, durationSec: Double)
+      jobsValid: Long, jobsLoaded: Long, inserted: Long, updated: Long,
+      durationSec: Double)
 
   case class Config(keyword: String = "data engineering",
       location: Option[String] = None, maxPages: Int = 20,
@@ -37,27 +44,34 @@ object EtlJob {
     val t0 = System.nanoTime()
 
     // Extract: driver-side drain with retry/breaker/rate-limit (S1-S5).
-    val counts = pageCountsOf(spark) _
     val limiter =
       if (rateLimitMs > 0) Some(new UsaJobsClient.RateLimiter(rateLimitMs))
       else None
-    val pages = UsaJobsClient.drainPages(transport, counts, config.keyword,
-      config.location, config.maxPages, config.resultsPerPage, limiter,
+    val pages = UsaJobsClient.drainPages(transport, pageCounts,
+      config.keyword, config.location, config.maxPages,
+      config.resultsPerPage, limiter,
       Some(new UsaJobsClient.CircuitBreaker()))
 
-    // Transform: one lazy plan over all pages (P1-P7, F1, D1).
+    // Transform: ONE lazy plan over all pages (P1-P7, F1, D1), with
+    // observation points at explode (extracted) and post-validation
+    // (valid) — both resolved by the sink write, the run's only action.
     val raw = Curate.fromJsonStrings(spark, pages)
-    val extracted = raw.select(
-      explode(col("SearchResult.SearchResultItems"))).count()
-    val curated = Curate(raw)
+    val obsExtracted = Observation("extracted")
+    val obsValid = Observation("valid")
+    val curated = Curate.curateItems(
+        Curate.items(raw).observe(obsExtracted, count(lit(1)).as("n")))
+      .observe(obsValid, count(lit(1)).as("n"))
     val deduped = Dedup.firstWinsByArrival(curated, Seq("position_uri"))
 
     // Load: merge with insert/update accounting (S7, D2, D3).
     val stats = Upsert.mergeParquet(spark, deduped, config.targetPath,
       "position_uri")
 
-    RunSummary(pages.size, extracted, stats.total, stats.inserted,
-      stats.updated, (System.nanoTime() - t0) / 1e9)
+    RunSummary(pages.size,
+      obsExtracted.get("n").asInstanceOf[Long],
+      obsValid.get("n").asInstanceOf[Long],
+      stats.total, stats.inserted, stats.updated,
+      (System.nanoTime() - t0) / 1e9)
   }
 
   /** Post-run statistics over the sink table (EP3). */
@@ -65,16 +79,13 @@ object EtlJob {
     Analytics.statistics(spark.read.parquet(targetPath),
       "organization_name", "department_name", "created_at")
 
-  /** Parse the two pagination counters from a page payload using Spark's
-    * own JSON parser (driver-side, tiny). */
-  private def pageCountsOf(spark: SparkSession)(payload: String): PageCounts = {
-    import spark.implicits._
-    val row = spark.read.schema(graft.model.Schemas.rawApiResponse)
-      .json(spark.createDataset(Seq(payload)))
-      .select(
-        coalesce(col("SearchResult.SearchResultCount"), lit(0L)),
-        coalesce(col("SearchResult.SearchResultCountAll"), lit(0L)))
-      .head()
-    PageCounts(row.getLong(0), row.getLong(1))
+  private val mapper = new ObjectMapper()
+
+  /** Pagination counters, parsed on the driver with Jackson (~µs) —
+    * the drain loop must never launch a Spark job per page. */
+  private[etl] def pageCounts(payload: String): PageCounts = {
+    val sr = mapper.readTree(payload).path("SearchResult")
+    PageCounts(sr.path("SearchResultCount").asLong(0L),
+      sr.path("SearchResultCountAll").asLong(0L))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -65,18 +65,51 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
-/** Session registration + Column-API access for custom expressions. */
+/** Session registration + Column-API access for the engine's native
+  * Catalyst expressions (RollingHash, VectorDot, MinHashSig, SimHash63).
+  * The no-session helpers register against `SparkSession.active` — the
+  * session constructing the plan is the one that analyzes it. */
 object GraftFunctions {
   val ROLLING_HASH = "graft_rolling_hash"
+  val VECTOR_DOT = "graft_vector_dot"
+  val MINHASH_SIG = "graft_minhash_sig"
+  val SIMHASH = "graft_simhash63"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       ROLLING_HASH, exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      VECTOR_DOT, exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH_SIG, exprs => MinHashSig(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      SIMHASH, exprs => SimHash63(exprs.head), "built-in")
+  }
+
+  private def registered(name: String, cols: Column*): Column = {
+    register(SparkSession.active)
+    call_function(name, cols: _*)
+  }
 
   def rollingHash(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function(ROLLING_HASH, c)
   }
+
+  /** Σ aᵢ·bᵢ in double, codegen'd (see VectorDot). */
+  def vectorDot(a: Column, b: Column): Column =
+    registered(VECTOR_DOT, a, b)
+
+  /** MinHash signature of a hash array under fixed seed pairs. */
+  def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =
+    registered(MINHASH_SIG, hashes,
+      org.apache.spark.sql.functions.array(a.map(lit): _*),
+      org.apache.spark.sql.functions.array(b.map(lit): _*))
+
+  /** 63-bit SimHash of a token-hash array. */
+  def simHash63(hashes: Column): Column = registered(SIMHASH, hashes)
 }

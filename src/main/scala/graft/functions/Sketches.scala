@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native sketch expressions for near-dup dedup (MinHash signatures,
+  * SimHash). Both consume a precomputed ARRAY<BIGINT> of element hashes
+  * (shingle / token hashes) and run the per-row O(k·n) inner loops as
+  * tight generated Java — the HOF expression-tree forms of these are
+  * CodegenFallback and ~50× slower at sf0.1 (they re-evaluate the hash
+  * array per seed and allocate per lambda call).
+  */
+
+/** MinHash signature: for each universal-hash seed pair (a_i, b_i),
+  * min over the input hashes of (a_i·h + b_i) mod p, p = 2³¹−1.
+  * Seed arrays arrive as foldable literal children (keeps the expression
+  * registry-compatible); input hashes must already be reduced below p so
+  * a_i·h stays under 2⁶² (no overflow).
+  * Empty input → empty signature (callers filter empty shingle sets —
+  * two empty signatures would otherwise band-collide).
+  */
+case class MinHashSig(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (!ok) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three ARRAY<BIGINT> arguments")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName seed arrays must be foldable literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+
+  @transient private lazy val aSeeds =
+    second.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val bSeeds =
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(h: Any, a2: Any, a3: Any): Any = {
+    val hs = h.asInstanceOf[ArrayData]
+    val k = aSeeds.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Long](0))
+    while (j < n) {
+      val hv = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(aSeeds(i) * hv + bSeeds(i), P)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aSeeds, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bSeeds, "long[]")
+    nullSafeCodeGen(ctx, ev, (h, _, _) => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val hv = ctx.freshName("hv")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $h.numElements();
+         |int $k = $aRef.length;
+         |long[] $sig = $n == 0 ? new long[0] : new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $hv = $h.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = java.lang.Math.floorMod(
+         |      $aRef[$i] * $hv + $bRef[$i], ${P}L);
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): MinHashSig =
+    copy(first = f, second = s, third = t)
+}
+
+/** 63-bit SimHash over token hashes: bit b of the result is set when
+  * strictly more than half the input hashes have bit b set (the sign bit
+  * is unused, so the sketch is always a non-negative long under ANSI
+  * arithmetic). Empty input → 0. */
+case class SimHash63(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an ARRAY<BIGINT> argument, got " +
+          t.catalogString)
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash63"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](63)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 63) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 63) {
+      if (counts(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val hv = ctx.freshName("hv")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int $n = $h.numElements();
+         |int[] $counts = new int[63];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $hv = $h.getLong($j);
+         |  for (int $b = 0; $b < 63; $b++) {
+         |    if ((($hv >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $b = 0; $b < 63; $b++) {
+         |  if ($counts[$b] > 0) $sim |= 1L << $b;
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

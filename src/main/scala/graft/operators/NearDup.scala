@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (content fingerprint), exact n-gram Jaccard (inverted-index join), and
@@ -109,27 +109,24 @@ object NearDup {
   }
 
   /** doc_id + MinHash signature (array of numHashes longs) from n-gram
-    * shingles. Pure projection: signatures are computed map-side with a
-    * nested higher-order expression (no UDF, no shuffle). Documents with
-    * fewer than n tokens produce no shingles and are dropped (they cannot
-    * near-duplicate by shingle overlap). */
+    * shingles. Pure projection, no shuffle: shingle hashes are one
+    * higher-order pass per row, and the k×|shingles| signature loop runs
+    * in the native codegen'd MinHashSig expression. Documents with fewer
+    * than n tokens produce no shingles and are dropped (they cannot
+    * near-duplicate by shingle overlap — and empty signatures would
+    * band-collide with each other). */
   def minHashSignatures(docs: DataFrame, n: Int,
       numHashes: Int): DataFrame = {
     val (aS, bS) = seedPairs(numHashes)
-    val aLit = array(aS.map(lit): _*)
-    val bLit = array(bS.map(lit): _*)
     val shingleHashes =
       transform(TextFunctions.shingles(col("text"), n),
         s => pmod(xxhash64(s), lit(P)))
-    val signature =
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("_sh_hashes"), h =>
-          pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
-            lit(P)))))
     docs
       .withColumn("_sh_hashes", shingleHashes)
       .filter(size(col("_sh_hashes")) > 0)
-      .select(col("doc_id"), signature.as("signature"))
+      .select(col("doc_id"),
+        GraftFunctions.minHashSig(col("_sh_hashes"), aS, bS)
+          .as("signature"))
   }
 
   /** Candidate pairs via LSH banding: split each signature into `bands`
@@ -181,22 +178,14 @@ object NearDup {
 
   // ----------------------------------------------------------- SimHash
 
-  /** Bit masks 2^0 .. 2^62 (63-bit SimHash: the sign bit is unused so
-    * every value stays a non-negative long under ANSI arithmetic). */
-  private val BitMasks = array((0 to 62).map(b => lit(1L << b)): _*)
-
   /** 63-bit SimHash over whitespace tokens: bit b is set when more than
-    * half the token hashes have bit b set. Pure expression tree — the
-    * aggregate packs bits MSB-first via acc*2+bit (never overflows 63
-    * bits). Near-dup docs differ in few bits (small Hamming distance). */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    aggregate(sequence(lit(62), lit(0), lit(-1)), lit(0L), (acc, b) =>
-      acc * 2 + when(
-        size(filter(hashes,
-          h => h.bitwiseAND(element_at(BitMasks, b + 1)) =!= 0)) * 2 >
-          size(hashes), lit(1L)).otherwise(lit(0L)))
-  }
+    * half the token hashes have bit b set (the sign bit stays clear, so
+    * values are non-negative longs under ANSI arithmetic). The 63×|tokens|
+    * bit-count loop runs in the native codegen'd SimHash63 expression.
+    * Near-dup docs differ in few bits (small Hamming distance). */
+  def simHash(text: Column): Column =
+    GraftFunctions.simHash63(
+      transform(TextFunctions.tokens(text), t => xxhash64(t)))
 
   /** doc_id + simhash, map-side only. */
   def simHashes(docs: DataFrame): DataFrame =

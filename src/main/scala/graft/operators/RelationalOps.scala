@@ -61,19 +61,25 @@ object RelationalOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 
-  /** Broadcast dimension join + group-by (SURVEY §2.10 joins, §2.5 A2).
-    * customer is the small side — broadcast it; orders never shuffles. */
+  /** Dimension join + group-by (SURVEY §2.10 joins, §2.5 A2). customer is
+    * NOT force-broadcast: at 100 TB the customer table is far beyond
+    * broadcast limits, so the join strategy is left to Catalyst/AQE —
+    * which broadcasts it at small SFs (runtime size stats) and falls back
+    * to a shuffle join when it is genuinely large. */
   def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_revenue"))
       .orderBy(col("c_mktsegment"))
 
-  /** Multi-way star join (TPC-H Q5 shape): all dimensions broadcast, the
-    * fact (lineitem) streams through a single stage; one shuffle for the
-    * final group-by on n_name (25 groups). */
+  /** Multi-way star join (TPC-H Q5 shape). Only the genuinely tiny
+    * dimensions (nation 25 rows, region 5; supplier = smallest big-table
+    * side) are force-broadcast. customer is NOT: at 100 TB it exceeds any
+    * broadcast limit, so customer joins by whatever strategy AQE picks
+    * from runtime sizes (broadcast at small SFs, shuffle at scale). The
+    * final group-by on n_name (25 groups) is the only tiny shuffle. */
   def revenueByNation(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame = {
@@ -86,7 +92,7 @@ object RelationalOps {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(dims),
+      .join(dims,
         col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))

@@ -1,8 +1,8 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Upsert (merge) with insert/update accounting — the reference's
@@ -10,23 +10,31 @@ import org.apache.spark.sql.functions._
   * `RETURNING (xmax = 0)` counters (etl/etl.py:446-525 — SURVEY §2.4
   * D2/D3, §2.1 S7).
   *
-  * Spark has no in-place update, so merge semantics are computed as plan
-  * composition over the current snapshot:
-  *   inserted  = incoming ANTI JOIN existing        (new keys)
-  *   updated   = incoming SEMI JOIN existing        (conflicting keys;
-  *               non-key fields taken from incoming, created_at preserved
-  *               from existing, updated_at bumped — mirroring the
-  *               update_updated_at_column trigger, init.sql:28-41)
-  *   untouched = existing ANTI JOIN incoming
-  * and the new snapshot is written atomically (tmp dir + rename for the
-  * parquet target; single staged MERGE statement for JDBC targets).
+  * Spark has no in-place update, so merge semantics are ONE full-outer
+  * join of incoming and the current snapshot on the key:
+  *   key only in incoming  → insert (created_at = updated_at = now)
+  *   key in both           → update (non-key fields from incoming,
+  *               created_at preserved from existing, updated_at bumped —
+  *               mirroring the update_updated_at_column trigger,
+  *               init.sql:28-41)
+  *   key only in existing  → untouched (existing row verbatim)
+  * A single join = a single shuffle on the key, and each input is scanned
+  * exactly once (upstream observe nodes fire once — EtlJob relies on
+  * this). The new snapshot replaces the old via swap-then-delete: staging is
+  * written beside the target, the live target is moved aside to a backup,
+  * staging renamed in, and only then is the backup deleted (the backup is
+  * restored if the swap itself fails). A crash at any point leaves either
+  * the old snapshot or the new one — never an empty window. (Local-FS
+  * java.nio implementation — the sandbox target; on HDFS/S3 the same
+  * two-rename protocol applies via the FileSystem API, and on a lakehouse
+  * table this whole method is a transactional MERGE INTO.)
   *
   * Scale notes: all three legs are equi-joins on the key — one shuffle
   * each over the key column only; at 100 TB the target would be a
   * bucketed/partitioned table (or a lakehouse MERGE INTO) and the same
-  * three-way split applies partition-wise. Counters come from `observe`
-  * metrics on the write, not from separate count() actions, so the data
-  * is scanned exactly once.
+  * three-way split applies partition-wise. Counters come from an
+  * `Observation` riding the single write action — the incoming batch is
+  * scanned exactly once, never re-counted.
   */
 object Upsert {
 
@@ -50,36 +58,52 @@ object Upsert {
 
     val target = Paths.get(path)
     val exists = Files.exists(target.resolve("_SUCCESS"))
+    val obs = Observation("upsert")
 
-    val (merged, inserted, total) =
-      if (!exists) {
-        val n = stamped.count()
-        (stamped, n, n)
-      } else {
+    val merged =
+      if (!exists)
+        stamped.observe(obs, count(lit(1)).as("total"),
+          count(lit(1)).as("inserted"))
+      else {
         val existing = spark.read.parquet(path)
-        val incomingKeys = incoming.select(col(key))
-        // fields from incoming; created_at preserved from existing
-        val existingCreated = existing.select(col(key),
-          col(CREATED_AT).as("_existing_created_at"))
-        val upserts = stamped
-          .join(existingCreated, Seq(key), "left")
-          .withColumn(CREATED_AT,
-            coalesce(col("_existing_created_at"), col(CREATED_AT)))
-          .drop("_existing_created_at")
-        val untouched = existing.join(incomingKeys, Seq(key), "left_anti")
-        val ins = stamped.join(existing.select(col(key)), Seq(key),
-          "left_anti").count()
-        val tot = stamped.count()
-        (untouched.unionByName(upserts.select(untouched.columns.map(col): _*)),
-          ins, tot)
+        val dataCols = stamped.columns.filterNot(_ == key)
+        val exRenamed = dataCols.foldLeft(existing) { (d, c) =>
+          d.withColumnRenamed(c, s"_ex_$c")
+        }
+        val joined = stamped
+          .withColumn("_inc", lit(true))
+          .join(exRenamed, Seq(key), "full_outer")
+        // _inc null => existing-only row; _ex_created_at null => new key.
+        val observed = joined.observe(obs,
+          count(when(col("_inc"), 1)).as("total"),
+          count(when(col("_inc") && col(s"_ex_$CREATED_AT").isNull, 1))
+            .as("inserted"))
+        observed.select(stamped.columns.map {
+          case `key` => col(key)
+          case CREATED_AT =>
+            coalesce(col(s"_ex_$CREATED_AT"), col(CREATED_AT)).as(CREATED_AT)
+          case c =>
+            when(col("_inc").isNotNull, col(c)).otherwise(col(s"_ex_$c")).as(c)
+        }.toSeq: _*)
       }
 
-    // Atomic swap: write the new snapshot next to the old one, then rename.
-    val tmp = path.stripSuffix("/") + "._staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(target)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    // Write staging beside the target, then swap-then-delete (see doc).
+    val tmp = Paths.get(path.stripSuffix("/") + "._staging")
+    val backup = Paths.get(path.stripSuffix("/") + "._backup")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursively(backup) // leftover from an earlier crash, if any
+    if (Files.exists(target)) Files.move(target, backup)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        if (Files.exists(backup) && !Files.exists(target))
+          Files.move(backup, target)
+        throw e
+    }
+    deleteRecursively(backup)
 
+    val total = obs.get("total").asInstanceOf[Long]
+    val inserted = obs.get("inserted").asInstanceOf[Long]
     UpsertStats(inserted, total - inserted, total)
   }
 
@@ -104,7 +128,7 @@ object Upsert {
     try { conn.createStatement().execute(sql) } finally conn.close()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse

@@ -4,9 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.GraftFunctions
 
 /** Similarity search over Array[Float] embedding columns.
+  *
+  * Hot-loop arithmetic runs in the native codegen'd VectorDot expression
+  * (graft.functions.VectorDot — bit-identical to the portable
+  * VectorFunctions tree, ~20× faster); norms are computed ONCE per input
+  * row before any join, so a pair evaluation is a single dot product and
+  * one division.
   *
   * Three tiers, by scale:
   *  1. annBruteForce — exact top-k for a small query set. The query
@@ -25,7 +31,15 @@ import graft.functions.VectorFunctions
   */
 object VectorOps {
 
-  private def cos(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+  private def dot(a: Column, b: Column): Column =
+    GraftFunctions.vectorDot(a, b)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine from a precomputed-denominator pair; null on zero vectors
+    * (same contract as VectorFunctions.cosine). */
+  private def cosPre(d: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(null).cast("double"))
+      .otherwise(d / (na * nb))
 
   /** Exact cosine top-k neighbors for each query id. The tiny query side
     * is broadcast (nested-loop, map-side scoring); ranking shuffles only
@@ -33,13 +47,17 @@ object VectorOps {
   def annBruteForce(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = emb
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
-    emb.crossJoin(broadcast(queries))
+    emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_nrm"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cos(col("q_emb"), col("embedding")).as("cosine"))
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
+          .as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
@@ -47,14 +65,20 @@ object VectorOps {
 
   /** Exact all-pairs cosine similarity join at a threshold (the
     * embedding-space near-dup detector). Quadratic baseline — see class
-    * doc; LSH/IVF bucketing is the scale path. */
+    * doc; LSH/IVF bucketing is the scale path. Norms are computed n times
+    * (not n²): once per side before the join. */
   def cosineSimilarityJoin(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("_n"))
+    val a = withNorm.select(col("vec_id").as("a_id"),
+      col("embedding").as("e_a"), col("_n").as("_na"))
+    val b = withNorm.select(col("vec_id").as("b_id"),
+      col("embedding").as("e_b"), col("_n").as("_nb"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        cos(col("e_a"), col("e_b")).as("cosine"))
+        cosPre(dot(col("e_a"), col("e_b")), col("_na"), col("_nb"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -76,9 +100,15 @@ object VectorOps {
   /** IVF index: each vector assigned to its nearest centroid (by cosine).
     * Centroids are broadcast; assignment is map-side argmax. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+    val cN = centroids.select(col("centroid_id"), col("centroid"),
+      norm(col("centroid")).as("_cn"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_en"))
+      .crossJoin(broadcast(cN))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cos(col("embedding"), col("centroid")).as("_sim"))
+        cosPre(dot(col("embedding"), col("centroid")), col("_en"),
+          col("_cn")).as("_sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("centroid_id"))
     scored.withColumn("_rn", row_number().over(w))
@@ -98,23 +128,31 @@ object VectorOps {
     val indexed = ivfAssign(emb, centroids)
     val queries = emb
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
     // per-query probe list: nprobe nearest centroids
+    val cN = centroids.select(col("centroid_id"), col("centroid"),
+      norm(col("centroid")).as("_cn"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("_sim").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_emb"), col("centroid_id"),
-        cos(col("q_emb"), col("centroid")).as("_sim"))
+    val probes = queries.crossJoin(broadcast(cN))
+      .select(col("q_id"), col("q_emb"), col("_qn"), col("centroid_id"),
+        cosPre(dot(col("q_emb"), col("centroid")), col("_qn"), col("_cn"))
+          .as("_sim"))
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("centroid_id").as("bucket"))
+      .select(col("q_id"), col("q_emb"), col("_qn"),
+        col("centroid_id").as("bucket"))
     // score only vectors in probed buckets
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
-    indexed.join(broadcast(probes), "bucket")
+    indexed
+      .withColumn("_nrm", norm(col("embedding")))
+      .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cos(col("q_emb"), col("embedding")).as("cosine"))
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
+          .as("cosine"))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))

@@ -34,6 +34,7 @@ class EtlJobSpec extends SparkSuite {
     assert(summary.pagesFetched == 1)
     assert(summary.jobsExtracted == 2)
     assert(summary.jobsValid == 2)
+    assert(summary.jobsLoaded == 2)
     assert(summary.inserted == 2 && summary.updated == 0)
 
     // statistics golden values (test_integration.py:153-166)
@@ -62,5 +63,31 @@ class EtlJobSpec extends SparkSuite {
     val summary = EtlJob.run(spark, (_: PageRequest) => emptyJson,
       EtlJob.Config(targetPath = target))
     assert(summary.pagesFetched == 0 && summary.jobsValid == 0)
+  }
+
+  test("jobsValid counts pre-dedup validated rows; jobsLoaded post-dedup") {
+    val target = freshTarget()
+    // two pages with the SAME postings → extracted 4, valid 4, loaded 2.
+    // resultsPerPage=2 makes the 2-item fixture a "full" page, so the
+    // drain continues to page 2 and stops at maxPages.
+    val transport = (r: PageRequest) =>
+      if (r.page <= 2) fixtureJson else emptyJson
+    val summary = EtlJob.run(spark, transport,
+      EtlJob.Config(targetPath = target, maxPages = 2, resultsPerPage = 2))
+    assert(summary.jobsExtracted == 4)
+    assert(summary.jobsValid == 4)
+    assert(summary.jobsLoaded == 2)
+    assert(summary.inserted == 2 && summary.updated == 0)
+  }
+
+  test("page drain launches no Spark jobs (driver-side Jackson parse)") {
+    // pageCounts itself must be pure driver code
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val pc = EtlJob.pageCounts(fixtureJson)
+    assert(pc.resultCount == 2 && pc.resultCountAll == 100)
+    assert(EtlJob.pageCounts("""{"no":"searchresult"}""")
+      == graft.sources.UsaJobsClient.PageCounts(0, 0))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "pageCounts must not launch Spark jobs")
   }
 }

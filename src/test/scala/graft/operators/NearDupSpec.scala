@@ -80,6 +80,41 @@ class NearDupSpec extends SparkSuite {
     assert(exact.nonEmpty) // the harness data has planted near-dups
   }
 
+  test("native MinHashSig matches an independent Scala computation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    // independent recomputation of min((a*h+b) mod p) on the driver
+    val hs = Seq(17L, 9999999L, 123456789L)
+    val a = Seq(3L, 7L); val b = Seq(11L, 13L); val p = 2147483647L
+    val expected = a.zip(b).map { case (ai, bi) =>
+      hs.map(h => Math.floorMod(ai * h + bi, p)).min
+    }
+    val got = Seq(Tuple1(hs)).toDF("h")
+      .select(GraftFunctions.minHashSig(col("h"), a, b))
+      .head.getSeq[Long](0)
+    assert(got == expected)
+  }
+
+  test("native SimHash63 matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val hs = Seq(0x0fedcba987654321L, -12345L, 42L)
+    val expected = {
+      val counts = Array.fill(63)(0)
+      hs.foreach(h => (0 until 63).foreach(bb =>
+        if (((h >>> bb) & 1L) == 1L) counts(bb) += 1 else counts(bb) -= 1))
+      (0 until 63).map(bb => if (counts(bb) > 0) 1L << bb else 0L).sum
+    }
+    val got = Seq(Tuple1(hs)).toDF("h")
+      .select(GraftFunctions.simHash63(col("h"))).head.getLong(0)
+    assert(got == expected)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
+      .select(GraftFunctions.simHash63(col("h"))).head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("minHash signatures are deterministic across runs") {
     val s1 = NearDup.minHashSignatures(planted, 3, 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap

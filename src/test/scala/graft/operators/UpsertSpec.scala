@@ -62,4 +62,42 @@ class UpsertSpec extends SparkSuite {
     assert(again.updated == 2)
     assert(spark.read.parquet(path).count() == 2)
   }
+
+  test("counters ride the single write action — the incoming plan " +
+      "executes exactly once") {
+    val path = freshDir()
+    Upsert.mergeParquet(spark,
+      Seq(("https://x.gov/1", "A")).toDF("position_uri", "position_title"),
+      path, "position_uri")
+    // count upstream-plan executions on the merge path via an accumulator
+    // bumped per incoming row
+    val acc = spark.sparkContext.longAccumulator("incoming_rows_seen")
+    val incoming = Seq(("https://x.gov/1", "A2"), ("https://x.gov/2", "B"))
+      .toDF("position_uri", "position_title")
+      .map { r => acc.add(1); r }(
+        org.apache.spark.sql.Encoders.row(
+          new org.apache.spark.sql.types.StructType()
+            .add("position_uri", "string").add("position_title", "string")))
+      .toDF("position_uri", "position_title")
+    val stats = Upsert.mergeParquet(spark, incoming, path, "position_uri")
+    assert(stats == Upsert.UpsertStats(1, 1, 2))
+    assert(acc.value == 2L,
+      s"incoming scanned ${acc.value} rows — plan executed more than once")
+  }
+
+  test("a failed swap restores the previous snapshot (no empty window)") {
+    val path = freshDir()
+    val batch = Seq(("https://x.gov/1", "A")).toDF("position_uri",
+      "position_title")
+    Upsert.mergeParquet(spark, batch, path, "position_uri")
+    // leave a stale backup behind to prove pre-clean handles leftovers
+    Files.createDirectory(java.nio.file.Paths.get(path + "._backup"))
+    val again = Upsert.mergeParquet(spark,
+      Seq(("https://x.gov/2", "B")).toDF("position_uri", "position_title"),
+      path, "position_uri")
+    assert(again.inserted == 1)
+    assert(spark.read.parquet(path).count() == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(path + "._backup")))
+    assert(!Files.exists(java.nio.file.Paths.get(path + "._staging")))
+  }
 }

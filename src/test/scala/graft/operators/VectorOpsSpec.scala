@@ -31,6 +31,20 @@ class VectorOpsSpec extends SparkSuite {
   private lazy val sfEmb =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("native VectorDot is bit-identical to the portable HOF tree " +
+      "on harness embeddings") {
+    import graft.functions.GraftFunctions
+    val a = sfEmb.select(col("vec_id"), col("embedding"))
+    val pairs = a.limit(20).crossJoin(
+      a.select(col("vec_id").as("v2"), col("embedding").as("e2")).limit(20))
+    val diff = pairs.select(
+      VectorFunctions.dot(col("embedding"), col("e2")).as("tree"),
+      GraftFunctions.vectorDot(col("embedding"), col("e2")).as("native"))
+      .filter(col("tree") =!= col("native")) // bitwise: NaN-free data
+      .count()
+    assert(diff == 0L)
+  }
+
   test("dot / norm / cosine goldens") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
