@@ -28,14 +28,30 @@ object EtlJob {
   /** Run summary — mirrors the reference's self.metrics + run result
     * (etl/etl.py:571-578, 674-682). jobsValid counts postings that passed
     * validation BEFORE key-dedup (the reference's total_jobs_extracted
-    * semantics); jobsLoaded is the post-dedup merge total. */
+    * semantics); jobsLoaded is the post-dedup merge total; errors carries
+    * the F7-triaged per-page failures (the run completes despite them). */
   case class RunSummary(pagesFetched: Int, jobsExtracted: Long,
       jobsValid: Long, jobsLoaded: Long, inserted: Long, updated: Long,
-      durationSec: Double)
+      durationSec: Double, errors: Seq[String] = Nil)
 
   case class Config(keyword: String = "data engineering",
       location: Option[String] = None, maxPages: Int = 20,
-      resultsPerPage: Int = 500, targetPath: String = "/tmp/graft_jobs")
+      resultsPerPage: Int = 500, targetPath: String = "/tmp/graft_jobs",
+      metadataPath: Option[String] = None)
+
+  object Config {
+    /** Environment-driven config (reference: etl/etl.py:594-599 +
+      * .env.example): SEARCH_KEYWORD, SEARCH_LOCATION, MAX_PAGES, plus
+      * engine-side target paths. Injectable env map for tests. */
+    def fromEnv(env: Map[String, String] = sys.env): Config = Config(
+      keyword = env.getOrElse("SEARCH_KEYWORD", "data engineering"),
+      location = env.get("SEARCH_LOCATION").filter(_.nonEmpty),
+      maxPages = env.get("MAX_PAGES").map(_.trim.toInt).getOrElse(20),
+      resultsPerPage =
+        env.get("RESULTS_PER_PAGE").map(_.trim.toInt).getOrElse(500),
+      targetPath = env.getOrElse("GRAFT_TARGET_PATH", "/tmp/graft_jobs"),
+      metadataPath = env.get("GRAFT_METADATA_PATH").filter(_.nonEmpty))
+  }
 
   /** Full run against an injectable transport (fixtures in tests, HTTP in
     * production). */
@@ -47,31 +63,42 @@ object EtlJob {
     val limiter =
       if (rateLimitMs > 0) Some(new UsaJobsClient.RateLimiter(rateLimitMs))
       else None
-    val pages = UsaJobsClient.drainPages(transport, pageCounts,
+    val drained = UsaJobsClient.drainPages(transport, pageCounts,
       config.keyword, config.location, config.maxPages,
       config.resultsPerPage, limiter,
       Some(new UsaJobsClient.CircuitBreaker()))
 
-    // Transform: ONE lazy plan over all pages (P1-P7, F1, D1), with
-    // observation points at explode (extracted) and post-validation
-    // (valid) — both resolved by the sink write, the run's only action.
-    val raw = Curate.fromJsonStrings(spark, pages)
-    val obsExtracted = Observation("extracted")
-    val obsValid = Observation("valid")
-    val curated = Curate.curateItems(
-        Curate.items(raw).observe(obsExtracted, count(lit(1)).as("n")))
-      .observe(obsValid, count(lit(1)).as("n"))
-    val deduped = Dedup.firstWinsByArrival(curated, Seq("position_uri"))
+    try {
+      // Transform: ONE lazy plan over all pages (P1-P7, F1, D1), with
+      // observation points at explode (extracted) and post-validation
+      // (valid) — both resolved by the sink write, the run's only action.
+      val raw = Curate.fromJsonStrings(spark, drained.pages)
+      val obsExtracted = Observation("extracted")
+      val obsValid = Observation("valid")
+      val curated = Curate.curateItems(
+          Curate.items(raw).observe(obsExtracted, count(lit(1)).as("n")))
+        .observe(obsValid, count(lit(1)).as("n"))
+      val deduped = Dedup.firstWinsByArrival(curated, Seq("position_uri"))
 
-    // Load: merge with insert/update accounting (S7, D2, D3).
-    val stats = Upsert.mergeParquet(spark, deduped, config.targetPath,
-      "position_uri")
+      // Load: merge with insert/update accounting (S7, D2, D3).
+      val stats = Upsert.mergeParquet(spark, deduped, config.targetPath,
+        "position_uri")
 
-    RunSummary(pages.size,
-      obsExtracted.get("n").asInstanceOf[Long],
-      obsValid.get("n").asInstanceOf[Long],
-      stats.total, stats.inserted, stats.updated,
-      (System.nanoTime() - t0) / 1e9)
+      val summary = RunSummary(drained.pages.size,
+        obsExtracted.get("n").asInstanceOf[Long],
+        obsValid.get("n").asInstanceOf[Long],
+        stats.total, stats.inserted, stats.updated,
+        (System.nanoTime() - t0) / 1e9, drained.errors)
+      config.metadataPath.foreach(p => RunMetadata.append(spark, p,
+        stats.total, status = "success", errors = drained.errors))
+      summary
+    } catch {
+      case e: Throwable =>
+        config.metadataPath.foreach(p => RunMetadata.append(spark, p, 0L,
+          status = "failed",
+          errors = drained.errors :+ String.valueOf(e.getMessage)))
+        throw e
+    }
   }
 
   /** Post-run statistics over the sink table (EP3). */

@@ -19,9 +19,59 @@ object UsaJobsClient {
       location: Option[String] = None)
 
   /** Transport: given a page request, return the raw JSON payload.
-    * Production would wrap java.net.http.HttpClient with the auth headers
-    * and 30 s timeout; tests inject fixtures. */
+    * Production wraps java.net.http.HttpClient (HttpTransport below);
+    * tests inject fixtures. */
   type Transport = PageRequest => String
+
+  // ------------------------------------------------------- HTTP transport
+
+  /** Production transport over java.net.http (reference: search_jobs with
+    * requests.Session, etl/etl.py:170-222): auth headers, 30 s timeout,
+    * ResultsPerPage capped at the API's 500 limit, non-2xx → IOException
+    * (the retry/breaker layers handle it). The Host header of the
+    * reference is implied by the URI here (java.net.http restricts
+    * explicitly setting it). URI/header construction is split out pure so
+    * it is unit-testable without a network. */
+  object HttpTransport {
+    val DefaultBaseUrl = "https://data.usajobs.gov/api/search"
+
+    def buildUri(baseUrl: String, req: PageRequest): java.net.URI = {
+      def enc(s: String) =
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      val params = Seq(
+        "Keyword" -> req.keyword,
+        "ResultsPerPage" -> math.min(req.resultsPerPage, 500).toString,
+        "Page" -> req.page.toString,
+        "WhoMayApply" -> "All") ++
+        req.location.map("LocationName" -> _)
+      java.net.URI.create(
+        baseUrl + "?" + params
+          .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&"))
+    }
+
+    def headers(apiKey: String,
+        userAgent: String = "graft-etl/1.0"): Seq[(String, String)] =
+      Seq("User-Agent" -> userAgent, "Authorization-Key" -> apiKey)
+
+    def apply(apiKey: String, baseUrl: String = DefaultBaseUrl,
+        timeoutSec: Long = 30): Transport = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSec))
+        .build()
+      req => {
+        val b = java.net.http.HttpRequest.newBuilder(buildUri(baseUrl, req))
+          .timeout(java.time.Duration.ofSeconds(timeoutSec))
+        headers(apiKey).foreach { case (k, v) => b.header(k, v) }
+        val resp = client.send(b.GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+          throw new java.io.IOException(
+            s"HTTP ${resp.statusCode()} fetching page ${req.page}" +
+              (if (resp.statusCode() == 429) " (rate limit)" else ""))
+        resp.body()
+      }
+    }
+  }
 
   // ---------------------------------------------------------------- retry
 
@@ -108,15 +158,26 @@ object UsaJobsClient {
     * loop only needs the two counts; full parsing happens in Spark. */
   case class PageCounts(resultCount: Long, resultCountAll: Long)
 
+  /** Drain outcome: payloads in arrival order + per-page error messages
+    * collected by the F7 triage (the run continues past them). */
+  case class DrainResult(pages: Seq[String], errors: Seq[String])
+
   /** Drain pages 1..maxPages with the reference's stop conditions
     * (etl/etl.py:617-659): stop on empty page, on partial page
     * (< resultsPerPage) and when the cumulative count reaches
-    * SearchResultCountAll. Returns raw page payloads in arrival order. */
+    * SearchResultCountAll.
+    *
+    * Error triage (F7, etl/etl.py:649-659): when a page still fails after
+    * retry/breaker, the error is recorded and the drain CONTINUES with the
+    * next page — unless the message mentions "rate limit" (case-
+    * insensitive), which aborts the drain and returns what was fetched so
+    * far. Either way the pipeline proceeds to the load phase. */
   def drainPages(transport: Transport, counts: String => PageCounts,
       keyword: String, location: Option[String] = None, maxPages: Int = 20,
       resultsPerPage: Int = 500, limiter: Option[RateLimiter] = None,
-      breaker: Option[CircuitBreaker] = None): Seq[String] = {
+      breaker: Option[CircuitBreaker] = None): DrainResult = {
     val pages = Seq.newBuilder[String]
+    val errors = Seq.newBuilder[String]
     var fetched = 0L
     var page = 1
     var done = false
@@ -124,20 +185,29 @@ object UsaJobsClient {
       limiter.foreach(_.acquire())
       val fetch = () => transport(
         PageRequest(keyword, page, resultsPerPage, location))
-      val payload = breaker match {
-        case Some(b) => retry()(() => b.call(fetch))
-        case None => retry()(fetch)
-      }
-      val c = counts(payload)
-      if (c.resultCount == 0) done = true
-      else {
-        pages += payload
-        fetched += c.resultCount
-        if (c.resultCount < resultsPerPage) done = true
-        if (c.resultCountAll > 0 && fetched >= c.resultCountAll) done = true
-        page += 1
+      try {
+        val payload = breaker match {
+          case Some(b) => retry()(() => b.call(fetch))
+          case None => retry()(fetch)
+        }
+        val c = counts(payload)
+        if (c.resultCount == 0) done = true
+        else {
+          pages += payload
+          fetched += c.resultCount
+          if (c.resultCount < resultsPerPage) done = true
+          if (c.resultCountAll > 0 && fetched >= c.resultCountAll) done = true
+          page += 1
+        }
+      } catch {
+        case e: Throwable =>
+          val msg = s"Error processing page $page: ${e.getMessage}"
+          errors += msg
+          if (String.valueOf(e.getMessage).toLowerCase
+              .contains("rate limit")) done = true
+          else page += 1
       }
     }
-    pages.result()
+    DrainResult(pages.result(), errors.result())
   }
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.etl.{Bootstrap, EtlJob}
+import graft.sources.UsaJobsClient
+
+/** Production entry point (reference: main() → ETLService.run(),
+  * etl/etl.py:695-714): env-driven config, real HTTP transport with the
+  * API key, DDL bootstrap, one ETL run, run-metadata append (inside
+  * EtlJob when GRAFT_METADATA_PATH is set), summary on stdout.
+  *
+  * Environment (reference .env.example): USAJOBS_API_KEY (required),
+  * SEARCH_KEYWORD, SEARCH_LOCATION, MAX_PAGES, API_DELAY (seconds,
+  * default 1.5), GRAFT_TARGET_PATH, GRAFT_METADATA_PATH.
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    val apiKey = sys.env.getOrElse("USAJOBS_API_KEY", {
+      System.err.println("USAJOBS_API_KEY is required")
+      sys.exit(2)
+    })
+    val config = EtlJob.Config.fromEnv()
+    val rateLimitMs =
+      (sys.env.getOrElse("API_DELAY", "1.5").toDouble * 1000).toLong
+
+    val spark = GraftSession.local()
+    try {
+      Bootstrap(spark, config.targetPath) // S8: table + views
+      val summary = EtlJob.run(spark, UsaJobsClient.HttpTransport(apiKey),
+        config, rateLimitMs)
+      println(s"SUMMARY $summary")
+      spark.sql("SELECT * FROM job_statistics").show(truncate = false)
+    } finally spark.stop()
+  }
+}
