@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventOps, NearDup, RelationalOps, TextOps, VectorOps}
+import graft.operators.{EventOps, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,11 @@ object SparkEntry {
     "x04_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nprobe = 2)),
+    // Multimodal plumbing: binary media columns + per-partition decode
+    // (stub codec — see Multimodal.StubCodec); deterministic output.
+    "x05_media_features" -> ((s, d) =>
+      Multimodal.featureSummary(s,
+        Multimodal.fromDocuments(t(s, d, "documents")))),
   )
 
   // DuckDB-exactness conventions used below:
