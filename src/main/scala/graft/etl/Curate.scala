@@ -34,6 +34,16 @@ object Curate {
       .json(spark.createDataset(pages))
   }
 
+  /** From a `payload` string column (the DSv2 usajobs source output):
+    * from_json with the explicit schema, then the same raw shape as
+    * readRaw — so `Curate(fromPayloads(df))` shares the whole curation
+    * plan with the driver-drain path. Parsing happens on executors,
+    * partition-parallel. */
+  def fromPayloads(pages: DataFrame): DataFrame =
+    pages
+      .select(from_json(col("payload"), Schemas.rawApiResponse).as("_root"))
+      .select(col("_root.*"))
+
   /** Explode → project → validate. Output schema = JobPosting. */
   def apply(raw: DataFrame): DataFrame = curateItems(items(raw))
 

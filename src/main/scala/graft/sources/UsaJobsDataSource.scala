@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `TableProvider` for the paginated USAJOBS source
+  * (SURVEY §2.1 S1/S2 evolution, §7.3): `spark.read.format("usajobs")`.
+  *
+  * Design: one API page = one `InputPartition`. The driver-side drain
+  * loop (UsaJobsClient.drainPages) fetches sequentially and stops early;
+  * this source instead over-provisions maxPages partitions at plan time
+  * and lets each executor fetch its own page — pages past the end of the
+  * result set yield zero rows, which costs one cheap HTTP round-trip.
+  * That trades the drain loop's early-stop for horizontal scaling of the
+  * fetch itself, which is the right trade whenever maxPages is bounded
+  * (the reference caps at 20) and the API tolerates parallel readers.
+  * Rate pacing becomes per-task (`requestIntervalMs` sleeps before each
+  * fetch) — cluster-wide pacing needs an external token bucket, noted in
+  * the option doc.
+  *
+  * Output schema: (page INT, payload STRING) — raw page JSON, parsed
+  * downstream by Curate.fromPayloads through the usual explode/project
+  * plan, so the whole curation pipeline is shared with the driver-drain
+  * path.
+  *
+  * Transports (chosen from options, all executor-constructible):
+  *  - `pages.dir`: directory of page-N.json fixture files (tests/replay);
+  *    missing file ⇒ empty page.
+  *  - `api.key` [+ `base.url`]: live HTTP via UsaJobsClient.HttpTransport.
+  */
+class UsaJobsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "usajobs"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UsaJobsDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new UsaJobsTable(properties.asScala.toMap)
+}
+
+object UsaJobsDataSource {
+  val Schema: StructType = new StructType()
+    .add("page", IntegerType, nullable = false)
+    .add("payload", StringType, nullable = false)
+}
+
+private[sources] class UsaJobsTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "usajobs"
+  override def schema(): StructType = UsaJobsDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = UsaJobsDataSource.Schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val maxPages = merged.getOrElse("maxpages", "20").toInt
+        (1 to maxPages).map(p =>
+          UsaJobsPagePartition(p,
+            merged.getOrElse("keyword", "data engineering"),
+            merged.get("location").filter(_.nonEmpty),
+            merged.getOrElse("resultsperpage", "500").toInt,
+            merged.get("pages.dir"),
+            merged.get("api.key"),
+            merged.getOrElse("base.url",
+              UsaJobsClient.HttpTransport.DefaultBaseUrl),
+            merged.getOrElse("requestintervalms", "0").toLong)
+            : InputPartition).toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new UsaJobsReaderFactory
+    }
+  }
+}
+
+private[sources] case class UsaJobsPagePartition(page: Int, keyword: String,
+    location: Option[String], resultsPerPage: Int, pagesDir: Option[String],
+    apiKey: Option[String], baseUrl: String, requestIntervalMs: Long)
+  extends InputPartition
+
+private[sources] class UsaJobsReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[UsaJobsPagePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var payload: String = _
+
+      private def fetch(): String = p.pagesDir match {
+        case Some(dir) =>
+          val f = java.nio.file.Paths.get(dir, s"page-${p.page}.json")
+          if (java.nio.file.Files.exists(f))
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          else ""
+        case None =>
+          val key = p.apiKey.getOrElse(throw new IllegalArgumentException(
+            "usajobs source needs either pages.dir or api.key"))
+          if (p.requestIntervalMs > 0) Thread.sleep(p.requestIntervalMs)
+          UsaJobsClient.retry()(() =>
+            UsaJobsClient.HttpTransport(key, p.baseUrl)(
+              UsaJobsClient.PageRequest(p.keyword, p.page, p.resultsPerPage,
+                p.location)))
+      }
+
+      override def next(): Boolean =
+        if (done) false
+        else {
+          payload = fetch()
+          done = true
+          payload.nonEmpty
+        }
+
+      override def get(): InternalRow =
+        InternalRow(p.page, UTF8String.fromString(payload))
+
+      override def close(): Unit = ()
+    }
+  }
+}

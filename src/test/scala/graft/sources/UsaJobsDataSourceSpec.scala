@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.etl.Curate
+
+/** DSv2 paginated source: page-per-partition planning, fixture replay
+  * transport, and composition with the shared curation plan. */
+class UsaJobsDataSourceSpec extends SparkSuite {
+
+  private lazy val fixtureJson = new String(Files.readAllBytes(
+    Paths.get(getClass.getResource("/usajobs_page.json").getPath)))
+
+  private def pagesDir(n: Int): String = {
+    val dir = Files.createTempDirectory("usajobs_pages")
+    (1 to n).foreach(p =>
+      Files.writeString(dir.resolve(s"page-$p.json"), fixtureJson))
+    dir.toString
+  }
+
+  test("reads one row per existing page; missing pages yield no rows") {
+    val df = spark.read.format("usajobs")
+      .option("pages.dir", pagesDir(3))
+      .option("maxPages", "10")
+      .load()
+    val rows = df.collect()
+    assert(rows.length == 3) // pages 4..10 planned but empty
+    assert(rows.map(_.getAs[Int]("page")).sorted.toSeq == Seq(1, 2, 3))
+    assert(rows.forall(_.getAs[String]("payload").contains("SearchResult")))
+  }
+
+  test("page-per-partition: fetch parallelism equals maxPages") {
+    val df = spark.read.format("usajobs")
+      .option("pages.dir", pagesDir(2))
+      .option("maxPages", "5")
+      .load()
+    assert(df.rdd.getNumPartitions == 5)
+  }
+
+  test("composes with the shared curation plan (same goldens)") {
+    val raw = Curate.fromPayloads(
+      spark.read.format("usajobs")
+        .option("pages.dir", pagesDir(1))
+        .option("maxPages", "3")
+        .load())
+    val rows = Curate(raw).orderBy("position_title").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("position_title") == "Data Engineer")
+    assert(rows(0).getAs[String]("position_location") ==
+      "Washington, DC, US")
+    assert(rows(0).getAs[String]("position_remuneration") ==
+      "$80,000 - $120,000 Per Year")
+  }
+
+  test("live transport demands an api key") {
+    val e = intercept[Exception] {
+      spark.read.format("usajobs").option("maxPages", "1").load().collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("api.key") ||
+      String.valueOf(e.getCause.getMessage).contains("api.key"))
+  }
+}
