@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSuite
+import graft.operators.EventOps
+
+/** Streaming twins vs their batch operators: identical results on the
+  * same data (the streaming==batch parity that makes the incremental
+  * path trustworthy), plus the end-to-end AvailableNow ETL pass. */
+class StreamingSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val fixtureJson = new String(Files.readAllBytes(
+    java.nio.file.Paths.get(
+      getClass.getResource("/usajobs_page.json").getPath)))
+
+  test("AvailableNow ETL: land -> curate -> dedup -> merge, twice") {
+    val landing = tmp("land"); val target = tmp("tgt") + "/t"
+    val checkpoint = tmp("ckpt")
+    Files.writeString(java.nio.file.Paths.get(landing, "p1.json"),
+      fixtureJson)
+    StreamingEtl.runAvailableNow(spark, landing, target, checkpoint)
+    val after1 = spark.read.parquet(target)
+    assert(after1.count() == 2)
+    assert(after1.columns.contains("created_at"))
+
+    // second landing of the same page: file-source tracking skips the old
+    // file; the new one merges as updates, count stays 2
+    Files.writeString(java.nio.file.Paths.get(landing, "p2.json"),
+      fixtureJson)
+    StreamingEtl.runAvailableNow(spark, landing, target, checkpoint)
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("streaming hourly counts (Complete) == batch hourlyEventCounts") {
+    val dir = tmp("events")
+    import spark.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 10:45:00"), 2L, "view", 1.0, ""),
+      (3L, Timestamp.valueOf("2024-01-01 11:10:00"), 1L, "click", 1.0, ""),
+      (4L, Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = StreamingEvents.hourlyEventCounts(stream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("SELECT * FROM hourly")
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val batch = EventOps.hourlyEventCounts(events)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("stateful sessionize emits closed sessions matching batch gaps") {
+    val dir = tmp("sess")
+    import spark.implicits._
+    // user 1: two sessions (gap 60 min); user 2: one session — only
+    // user 1's FIRST session closes within the data
+    val events = Seq(
+      StreamingEvents.Event(1L, 1L, "click",
+        Timestamp.valueOf("2024-01-01 10:00:00")),
+      StreamingEvents.Event(2L, 1L, "view",
+        Timestamp.valueOf("2024-01-01 10:10:00")),
+      StreamingEvents.Event(3L, 1L, "click",
+        Timestamp.valueOf("2024-01-01 11:10:00")), // closes session 1
+      StreamingEvents.Event(4L, 2L, "view",
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    events.toDS().write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.toDS().schema).parquet(dir)
+      .as[StreamingEvents.Event]
+    val q = StreamingEvents.sessionize(spark, stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val closed = spark.sql("SELECT * FROM sessions").as[StreamingEvents.Session]
+      .collect()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1L && closed.head.n_events == 2L)
+    assert(closed.head.started_at == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(closed.head.ended_at == Timestamp.valueOf("2024-01-01 10:10:00"))
+    // batch twin agrees on total session structure: user 1 has 2 sessions
+    val batch = EventOps.sessionize(
+      events.toDS().toDF().withColumn("value", lit(1.0))).collect()
+    assert(batch.find(_.getLong(0) == 1L).get.getLong(1) == 2L)
+  }
+}
