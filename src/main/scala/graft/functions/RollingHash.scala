@@ -74,6 +74,7 @@ object GraftFunctions {
   val VECTOR_DOT = "graft_vector_dot"
   val MINHASH_SIG = "graft_minhash_sig"
   val SIMHASH = "graft_simhash63"
+  val SHINGLE_HASHES = "graft_shingle_hashes"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -88,6 +89,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash63(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      SHINGLE_HASHES,
+      exprs => ShingleHashes(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -112,4 +116,8 @@ object GraftFunctions {
 
   /** 63-bit SimHash of a token-hash array. */
   def simHash63(hashes: Column): Column = registered(SIMHASH, hashes)
+
+  /** Distinct n-gram shingle hashes (xxhash64 mod `mod`) in one pass. */
+  def shingleHashes(text: Column, n: Int, mod: Long): Column =
+    registered(SHINGLE_HASHES, text, lit(n), lit(mod))
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for near-dup dedup (MinHash signatures,
   * SimHash). Both consume a precomputed ARRAY<BIGINT> of element hashes
@@ -103,6 +104,99 @@ case class MinHashSig(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): MinHashSig =
     copy(first = f, second = s, third = t)
+}
+
+/** Distinct word n-gram shingle hashes in one pass: tokenize on single
+  * spaces (empties dropped — same contract as TextFunctions.tokens),
+  * slide an n-token window, hash each joined shingle with the SAME
+  * xxhash64 (seed 42) Spark's xxhash64() uses, reduce mod `mod`, and
+  * de-duplicate keeping first-occurrence order. Value-equal to
+  * `transform(shingles(text,n), s -> pmod(xxhash64(s), mod))` minus the
+  * interpreted HOF chain (split → sequence → slice → array_join →
+  * array_distinct → transform), which dominated the near-dup bench.
+  * n and mod must be foldable literals. Codegen delegates to the static
+  * compute() — the loop is all driver-written Scala, no per-lambda
+  * allocation. */
+case class ShingleHashes(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING first argument")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName n/mod arguments must be foldable literals")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  @transient private lazy val n =
+    second.eval(null).asInstanceOf[Number].intValue()
+  @transient private lazy val mod =
+    third.eval(null).asInstanceOf[Number].longValue()
+
+  override def nullSafeEval(t: Any, a2: Any, a3: Any): Any =
+    ShingleHashes.compute(t.asInstanceOf[UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("shingleN", Integer.valueOf(n), "Integer")
+    val mRef = ctx.addReferenceObj("shingleMod", java.lang.Long.valueOf(mod),
+      "Long")
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"""
+         |${ev.value} = graft.functions.ShingleHashes.compute(
+         |  $t, $nRef.intValue(), $mRef.longValue());
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): ShingleHashes =
+    copy(first = f, second = s, third = t)
+}
+
+object ShingleHashes {
+  /** Static worker shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    val tokens = new java.util.ArrayList[String]()
+    val s = text.toString
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) tokens.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val t = tokens.size()
+    if (t < n) return new GenericArrayData(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w <= t - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.get(w + j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      seen.add(java.lang.Math.floorMod(h, mod))
+      w += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** 63-bit SimHash over token hashes: bit b of the result is set when

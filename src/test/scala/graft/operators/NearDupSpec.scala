@@ -80,6 +80,24 @@ class NearDupSpec extends SparkSuite {
     assert(exact.nonEmpty) // the harness data has planted near-dups
   }
 
+  test("native ShingleHashes == HOF shingles→xxhash64→pmod tree") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val p = 2147483647L
+    val tree = transform(TextFunctions.shingles(sfDocs("text"), 3),
+      s => pmod(xxhash64(s), lit(p)))
+    val rows = sfDocs.select(
+      tree.as("tree"),
+      GraftFunctions.shingleHashes(sfDocs("text"), 3, p).as("native"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // short-doc edge: fewer than n tokens → empty
+    import spark.implicits._
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(short.select(GraftFunctions.shingleHashes(col("text"), 3, p))
+      .head.getSeq[Long](0).isEmpty)
+  }
+
   test("native MinHashSig matches an independent Scala computation") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions
