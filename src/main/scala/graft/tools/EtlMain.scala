@@ -23,11 +23,18 @@ object EtlMain {
     val rateLimitMs =
       (sys.env.getOrElse("API_DELAY", "1.5").toDouble * 1000).toLong
 
+    val log = sys.env.get("GRAFT_LOG_FILE")
+      .map(graft.etl.JsonLog.fileSink)
+      .getOrElse(new graft.etl.JsonLog.Sink())
     val spark = GraftSession.local()
     try {
+      log.info("etl", s"Starting ETL run: keyword='${config.keyword}' " +
+        s"maxPages=${config.maxPages}")
       Bootstrap(spark, config.targetPath) // S8: table + views
       val summary = EtlJob.run(spark, UsaJobsClient.HttpTransport(apiKey),
         config, rateLimitMs)
+      summary.errors.foreach(log.error("etl", _))
+      log.info("etl", s"ETL run complete: $summary")
       println(s"SUMMARY $summary")
       spark.sql("SELECT * FROM job_statistics").show(truncate = false)
     } finally spark.stop()

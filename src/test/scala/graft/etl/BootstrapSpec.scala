@@ -68,6 +68,29 @@ class BootstrapSpec extends SparkSuite {
     assert(row.getAs[String]("error_message").contains("page 2"))
   }
 
+  test("JsonLog: structured line golden + dual stdout/file sink (S10)") {
+    val line = JsonLog.format("INFO", "etl", "Starting \"run\" #1\n",
+      "graft.etl", "run", 42, java.time.Instant.EPOCH)
+    assert(line == """{"timestamp": "1970-01-01T00:00:00.000000", """ +
+      """"level": "INFO", "logger": "etl", """ +
+      """"message": "Starting \"run\" #1\n", "module": "graft.etl", """ +
+      """"function": "run", "line": 42}""")
+    // valid JSON with the reference's seven fields
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(Seq("timestamp", "level", "logger", "message", "module",
+      "function", "line").forall(node.has))
+
+    val f = Files.createTempDirectory("graft_log").resolve("logs/etl.log")
+    val captured = Seq.newBuilder[String]
+    val sink = new JsonLog.Sink(Some(f), captured += _)
+    sink.info("etl", "one")
+    sink.error("db", "two")
+    assert(captured.result().size == 2)
+    val onDisk = Files.readAllLines(f)
+    assert(onDisk.size() == 2)
+    assert(onDisk.get(1).contains("\"level\": \"ERROR\""))
+  }
+
   test("Config.fromEnv mirrors the reference env contract") {
     val cfg = EtlJob.Config.fromEnv(Map(
       "SEARCH_KEYWORD" -> "scala spark",
