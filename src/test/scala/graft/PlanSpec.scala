@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan regression tests: the scale properties the engine
+  * promises (filter pushdown, column pruning, broadcast choices, codegen
+  * spans, shuffle counts) asserted against the actual executed plans at
+  * sf0.001 — so a plan regression fails CI, not just the bench. */
+class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** Execute (to finalize AQE) and render the final plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val plan = finalPlan(q("q02_filter_project"))
+    assert(plan.contains("PushedFilters: ["),
+      "scan must carry pushed filters")
+    assert(plan.contains("IsNotNull(l_shipdate)") ||
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate predicate must be pushed")
+    // column pruning: the scan reads only the 5 referenced columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") &&
+      !readSchema.contains("l_partkey"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("q05: tiny dims broadcast; customer joined by AQE's choice, " +
+      "not a forced broadcast") {
+    val df = q("q05_revenue_by_nation")
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation/region/supplier should broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop fallback in an equi-join star")
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen") {
+    val df = q("q01_pricing_summary")
+    val plan = finalPlan(df)
+    val codegenStages = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, "no WholeStageCodegen stage found")
+    assert(plan.contains("HashAggregate"),
+      "partial+final hash aggregate expected")
+  }
+
+  test("q26 doc profile: the only exchange is the verification sort") {
+    val df = q("q26_doc_profile")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 1,
+      s"profile computation must be map-side; found ${exchanges.size} " +
+        "exchanges (1 expected for the output ORDER BY)")
+  }
+
+  test("q30 ANN: query side broadcast; one shuffle for the ranking") {
+    val df = q("q30_ann_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      "query vectors must be broadcast, data side never shuffled for the join")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (rank by q_id + output sort), got ${exchanges.size}")
+  }
+
+  test("x02 MinHash: signatures are map-side (no exchange before banding)") {
+    import graft.operators.NearDup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sigs = NearDup.minHashSignatures(docs, 3, 64)
+    sigs.collect()
+    val exchanges = collect(sigs.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      "signature computation must not shuffle")
+  }
+}
