@@ -75,6 +75,7 @@ object GraftFunctions {
   val MINHASH_SIG = "graft_minhash_sig"
   val SIMHASH = "graft_simhash63"
   val SHINGLE_HASHES = "graft_shingle_hashes"
+  val TOP_K = "graft_top_k"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -92,6 +93,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       SHINGLE_HASHES,
       exprs => ShingleHashes(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      TOP_K, exprs => BoundedTopK(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -120,4 +123,10 @@ object GraftFunctions {
   /** Distinct n-gram shingle hashes (xxhash64 mod `mod`) in one pass. */
   def shingleHashes(text: Column, n: Int, mod: Long): Column =
     registered(SHINGLE_HASHES, text, lit(n), lit(mod))
+
+  /** Bounded top-k aggregate: best-first array<struct<score,id>>, with
+    * map-side partial aggregation (≤k rows per group per partition hit
+    * the shuffle — see BoundedTopK). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    registered(TOP_K, score, id, lit(k))
 }

@@ -41,26 +41,37 @@ object VectorOps {
     when(na * nb === 0.0, lit(null).cast("double"))
       .otherwise(d / (na * nb))
 
+  /** Rank scored candidates per query via the bounded-heap aggregate
+    * (graft.functions.BoundedTopK): each map task contributes at most k
+    * rows per q_id to the shuffle — not the whole scored scan — which is
+    * the only ranking shape that survives a 100 TB corpus. Ordering is
+    * identical to row_number() OVER (ORDER BY cosine DESC, n_id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topK(col("cosine"), col("n_id"), k).as("_tk"))
+      .select(col("q_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("q_id"), col("_e.id").as("n_id"),
+        col("_e.score").as("cosine"),
+        (col("_pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+
   /** Exact cosine top-k neighbors for each query id. The tiny query side
-    * is broadcast (nested-loop, map-side scoring); ranking shuffles only
-    * by q_id. Excludes self-matches. */
+    * is broadcast (nested-loop, map-side scoring); ranking is the
+    * bounded-heap aggregate. Excludes self-matches. */
   def annBruteForce(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = emb
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    emb.select(col("vec_id"), col("embedding"),
+    val scored = emb.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_nrm"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
           .as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Exact all-pairs cosine similarity join at a threshold (the
@@ -143,18 +154,14 @@ object VectorOps {
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("_qn"),
         col("centroid_id").as("bucket"))
-    // score only vectors in probed buckets
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    indexed
+    // score only vectors in probed buckets; rank via the bounded heap
+    val scored = indexed
       .withColumn("_nrm", norm(col("embedding")))
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
           .as("cosine"))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(scored, k)
   }
 }

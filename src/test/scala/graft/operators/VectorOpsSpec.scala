@@ -45,6 +45,33 @@ class VectorOpsSpec extends SparkSuite {
     assert(diff == 0L)
   }
 
+  test("BoundedTopK aggregate == window ranking, ties and partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    // scores with deliberate ties: tie goes to the smaller id
+    val rows = (0L until 100L).map(i => (i % 3, (i % 7).toDouble, i))
+    val df = rows.toDF("q_id", "cosine", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "n_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    def viaAgg(parts: Int) = df.repartition(parts)
+      .groupBy(col("q_id"))
+      .agg(GraftFunctions.topK(col("cosine"), col("n_id"), 5).as("_tk"))
+      .select(col("q_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+      .select(col("q_id"), col("_e.id").as("n_id"),
+        col("_e.score").as("cosine"),
+        (col("_pos") + 1).cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(viaAgg(1) == viaWindow)
+    assert(viaAgg(13) == viaWindow) // partial-merge path, same result
+  }
+
   test("dot / norm / cosine goldens") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
