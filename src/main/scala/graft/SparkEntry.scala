@@ -81,6 +81,18 @@ object SparkEntry {
       EventOps.runningUserTotals(t(s, d, "events"))),
     "q23_user_event_matrix" -> ((s, d) =>
       EventOps.userEventTypeMatrix(t(s, d, "events"))),
+    "q32_order_price_quantiles" -> ((s, d) =>
+      RelationalOps.orderPriceQuantiles(t(s, d, "orders"))),
+    "q33_cube_status_priority" -> ((s, d) =>
+      RelationalOps.cubeStatusPriority(t(s, d, "orders"))),
+    "q34_event_type_pivot" -> ((s, d) =>
+      EventOps.eventTypePivot(t(s, d, "events"))),
+    "q35_grouping_sets" -> ((s, d) =>
+      RelationalOps.groupingSetsStatusPriority(t(s, d, "orders"))),
+    "q36_balance_ranks" -> ((s, d) =>
+      RelationalOps.customerBalanceRanks(t(s, d, "customer"))),
+    "q37_part_labels" -> ((s, d) =>
+      RelationalOps.partLabels(t(s, d, "part"))),
     // --- LLM-data-pipeline operators over documents/embeddings ---
     "q24_doc_stats_by_source" -> ((s, d) =>
       TextOps.docStatsBySource(t(s, d, "documents"))),
@@ -279,6 +291,45 @@ object SparkEntry {
          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
          count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q32_order_price_quantiles" ->
+      """SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90
+         FROM orders""",
+    "q33_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q34_event_type_pivot" ->
+      """SELECT user_id,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q36_balance_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+         percent_rank() OVER w AS bal_pct_rank,
+         CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    "q37_part_labels" ->
+      """SELECT p_partkey,
+         lpad(p_brand, 12, '*') AS brand_padded,
+         rpad(p_brand, 16, '.') AS brand_rpadded,
+         translate(p_type, 'AEIOU', 'aeiou') AS type_folded,
+         regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+         reverse(p_name) AS name_rev,
+         CAST(length(p_name) AS BIGINT) AS name_len
+         FROM part ORDER BY p_partkey""",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

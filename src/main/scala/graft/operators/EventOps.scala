@@ -30,6 +30,20 @@ object EventOps {
 
   /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
     * batch twin of the Structured Streaming windowed aggregation. */
+  /** True pivot (wide matrix via RelationalGroupedDataset.pivot with an
+    * explicit value list — plan-stable columns; missing combinations
+    * coalesced to 0 to match the conditional-count formulation). */
+  def eventTypePivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
   def hourlyEventCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -240,4 +240,58 @@ object RelationalOps {
         substring(col("c_name"), 1, 8).as("name_prefix"),
         col("c_name").like("Customer%").as("is_customer"))
       .orderBy(col("c_custkey"))
+
+  /** Exact interpolated quantiles (single-pass sort-based aggregate).
+    * At 100 TB use approx_percentile (t-digest sketch) — exact quantiles
+    * need the full sorted distribution per group. */
+  def orderPriceQuantiles(orders: DataFrame): DataFrame =
+    orders.agg(
+      percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+      percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+      percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+      percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+
+  /** CUBE: all 4 grouping combinations in one pass (Expand + hash agg —
+    * the input is read once and expanded 4×, not re-scanned). */
+  def cubeStatusPriority(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** GROUPING SETS (status totals + priority totals, no cross). */
+  def groupingSetsStatusPriority(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** percent_rank + ntile within segment (SURVEY §2.10 windows). */
+  def customerBalanceRanks(customer: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      percent_rank().over(w).as("bal_pct_rank"),
+      ntile(4).over(w).cast("long").as("bal_quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** String-function kitchen sink (SURVEY §2.8 extended): pad/translate/
+    * regexp/reverse — all codegen'd built-ins, map-side. */
+  def partLabels(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_padded"),
+      rpad(col("p_brand"), 16, ".").as("brand_rpadded"),
+      translate(col("p_type"), "AEIOU", "aeiou").as("type_folded"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+      reverse(col("p_name")).as("name_rev"),
+      length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
 }
