@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Physical-layout guarantees: bucketed joins are shuffle-free, salted
+  * joins are result-identical to plain joins. */
+class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("bucketed co-located join plans ZERO shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    Layout.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      "orders_bkt", "o_custkey", 8)
+    Layout.writeBucketed(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_bkt", "o_custkey", 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined =
+        Layout.bucketedJoin(spark, "orders_bkt", "customer_bkt", "o_custkey")
+      joined.collect()
+      val exchanges = collect(joined.queryExecution.executedPlan) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle, found ${exchanges.size} exchanges")
+      // same result as the plain (shuffling) join
+      val plain = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/customer.parquet")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedEquiJoin is row-identical to the plain join under skew") {
+    // skew: 90% of the large side hits key 1
+    val large = (1L to 2000L)
+      .map(i => (if (i % 10 == 0) i % 7 else 1L, s"row$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "warm"), (3L, "cold"))
+      .toDF("k", "label")
+
+    val plain = large.join(small, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val salted = Layout.saltedEquiJoin(large, small, "k", salts = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("salt distribution actually spreads the hot key") {
+    val large = (1L to 1000L).map(i => (1L, s"row$i")).toDF("k", "payload")
+    val counts = large
+      .withColumn("_salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(16)))
+      .groupBy("_salt").count().collect().map(_.getLong(1))
+    assert(counts.length == 16, "all 16 salt buckets populated")
+    assert(counts.max < 1000 / 16 * 3, "no salt bucket dominates")
+  }
+}
