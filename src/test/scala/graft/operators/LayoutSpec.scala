@@ -13,6 +13,17 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
 
   test("bucketed co-located join plans ZERO shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
+    // the in-memory catalog forgets tables between JVMs but their files
+    // persist under the warehouse — clear both
+    Seq("orders_bkt", "customer_bkt").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get("/tmp/graft_warehouse", tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Layout.writeBucketed(
       spark.read.parquet(s"$dir/orders.parquet"),
       "orders_bkt", "o_custkey", 8)
