@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSuite
+
+/** Property tests for the native expressions: each property generates a
+  * batch of random inputs (fixed seed, reproducible), evaluates BOTH the
+  * native codegen'd expression and its portable reference form in ONE
+  * DataFrame pass, and asserts bit-equality row by row. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(seed + i)).get)
+
+  /** Unicode-heavy strings: ASCII, Latin-1, CJK, and supplementary-plane
+    * codepoints (surrogate pairs) mixed freely. */
+  private val unicodeString: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.choose(32, 126), // ASCII incl space
+    2 -> Gen.choose(0xC0, 0x2FF), // Latin extended
+    2 -> Gen.choose(0x4E00, 0x9FFF), // CJK
+    1 -> Gen.choose(0x1F300, 0x1F6FF) // supplementary (emoji)
+  )).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  test("property: rollingHash tree == native on arbitrary unicode") {
+    val inputs = sample(unicodeString, 200, 1L)
+    val rows = inputs.toDF("text").select(
+      TextFunctions.rollingHash(col("text")).as("tree"),
+      GraftFunctions.rollingHash(spark, col("text")).as("native")).collect()
+    rows.zip(inputs).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for ${s.take(40)}")
+    }
+  }
+
+  test("property: ShingleHashes == HOF tree on arbitrary token lists") {
+    val doc: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy"),
+      1 -> Gen.const(""), // consecutive spaces when joined
+      1 -> unicodeString.map(_.replace(" ", "")))
+    ).map(_.mkString(" "))
+    val inputs = sample(doc, 150, 2L)
+    val p = 2147483647L
+    val rows = inputs.toDF("text").select(
+      transform(TextFunctions.shingles(col("text"), 3),
+        s => pmod(xxhash64(s), lit(p))).as("tree"),
+      GraftFunctions.shingleHashes(col("text"), 3, p).as("native")).collect()
+    rows.zip(inputs).foreach { case (r, s) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch for '${s.take(60)}'")
+    }
+  }
+
+  test("property: VectorDot == portable tree on arbitrary float vectors") {
+    val vec: Gen[Seq[Float]] = Gen.listOfN(16,
+      Gen.chooseNum(-1e6f, 1e6f)).map(_.toSeq)
+    val pairs = sample(Gen.zip(vec, vec), 200, 3L)
+    val rows = pairs.toDF("a", "b").select(
+      VectorFunctions.dot(col("a"), col("b")).as("tree"),
+      GraftFunctions.vectorDot(col("a"), col("b")).as("native")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("property: remuneration renders $min - $max for arbitrary ranges") {
+    val range = Gen.zip(Gen.chooseNum(0, 900000), Gen.chooseNum(0, 900000))
+    val cases = sample(range, 80, 4L)
+    val df = cases.map { case (lo, hi) => (lo.toString, hi.toString) }
+      .toDF("minS", "maxS")
+      .select(ParseExprs.parseRemuneration(array(struct(
+        col("minS").as("MinimumRange"), col("maxS").as("MaximumRange"),
+        lit("Per Year").as("RateIntervalCode")))).as("r"))
+    val expected = cases.map { case (lo, hi) =>
+      f"$$$lo%,d - $$$hi%,d Per Year"
+    }
+    df.collect().map(_.getString(0)).zip(expected).foreach { case (got, want) =>
+      assert(got == want)
+    }
+  }
+
+  test("property: BoundedTopK keeps exactly the k best for random scores") {
+    val scores = sample(Gen.chooseNum(-1000.0, 1000.0), 500, 5L)
+    val df = scores.zipWithIndex
+      .map { case (s, i) => (i.toLong % 4, s, i.toLong) }
+      .toDF("g", "score", "id")
+    val got = df.groupBy(col("g"))
+      .agg(GraftFunctions.topK(col("score"), col("id"), 7).as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    val expected = scores.zipWithIndex
+      .map { case (s, i) => (i.toLong % 4, s, i.toLong) }
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        g -> rows.map(t => (t._2, t._3))
+          .sortBy { case (s, id) => (-s, id) }.take(7)
+      }
+    assert(got == expected)
+  }
+}
