@@ -126,6 +126,11 @@ object SparkEntry {
     "x04_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nprobe = 2)),
+    // Random-hyperplane LSH similarity join (scale path for q31's
+    // quadratic baseline): exact-verified candidates, engine-seeded
+    // planes → rows-only; subset/recall asserted in VectorOpsSpec.
+    "x06_cosine_lsh_pairs" -> ((s, d) =>
+      VectorOps.cosineLshJoin(t(s, d, "embeddings"), 0.45)),
     // Multimodal plumbing: binary media columns + per-partition decode
     // (stub codec — see Multimodal.StubCodec); deterministic output.
     "x05_media_features" -> ((s, d) =>

@@ -94,6 +94,49 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Random-hyperplane LSH similarity join — the scale path for pair
+    * mining that cosineSimilarityJoin baselines: each vector gets a
+    * bit-signature (sign of the dot with `bands`×`rowsPerBand` fixed
+    * random hyperplanes), signatures are banded, candidates come from an
+    * equi-join on (band, bandBits) — never all-pairs — and candidates
+    * are verified with the EXACT cosine at the threshold (precision 1,
+    * recall governed by P(bit match) = 1 − θ/π per plane and the usual
+    * 1−(1−p^r)^b band curve). Deterministic: planes from a fixed seed. */
+  def cosineLshJoin(emb: DataFrame, threshold: Double, bands: Int = 12,
+      rowsPerBand: Int = 3, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(0x5eedL)
+    val planes: Seq[Seq[Float]] = Seq.fill(bands * rowsPerBand)(
+      Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    // band value = the r sign bits packed into an int, one struct per band
+    val bandStructs = array((0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val plane = typedlit(planes(b * rowsPerBand + r))
+        when(dot(col("embedding"), plane) >= 0.0, 1 << r).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bits"))
+    }: _*)
+    val banded = emb
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_n"), explode(bandStructs).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("x.embedding").as("e_a"),
+        col("x._n").as("_na"),
+        col("y.vec_id").as("b_id"), col("y.embedding").as("e_b"),
+        col("y._n").as("_nb"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .select(col("a_id"), col("b_id"),
+        cosPre(dot(col("e_a"), col("e_b")), col("_na"), col("_nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Coarse centroids per `label` (stand-in for a sampled k-means
     * codebook): mean vector per label, computed by position explode +
     * group — one shuffle of n_vectors * dim rows, then tiny. */

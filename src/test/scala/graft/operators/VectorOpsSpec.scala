@@ -120,6 +120,23 @@ class VectorOpsSpec extends SparkSuite {
       r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("cosineLshJoin: precision 1 (subset of exact), full recall on " +
+      "tight clusters") {
+    // clustered: same-cluster cosines ≈ 0.9999 → every plane agrees →
+    // recall ≈ 1 at threshold 0.9
+    val exact = VectorOps.cosineSimilarityJoin(clustered, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineLshJoin(clustered, 0.9, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    // harness embeddings: verified candidates are always a subset
+    val exactSf = VectorOps.cosineSimilarityJoin(sfEmb, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSf = VectorOps.cosineLshJoin(sfEmb, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshSf.subsetOf(exactSf))
+  }
+
   test("labelCentroids: mean per dimension, ordered by position") {
     val c = VectorOps.labelCentroids(clustered).collect()
       .map(r => r.getAs[Long]("centroid_id") ->
