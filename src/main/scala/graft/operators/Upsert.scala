@@ -107,6 +107,92 @@ object Upsert {
     UpsertStats(inserted, total - inserted, total)
   }
 
+  /** Bucket-partitioned merge — the 100 TB shape of mergeParquet. The
+    * target is laid out as `_bucket=N/` partitions (N = hash of the key
+    * mod numBuckets), so a merge:
+    *   1. derives the buckets the incoming batch touches (≤ numBuckets
+    *      ints on the driver);
+    *   2. reads ONLY those partitions of the snapshot (partition
+    *      pruning — untouched bytes are never read);
+    *   3. full-outer-merges exactly as mergeParquet (same created_at/
+    *      updated_at semantics, same Observation counters);
+    *   4. rewrites ONLY the touched partitions via dynamic partition
+    *      overwrite.
+    * Merge cost is proportional to the INCOMING batch (times the bucket
+    * fan-in), not the table size. Atomicity is per-partition (dynamic
+    * overwrite swaps each partition dir); a torn multi-partition commit
+    * re-heals on the next idempotent merge — the full-snapshot
+    * mergeParquet remains the strictly-atomic option for small targets. */
+  def mergeParquetBucketed(spark: SparkSession, incoming: DataFrame,
+      path: String, key: String, numBuckets: Int = 64): UpsertStats = {
+    val now = current_timestamp()
+    val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets.toLong))
+    val stamped = incoming
+      .withColumn(CREATED_AT, now)
+      .withColumn(UPDATED_AT, now)
+      .withColumn("_bucket", bucketOf)
+
+    val target = Paths.get(path)
+    // dynamic partition overwrite does not leave a root _SUCCESS marker —
+    // presence of any bucket partition dir is the existence signal
+    val exists = Files.exists(target) && {
+      val s = Files.list(target)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
+      finally s.close()
+    }
+    val obs = Observation()
+
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val merged =
+        if (!exists)
+          stamped.observe(obs, count(lit(1)).as("total"),
+            count(lit(1)).as("inserted"))
+        else {
+          val touched = stamped.select(col("_bucket")).distinct()
+            .collect().map(_.getLong(0))
+          val existing = spark.read.parquet(path)
+            .filter(col("_bucket").isin(touched: _*)) // partition pruning
+          val dataCols = stamped.columns.filterNot(c =>
+            c == key || c == "_bucket")
+          val exRenamed = dataCols.foldLeft(existing) { (d, c) =>
+            d.withColumnRenamed(c, s"_ex_$c")
+          }.drop("_bucket")
+          val joined = stamped
+            .withColumn("_inc", lit(true))
+            .join(exRenamed, Seq(key), "full_outer")
+          val observed = joined.observe(obs,
+            count(when(col("_inc"), 1)).as("total"),
+            count(when(col("_inc") && col(s"_ex_$CREATED_AT").isNull, 1))
+              .as("inserted"))
+          observed.select(stamped.columns.map {
+            case `key` => col(key)
+            case "_bucket" =>
+              // recompute for existing-only rows (their stamped _bucket
+              // is null on the existing side of the join)
+              pmod(xxhash64(col(key)), lit(numBuckets.toLong)).as("_bucket")
+            case CREATED_AT =>
+              coalesce(col(s"_ex_$CREATED_AT"), col(CREATED_AT))
+                .as(CREATED_AT)
+            case c =>
+              when(col("_inc").isNotNull, col(c)).otherwise(col(s"_ex_$c"))
+                .as(c)
+          }.toSeq: _*)
+        }
+      merged.write
+        .partitionBy("_bucket")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+
+    val total = obs.get("total").asInstanceOf[Long]
+    val inserted = obs.get("inserted").asInstanceOf[Long]
+    UpsertStats(inserted, total - inserted, total)
+  }
+
   /** JDBC variant (reference target: PostgreSQL): executors write the batch
     * to a staging table in parallel, then the driver issues ONE
     * INSERT..SELECT..ON CONFLICT statement — single round-trip merge,

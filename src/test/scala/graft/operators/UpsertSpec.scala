@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 /** Upsert merge semantics + stats, mirroring the reference's integration
@@ -83,6 +85,69 @@ class UpsertSpec extends SparkSuite {
     assert(stats == Upsert.UpsertStats(1, 1, 2))
     assert(acc.value == 2L,
       s"incoming scanned ${acc.value} rows — plan executed more than once")
+  }
+
+  test("bucketed merge: accounting matches, untouched partitions " +
+      "are not rewritten") {
+    val path = freshDir()
+    val batch = (1 to 40)
+      .map(i => (s"https://x.gov/$i", s"Job $i"))
+      .toDF("position_uri", "position_title")
+    val first = Upsert.mergeParquetBucketed(spark, batch, path,
+      "position_uri", numBuckets = 8)
+    assert(first == Upsert.UpsertStats(40, 0, 40))
+    val table = spark.read.parquet(path)
+    assert(table.count() == 40)
+
+    // capture per-partition file listings before the incremental merge
+    def partitionFiles(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(path)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_bucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala
+              .map(_.getFileName.toString).toSet
+        }.toMap
+    }
+    val before = partitionFiles()
+    assert(before.size > 1, "batch should span several buckets")
+
+    // one update + one insert -> at most 2 buckets rewritten
+    val delta = Seq(("https://x.gov/1", "Job 1 UPDATED"),
+      ("https://x.gov/999", "Brand New"))
+      .toDF("position_uri", "position_title")
+    val second = Upsert.mergeParquetBucketed(spark, delta, path,
+      "position_uri", numBuckets = 8)
+    assert(second == Upsert.UpsertStats(1, 1, 2))
+
+    val after = partitionFiles()
+    val unchanged = before.keySet.intersect(after.keySet)
+      .count(k => before(k) == after(k))
+    assert(unchanged >= before.size - 2,
+      s"only touched buckets may be rewritten: $before vs $after")
+
+    val merged = spark.read.parquet(path)
+    assert(merged.count() == 41)
+    assert(merged.filter(col("position_uri") === "https://x.gov/1")
+      .head.getAs[String]("position_title") == "Job 1 UPDATED")
+  }
+
+  test("bucketed merge preserves created_at on update, like mergeParquet") {
+    val path = freshDir()
+    val b1 = Seq(("https://x.gov/1", "A")).toDF("position_uri",
+      "position_title")
+    Upsert.mergeParquetBucketed(spark, b1, path, "position_uri", 4)
+    val created = spark.read.parquet(path).head.getAs[Timestamp]("created_at")
+    Thread.sleep(1100)
+    val b2 = Seq(("https://x.gov/1", "B")).toDF("position_uri",
+      "position_title")
+    Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 4)
+    val row = spark.read.parquet(path).head
+    assert(row.getAs[String]("position_title") == "B")
+    assert(row.getAs[Timestamp]("created_at") == created)
+    assert(row.getAs[Timestamp]("updated_at").after(created))
   }
 
   test("a failed swap restores the previous snapshot (no empty window)") {
