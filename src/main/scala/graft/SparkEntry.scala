@@ -95,6 +95,10 @@ object SparkEntry {
       RelationalOps.partLabels(t(s, d, "part"))),
     "q38_asof_click_before_purchase" -> ((s, d) =>
       EventOps.asOfLastEvent(t(s, d, "events"), "click", "purchase")),
+    "q39_props_json_stats" -> ((s, d) =>
+      EventOps.propsKStats(t(s, d, "events"))),
+    "q40_orders_above_cust_avg" -> ((s, d) =>
+      RelationalOps.ordersAboveCustomerAvg(t(s, d, "orders"))),
     // --- LLM-data-pipeline operators over documents/embeddings ---
     "q24_doc_stats_by_source" -> ((s, d) =>
       TextOps.docStatsBySource(t(s, d, "documents"))),
@@ -344,6 +348,22 @@ object SparkEntry {
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "q39_props_json_stats" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+         CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+         count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q40_orders_above_cust_avg" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS cust_avg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey))
+         SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+         FROM t WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

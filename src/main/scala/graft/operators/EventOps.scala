@@ -30,6 +30,24 @@ object EventOps {
 
   /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
     * batch twin of the Structured Streaming windowed aggregation. */
+  /** Semi-structured extraction (SURVEY §1.1 semi-structured input,
+    * generalized): parse the JSON props column with an explicit schema
+    * (from_json — typed, codegen'd; schema-on-read like the API pages)
+    * and aggregate the extracted field per event type. */
+  def propsKStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("_k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("_k")).as("k_sum"),
+        min(col("_k")).as("k_min"),
+        max(col("_k")).as("k_max"),
+        count(col("_k")).as("n"))
+      .orderBy(col("event_type"))
+
   /** As-of join, composed from existing operators (preference (a) of the
     * custom-operator ladder): for every `forType` event, the most recent
     * `matchType` event by the same user at-or-before its timestamp.

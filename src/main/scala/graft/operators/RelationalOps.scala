@@ -282,6 +282,24 @@ object RelationalOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Correlated comparison via window (the scalable form of the
+    * correlated scalar subquery "orders above their customer's
+    * average"): one shuffle on the key; the per-key average is an
+    * exact-decimal sum over the window divided once — deterministic at
+    * any parallelism. */
+  def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+    val avgSpent = sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+      .cast("double") / count(lit(1)).over(w)
+    orders
+      .withColumn("_avg", avgSpent)
+      .filter(col("o_totalprice") > col("_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("_avg").as("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** String-function kitchen sink (SURVEY §2.8 extended): pad/translate/
     * regexp/reverse — all codegen'd built-ins, map-side. */
   def partLabels(part: DataFrame): DataFrame =
