@@ -99,6 +99,8 @@ object SparkEntry {
       EventOps.propsKStats(t(s, d, "events"))),
     "q40_orders_above_cust_avg" -> ((s, d) =>
       RelationalOps.ordersAboveCustomerAvg(t(s, d, "orders"))),
+    "q41_key_lookup" -> ((s, d) =>
+      RelationalOps.lookupByKey(t(s, d, "customer"), "c_custkey", 42L)),
     // --- LLM-data-pipeline operators over documents/embeddings ---
     "q24_doc_stats_by_source" -> ((s, d) =>
       TextOps.docStatsBySource(t(s, d, "documents"))),
@@ -364,6 +366,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY o_custkey))
          SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
          FROM t WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
+    "q41_key_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42 ORDER BY c_custkey",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

@@ -282,6 +282,15 @@ object RelationalOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Key-equality lookup (SURVEY §2.3 F6: WHERE position_uri = ?). A
+    * point predicate on the natural key: pushed into the parquet scan
+    * (PushedFilters), and the access-path story at 100 TB is layout —
+    * partition/bucket by the key (Layout.writeBucketed) so the scan
+    * touches one bucket, the columnar analogue of the reference's btree
+    * index on position_uri (init.sql:25). */
+  def lookupByKey(df: DataFrame, keyCol: String, value: Long): DataFrame =
+    df.filter(col(keyCol) === lit(value)).orderBy(col(keyCol))
+
   /** Correlated comparison via window (the scalable form of the
     * correlated scalar subquery "orders above their customer's
     * average"): one shuffle on the key; the per-key average is an
