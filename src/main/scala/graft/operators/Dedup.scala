@@ -33,10 +33,6 @@ object Dedup {
     firstWins(withSeq, keys, col("_seq")).drop("_seq")
   }
 
-  /** Exact whole-row dedup — hash aggregate on all columns (the cheap,
-    * order-insensitive variant; SURVEY §2.10 / LLM-pipeline exact dedup). */
-  def exact(df: DataFrame): DataFrame = df.dropDuplicates()
-
   /** Exact dedup by key, keeping the row with the smallest tiebreaker —
     * deterministic without any arrival-order dependence. */
   def keepMinBy(df: DataFrame, key: String, tiebreak: String): DataFrame =
