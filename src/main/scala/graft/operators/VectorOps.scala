@@ -115,21 +115,26 @@ object VectorOps {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bits.as("bits"))
     }: _*)
+    // candidate generation carries ONLY ids — the banded self-join and
+    // the pair dedup shuffle narrow rows; embeddings re-join afterwards
+    // (two hash joins on vec_id) for the exact verification
     val banded = emb
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("_n"), explode(bandStructs).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("_n"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .select(col("vec_id"), explode(bandStructs).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("x.embedding").as("e_a"),
-        col("x._n").as("_na"),
-        col("y.vec_id").as("b_id"), col("y.embedding").as("e_b"),
-        col("y._n").as("_nb"))
-      .dropDuplicates("a_id", "b_id")
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("_n"))
     candidates
+      .join(withNorm.select(col("vec_id").as("a_id"),
+        col("embedding").as("e_a"), col("_n").as("_na")), "a_id")
+      .join(withNorm.select(col("vec_id").as("b_id"),
+        col("embedding").as("e_b"), col("_n").as("_nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         cosPre(dot(col("e_a"), col("e_b")), col("_na"), col("_nb"))
           .as("cosine"))
