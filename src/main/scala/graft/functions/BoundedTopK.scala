@@ -44,7 +44,13 @@ case class BoundedTopK(
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName k must be a foldable INT")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      val kv = kExpr.eval(null)
+      if (kv == null || kv.asInstanceOf[Number].intValue() <= 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName k must be a positive literal, got $kv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   @transient private lazy val k: Int =
     kExpr.eval(null).asInstanceOf[Number].intValue()
@@ -65,10 +71,11 @@ case class BoundedTopK(
   override def update(buf: PriorityQueue[ScoredId],
       input: InternalRow): PriorityQueue[ScoredId] = {
     val s = scoreExpr.eval(input)
-    if (s != null) {
-      val id = idExpr.eval(input).asInstanceOf[Long]
-      add(buf, ScoredId(s.asInstanceOf[Double], id))
-    }
+    val id = idExpr.eval(input)
+    // null score OR null id → the row simply doesn't rank (matches
+    // row_number over a null-filtered input; never fabricate id 0)
+    if (s != null && id != null)
+      add(buf, ScoredId(s.asInstanceOf[Double], id.asInstanceOf[Long]))
     buf
   }
 

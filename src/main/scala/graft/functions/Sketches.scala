@@ -36,13 +36,17 @@ case class MinHashSig(first: Expression, second: Expression,
     else if (!second.foldable || !third.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName seed arrays must be foldable literals")
+    else if (aSeeds.length != bSeeds.length || aSeeds.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName seed arrays must be non-empty and equal-length " +
+          s"(got ${aSeeds.length} and ${bSeeds.length})")
     else TypeCheckResult.TypeCheckSuccess
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+  private val P = MinHashSig.P
 
   @transient private lazy val aSeeds =
     second.eval(null).asInstanceOf[ArrayData].toLongArray()
@@ -104,6 +108,13 @@ case class MinHashSig(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): MinHashSig =
     copy(first = f, second = s, third = t)
+}
+
+object MinHashSig {
+  /** Mersenne prime 2^31−1: the universal-hash modulus. Input hashes
+    * must be reduced below it so a·h + b stays under 2^62 — callers
+    * (NearDup) share THIS constant to keep the no-overflow contract. */
+  val P = 2147483647L
 }
 
 /** Distinct word n-gram shingle hashes in one pass: tokenize on single

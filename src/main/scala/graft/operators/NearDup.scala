@@ -105,10 +105,9 @@ object NearDup {
 
   // ---------------------------------------------------- MinHash + LSH
 
-  /** Mersenne prime 2^31-1: the universal-hash modulus. Shingle hashes
-    * are first reduced below it so a*h+b stays < 2^62 — no ANSI-mode
-    * overflow. */
-  private val P = 2147483647L
+  /** Shared with the native expression: shingle hashes are reduced below
+    * this modulus so the signature arithmetic cannot overflow. */
+  private val P = graft.functions.MinHashSig.P
 
   /** Deterministic (a, b) seed pairs for the k min-hash functions. */
   private def seedPairs(numHashes: Int): (Seq[Long], Seq[Long]) = {
@@ -165,6 +164,9 @@ object NearDup {
     * some candidate pair (semi join first), then intersected per pair.
     * Verification compares hashed shingle sets (same distinct-set
     * cardinalities as the string sets modulo 2⁻⁶⁴-scale collisions).
+    * Note the withSh subtree evaluates once per verification join (twice
+    * total) — acceptable because it is restricted to candidate documents;
+    * persist it if candidate sets ever grow large.
     * Output is a subset of jaccardPairs(docs, n, minJ) — LSH controls
     * recall, verification guarantees precision = 1. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,

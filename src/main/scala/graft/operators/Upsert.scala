@@ -57,6 +57,18 @@ object Upsert {
       .withColumn(UPDATED_AT, now)
 
     val target = Paths.get(path)
+    val backupAtStart = Paths.get(path.stripSuffix("/") + "._backup")
+    // Crash recovery: a previous run may have died between moving the
+    // live snapshot aside and renaming staging in. If the target is
+    // missing-or-incomplete but a complete backup exists, the backup IS
+    // the snapshot — restore it before merging (otherwise this merge
+    // would treat the table as empty and the pre-clean would delete the
+    // only copy).
+    if (!Files.exists(target.resolve("_SUCCESS")) &&
+        Files.exists(backupAtStart.resolve("_SUCCESS"))) {
+      deleteRecursively(target)
+      Files.move(backupAtStart, target)
+    }
     val exists = Files.exists(target.resolve("_SUCCESS"))
     val obs = Observation("upsert")
 

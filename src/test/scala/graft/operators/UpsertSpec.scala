@@ -150,6 +150,25 @@ class UpsertSpec extends SparkSuite {
     assert(row.getAs[Timestamp]("updated_at").after(created))
   }
 
+  test("crash between swap moves: next merge restores the backup first") {
+    val path = freshDir()
+    val batch = Seq(("https://x.gov/1", "A"), ("https://x.gov/2", "B"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquet(spark, batch, path, "position_uri")
+    // simulate dying after move(target, backup) but before
+    // move(staging, target): the live snapshot sits in ._backup only
+    Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + "._backup"))
+    val delta = Seq(("https://x.gov/3", "C"))
+      .toDF("position_uri", "position_title")
+    val stats = Upsert.mergeParquet(spark, delta, path, "position_uri")
+    // the backup was restored, so this is a MERGE, not a fresh load
+    assert(stats == Upsert.UpsertStats(1, 0, 1))
+    val rows = spark.read.parquet(path)
+    assert(rows.count() == 3, "old snapshot rows must survive the crash")
+    assert(!Files.exists(java.nio.file.Paths.get(path + "._backup")))
+  }
+
   test("a failed swap restores the previous snapshot (no empty window)") {
     val path = freshDir()
     val batch = Seq(("https://x.gov/1", "A")).toDF("position_uri",
