@@ -94,9 +94,11 @@ object EtlJob {
       summary
     } catch {
       case e: Throwable =>
-        config.metadataPath.foreach(p => RunMetadata.append(spark, p, 0L,
-          status = "failed",
+        // best-effort: the run-log append must never mask the root cause
+        try config.metadataPath.foreach(p => RunMetadata.append(spark, p,
+          0L, status = "failed",
           errors = drained.errors :+ String.valueOf(e.getMessage)))
+        catch { case meta: Throwable => e.addSuppressed(meta) }
         throw e
     }
   }

@@ -56,9 +56,12 @@ object TextOps {
   }
 
   /** Per-document quality/token profile: the feature vector a training-
-    * data pipeline filters on. Pure projection — no shuffle. Every double
-    * column is a single division of exact integers, so values are
-    * bit-identical across engines and partitionings. */
+    * data pipeline filters on. The profile computation itself is a pure
+    * map-side projection; the trailing ORDER BY exists for verification
+    * determinism and is the plan's only exchange (PlanSpec asserts this)
+    * — drop it when composing into a pipeline. Every double column is a
+    * single division of exact integers, so values are bit-identical
+    * across engines and partitionings. */
   def docProfile(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -85,7 +88,8 @@ object TextOps {
 
   /** Content fingerprints per document: md5 of whitespace-normalized text
     * (engine-portable) + the codegen'd polynomial rolling hash (native
-    * Catalyst expression graft.functions.RollingHash). Map-side only. */
+    * Catalyst expression graft.functions.RollingHash). Map-side except
+    * the verification ORDER BY — drop it for pipeline use. */
   def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -101,12 +101,18 @@ object VectorOps {
     * equi-join on (band, bandBits) — never all-pairs — and candidates
     * are verified with the EXACT cosine at the threshold (precision 1,
     * recall governed by P(bit match) = 1 − θ/π per plane and the usual
-    * 1−(1−p^r)^b band curve). Deterministic: planes from a fixed seed. */
+    * 1−(1−p^r)^b band curve). Deterministic: planes from a fixed seed.
+    * `dim` defaults to the actual embedding width (probed from the first
+    * row) — passing a smaller value would silently truncate projections
+    * and degrade recall. */
   def cosineLshJoin(emb: DataFrame, threshold: Double, bands: Int = 12,
-      rowsPerBand: Int = 3, dim: Int = 64): DataFrame = {
+      rowsPerBand: Int = 3, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else emb.select(size(col("embedding"))).head.getInt(0)
     val rnd = new scala.util.Random(0x5eedL)
     val planes: Seq[Seq[Float]] = Seq.fill(bands * rowsPerBand)(
-      Seq.fill(dim)(rnd.nextGaussian().toFloat))
+      Seq.fill(d)(rnd.nextGaussian().toFloat))
     // band value = the r sign bits packed into an int, one struct per band
     val bandStructs = array((0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { r =>
@@ -165,14 +171,15 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_en"))
       .crossJoin(broadcast(cN))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+      .select(col("vec_id"), col("embedding"), col("_en"),
+        col("centroid_id"),
         cosPre(dot(col("embedding"), col("centroid")), col("_en"),
           col("_cn")).as("_sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("centroid_id"))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("_en").as("emb_norm"),
         col("centroid_id").as("bucket"))
   }
 
@@ -202,14 +209,14 @@ object VectorOps {
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("_qn"),
         col("centroid_id").as("bucket"))
-    // score only vectors in probed buckets; rank via the bounded heap
+    // score only vectors in probed buckets; norms were computed once in
+    // ivfAssign and carried as emb_norm; rank via the bounded heap
     val scored = indexed
-      .withColumn("_nrm", norm(col("embedding")))
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
-          .as("cosine"))
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"),
+          col("emb_norm")).as("cosine"))
     rankTopK(scored, k)
   }
 }

@@ -59,6 +59,9 @@ object StreamingEvents {
       idleTimeout: GroupStateTimeout =
         GroupStateTimeout.NoTimeout()): Dataset[Session] = {
     import spark.implicits._
+    require(idleTimeout != GroupStateTimeout.EventTimeTimeout(),
+      "event-time timeouts need setTimeoutTimestamp; pass NoTimeout or " +
+        "ProcessingTimeTimeout")
     val gapMicros = gapMinutes * 60L * 1000000L
     val timeoutEnabled = idleTimeout != GroupStateTimeout.NoTimeout()
 
@@ -84,7 +87,13 @@ object StreamingEvents {
                 closed += Session(userId, st.nEvents,
                   micros(st.sessionStart), micros(st.lastTs))
                 UserSessionState(t, t, 1L)
-              } else st.copy(lastTs = t, nEvents = st.nEvents + 1)
+              } else
+                // a LATE event (t <= lastTs, possible across micro-
+                // batches) must never move the session backward: keep
+                // lastTs monotone and widen the start instead
+                st.copy(lastTs = math.max(st.lastTs, t),
+                  sessionStart = math.min(st.sessionStart, t),
+                  nEvents = st.nEvents + 1)
             }
             if (st != null) {
               state.update(st)

@@ -65,6 +65,46 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sessionize: a late event in a later micro-batch never regresses " +
+      "the session boundary") {
+    val dir = tmp("late"); val ckpt = tmp("lateckpt")
+    import spark.implicits._
+    val closed = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamingEvents.Session]())
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          StreamingEvents.Event]].schema)
+        .parquet(dir).as[StreamingEvents.Event]
+      val q = StreamingEvents.sessionize(spark, stream)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingEvents.Session],
+              _: Long) => batch.collect().foreach(closed.add(_): Unit)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: one event at 10:00
+    Seq(StreamingEvents.Event(1L, 1L, "click",
+      Timestamp.valueOf("2024-01-01 10:00:00"))).toDS()
+      .write.mode("append").parquet(dir)
+    run()
+    // batch 2: LATE 9:45 plus 10:20 — all gaps < 30 min, so the session
+    // must stay open; regressing lastTs to 9:45 would falsely close it
+    Seq(
+      StreamingEvents.Event(2L, 1L, "view",
+        Timestamp.valueOf("2024-01-01 09:45:00")),
+      StreamingEvents.Event(3L, 1L, "click",
+        Timestamp.valueOf("2024-01-01 10:20:00"))).toDS()
+      .write.mode("append").parquet(dir)
+    run()
+    assert(closed.isEmpty,
+      s"no session should close across the late arrival, got $closed")
+  }
+
   test("stateful sessionize emits closed sessions matching batch gaps") {
     val dir = tmp("sess")
     import spark.implicits._
