@@ -30,8 +30,15 @@ object RunMetadata {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** Run history, newest first. */
-  def history(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).parquet(path)
-      .orderBy(col("last_run_at").desc)
+  /** Run history, newest first; empty-with-schema before the first run
+    * (the reference's etl_metadata exists via DDL and reads zero rows). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        spark.read.schema(schema).parquet(path)
+      else
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+    base.orderBy(col("last_run_at").desc)
+  }
 }

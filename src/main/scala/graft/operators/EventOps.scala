@@ -28,8 +28,6 @@ object EventOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("y"), col("m"), col("event_type"))
 
-  /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
-    * batch twin of the Structured Streaming windowed aggregation. */
   /** Semi-structured extraction (SURVEY §1.1 semi-structured input,
     * generalized): parse the JSON props column with an explicit schema
     * (from_json — typed, codegen'd; schema-on-read like the API pages)
@@ -92,6 +90,8 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Tumbling 1-hour window aggregate — Spark's `window()` bucketing, the
+    * batch twin of the Structured Streaming windowed aggregation. */
   def hourlyEventCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

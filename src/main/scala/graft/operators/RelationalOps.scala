@@ -272,8 +272,7 @@ object RelationalOps {
 
   /** percent_rank + ntile within segment (SURVEY §2.10 windows). */
   def customerBalanceRanks(customer: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
     customer.select(
       col("c_custkey"), col("c_mktsegment"),
@@ -297,8 +296,7 @@ object RelationalOps {
     * exact-decimal sum over the window divided once — deterministic at
     * any parallelism. */
   def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_custkey"))
+    val w = Window.partitionBy(col("o_custkey"))
     val avgSpent = sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
       .cast("double") / count(lit(1)).over(w)
     orders

@@ -108,9 +108,11 @@ object UsaJobsClient {
 
   class CircuitBreakerOpenException(msg: String) extends RuntimeException(msg)
 
-  /** CLOSED → OPEN after `failureThreshold` consecutive failures;
-    * OPEN → HALF_OPEN after `recoveryTimeoutMs`; HALF_OPEN success closes
-    * it again (reference: etl/etl.py:131-161). `clock` injectable. */
+  /** CLOSED → OPEN after `failureThreshold` accumulated failures (the
+    * count resets ONLY on a HALF_OPEN success — cumulative over the
+    * breaker's lifetime, exactly the reference's semantics,
+    * etl/etl.py:148-161); OPEN → HALF_OPEN after `recoveryTimeoutMs`;
+    * HALF_OPEN success closes it again. `clock` injectable. */
   class CircuitBreaker(failureThreshold: Int = 5,
       recoveryTimeoutMs: Long = 60000,
       clock: () => Long = () => System.currentTimeMillis()) {
@@ -171,11 +173,19 @@ object UsaJobsClient {
     * retry/breaker, the error is recorded and the drain CONTINUES with the
     * next page — unless the message mentions "rate limit" (case-
     * insensitive), which aborts the drain and returns what was fetched so
-    * far. Either way the pipeline proceeds to the load phase. */
+    * far. Either way the pipeline proceeds to the load phase.
+    *
+    * Nesting is retry(breaker(fetch)) — the reference's order (@retry on
+    * search_jobs, breaker inside it, etl/etl.py:182/214): each retry
+    * attempt counts against the breaker, replicated deliberately.
+    * resultsPerPage is capped at the API's 500 limit HERE as well as in
+    * the transport, so the partial-page stop condition always compares
+    * against what was actually requested. */
   def drainPages(transport: Transport, counts: String => PageCounts,
       keyword: String, location: Option[String] = None, maxPages: Int = 20,
       resultsPerPage: Int = 500, limiter: Option[RateLimiter] = None,
       breaker: Option[CircuitBreaker] = None): DrainResult = {
+    val rpp = math.min(resultsPerPage, 500)
     val pages = Seq.newBuilder[String]
     val errors = Seq.newBuilder[String]
     var fetched = 0L
@@ -184,7 +194,7 @@ object UsaJobsClient {
     while (!done && page <= maxPages) {
       limiter.foreach(_.acquire())
       val fetch = () => transport(
-        PageRequest(keyword, page, resultsPerPage, location))
+        PageRequest(keyword, page, rpp, location))
       try {
         val payload = breaker match {
           case Some(b) => retry()(() => b.call(fetch))
@@ -195,7 +205,7 @@ object UsaJobsClient {
         else {
           pages += payload
           fetched += c.resultCount
-          if (c.resultCount < resultsPerPage) done = true
+          if (c.resultCount < rpp) done = true
           if (c.resultCountAll > 0 && fetched >= c.resultCountAll) done = true
           page += 1
         }
