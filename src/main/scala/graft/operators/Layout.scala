@@ -41,6 +41,20 @@ object Layout {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Date-partitioned write: the lakehouse layout for time-series facts.
+    * Directory-level partition pruning means a day-bounded query opens
+    * only the matching partition dirs — at 100 TB the difference between
+    * scanning everything and scanning a day. (The reference's
+    * created_at/extracted_at btree indexes, init.sql:22-24, map to
+    * exactly this.) */
+  def writePartitionedByDay(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write
+      .partitionBy("p_date")
+      .mode("overwrite")
+      .parquet(path)
+
   /** Skew-safe equi-join: `large` is salted by a uniform hash of its
     * whole row id-space; `small` is replicated `salts`× (one copy per
     * salt value); the join key becomes (key, salt). Row-identical to

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** The SQL front door: every harness table as a temp view + the native
+  * graft functions registered — the same engine surface through
+  * spark.sql, exercising Catalyst's full parse→analyze→optimize path. */
+class SqlSurfaceSpec extends SparkSuite {
+
+  private lazy val ready: Unit = {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    GraftFunctions.register(spark)
+  }
+
+  test("relational query through pure SQL matches the operator result") {
+    ready
+    val viaSql = spark.sql(
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin).collect()
+    val viaOps = operators.RelationalOps.distinctCustomersByStatus(
+      Tables.load(spark, "/root/testdata/sf0.001", "orders")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaOps.map(_.toSeq).toSeq)
+  }
+
+  test("native functions are callable from SQL") {
+    ready
+    val row = spark.sql(
+      """SELECT graft_rolling_hash('hello world') AS rh,
+        |  graft_vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+        |    AS dot,
+        |  graft_simhash63(array(CAST(5 AS BIGINT))) AS sh""".stripMargin)
+      .head
+    assert(row.getAs[Long]("rh") == 204910434L)
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Long]("sh") == 5L) // single hash: its bits win
+  }
+
+  test("documents analysis through SQL: fingerprint + token count") {
+    ready
+    val rows = spark.sql(
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' '))))
+        |         AS fp,
+        |       graft_rolling_hash(text) AS rh
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("fp").length == 32))
+    assert(rows.forall(_.getAs[Long]("rh") >= 0L))
+  }
+}

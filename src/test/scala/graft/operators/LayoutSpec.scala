@@ -51,6 +51,31 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned layout: a day filter prunes to one partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bydate")
+      .toString + "/events"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    Layout.writePartitionedByDay(events, "ts", dir)
+    val nDays = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.countDistinct(col("p_date")))
+      .head.getLong(0)
+    assert(nDays > 1, "need multiple day partitions for the pruning test")
+
+    val day = spark.read.parquet(dir).select(col("p_date")).head.getDate(0)
+    val pruned = spark.read.parquet(dir).filter(col("p_date") === day)
+    // directory pruning: the scan reads only the matching partition
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.partitionCount
+      }
+    assert(files.contains(1),
+      s"expected exactly one selected partition, got $files")
+    assert(pruned.count() > 0)
+  }
+
   test("saltedEquiJoin is row-identical to the plain join under skew") {
     // skew: 90% of the large side hits key 1
     val large = (1L to 2000L)
