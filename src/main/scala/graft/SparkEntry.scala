@@ -114,6 +114,8 @@ object SparkEntry {
       TextOps.fingerprints(s, t(s, d, "documents"))),
     "q29_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    "q42_train_val_test_split" -> ((s, d) =>
+      TextOps.trainValTestSplit(s, t(s, d, "documents"))),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -436,6 +438,20 @@ object SparkEntry {
            CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
          FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.7
          ORDER BY a_id, b_id""",
+    "q42_train_val_test_split" ->
+      """WITH b AS (SELECT n_chars,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''),
+                 ch -> CAST(unicode(ch) AS BIGINT))),
+             (acc, cp) -> (acc * 31 + cp) % 1000000007) % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY 1 ORDER BY split""",
     "q30_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

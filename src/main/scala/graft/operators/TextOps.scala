@@ -86,6 +86,28 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Deterministic train/val/test assignment by CONTENT hash — the
+    * reproducible-split primitive of a training pipeline: the same
+    * document lands in the same split on every run, every engine, any
+    * partitioning (unlike rand()-based sampling), and near-identical
+    * re-crawls move together only if byte-identical. Buckets: rolling
+    * hash mod 100 → [0,train) train, [train,train+val) val, rest test.
+    * Map-side projection + tiny aggregate. */
+  def trainValTestSplit(spark: SparkSession, docs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(GraftFunctions.rollingHash(spark, col("text")),
+      lit(100L))
+    docs
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
   /** Content fingerprints per document: md5 of whitespace-normalized text
     * (engine-portable) + the codegen'd polynomial rolling hash (native
     * Catalyst expression graft.functions.RollingHash). Map-side except
