@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Direct goldens for the analytics read path (EP3): statistics view
+  * values, recency filtering, group counts, top-k and the UNION ALL
+  * metrics report — mirroring the reference's view/monitor.sh semantics
+  * (init.sql:44-70, monitor.sh:16-58). */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(offsetDays: Int): Timestamp =
+    new Timestamp(System.currentTimeMillis() - offsetDays * 86400000L)
+
+  private lazy val jobs = Seq(
+    ("u1", "OrgA", "DeptX", ts(0)), // today
+    ("u2", "OrgA", "DeptY", ts(3)), // this week
+    ("u3", "OrgB", "DeptY", ts(20)), // this month
+    ("u4", "OrgC", "DeptZ", ts(45)) // older
+  ).toDF("position_uri", "organization_name", "department_name",
+    "created_at")
+
+  test("statistics: totals, distincts, recency buckets, min/max") {
+    val s = Analytics.statistics(jobs, "organization_name",
+      "department_name", "created_at").head
+    assert(s.getAs[Long]("total_jobs") == 4L)
+    assert(s.getAs[Long]("unique_organizations") == 3L)
+    assert(s.getAs[Long]("unique_departments") == 3L)
+    assert(s.getAs[Long]("jobs_today") == 1L)
+    assert(s.getAs[Long]("jobs_this_week") == 2L)
+    assert(s.getAs[Long]("jobs_this_month") == 3L)
+    assert(s.getAs[Timestamp]("latest_job_posted")
+      .after(s.getAs[Timestamp]("earliest_job_posted")))
+  }
+
+  test("statistics approx variant: HLL counts within rsd of exact") {
+    val s = Analytics.statistics(jobs, "organization_name",
+      "department_name", "created_at", approx = true).head
+    // 4 distinct values at rsd=0.01 are always exact in practice
+    assert(s.getAs[Long]("unique_organizations") == 3L)
+  }
+
+  test("recent: 30-day filter, newest first, optional projection") {
+    val r = Analytics.recent(jobs, "created_at", days = 30,
+      projection = Seq("position_uri", "created_at")).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("u1", "u2", "u3"))
+    assert(r.head.schema.fieldNames.toSeq ==
+      Seq("position_uri", "created_at"))
+  }
+
+  test("countByGroup: largest groups first, deterministic ties") {
+    val g = Analytics.countByGroup(jobs, "organization_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(g.toSeq == Seq(("OrgA", 2L), ("OrgB", 1L), ("OrgC", 1L)))
+  }
+
+  test("topKRecent returns the k newest rows") {
+    val t = Analytics.topKRecent(jobs, "created_at", 2).collect()
+    assert(t.map(_.getAs[String]("position_uri")).toSeq == Seq("u1", "u2"))
+  }
+
+  test("metricsReport: one (metric, value) row per frame, sorted") {
+    val rpt = Analytics.metricsReport(
+      "total_jobs" -> jobs,
+      "org_a_jobs" -> jobs.filter(col("organization_name") === "OrgA"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rpt.toSeq == Seq(("org_a_jobs", 2L), ("total_jobs", 4L)))
+  }
+}
