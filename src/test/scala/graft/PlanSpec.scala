@@ -80,6 +80,21 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"expected ≤2 shuffles (rank by q_id + output sort), got ${exchanges.size}")
   }
 
+  test("q38 as-of join: one shuffle on user_id plus the output sort — " +
+      "never a range-join explosion") {
+    val df = q("q38_asof_click_before_purchase")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (window partition + order), got ${exchanges.size}")
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a product join")
+  }
+
   test("x02 MinHash: signatures are map-side (no exchange before banding)") {
     import graft.operators.NearDup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
