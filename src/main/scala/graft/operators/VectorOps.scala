@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -162,25 +161,52 @@ object VectorOps {
         transform(col("_pairs"), p => p.getField("c").cast("float"))
           .as("centroid"))
 
+  /** Centroid table packed into ONE broadcastable row: a sorted
+    * array<struct<centroid_id, centroid, _cn>> (ascending centroid_id, so
+    * first-wins folds break ties toward the smallest id — same order the
+    * previous window argmax used). The codebook is small by construction
+    * (sampled k-means), so the single collect_list row is tiny. */
+  private def packCentroids(centroids: DataFrame): DataFrame =
+    centroids
+      .select(col("centroid_id"), col("centroid"),
+        norm(col("centroid")).as("_cn"))
+      .agg(sort_array(collect_list(
+        struct(col("centroid_id"), col("centroid"), col("_cn"))))
+        .as("_cents"))
+
+  /** Null-safe comparable similarity: cosine with zero-vector nulls mapped
+    * below any real cosine (range [-1, 1]), so folds/sorts never compare
+    * against null. */
+  private def simKey(e: Column, c: Column, en: Column): Column =
+    coalesce(
+      cosPre(dot(e, c.getField("centroid")), en, c.getField("_cn")),
+      lit(-2.0))
+
   /** IVF index: each vector assigned to its nearest centroid (by cosine).
-    * Centroids are broadcast; assignment is map-side argmax. */
+    * The packed codebook is broadcast and the argmax is a map-side fold
+    * over it — ZERO shuffles touch the (100 TB) vector side, vs. the
+    * row_number()-over-vec_id alternative, which would shuffle
+    * n_vectors × n_centroids scored rows (PlanSpec asserts the shape).
+    * Ties go to the smallest centroid_id, as the window argmax did. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cN = centroids.select(col("centroid_id"), col("centroid"),
-      norm(col("centroid")).as("_cn"))
-    val scored = emb
+    val idType = centroids.schema("centroid_id").dataType
+    val init = struct(
+      lit(null).cast(idType).as("centroid_id"), lit(-3.0).as("_k"))
+    emb
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_en"))
-      .crossJoin(broadcast(cN))
-      .select(col("vec_id"), col("embedding"), col("_en"),
-        col("centroid_id"),
-        cosPre(dot(col("embedding"), col("centroid")), col("_en"),
-          col("_cn")).as("_sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("_sim").desc, col("centroid_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .withColumn("_best",
+        aggregate(col("_cents"), init, (acc, c) => {
+          val s = simKey(col("embedding"), c, col("_en"))
+          // strict > keeps the FIRST (smallest-id) centroid on ties
+          when(s > acc.getField("_k"),
+            struct(c.getField("centroid_id").as("centroid_id"),
+              s.as("_k")))
+            .otherwise(acc)
+        }))
       .select(col("vec_id"), col("embedding"), col("_en").as("emb_norm"),
-        col("centroid_id").as("bucket"))
+        col("_best.centroid_id").as("bucket"))
   }
 
   /** IVF top-k search: each query probes its nprobe nearest buckets and
@@ -196,19 +222,20 @@ object VectorOps {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
-    // per-query probe list: nprobe nearest centroids
-    val cN = centroids.select(col("centroid_id"), col("centroid"),
-      norm(col("centroid")).as("_cn"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("_sim").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(cN))
-      .select(col("q_id"), col("q_emb"), col("_qn"), col("centroid_id"),
-        cosPre(dot(col("q_emb"), col("centroid")), col("_qn"), col("_cn"))
-          .as("_sim"))
-      .withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= nprobe)
+    // per-query probe list: nprobe nearest centroids, picked MAP-SIDE from
+    // the broadcast codebook (sort the per-row scored array, slice nprobe)
+    // — same zero-shuffle shape as ivfAssign, and array_sort on
+    // struct<negated sim, centroid_id> reproduces the previous
+    // (sim desc, centroid_id asc) window order exactly
+    val probes = queries.crossJoin(broadcast(packCentroids(centroids)))
       .select(col("q_id"), col("q_emb"), col("_qn"),
-        col("centroid_id").as("bucket"))
+        explode(slice(
+          array_sort(transform(col("_cents"), c =>
+            struct((-simKey(col("q_emb"), c, col("_qn"))).as("_neg"),
+              c.getField("centroid_id").as("centroid_id")))),
+          1, nprobe)).as("_p"))
+      .select(col("q_id"), col("q_emb"), col("_qn"),
+        col("_p.centroid_id").as("bucket"))
     // score only vectors in probed buckets; norms were computed once in
     // ivfAssign and carried as emb_norm; rank via the bounded heap
     val scored = indexed

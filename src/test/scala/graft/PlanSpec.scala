@@ -95,6 +95,31 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "as-of must not plan a product join")
   }
 
+  test("ivfAssign: zero shuffles touch the vector side (map-side argmax " +
+      "over the broadcast codebook)") {
+    import graft.operators.VectorOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.ivfAssign(emb, VectorOps.labelCentroids(emb))
+    out.collect()
+    val exchanges = collect(out.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the tiny centroid codebook may aggregate through an exchange; the
+    // 100 TB invariant is that NO exchange subtree contains the full
+    // embeddings scan (the previous row_number argmax shuffled
+    // n_vectors × n_centroids rows)
+    val vectorSideShuffles = exchanges.filter { e =>
+      collect(e) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.schema.fieldNames.contains("vec_id") &&
+              s.schema.fieldNames.contains("embedding") => s
+      }.nonEmpty
+    }
+    assert(vectorSideShuffles.isEmpty,
+      s"vector-side rows must not shuffle in ivfAssign; found " +
+        s"${vectorSideShuffles.size} exchange(s) over the embeddings scan")
+  }
+
   test("x02 MinHash: signatures are map-side (no exchange before banding)") {
     import graft.operators.NearDup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
