@@ -76,6 +76,7 @@ object GraftFunctions {
   val SIMHASH = "graft_simhash63"
   val SHINGLE_HASHES = "graft_shingle_hashes"
   val TOP_K = "graft_top_k"
+  val HYPERPLANE_BITS = "graft_hyperplane_bits"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -95,6 +96,10 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       TOP_K, exprs => BoundedTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HYPERPLANE_BITS,
+      exprs => HyperplaneBits(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -123,6 +128,12 @@ object GraftFunctions {
   /** Distinct n-gram shingle hashes (xxhash64 mod `mod`) in one pass. */
   def shingleHashes(text: Column, n: Int, mod: Long): Column =
     registered(SHINGLE_HASHES, text, lit(n), lit(mod))
+
+  /** All random-hyperplane LSH band bit-values in one native pass (see
+    * HyperplaneBits); planes derived from (seed, dim-of-row). */
+  def hyperplaneBits(vec: Column, bands: Int, rowsPerBand: Int,
+      seed: Long): Column =
+    registered(HYPERPLANE_BITS, vec, lit(bands), lit(rowsPerBand), lit(seed))
 
   /** Bounded top-k aggregate: best-first array<struct<score,id>>, with
     * map-side partial aggregation (≤k rows per group per partition hit

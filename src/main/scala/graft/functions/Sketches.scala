@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for near-dup dedup (MinHash signatures,
@@ -206,6 +206,124 @@ object ShingleHashes {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Random-hyperplane LSH band values in ONE pass: for an Array[Float]
+  * embedding, computes all bands×rowsPerBand sign bits (sign of the dot
+  * with fixed Gaussian hyperplanes) and returns one packed-bits INT per
+  * band — element b = Σ_r (dot(vec, plane_{b·rows+r}) >= 0 ? 1<<r : 0).
+  *
+  * The plane matrix is derived DETERMINISTICALLY from (seed, #planes,
+  * dim) with dim read from the input row itself — so the operator needs
+  * no width parameter and plan construction launches no probing job; the
+  * same seed yields identical planes on every executor. Dot products use
+  * VectorDot's exact arithmetic (float widened to double, left-to-right
+  * accumulation), so bit values match the previous per-plane
+  * `VectorDot(vec, typedlit(plane))` formulation bit-for-bit — but the
+  * embedding array is traversed once per plane from a flat cached
+  * matrix instead of once per separately-planned literal-array dot
+  * (~bands×rows expression-tree evaluations collapsed into one).
+  *
+  * bands/rowsPerBand/seed must be foldable literals. Empty input →
+  * all-sign-positive bits (dot = 0 ≥ 0); callers' exact verification
+  * rejects any degenerate collisions. */
+case class HyperplaneBits(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!(first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> first argument, got " +
+        first.dataType.catalogString)
+    else if (!second.foldable || !third.foldable || !fourth.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bands/rowsPerBand/seed must be foldable literals")
+    else if (bands <= 0 || rowsPerBand <= 0 || rowsPerBand > 30)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs bands > 0 and 0 < rowsPerBand <= 30")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  @transient private lazy val bands =
+    second.eval(null).asInstanceOf[Number].intValue()
+  @transient private lazy val rowsPerBand =
+    third.eval(null).asInstanceOf[Number].intValue()
+  @transient private lazy val seed =
+    fourth.eval(null).asInstanceOf[Number].longValue()
+
+  override def nullSafeEval(v: Any, a2: Any, a3: Any, a4: Any): Any =
+    HyperplaneBits.compute(v.asInstanceOf[ArrayData], bands, rowsPerBand,
+      seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("hpBands", Integer.valueOf(bands),
+      "Integer")
+    val rRef = ctx.addReferenceObj("hpRows", Integer.valueOf(rowsPerBand),
+      "Integer")
+    val sRef = ctx.addReferenceObj("hpSeed", java.lang.Long.valueOf(seed),
+      "Long")
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) =>
+      s"""
+         |${ev.value} = graft.functions.HyperplaneBits.compute(
+         |  $v, $bRef.intValue(), $rRef.intValue(), $sRef.longValue());
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): HyperplaneBits =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object HyperplaneBits {
+  /** Plane matrices cached per (seed, planeCount, dim) — flat row-major
+    * float[planeCount·dim], generated exactly like the previous plan-time
+    * literals: scala.util.Random(seed), planes drawn sequentially, each
+    * as dim consecutive nextGaussian floats. Deterministic on every
+    * executor; the map stays tiny (one entry per distinct config). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int),
+      Array[Float]]()
+
+  private def planes(seed: Long, planeCount: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((seed, planeCount, dim), { key =>
+      val rnd = new scala.util.Random(key._1)
+      Array.fill(key._2 * key._3)(rnd.nextGaussian().toFloat)
+    })
+
+  /** Static worker shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, bands: Int, rowsPerBand: Int,
+      seed: Long): ArrayData = {
+    val d = vec.numElements()
+    val m = planes(seed, bands * rowsPerBand, d)
+    val out = new Array[Int](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var bits = 0
+      var r = 0
+      while (r < rowsPerBand) {
+        var acc = 0.0
+        val base = p * d
+        var i = 0
+        while (i < d) {
+          acc += vec.getFloat(i).toDouble * m(base + i).toDouble
+          i += 1
+        }
+        if (acc >= 0.0) bits |= 1 << r
+        p += 1
+        r += 1
+      }
+      out(b) = bits
+      b += 1
+    }
     new GenericArrayData(out)
   }
 }

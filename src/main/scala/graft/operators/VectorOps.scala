@@ -100,33 +100,19 @@ object VectorOps {
     * equi-join on (band, bandBits) — never all-pairs — and candidates
     * are verified with the EXACT cosine at the threshold (precision 1,
     * recall governed by P(bit match) = 1 − θ/π per plane and the usual
-    * 1−(1−p^r)^b band curve). Deterministic: planes from a fixed seed.
-    * `dim` defaults to the actual embedding width (probed from the first
-    * row) — passing a smaller value would silently truncate projections
-    * and degrade recall. */
+    * 1−(1−p^r)^b band curve). Deterministic: planes generated from a
+    * fixed seed and the row's own embedding width inside the native
+    * HyperplaneBits expression — all band bits in one pass per row, no
+    * plan-time width probe (constructing this plan launches no job). */
   def cosineLshJoin(emb: DataFrame, threshold: Double, bands: Int = 12,
-      rowsPerBand: Int = 3, dim: Int = -1): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else emb.select(size(col("embedding"))).head.getInt(0)
-    val rnd = new scala.util.Random(0x5eedL)
-    val planes: Seq[Seq[Float]] = Seq.fill(bands * rowsPerBand)(
-      Seq.fill(d)(rnd.nextGaussian().toFloat))
-    // band value = the r sign bits packed into an int, one struct per band
-    val bandStructs = array((0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val plane = typedlit(planes(b * rowsPerBand + r))
-        when(dot(col("embedding"), plane) >= 0.0, 1 << r).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("bits"))
-    }: _*)
+      rowsPerBand: Int = 3): DataFrame = {
     // candidate generation carries ONLY ids — the banded self-join and
     // the pair dedup shuffle narrow rows; embeddings re-join afterwards
     // (two hash joins on vec_id) for the exact verification
     val banded = emb
-      .select(col("vec_id"), explode(bandStructs).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bits").as("bits"))
+      .select(col("vec_id"),
+        posexplode(GraftFunctions.hyperplaneBits(col("embedding"), bands,
+          rowsPerBand, 0x5eedL)).as(Seq("band", "bits")))
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&

@@ -126,7 +126,7 @@ class VectorOpsSpec extends SparkSuite {
     // recall ≈ 1 at threshold 0.9
     val exact = VectorOps.cosineSimilarityJoin(clustered, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = VectorOps.cosineLshJoin(clustered, 0.9, dim = 4).collect()
+    val lsh = VectorOps.cosineLshJoin(clustered, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
     // harness embeddings: verified candidates are always a subset
@@ -135,6 +135,41 @@ class VectorOpsSpec extends SparkSuite {
     val lshSf = VectorOps.cosineLshJoin(sfEmb, 0.35).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshSf.subsetOf(exactSf))
+  }
+
+  test("HyperplaneBits == per-plane VectorDot sign bits, bit-for-bit") {
+    import graft.functions.GraftFunctions
+    val bands = 12
+    val rows = 3
+    val seed = 0x5eedL
+    val d = 64 // harness embedding width
+    // the formulation HyperplaneBits replaced: one literal-plane dot per bit
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(bands * rows)(Seq.fill(d)(rnd.nextGaussian().toFloat))
+    val viaDots = array((0 until bands).map { b =>
+      (0 until rows).map { r =>
+        when(GraftFunctions.vectorDot(col("embedding"),
+          typedlit(planes(b * rows + r))) >= 0.0, 1 << r).otherwise(0)
+      }.reduce(_ + _)
+    }: _*)
+    val diff = sfEmb.select(
+      GraftFunctions.hyperplaneBits(col("embedding"), bands, rows, seed)
+        .as("native"),
+      viaDots.as("tree"))
+      .filter(col("native") =!= col("tree"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("cosineLshJoin plan construction launches no Spark job " +
+      "(no plan-time width probe)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = VectorOps.cosineLshJoin(sfEmb, 0.35)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "building the cosineLshJoin plan must not run a job")
+    assert(df.columns.toSeq == Seq("a_id", "b_id", "cosine"))
   }
 
   test("labelCentroids: mean per dimension, ordered by position") {
