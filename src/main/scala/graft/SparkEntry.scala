@@ -116,6 +116,10 @@ object SparkEntry {
       NearDup.jaccardPairs(t(s, d, "documents"), n = 3, minJ = 0.7)),
     "q42_train_val_test_split" -> ((s, d) =>
       TextOps.trainValTestSplit(s, t(s, d, "documents"))),
+    "q43_keyword_search" -> ((s, d) =>
+      TextOps.searchByToken(t(s, d, "documents"), "merge")),
+    "q44_phrase_search" -> ((s, d) =>
+      TextOps.searchByPhrase(t(s, d, "documents"), "table scan")),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -124,6 +128,10 @@ object SparkEntry {
     // Sketch-based variant of q07: engine-specific values, rows-only check.
     "x01_approx_distinct_customers" -> ((s, d) =>
       RelationalOps.approxDistinctCustomersByStatus(t(s, d, "orders"))),
+    // Sketch-based variant of q32 (mergeable quantile sketch, the 100 TB
+    // path): approx values → rows-only; rel-error pinned in QueriesSpec.
+    "x07_approx_order_price_quantiles" -> ((s, d) =>
+      RelationalOps.orderPriceQuantilesApprox(t(s, d, "orders"))),
     // MinHash+LSH near-dup (the 100 TB dedup path): candidates from band
     // join, exactly verified — subset of q29 by construction; engine-seeded
     // hashes, so rows-only here, equivalence tested in NearDupSpec.
@@ -370,6 +378,18 @@ object SparkEntry {
          FROM t WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
     "q41_key_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42 ORDER BY c_custkey",
+    "q43_keyword_search" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE list_contains(list_filter(string_split(text, ' '), x -> x != ''), 'merge')
+         ORDER BY doc_id""",
+    "q44_phrase_search" ->
+      """WITH s AS (SELECT doc_id, source, lang, n_chars,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents)
+         SELECT doc_id, source, lang, n_chars FROM s
+         WHERE len(lst) >= 2
+           AND list_contains([lst[i] || ' ' || lst[i+1] for i in range(1, len(lst))], 'table scan')
+         ORDER BY doc_id""",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

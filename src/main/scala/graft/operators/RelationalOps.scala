@@ -251,6 +251,21 @@ object RelationalOps {
       percentile(col("o_totalprice"), lit(0.75)).as("p75"),
       percentile(col("o_totalprice"), lit(0.9)).as("p90"))
 
+  /** Approximate quantiles — the 100 TB form of orderPriceQuantiles:
+    * percentile_approx's mergeable sketch holds O(accuracy) values per
+    * partition instead of buffering the full distribution, with rank
+    * error ≤ 1/accuracy. Same column shape as the exact query (x07 sits
+    * beside q32 exactly as the HLL x01 sits beside q07); QueriesSpec
+    * pins the approx-vs-exact relative error. */
+  def orderPriceQuantilesApprox(orders: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    orders.agg(
+      percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+        lit(accuracy)).as("_q"))
+      .select(col("_q")(0).as("p25"), col("_q")(1).as("p50"),
+        col("_q")(2).as("p75"), col("_q")(3).as("p90"))
+
   /** CUBE: all 4 grouping combinations in one pass (Expand + hash agg —
     * the input is read once and expanded 4×, not re-scanned). */
   def cubeStatusPriority(orders: DataFrame): DataFrame =

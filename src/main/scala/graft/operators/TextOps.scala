@@ -108,6 +108,41 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** Keyword search: documents whose whitespace-token set contains
+    * `term` — the Spark form of the reference's core access path, the
+    * GIN-indexed to_tsvector keyword query (init.sql:20; keyword-driven
+    * search etl/etl.py:182-222). Token membership implies substring
+    * containment, so a `text CONTAINS term` conjunct is added first: it
+    * is PUSHED INTO the parquet scan (StringContains page/row-group
+    * pruning — PlanSpec asserts), and the exact tokenized check runs only
+    * on surviving rows. Map-side except the verification ORDER BY. */
+  def searchByToken(docs: DataFrame, term: String): DataFrame = {
+    require(term.nonEmpty && !term.exists(_.isWhitespace),
+      "term must be a single non-empty token")
+    docs
+      .filter(col("text").contains(term))
+      .filter(array_contains(TextFunctions.tokens(col("text")), term))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Phrase search: documents containing `phrase`'s words CONSECUTIVELY
+    * (n-gram shingle membership, n = phrase length — whitespace-run
+    * differences don't break the match, unlike a raw substring test).
+    * The first word alone is a token, hence a substring: that conjunct
+    * is the scan-pushed pre-filter. */
+  def searchByPhrase(docs: DataFrame, phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(words.nonEmpty, "phrase must contain at least one word")
+    docs
+      .filter(col("text").contains(words.head))
+      .filter(array_contains(
+        TextFunctions.shingles(col("text"), words.length),
+        words.mkString(" ")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints per document: md5 of whitespace-normalized text
     * (engine-portable) + the codegen'd polynomial rolling hash (native
     * Catalyst expression graft.functions.RollingHash). Map-side except

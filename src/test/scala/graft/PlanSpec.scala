@@ -95,6 +95,17 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "as-of must not plan a product join")
   }
 
+  test("q43 keyword search: the substring pre-filter reaches the parquet " +
+      "scan") {
+    val plan = finalPlan(q("q43_keyword_search"))
+    assert(plan.contains("StringContains(text,merge)"),
+      s"text CONTAINS term must be pushed to the scan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text") || readSchema.contains("text:string"),
+      "scan reads only referenced columns")
+  }
+
   test("ivfAssign: zero shuffles touch the vector side (map-side argmax " +
       "over the broadcast codebook)") {
     import graft.operators.VectorOps

@@ -26,4 +26,19 @@ class QueriesSpec extends SparkSuite {
       assert(first.toSeq == second.toSeq, s"$name not deterministic")
     }
   }
+
+  test("x07 approx quantiles within 1% of q32's exact values (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q32_order_price_quantiles")(spark, sf01)
+      .head()
+    val approx =
+      SparkEntry.queries("x07_approx_order_price_quantiles")(spark, sf01)
+        .head()
+    Seq("p25", "p50", "p75", "p90").foreach { c =>
+      val e = exact.getAs[Double](c)
+      val a = approx.getAs[Double](c)
+      assert(math.abs(a - e) / math.abs(e) <= 0.01,
+        s"$c: approx $a vs exact $e exceeds 1% relative error")
+    }
+  }
 }
