@@ -136,20 +136,47 @@ object NearDup {
           .as("signature"))
   }
 
+  /** Skew guard shared by both LSH paths: drop (band, value) groups
+    * larger than `cap` BEFORE the self-join. A degenerate band value
+    * (boilerplate near-identical docs, a low-entropy hyperplane band)
+    * otherwise produces |group|² candidate rows inside one reducer — the
+    * same blowup maxShingleFreq guards in the inverted index. Pairs whose
+    * EVERY shared band exceeds the cap are lost (an explicit recall
+    * trade, like the shingle cap); pairs sharing any normal band are
+    * unaffected, and precision is untouched (verification stays exact).
+    * AQE skew-split balances work but cannot bound candidate output;
+    * this does. */
+  private[operators] def capBandGroups(banded: DataFrame,
+      keys: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) banded
+    else {
+      val freq = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_bf"))
+        .filter(col("_bf") <= cap)
+        .drop("_bf")
+      banded.join(freq, keys)
+    }
+
   /** Candidate pairs via LSH banding: split each signature into `bands`
     * bands of numHashes/bands rows, hash each band, and equi-join on
-    * (band, bandHash). Distinct pairs only. */
+    * (band, bandHash). Distinct pairs only. `maxBandFreq` caps the size
+    * of a (band, bandHash) group admitted to pair generation — see
+    * capBandGroups; Int.MaxValue disables. */
   def lshCandidates(signatures: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBandFreq: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBandFreq >= 2, "maxBandFreq < 2 would drop every pair")
     val r = numHashes / bands
     val bandStructs = array((0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64(slice(col("signature"), bIdx * r + 1, r)).as("bh"))
     }: _*)
-    val banded = signatures
-      .select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = capBandGroups(
+      signatures
+        .select(col("doc_id"), explode(bandStructs).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.bh").as("bh")),
+      Seq("band", "bh"), maxBandFreq)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -164,21 +191,24 @@ object NearDup {
     * some candidate pair (semi join first), then intersected per pair.
     * Verification compares hashed shingle sets (same distinct-set
     * cardinalities as the string sets modulo 2⁻⁶⁴-scale collisions).
-    * Note the withSh subtree evaluates once per verification join (twice
-    * total) — acceptable because it is restricted to candidate documents;
-    * persist it if candidate sets ever grow large.
+    * The candidate-restricted shingle table feeds BOTH verification
+    * joins, so it is persisted (memory-and-disk) — ShingleHashes runs
+    * once per candidate doc, not once per join side.
     * Output is a subset of jaccardPairs(docs, n, minJ) — LSH controls
     * recall, verification guarantees precision = 1. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, minJ: Double = 0.7): DataFrame = {
+      bands: Int = 16, minJ: Double = 0.7,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
     val candidates =
-      lshCandidates(minHashSignatures(docs, n, numHashes), numHashes, bands)
+      lshCandidates(minHashSignatures(docs, n, numHashes), numHashes,
+        bands, maxBandFreq)
     val candidateIds = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id"))).distinct()
     val withSh = docs
       .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         GraftFunctions.shingleHashes(col("text"), n, P).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")),
         "a_id")

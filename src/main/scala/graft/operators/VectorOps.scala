@@ -103,16 +103,21 @@ object VectorOps {
     * 1−(1−p^r)^b band curve). Deterministic: planes generated from a
     * fixed seed and the row's own embedding width inside the native
     * HyperplaneBits expression — all band bits in one pass per row, no
-    * plan-time width probe (constructing this plan launches no job). */
+    * plan-time width probe (constructing this plan launches no job).
+    * `maxBandFreq` caps the size of a (band, bits) group admitted to
+    * pair generation (NearDup.capBandGroups semantics — the skew guard
+    * for duplicate-heavy or low-entropy-band corpora). */
   def cosineLshJoin(emb: DataFrame, threshold: Double, bands: Int = 12,
-      rowsPerBand: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3, maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxBandFreq >= 2, "maxBandFreq < 2 would drop every pair")
     // candidate generation carries ONLY ids — the banded self-join and
     // the pair dedup shuffle narrow rows; embeddings re-join afterwards
     // (two hash joins on vec_id) for the exact verification
-    val banded = emb
-      .select(col("vec_id"),
+    val banded = NearDup.capBandGroups(
+      emb.select(col("vec_id"),
         posexplode(GraftFunctions.hyperplaneBits(col("embedding"), bands,
-          rowsPerBand, 0x5eedL)).as(Seq("band", "bits")))
+          rowsPerBand, 0x5eedL)).as(Seq("band", "bits"))),
+      Seq("band", "bits"), maxBandFreq)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&

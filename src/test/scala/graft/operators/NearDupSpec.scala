@@ -80,6 +80,45 @@ class NearDupSpec extends SparkSuite {
     assert(exact.nonEmpty) // the harness data has planted near-dups
   }
 
+  test("maxBandFreq: planted boilerplate cluster can't explode the " +
+      "candidate set; the planted near-dup pair is still recalled") {
+    import spark.implicits._
+    // 20 byte-identical docs: identical signatures → every band groups
+    // all 20 → C(20,2)=190 candidate pairs without the cap
+    val boiler = (10L until 30L).map(i =>
+      (i, "spam spam spam identical boilerplate body text goes here " +
+        "always the same"))
+    val docs = (Seq((1L, base), (3L, oneEdit)) ++ boiler)
+      .toDF("doc_id", "text")
+    val sigs = NearDup.minHashSignatures(docs, 3, 64)
+    val uncapped = NearDup.lshCandidates(sigs, 64, 16).count()
+    val capped = NearDup.lshCandidates(sigs, 64, 16, maxBandFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped >= 191L, s"expected the blowup, got $uncapped")
+    assert(capped == Set((1L, 3L)),
+      s"cap must suppress the cluster and keep the near-dup: $capped")
+    // end-to-end: verified pairs with the cap still find the near-dup
+    val pairs = NearDup.minHashLshPairs(docs, 3, 64, 16, 0.5,
+      maxBandFreq = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.forall { case (a, b) => a < 10L && b < 10L })
+  }
+
+  test("recall floor: minHashLshPairs vs exact jaccardPairs at sf0.01 " +
+      "stays >= 0.9 (pinned so tuning can't silently trade recall away)") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = NearDup.jaccardPairs(docs01, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minHashLshPairs(docs01, 3, 64, 16, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "precision must stay 1")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below pinned floor 0.9 " +
+      s"(${exact.size - lsh.size} of ${exact.size} pairs missed)")
+  }
+
   test("native ShingleHashes == HOF shingles→xxhash64→pmod tree") {
     import org.apache.spark.sql.functions._
     import graft.functions.{GraftFunctions, TextFunctions}

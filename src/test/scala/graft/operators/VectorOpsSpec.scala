@@ -172,6 +172,37 @@ class VectorOpsSpec extends SparkSuite {
     assert(df.columns.toSeq == Seq("a_id", "b_id", "cosine"))
   }
 
+  test("cosineLshJoin maxBandFreq: duplicate-vector cluster suppressed, " +
+      "normal near-dup pair kept") {
+    // 20 identical vectors share every band value → 190 pairs uncapped;
+    // the axis-1 pair lives in its own band groups and must survive
+    val cluster = (10 until 30).map(i =>
+      (i.toLong, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0))
+    val pair = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.01f), 1),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.02f), 1))
+    val emb = vecDf(cluster ++ pair)
+    val uncapped = VectorOps.cosineLshJoin(emb, 0.9).count()
+    val capped = VectorOps.cosineLshJoin(emb, 0.9, maxBandFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == 191L, s"expected 190 cluster pairs + 1, got $uncapped")
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
+  test("recall floor: cosineLshJoin vs exact cosineSimilarityJoin at " +
+      "sf0.01 stays >= 0.9") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = VectorOps.cosineSimilarityJoin(emb01, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineLshJoin(emb01, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "precision must stay 1")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below pinned floor 0.9 " +
+      s"(${exact.size - lsh.size} of ${exact.size} pairs missed)")
+  }
+
   test("labelCentroids: mean per dimension, ordered by position") {
     val c = VectorOps.labelCentroids(clustered).collect()
       .map(r => r.getAs[Long]("centroid_id") ->
