@@ -12,14 +12,19 @@ object Bench {
     // Warm the JVM/codegen once so measured times reflect steady state.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try exec(fn(spark, sfDir)) catch { case _: Throwable => () })
+    // A failed query is recorded as NEGATIVE elapsed seconds — otherwise
+    // a broken query would read as a suspiciously fast success in the
+    // emitted JSON. Failures still count toward the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

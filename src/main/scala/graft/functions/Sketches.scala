@@ -120,11 +120,15 @@ object MinHashSig {
 /** Distinct word n-gram shingle hashes in one pass: tokenize on single
   * spaces (empties dropped — same contract as TextFunctions.tokens),
   * slide an n-token window, hash each joined shingle with the SAME
-  * xxhash64 (seed 42) Spark's xxhash64() uses, reduce mod `mod`, and
-  * de-duplicate keeping first-occurrence order. Value-equal to
-  * `transform(shingles(text,n), s -> pmod(xxhash64(s), mod))` minus the
-  * interpreted HOF chain (split → sequence → slice → array_join →
-  * array_distinct → transform), which dominated the near-dup bench.
+  * xxhash64 (seed 42) Spark's xxhash64() uses, de-duplicate on the raw
+  * 64-bit hash keeping first-occurrence order, and reduce mod `mod` on
+  * output. Value-equal to
+  * `transform(shingles(text,n), s -> pmod(xxhash64(s), mod))` (dedup
+  * happens BEFORE the mod on both sides, so even post-mod collisions
+  * agree; the only divergence is a raw 64-bit xxhash collision between
+  * distinct shingles, ~d²/2⁶⁴) minus the interpreted HOF chain
+  * (split → sequence → slice → array_join → array_distinct →
+  * transform), which dominated the near-dup bench.
   * n and mod must be foldable literals. Codegen delegates to the static
   * compute() — the loop is all driver-written Scala, no per-lambda
   * allocation. */
@@ -185,7 +189,14 @@ object ShingleHashes {
     }
     val t = tokens.size()
     if (t < n) return new GenericArrayData(new Array[Long](0))
+    // De-duplicate on the RAW 64-bit hash (a faithful stand-in for the
+    // shingle string at ~2⁻⁶⁴ collision odds), then mod on OUTPUT — the
+    // same order as the HOF tree, which distincts shingle STRINGS before
+    // hashing. Deduping after the mod would also merge distinct shingles
+    // that merely collide mod `mod` (~d²/2³² per doc at mod=2³¹−1),
+    // silently diverging from the tree at corpus scale.
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
     val sb = new java.lang.StringBuilder()
     var w = 0
     while (w <= t - n) {
@@ -199,14 +210,13 @@ object ShingleHashes {
       val u = UTF8String.fromString(sb.toString)
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-      seen.add(java.lang.Math.floorMod(h, mod))
+      if (seen.add(h)) out.add(java.lang.Math.floorMod(h, mod))
       w += 1
     }
-    val out = new Array[Long](seen.size())
-    val it = seen.iterator()
+    val arr = new Array[Long](out.size())
     var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
   }
 }
 

@@ -62,10 +62,15 @@ object Layout {
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    // uniform deterministic salt: hash of ALL large-side columns spreads
-    // even a single hot key across `salts` sub-keys
+    // uniform deterministic salt: hash of ALL large-side columns plus the
+    // source partition id. Without the partition id, fully IDENTICAL
+    // duplicate rows (common in log/dedup inputs) all hash to one salt
+    // and a hot key of repeated rows keeps its skew; mixing in
+    // spark_partition_id() scatters those duplicates by where they live
+    // while staying deterministic for a fixed input partitioning.
     val saltCol: Column =
-      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salts))
+      pmod(xxhash64((large.columns.map(col) :+ spark_partition_id())
+        .toSeq: _*), lit(salts))
     val saltedLarge = large.withColumn("_salt", saltCol)
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * written beside the target, the live target is moved aside to a backup,
   * staging renamed in, and only then is the backup deleted (the backup is
   * restored if the swap itself fails). A crash at any point leaves either
-  * the old snapshot or the new one — never an empty window. (Local-FS
+  * the old snapshot or the new one on disk — CRASH-durable, but not
+  * concurrent-reader-transparent: between the two renames the target
+  * path itself briefly doesn't exist, so the protocol assumes a single
+  * writer and no concurrent reader on the raw path. Readers that may
+  * overlap a merge should go through readSnapshot, which falls back to
+  * the still-complete ._backup copy during that window. (Local-FS
   * java.nio implementation — the sandbox target; on HDFS/S3 the same
   * two-rename protocol applies via the FileSystem API, and on a lakehouse
   * table this whole method is a transactional MERGE INTO.)
@@ -138,6 +143,17 @@ object Upsert {
   def mergeParquetBucketed(spark: SparkSession, incoming: DataFrame,
       path: String, key: String, numBuckets: Int = 64): UpsertStats = {
     val now = current_timestamp()
+    // A merge with a DIFFERENT bucket count would prune to the new
+    // bucketing's partitions while existing keys sit in differently-
+    // numbered dirs — silent duplicate keys. The count is persisted with
+    // the table on first write and validated on every later merge.
+    val persisted = readBucketCount(Paths.get(path))
+    persisted.foreach { n =>
+      require(n == numBuckets,
+        s"bucketed table at $path was written with numBuckets=$n; " +
+          s"merging with numBuckets=$numBuckets would strand existing " +
+          "keys in stale bucket dirs (pass the original count)")
+    }
     val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets.toLong))
     val stamped = incoming
       .withColumn(CREATED_AT, now)
@@ -196,6 +212,7 @@ object Upsert {
         .partitionBy("_bucket")
         .mode(SaveMode.Overwrite)
         .parquet(path)
+      if (persisted.isEmpty) writeBucketCount(target, numBuckets)
     } finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
@@ -205,25 +222,68 @@ object Upsert {
     UpsertStats(inserted, total - inserted, total)
   }
 
+  /** The merge statement mergeJdbc issues — a pure string builder so the
+    * SQL-assembly logic is golden-testable even though no database exists
+    * in this environment. Mirrors the one correct Postgres form of the
+    * reference's INSERT .. ON CONFLICT (position_uri) DO UPDATE
+    * (etl/etl.py:467-488): every non-key column taken from EXCLUDED,
+    * updated_at re-stamped by the merge itself. */
+  def upsertSql(table: String, cols: Seq[String], key: String): String = {
+    require(cols.contains(key), s"key $key missing from columns")
+    val staging = s"${table}_staging"
+    val updates = cols.filterNot(_ == key)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"""INSERT INTO $table (${cols.mkString(", ")})
+       |SELECT ${cols.mkString(", ")} FROM $staging
+       |ON CONFLICT ($key) DO UPDATE SET $updates,
+       |  updated_at = CURRENT_TIMESTAMP""".stripMargin
+  }
+
   /** JDBC variant (reference target: PostgreSQL): executors write the batch
     * to a staging table in parallel, then the driver issues ONE
     * INSERT..SELECT..ON CONFLICT statement — single round-trip merge,
-    * identical conflict semantics to etl/etl.py:467-488. Untestable in
-    * this environment (no database); kept minimal and driver-side. */
+    * identical conflict semantics to etl/etl.py:467-488. The connection
+    * path is untestable in this environment (no database); the statement
+    * text is golden-tested via upsertSql. */
   def mergeJdbc(incoming: DataFrame, url: String, table: String, key: String,
       props: java.util.Properties): Unit = {
-    val staging = s"${table}_staging"
-    incoming.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    val cols = incoming.columns
-    val updates = cols.filterNot(_ == key)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    val sql =
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |SELECT ${cols.mkString(", ")} FROM $staging
-         |ON CONFLICT ($key) DO UPDATE SET $updates,
-         |  updated_at = CURRENT_TIMESTAMP""".stripMargin
+    incoming.write.mode(SaveMode.Overwrite)
+      .jdbc(url, s"${table}_staging", props)
+    val sql = upsertSql(table, incoming.columns.toSeq, key)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try { conn.createStatement().execute(sql) } finally conn.close()
+  }
+
+  /** Bucket-count metadata rides inside the table dir (underscore prefix:
+    * parquet readers ignore it). */
+  private val BUCKETS_FILE = "_graft_buckets"
+
+  private def readBucketCount(target: Path): Option[Int] = {
+    val f = target.resolve(BUCKETS_FILE)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), "UTF-8").trim.toInt)
+    else None
+  }
+
+  private def writeBucketCount(target: Path, n: Int): Unit =
+    Files.write(target.resolve(BUCKETS_FILE),
+      n.toString.getBytes("UTF-8"))
+
+  /** Read the snapshot written by mergeParquet, tolerating an in-flight
+    * swap: the swap-then-delete protocol (see class doc) has a window
+    * where the live dir is mid-rename and only the `._backup` copy is
+    * complete — a concurrent reader falls back to it instead of failing
+    * with FileNotFound. Writers stay single (the protocol assumes ONE
+    * merger at a time); this helper only makes READERS safe beside it. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val target = Paths.get(path)
+    val backup = Paths.get(path.stripSuffix("/") + "._backup")
+    if (Files.exists(target.resolve("_SUCCESS")))
+      spark.read.parquet(path)
+    else if (Files.exists(backup.resolve("_SUCCESS")))
+      spark.read.parquet(backup.toString)
+    else
+      spark.read.parquet(path) // surface the real error for a missing table
   }
 
   private def deleteRecursively(p: Path): Unit =

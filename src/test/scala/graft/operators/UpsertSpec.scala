@@ -150,6 +150,53 @@ class UpsertSpec extends SparkSuite {
     assert(row.getAs[Timestamp]("updated_at").after(created))
   }
 
+  test("upsertSql golden: the reference's ON CONFLICT form verbatim") {
+    // mirrors etl/etl.py:467-488 — the one correct Postgres merge shape
+    val sql = Upsert.upsertSql("job_postings",
+      Seq("position_uri", "position_title", "organization_name"),
+      "position_uri")
+    assert(sql ==
+      """INSERT INTO job_postings (position_uri, position_title, organization_name)
+        |SELECT position_uri, position_title, organization_name FROM job_postings_staging
+        |ON CONFLICT (position_uri) DO UPDATE SET position_title = EXCLUDED.position_title, organization_name = EXCLUDED.organization_name,
+        |  updated_at = CURRENT_TIMESTAMP""".stripMargin)
+    intercept[IllegalArgumentException] {
+      Upsert.upsertSql("t", Seq("a", "b"), "missing")
+    }
+  }
+
+  test("bucketed merge refuses a different numBuckets than the table " +
+      "was written with") {
+    val path = freshDir()
+    val b1 = Seq(("https://x.gov/1", "Engineer"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquetBucketed(spark, b1, path, "position_uri", 4)
+    val b2 = Seq(("https://x.gov/2", "Analyst"))
+      .toDF("position_uri", "position_title")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 8)
+    }
+    assert(e.getMessage.contains("numBuckets=4"))
+    // the original count still merges fine
+    val s = Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 4)
+    assert(s == Upsert.UpsertStats(1, 0, 1))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("readSnapshot falls back to the ._backup copy mid-swap") {
+    val path = freshDir()
+    val batch = Seq(("https://x.gov/1", "Engineer"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquet(spark, batch, path, "position_uri")
+    // simulate the mid-swap window: live dir moved aside, staging not yet in
+    val target = java.nio.file.Paths.get(path)
+    val backup = java.nio.file.Paths.get(path + "._backup")
+    Files.move(target, backup)
+    assert(Upsert.readSnapshot(spark, path).count() == 1)
+    Files.move(backup, target) // restore for hygiene
+    assert(Upsert.readSnapshot(spark, path).count() == 1)
+  }
+
   test("crash between swap moves: next merge restores the backup first") {
     val path = freshDir()
     val batch = Seq(("https://x.gov/1", "A"), ("https://x.gov/2", "B"))
