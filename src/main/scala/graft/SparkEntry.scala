@@ -120,6 +120,10 @@ object SparkEntry {
       TextOps.searchByToken(t(s, d, "documents"), "merge")),
     "q44_phrase_search" -> ((s, d) =>
       TextOps.searchByPhrase(t(s, d, "documents"), "table scan")),
+    "q45_range_join_pairs" -> ((s, d) =>
+      EventOps.rangeJoinWithin(t(s, d, "events"), gapMinutes = 15)),
+    "q46_token_budget_selection" -> ((s, d) =>
+      TextOps.selectWithinTokenBudget(t(s, d, "documents"), 800L)),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -390,6 +394,25 @@ object SparkEntry {
          WHERE len(lst) >= 2
            AND list_contains([lst[i] || ' ' || lst[i+1] for i in range(1, len(lst))], 'table scan')
          ORDER BY doc_id""",
+    "q45_range_join_pairs" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+         (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_seconds
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts > a.ts
+              AND epoch_us(b.ts) <= epoch_us(a.ts) + 900000000
+         ORDER BY a.user_id, a_id, b_id""",
+    "q46_token_budget_selection" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY n_tokens DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 800 ORDER BY source, cum_tokens, doc_id""",
     // --- documents / embeddings (LLM-pipeline) oracles. Conventions:
     //  * whitespace tokens = string_split on ' ' with empties dropped,
     //    matching TextFunctions.tokens exactly;

@@ -76,6 +76,45 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Banded temporal range join: all pairs (a, b) of events by the SAME
+    * user with b strictly inside (a.ts, a.ts + gap]. The sibling of the
+    * as-of join (one row per left event) — this one returns every pair
+    * in the window, the shape behind co-occurrence mining and
+    * session-stitching.
+    *
+    * Spark executes `a.user = b.user AND b.ts BETWEEN ...` as a sort-merge
+    * join on user with the range as a join filter — per user that is a
+    * quadratic scan of the user's whole history, which at 100 TB (years
+    * of events per user) is the classic range-join blowup. Instead we
+    * BAND time into gap-width buckets: b lands in bucket floor(ts/gap);
+    * any a it matches lies in bucket floor(ts/gap) or the one before, so
+    * exploding the LEFT side into its 2 candidate buckets turns the range
+    * join into an equi-join on (user, bucket) — each a-row meets only
+    * ~2 gap-windows of history, never the full user timeline, and the
+    * shuffle key (user, bucket) also breaks per-user skew across
+    * reducers. 2× row amplification on one side, exact range re-checked
+    * post-join; no candidate pair can match twice (a's two bucket rows
+    * are distinct, b has exactly one bucket). */
+  def rangeJoinWithin(events: DataFrame, gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0, "gap must be positive")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+      unix_micros(col("ts")).as("a_us"))
+    val b = events.select(col("user_id"), col("event_id").as("b_id"),
+      unix_micros(col("ts")).as("b_us"))
+    a.withColumn("_bkt",
+        explode(array(floor(col("a_us") / gapUs).cast("long"),
+          floor(col("a_us") / gapUs).cast("long") + 1L)))
+      .join(b.withColumn("_bkt", floor(col("b_us") / gapUs).cast("long")),
+        Seq("user_id", "_bkt"))
+      .filter(col("b_us") > col("a_us") &&
+        col("b_us") <= col("a_us") + gapUs)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        ((col("b_us") - col("a_us")) / 1000000L).cast("long")
+          .as("gap_seconds"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** True pivot (wide matrix via RelationalGroupedDataset.pivot with an
     * explicit value list — plan-stable columns; missing combinations
     * coalesced to 0 to match the conditional-count formulation). */

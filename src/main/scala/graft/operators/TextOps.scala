@@ -108,6 +108,35 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** Token-budget corpus selection: per source, admit documents
+    * longest-first until the cumulative whitespace-token count reaches
+    * `budgetTokens` — the "fill the training mix to N tokens per source"
+    * primitive of corpus assembly. Deterministic: ordering is
+    * (n_tokens DESC, doc_id) so reruns and engines agree; a doc that
+    * would overflow the budget is excluded (and so is everything after
+    * it in that source's order — a prefix, not a knapsack).
+    *
+    * One shuffle on source + one linear window pass per source. The
+    * running sum is a rows-unbounded-preceding frame, so it streams —
+    * no per-group buffering. Per-source sort is the scale cost: with
+    * billions of docs in one source, first cut the tail map-side with an
+    * approx_percentile token-count threshold, then run this on the
+    * survivors (same pattern as q32/x07 exact-vs-sketch). */
+  def selectWithinTokenBudget(docs: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
   /** Keyword search: documents whose whitespace-token set contains
     * `term` — the Spark form of the reference's core access path, the
     * GIN-indexed to_tsvector keyword query (init.sql:20; keyword-driven
@@ -127,18 +156,24 @@ object TextOps {
   }
 
   /** Phrase search: documents containing `phrase`'s words CONSECUTIVELY
-    * (n-gram shingle membership, n = phrase length — whitespace-run
-    * differences don't break the match, unlike a raw substring test).
-    * The first word alone is a token, hence a substring: that conjunct
-    * is the scan-pushed pre-filter. */
+    * as whitespace tokens (n-gram shingle membership, n = phrase length —
+    * whitespace-RUN differences don't break the match, unlike a raw
+    * substring test). Every word is itself a token, hence a substring:
+    * each `contains` conjunct is scan-pushed. The consecutive-token test
+    * compiles to ONE codegen'd regexp per surviving row — exactly
+    * equivalent to membership in TextFunctions.shingles(text, n):
+    * tokens are maximal space-free runs, so consecutive tokens are
+    * separated by " +", the phrase head is preceded by start-of-input or
+    * a space, and the tail is followed by a space or end-of-input (`\z`,
+    * NOT `$` — Java's `$` also matches before a final newline, which
+    * would falsely match a trailing token like "scan\n"). */
   def searchByPhrase(docs: DataFrame, phrase: String): DataFrame = {
     val words = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(words.nonEmpty, "phrase must contain at least one word")
-    docs
-      .filter(col("text").contains(words.head))
-      .filter(array_contains(
-        TextFunctions.shingles(col("text"), words.length),
-        words.mkString(" ")))
+    val pattern = "(^| )" +
+      words.map(java.util.regex.Pattern.quote).mkString(" +") + "( |\\z)"
+    words.foldLeft(docs)((d, w) => d.filter(col("text").contains(w)))
+      .filter(col("text").rlike(pattern))
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

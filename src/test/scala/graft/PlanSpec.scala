@@ -131,6 +131,38 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"${vectorSideShuffles.size} exchange(s) over the embeddings scan")
   }
 
+  test("q45 range join: banded to an equi-join — never a product join, " +
+      "and the range is re-checked as a post-join filter") {
+    val df = q("q45_range_join_pairs")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      "banded range join must plan as an equi-join on (user, bucket)")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 3,
+      s"expected ≤3 shuffles (2 join sides + output sort), got " +
+        s"${exchanges.size}")
+  }
+
+  test("q46 token-budget selection: one shuffle per window partition " +
+      "plus the output sort; scan reads only the referenced columns") {
+    val df = q("q46_token_budget_selection")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (window + order), got ${exchanges.size}")
+    val readSchema = plan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
   test("x02 MinHash: signatures are map-side (no exchange before banding)") {
     import graft.operators.NearDup
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -139,4 +139,44 @@ class TextOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
+
+  test("searchByToken / searchByPhrase: membership semantics on " +
+      "boundary-adversarial texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table scan wins"),          // phrase at start
+      (2L, "a full table scan"),        // phrase at end
+      (3L, "a table  scan b"),          // multi-space separator still 2 tokens
+      (4L, "a table\nscan b"),          // newline is NOT a separator: 1 token
+      (5L, "full table scan\n"),        // trailing newline glues to last token
+      (6L, "tables scans"),             // substring but not token match
+      (7L, "scan table"),               // wrong order
+      (8L, "table"), (9L, ""), (10L, "   "),
+      (11L, "x table scan"), (12L, "table+scan q")
+    ).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val phraseIds = TextOps.searchByPhrase(docs, "table scan")
+      .collect().map(_.getLong(0)).toSet
+    // doc 4: "table\nscan" is ONE token; doc 5: last token is "scan\n" —
+    // Java's `$` would falsely admit it, `\z` must not.
+    assert(phraseIds == Set(1L, 2L, 3L, 11L))
+
+    val tokenIds = TextOps.searchByToken(docs, "table")
+      .collect().map(_.getLong(0)).toSet
+    assert(tokenIds == Set(1L, 2L, 3L, 5L, 7L, 8L, 11L))
+
+    // regex form == shingle-membership definition, on every doc
+    val viaShingles = docs
+      .filter(array_contains(
+        TextFunctions.shingles(col("text"), 2), "table scan"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaShingles == phraseIds)
+
+    // metacharacters in the phrase are quoted, not interpreted
+    val meta = TextOps.searchByPhrase(docs, "table+scan q")
+      .collect().map(_.getLong(0)).toSet
+    assert(meta == Set(12L))
+  }
 }
