@@ -124,6 +124,11 @@ object SparkEntry {
       EventOps.rangeJoinWithin(t(s, d, "events"), gapMinutes = 15)),
     "q46_token_budget_selection" -> ((s, d) =>
       TextOps.selectWithinTokenBudget(t(s, d, "documents"), 800L)),
+    // Transitive closure of the near-dup relation: connected components
+    // over q29's exact pairs, canonical survivor = min doc_id.
+    "q47_dup_clusters" -> ((s, d) =>
+      NearDup.duplicateClusters(
+        NearDup.jaccardPairs(t(s, d, "documents"), n = 3, minJ = 0.7))),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -481,6 +486,28 @@ object SparkEntry {
            CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
          FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.7
          ORDER BY a_id, b_id""",
+    // Same pair CTE as q29, then min-reachable-id per node via a
+    // recursive reachability closure (DuckDB's transitive form of the
+    // engine's min-label propagation fixpoint).
+    "q47_dup_clusters" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id)
+         SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         FROM r GROUP BY id ORDER BY doc_id""",
     "q42_train_val_test_split" ->
       """WITH b AS (SELECT n_chars,
            list_reduce(

@@ -267,4 +267,73 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  // --------------------------------------------- cluster resolution
+
+  /** Duplicate-CLUSTER resolution: near-dup pairs only say "a ~ b";
+    * an actual dedup pass needs the transitive closure — connected
+    * components over the pair graph, one canonical survivor per
+    * component. Output: (doc_id, cluster_id) for every doc appearing in
+    * at least one pair, cluster_id = smallest doc_id reachable from it
+    * (so the canonical survivor is the row with doc_id == cluster_id).
+    *
+    * Algorithm: distributed min-label propagation — every node starts
+    * labeled with itself; each round every node takes the min of its own
+    * and its neighbors' labels; fixpoint = components. Each round is one
+    * equi-join (edges × labels on dst) + one partial+final min-aggregate,
+    * both plain shuffles on ids — no driver-side graph. Rounds needed =
+    * graph diameter, and near-dup clusters are shallow (a cluster is
+    * docs sharing most content — diameter 2-4 in practice); for
+    * adversarially long chains switch to the large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"), which needs O(log n) rounds. The loop is a driver
+    * FIXPOINT check (one count per round), not a driver computation:
+    * all data stays distributed; localCheckpoint truncates the growing
+    * lineage so round N does not re-plan rounds 1..N-1.
+    *
+    * The reference dedups only on exact natural-key equality
+    * (etl/etl.py:441-458, first-wins); this is that semantic lifted to
+    * transitive content similarity. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"),
+          (col("nbr_min") < col("label")).as("_chg"))
+      val next = updated.localCheckpoint()
+      changed = next.filter(col("_chg")).count()
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "pathologically deep cluster chain; use star-contraction")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end near-dup dedup: drop every non-canonical member of every
+    * near-dup cluster (keep doc_id == cluster_id, and all docs in no
+    * cluster). One anti-join against the resolved non-survivors. */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.SparkSuite
 
@@ -201,5 +202,32 @@ class NearDupSpec extends SparkSuite {
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("duplicateClusters: transitive closure over pairs — a chain is ONE " +
+      "cluster, components don't merge, canonical = min id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1~3 only transitively); separate pair 10-11;
+    // pair order reversed (11,10 would violate a_id < b_id, keep sorted)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 7L), (5L, 9L))
+      .toDF("a_id", "b_id")
+    val clusters = NearDup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L, 9L -> 5L))
+
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L, 10L, 11L, 42L)
+      .toDF("doc_id").withColumn("text", lit("t"))
+    val kept = NearDup.dedupByClusters(docs,
+      NearDup.duplicateClusters(pairs)).collect()
+      .map(_.getLong(0)).toSet
+    // survivors: one canonical per cluster + the untouched doc 42
+    assert(kept == Set(1L, 5L, 10L, 42L))
+  }
+
+  test("duplicateClusters: empty pair set yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(NearDup.duplicateClusters(empty).count() == 0)
   }
 }
