@@ -129,6 +129,10 @@ object SparkEntry {
     "q47_dup_clusters" -> ((s, d) =>
       NearDup.duplicateClusters(
         NearDup.jaccardPairs(t(s, d, "documents"), n = 3, minJ = 0.7))),
+    // Exact heavy hitters via MG-sketch candidates + exact verify pass:
+    // the result is merge-order independent, so fully oracle-checked.
+    "q48_heavy_hitter_tokens" -> ((s, d) =>
+      TextOps.heavyHitterTokens(t(s, d, "documents"), k = 35)),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -508,6 +512,13 @@ object SparkEntry {
            SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id)
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+    "q48_heavy_hitter_tokens" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> x != '')) AS token FROM documents)
+         SELECT token, count(*) AS n_occurrences
+         FROM tok GROUP BY token
+         HAVING count(*) * 35 > (SELECT count(*) FROM tok)
+         ORDER BY n_occurrences DESC, token""",
     "q42_train_val_test_split" ->
       """WITH b AS (SELECT n_chars,
            list_reduce(

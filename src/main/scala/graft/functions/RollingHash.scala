@@ -77,6 +77,7 @@ object GraftFunctions {
   val SHINGLE_HASHES = "graft_shingle_hashes"
   val TOP_K = "graft_top_k"
   val HYPERPLANE_BITS = "graft_hyperplane_bits"
+  val MISRA_GRIES = "graft_misra_gries"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -100,6 +101,8 @@ object GraftFunctions {
       HYPERPLANE_BITS,
       exprs => HyperplaneBits(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      MISRA_GRIES, exprs => MisraGries(exprs(0), exprs(1)), "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -140,4 +143,10 @@ object GraftFunctions {
     * the shuffle — see BoundedTopK). */
   def topK(score: Column, id: Column, k: Int): Column =
     registered(TOP_K, score, id, lit(k))
+
+  /** Mergeable Misra-Gries heavy-hitter sketch: struct<n, candidates>
+    * with every item of frequency > n/k guaranteed present (see
+    * MisraGries — a candidate generator for an exact second pass). */
+  def misraGries(item: Column, k: Int): Column =
+    registered(MISRA_GRIES, item, lit(k))
 }

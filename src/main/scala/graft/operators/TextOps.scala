@@ -108,6 +108,37 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** EXACT heavy-hitter tokens at sketch cost: all tokens whose
+    * frequency strictly exceeds n/k of the corpus (n = total token
+    * occurrences), computed in two passes —
+    *  1. a mergeable Misra-Gries sketch (native MisraGries aggregate)
+    *     whose partial state is ≤k counters per partition regardless of
+    *     input size, guaranteed to emit every true heavy hitter as a
+    *     candidate;
+    *  2. an exact count restricted to the ≤k candidates (the one-row
+    *     sketch broadcasts; non-candidates are filtered map-side before
+    *     the aggregation, so the shuffle carries ≤k distinct keys).
+    * The final answer equals plain `GROUP BY token HAVING count*k > n`
+    * — bit-exact and independent of merge order (any candidate superset
+    * yields the same rows) — but where exact global token frequency
+    * (q27's shape) shuffles every distinct token, this shuffles O(k).
+    * Same sketch-then-verify shape as the LSH dedup paths. */
+  def heavyHitterTokens(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks
+      .agg(GraftFunctions.misraGries(col("token"), k).as("mg"))
+      .select(col("mg.n").as("_n"), col("mg.candidates").as("_cand"))
+    toks
+      .crossJoin(broadcast(sketch))
+      .filter(array_contains(col("_cand"), col("token")))
+      .groupBy(col("token"), col("_n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > col("_n"))
+      .select(col("token"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
   /** Token-budget corpus selection: per source, admit documents
     * longest-first until the cumulative whitespace-token count reaches
     * `budgetTokens` — the "fill the training mix to N tokens per source"

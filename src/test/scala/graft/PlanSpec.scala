@@ -163,6 +163,24 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"scan must prune unused columns: $readSchema")
   }
 
+  test("q48 heavy hitters: MG sketch aggregates via ObjectHashAggregate " +
+      "with a partial stage (≤k counters per partition hit the shuffle)") {
+    val df = q("q48_heavy_hitter_tokens")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val objAggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.size >= 2,
+      "MG must run as partial+final ObjectHashAggregate, not sort-based")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 4,
+      s"sketch + exact count + sort should need ≤4 shuffles, got " +
+        s"${exchanges.size}")
+  }
+
   test("x02 MinHash: signatures are map-side (no exchange before banding)") {
     import graft.operators.NearDup
     val docs = spark.read.parquet(s"$dir/documents.parquet")

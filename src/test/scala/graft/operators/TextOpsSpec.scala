@@ -140,6 +140,54 @@ class TextOpsSpec extends SparkSuite {
     assert(rows == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("heavyHitterTokens: exact result under sketch pressure (k much " +
+      "smaller than vocab), independent of partitioning") {
+    import spark.implicits._
+    // skewed corpus: 3 heavy tokens + a 200-word noise vocab, so k=10
+    // counters constantly decrement and evict noise
+    val noise = (0 until 200).map(i => s"w$i")
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 400).foreach(_ => words += "hot1")
+    (0 until 300).foreach(_ => words += "hot2")
+    (0 until 250).foreach(_ => words += "hot3")
+    (0 until 1000).foreach(i => words += noise(i % 200))
+    // deterministic shuffle so heavy tokens aren't clustered
+    val mixed = words.zipWithIndex
+      .sortBy { case (w, i) => (i * 2654435761L) % 1952 }
+      .map(_._1)
+    val docs = mixed.grouped(13).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+
+    // n = 1950; threshold n/k = 195: hot1/hot2/hot3 qualify (400/300/250),
+    // every noise word has 5 occurrences
+    val expected = Set(("hot1", 400L), ("hot2", 300L), ("hot3", 250L))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = TextOps.heavyHitterTokens(docs.repartition(parts), k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"at $parts partitions: $got")
+    }
+  }
+
+  test("misraGries sketch: candidate list bounded by k and contains " +
+      "every true heavy hitter") {
+    import spark.implicits._
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, if (i % 2 == 0) "big big big small" + i else "big mid mid"))
+      .toDF("doc_id", "text")
+    val row = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .agg(GraftFunctions.misraGries(col("token"), 5).as("mg"))
+      .select(col("mg.n"), col("mg.candidates")).head
+    val n = row.getLong(0)
+    val cand = row.getSeq[String](1)
+    assert(n == 50L * 3 + 25L)
+    assert(cand.size <= 5, s"candidate list exceeds k: $cand")
+    // big: 100 occurrences, mid: 50 — both > n/5 = 35 → guaranteed
+    assert(cand.contains("big") && cand.contains("mid"), cand.toString)
+  }
+
   test("searchByToken / searchByPhrase: membership semantics on " +
       "boundary-adversarial texts") {
     import spark.implicits._
