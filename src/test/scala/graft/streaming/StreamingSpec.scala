@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("MisraGries sketch aggregates in a streaming query (state-store " +
+      "serialize/merge path) and keeps its guarantee") {
+    val dir = tmp("mgdocs")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 'hot' + 40 spread over a 20-word noise vocab; k=8 < vocab
+    val docs = (0 until 100).map { i =>
+      (i.toLong, if (i < 60) "hot" else s"w${i % 20}")
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = stream
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .agg(graft.functions.GraftFunctions.misraGries(col("token"), 8)
+        .as("mg"))
+      .select(col("mg.n").as("n"), col("mg.candidates").as("cand"))
+      .writeStream.format("memory").queryName("mg_sketch")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val row = spark.sql("SELECT * FROM mg_sketch").head
+    assert(row.getLong(0) == 100L)
+    val cand = row.getSeq[String](1)
+    assert(cand.size <= 8)
+    assert(cand.contains("hot"), s"heavy hitter lost in streaming: $cand")
+  }
+
   test("sessionize: a late event in a later micro-batch never regresses " +
       "the session boundary") {
     val dir = tmp("late"); val ckpt = tmp("lateckpt")
