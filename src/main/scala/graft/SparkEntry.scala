@@ -155,6 +155,14 @@ object SparkEntry {
     "x04_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nprobe = 2)),
+    // IVF with a Lloyd-refined codebook (spherical k-means training
+    // loop): engine-seeded centroids → rows-only; the monotone-objective
+    // and self-consistency properties live in VectorOpsSpec.
+    "x08_ann_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.annIvf(emb, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 2,
+        codebook = Some(VectorOps.trainCentroids(emb, iters = 2)))
+    }),
     // Random-hyperplane LSH similarity join (scale path for q31's
     // quadratic baseline): exact-verified candidates, engine-seeded
     // planes → rows-only; subset/recall asserted in VectorOpsSpec.

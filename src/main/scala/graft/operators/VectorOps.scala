@@ -200,14 +200,51 @@ object VectorOps {
         col("_best.centroid_id").as("bucket"))
   }
 
+  /** One Lloyd step of spherical k-means: assign every vector to its
+    * nearest centroid by cosine (ivfAssign — map-side fold over the
+    * broadcast codebook, zero shuffles on the vector side), then
+    * recompute each centroid as the mean of its assigned vectors.
+    * Cosine is scale-invariant, so the unnormalized mean scores
+    * identically to the normalized spherical-k-means centroid, and the
+    * mean-cosine objective is monotonically non-decreasing per step
+    * (VectorOpsSpec asserts).
+    *
+    * Scale shape: the mean is a posexplode to (bucket, pos, v) followed
+    * by partial+final avg — each map partition pre-collapses to
+    * ≤ k×dim rows before the shuffle, so the exchange carries
+    * O(k·dim·partitions), not O(n·dim). Centroids that lose every
+    * vector simply drop out (standard k-means shrinkage). */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(emb, centroids)
+      .select(col("bucket").as("centroid_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("_pairs"))
+      .select(col("centroid_id"),
+        transform(col("_pairs"), p => p.getField("c").cast("float"))
+          .as("centroid"))
+
+  /** Train an IVF codebook: label-seeded centroids refined by `iters`
+    * Lloyd steps. localCheckpoint between steps truncates the growing
+    * iterative lineage (same pattern as NearDup.duplicateClusters). */
+  def trainCentroids(emb: DataFrame, iters: Int = 2): DataFrame = {
+    var c = labelCentroids(emb)
+    (0 until iters).foreach { _ => c = kmeansStep(emb, c).localCheckpoint() }
+    c
+  }
+
   /** IVF top-k search: each query probes its nprobe nearest buckets and
     * scores only the vectors inside them. Exact within the probed subset
     * (self-consistency is tested against annBruteForce restricted to the
     * same candidate set); recall vs. full brute force is the usual IVF
-    * trade governed by nprobe. */
+    * trade governed by nprobe. `codebook` defaults to the label-seeded
+    * centroids; pass trainCentroids(emb) for the refined index. */
   def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nprobe: Int = 2): DataFrame = {
-    val centroids = labelCentroids(emb)
+      nprobe: Int = 2, codebook: Option[DataFrame] = None): DataFrame = {
+    val centroids = codebook.getOrElse(labelCentroids(emb))
     val indexed = ivfAssign(emb, centroids)
     val queries = emb
       .filter(col("vec_id").isin(queryIds: _*))

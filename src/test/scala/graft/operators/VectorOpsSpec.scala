@@ -231,4 +231,55 @@ class VectorOpsSpec extends SparkSuite {
     assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  /** Mean cosine of every vector to its assigned centroid — the
+    * spherical k-means objective a Lloyd step must not decrease. */
+  private def meanAssignedCos(emb: DataFrame, cents: DataFrame): Double = {
+    val assigned = VectorOps.ivfAssign(emb, cents)
+    val c = cents.select(col("centroid_id").as("bucket"),
+      col("centroid"))
+    assigned.join(c, "bucket")
+      .select(graft.functions.GraftFunctions
+        .vectorDot(col("embedding"), col("centroid"))
+        ./(col("emb_norm") * sqrt(graft.functions.GraftFunctions
+          .vectorDot(col("centroid"), col("centroid"))))
+        .as("cos"))
+      .agg(avg(col("cos"))).head.getDouble(0)
+  }
+
+  test("kmeansStep: objective is monotone, codebook never grows, and " +
+      "lossless clusters are a fixpoint") {
+    // On the lossless clustered fixture, label centroids are already
+    // optimal: a step must reproduce the same assignment structure.
+    val c0 = VectorOps.labelCentroids(clustered)
+    val c1 = VectorOps.kmeansStep(clustered, c0)
+    assert(c1.count() == 3)
+    val obj0 = meanAssignedCos(clustered, c0)
+    val obj1 = meanAssignedCos(clustered, c1)
+    assert(obj1 >= obj0 - 1e-9, s"objective regressed: $obj0 -> $obj1")
+
+    // harness embeddings: two training steps never decrease the
+    // objective and never grow the codebook
+    val e0 = VectorOps.labelCentroids(sfEmb)
+    val k0 = e0.count()
+    val e1 = VectorOps.kmeansStep(sfEmb, e0)
+    val e2 = VectorOps.kmeansStep(sfEmb, e1)
+    assert(e1.count() <= k0 && e2.count() <= k0)
+    val o0 = meanAssignedCos(sfEmb, e0)
+    val o1 = meanAssignedCos(sfEmb, e1)
+    val o2 = meanAssignedCos(sfEmb, e2)
+    assert(o1 >= o0 - 1e-9 && o2 >= o1 - 1e-9,
+      s"objective must be non-decreasing: $o0, $o1, $o2")
+  }
+
+  test("annIvf with a trained codebook: still exact within probed " +
+      "buckets (all-probe == brute force)") {
+    val qIds = Seq(0L, 1L)
+    val trained = VectorOps.trainCentroids(sfEmb, iters = 2)
+    val ivf = VectorOps.annIvf(sfEmb, qIds, k = 5, nprobe = 10,
+      codebook = Some(trained)).collect()
+    val brute = VectorOps.annBruteForce(sfEmb, qIds, k = 5).collect()
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
