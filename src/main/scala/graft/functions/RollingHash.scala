@@ -78,6 +78,7 @@ object GraftFunctions {
   val TOP_K = "graft_top_k"
   val HYPERPLANE_BITS = "graft_hyperplane_bits"
   val MISRA_GRIES = "graft_misra_gries"
+  val NEAREST_CENTROID = "graft_nearest_centroid"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -103,6 +104,10 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       MISRA_GRIES, exprs => MisraGries(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      NEAREST_CENTROID,
+      exprs => NearestCentroidIdx(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -149,4 +154,10 @@ object GraftFunctions {
     * MisraGries — a candidate generator for an exact second pass). */
   def misraGries(item: Column, k: Int): Column =
     registered(MISRA_GRIES, item, lit(k))
+
+  /** Nearest-centroid index by cosine over a packed codebook (see
+    * NearestCentroidIdx); -1 for an empty codebook. */
+  def nearestCentroidIdx(vec: Column, vecNorm: Column, centroidVecs: Column,
+      centroidNorms: Column): Column =
+    registered(NEAREST_CENTROID, vec, vecNorm, centroidVecs, centroidNorms)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for near-dup dedup (MinHash signatures,
@@ -252,6 +252,14 @@ case class HyperplaneBits(first: Expression, second: Expression,
     else if (!second.foldable || !third.foldable || !fourth.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName bands/rowsPerBand/seed must be foldable literals")
+    else if (!Seq(second, third, fourth).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName bands/rowsPerBand/seed must be integral literals")
+    else if (Seq(second, third, fourth).exists(_.eval(null) == null))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bands/rowsPerBand/seed must be non-null")
     else if (bands <= 0 || rowsPerBand <= 0 || rowsPerBand > 30)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs bands > 0 and 0 < rowsPerBand <= 30")

@@ -72,3 +72,95 @@ case class VectorDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VectorDot = copy(left = newLeft, right = newRight)
 }
+
+/** Index of the nearest centroid by cosine — the IVF assignment hot loop
+  * as ONE native expression instead of a higher-order fold (HOFs are
+  * CodegenFallback: the previous aggregate() lambda rebuilt
+  * when/coalesce/struct trees per centroid per row; this compiles to a
+  * two-level float loop shared by interpreted eval and codegen).
+  *
+  * Children: (embedding ARRAY<FLOAT>, embNorm DOUBLE,
+  * centroidVecs ARRAY<ARRAY<FLOAT>>, centroidNorms ARRAY<DOUBLE>) —
+  * the centroid arrays come from the broadcast packed codebook, sorted
+  * ascending by centroid id. Semantics replicate the fold exactly:
+  * similarity = dot/(embNorm·cnorm), zero-denominator (zero vector)
+  * mapped to -2.0 (below any real cosine), strict > argmax so ties keep
+  * the FIRST (smallest-id) centroid. Returns -1 for an empty codebook
+  * (callers map -1 to a null bucket). */
+case class NearestCentroidIdx(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArr(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val ok = isFloatArr(first.dataType) &&
+      second.dataType == DoubleType &&
+      (third.dataType match {
+        case ArrayType(e, _) => isFloatArr(e)
+        case _ => false
+      }) &&
+      (fourth.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, DOUBLE, ARRAY<ARRAY<FLOAT>>, " +
+        s"ARRAY<DOUBLE>), got ${first.dataType.catalogString}, " +
+        s"${second.dataType.catalogString}, " +
+        s"${third.dataType.catalogString}, " +
+        s"${fourth.dataType.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(e: Any, en: Any, cv: Any, cn: Any): Any =
+    NearestCentroidIdx.compute(e.asInstanceOf[ArrayData],
+      en.asInstanceOf[Double], cv.asInstanceOf[ArrayData],
+      cn.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, en, cv, cn) =>
+      s"""
+         |${ev.value} = graft.functions.NearestCentroidIdx.compute(
+         |  $e, $en, $cv, $cn);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): NearestCentroidIdx =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object NearestCentroidIdx {
+  /** Static worker shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, en: Double, cvecs: ArrayData,
+      cnorms: ArrayData): Int = {
+    val k = math.min(cvecs.numElements(), cnorms.numElements())
+    var best = -1
+    var bestSim = -3.0
+    var i = 0
+    while (i < k) {
+      val c = cvecs.getArray(i)
+      val n = math.min(vec.numElements(), c.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += vec.getFloat(j).toDouble * c.getFloat(j).toDouble
+        j += 1
+      }
+      val denom = en * cnorms.getDouble(i)
+      val sim = if (denom == 0.0) -2.0 else acc / denom
+      if (sim > bestSim) { best = i; bestSim = sim }
+      i += 1
+    }
+    best
+  }
+}

@@ -150,11 +150,17 @@ object NearDup {
       keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) banded
     else {
-      val freq = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("_bf"))
+      // a WINDOW count, not groupBy+join-back: the join form evaluates
+      // the banded subtree (per-doc signature computation) twice — once
+      // per join side — because the frequency aggregate and the probe
+      // side share no exchange; the window computes the group size on
+      // the already-shuffled rows in one pass
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      banded
+        .withColumn("_bf", count(lit(1)).over(w))
         .filter(col("_bf") <= cap)
         .drop("_bf")
-      banded.join(freq, keys)
     }
 
   /** Candidate pairs via LSH banding: split each signature into `bands`
@@ -193,7 +199,12 @@ object NearDup {
     * cardinalities as the string sets modulo 2⁻⁶⁴-scale collisions).
     * The candidate-restricted shingle table feeds BOTH verification
     * joins, so it is persisted (memory-and-disk) — ShingleHashes runs
-    * once per candidate doc, not once per join side.
+    * once per candidate doc, not once per join side. The cache entry is
+    * never explicitly unpersisted (the returned frame is lazy, so there
+    * is no safe point inside this function); CacheManager dedupes by
+    * canonicalized plan, so repeated calls on the same input hold ONE
+    * cached copy, bounded by distinct (docs, n) inputs per session —
+    * long-lived sessions can reclaim with spark.catalog.clearCache().
     * Output is a subset of jaccardPairs(docs, n, minJ) — LSH controls
     * recall, verification guarantees precision = 1. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
@@ -289,7 +300,11 @@ object NearDup {
     * and Beyond"), which needs O(log n) rounds. The loop is a driver
     * FIXPOINT check (one count per round), not a driver computation:
     * all data stays distributed; localCheckpoint truncates the growing
-    * lineage so round N does not re-plan rounds 1..N-1.
+    * lineage so round N does not re-plan rounds 1..N-1. Durability
+    * trade: localCheckpoint blocks are executor-local and unreplicated —
+    * on a cluster with preemptible executors, losing one mid-loop fails
+    * the job (restart from scratch); swap in reliable checkpoint() to a
+    * checkpoint dir when running on spot nodes.
     *
     * The reference dedups only on exact natural-key equality
     * (etl/etl.py:441-458, first-wins); this is that semantic lifted to

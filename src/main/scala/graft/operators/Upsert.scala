@@ -168,6 +168,17 @@ object Upsert {
       try s.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
       finally s.close()
     }
+    // An EXISTING layout without a stamp cannot be validated at all — a
+    // wrong count here is exactly the silent-duplicate-key corruption the
+    // stamp exists to prevent, so refuse rather than guess. Adopting a
+    // pre-stamp table is explicit: verify the original count, then
+    // stampBucketCount(path, n) once. (Creation stamps BEFORE the first
+    // data write, so a crash between the two leaves a stamp and zero
+    // bucket dirs — a state this check accepts and the next merge heals.)
+    require(persisted.nonEmpty || !exists,
+      s"bucketed table at $path predates the _graft_buckets stamp; " +
+        "its bucket count cannot be validated — verify the layout's " +
+        "original numBuckets and call Upsert.stampBucketCount once")
     val obs = Observation()
 
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -208,11 +219,17 @@ object Upsert {
                 .as(c)
           }.toSeq: _*)
         }
+      if (persisted.isEmpty) {
+        // stamp-first: if we crash between stamp and data write, the
+        // stamp survives with no bucket dirs — harmless (next merge
+        // validates the same count and creates the data)
+        Files.createDirectories(target)
+        writeBucketCount(target, numBuckets)
+      }
       merged.write
         .partitionBy("_bucket")
         .mode(SaveMode.Overwrite)
         .parquet(path)
-      if (persisted.isEmpty) writeBucketCount(target, numBuckets)
     } finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
@@ -269,12 +286,29 @@ object Upsert {
     Files.write(target.resolve(BUCKETS_FILE),
       n.toString.getBytes("UTF-8"))
 
+  /** Adopt a pre-stamp bucketed layout: record its ORIGINAL bucket count
+    * so future merges validate against it. The caller asserts the count
+    * is the one the existing `_bucket=N` dirs were hashed with — a wrong
+    * value here re-opens the silent-duplicate-key hole the stamp closes. */
+  def stampBucketCount(path: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    writeBucketCount(Paths.get(path), numBuckets)
+  }
+
   /** Read the snapshot written by mergeParquet, tolerating an in-flight
     * swap: the swap-then-delete protocol (see class doc) has a window
     * where the live dir is mid-rename and only the `._backup` copy is
-    * complete — a concurrent reader falls back to it instead of failing
-    * with FileNotFound. Writers stay single (the protocol assumes ONE
-    * merger at a time); this helper only makes READERS safe beside it. */
+    * complete — this helper falls back to it instead of failing with
+    * FileNotFound at read-DataFrame time.
+    *
+    * BEST-EFFORT, not a snapshot pin: the check-then-read is not atomic
+    * against the merger — a job still scanning when the merge completes
+    * and deletes `._backup` (or that passed the target check just before
+    * the swap) can still fail mid-scan. The protocol's actual contract
+    * is single-writer with reads BETWEEN merges; this fallback only
+    * narrows the common races, it cannot eliminate them. For genuinely
+    * concurrent readers use the bucketed layout (per-partition swaps) or
+    * a table format with snapshot isolation. */
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val target = Paths.get(path)
     val backup = Paths.get(path.stripSuffix("/") + "._backup")

@@ -173,32 +173,36 @@ object VectorOps {
       cosPre(dot(e, c.getField("centroid")), en, c.getField("_cn")),
       lit(-2.0))
 
+  /** Codebook as three PARALLEL broadcastable arrays (ids, vectors,
+    * norms — ascending centroid_id), the flat layout the native argmax
+    * expression consumes. The per-element transforms are interpreted
+    * HOFs, but they run on the single packed row, not per data row. */
+  private def packCentroidsFlat(centroids: DataFrame): DataFrame =
+    packCentroids(centroids).select(
+      transform(col("_cents"), c => c.getField("centroid_id")).as("_cids"),
+      transform(col("_cents"), c => c.getField("centroid")).as("_cvecs"),
+      transform(col("_cents"), c => c.getField("_cn")).as("_cnorms"))
+
   /** IVF index: each vector assigned to its nearest centroid (by cosine).
-    * The packed codebook is broadcast and the argmax is a map-side fold
-    * over it — ZERO shuffles touch the (100 TB) vector side, vs. the
-    * row_number()-over-vec_id alternative, which would shuffle
-    * n_vectors × n_centroids scored rows (PlanSpec asserts the shape).
-    * Ties go to the smallest centroid_id, as the window argmax did. */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val idType = centroids.schema("centroid_id").dataType
-    val init = struct(
-      lit(null).cast(idType).as("centroid_id"), lit(-3.0).as("_k"))
+    * The packed codebook is broadcast and the argmax runs map-side in
+    * the native codegen'd NearestCentroidIdx expression (one two-level
+    * float loop per row — a higher-order fold here would be
+    * CodegenFallback, interpreted per row per centroid) — ZERO shuffles
+    * touch the (100 TB) vector side, vs. the row_number()-over-vec_id
+    * alternative, which would shuffle n_vectors × n_centroids scored
+    * rows (PlanSpec asserts the shape). Ties go to the smallest
+    * centroid_id, as the fold and window argmax before it did. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_en"))
-      .crossJoin(broadcast(packCentroids(centroids)))
-      .withColumn("_best",
-        aggregate(col("_cents"), init, (acc, c) => {
-          val s = simKey(col("embedding"), c, col("_en"))
-          // strict > keeps the FIRST (smallest-id) centroid on ties
-          when(s > acc.getField("_k"),
-            struct(c.getField("centroid_id").as("centroid_id"),
-              s.as("_k")))
-            .otherwise(acc)
-        }))
+      .crossJoin(broadcast(packCentroidsFlat(centroids)))
+      .withColumn("_bi", GraftFunctions.nearestCentroidIdx(
+        col("embedding"), col("_en"), col("_cvecs"), col("_cnorms")))
       .select(col("vec_id"), col("embedding"), col("_en").as("emb_norm"),
-        col("_best.centroid_id").as("bucket"))
-  }
+        // -1 (empty codebook) → null bucket, matching the old fold's init
+        when(col("_bi") >= 0, element_at(col("_cids"), col("_bi") + 1))
+          .as("bucket"))
 
   /** One Lloyd step of spherical k-means: assign every vector to its
     * nearest centroid by cosine (ivfAssign — map-side fold over the

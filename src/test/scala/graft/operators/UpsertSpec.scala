@@ -183,6 +183,40 @@ class UpsertSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("bucketed merge refuses an UNSTAMPED existing layout; " +
+      "stampBucketCount adopts it") {
+    val path = freshDir()
+    val b1 = Seq(("https://x.gov/1", "Engineer"))
+      .toDF("position_uri", "position_title")
+    Upsert.mergeParquetBucketed(spark, b1, path, "position_uri", 4)
+    // simulate a pre-stamp table (or a legacy layout): drop the stamp
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path).resolve("_graft_buckets"))
+    val b2 = Seq(("https://x.gov/2", "Analyst"))
+      .toDF("position_uri", "position_title")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 8)
+    }
+    assert(e.getMessage.contains("stampBucketCount"))
+    Upsert.stampBucketCount(path, 4)
+    val s = Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 4)
+    assert(s == Upsert.UpsertStats(1, 0, 1))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("bucketed creation stamps BEFORE the data write (crash between " +
+      "the two leaves a stamped empty table the next merge heals)") {
+    val path = freshDir()
+    // simulate the post-stamp/pre-data crash state
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    Upsert.stampBucketCount(path, 4)
+    val b = Seq(("https://x.gov/1", "Engineer"))
+      .toDF("position_uri", "position_title")
+    val s = Upsert.mergeParquetBucketed(spark, b, path, "position_uri", 4)
+    assert(s == Upsert.UpsertStats(1, 0, 1))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("readSnapshot falls back to the ._backup copy mid-swap") {
     val path = freshDir()
     val batch = Seq(("https://x.gov/1", "Engineer"))

@@ -232,6 +232,42 @@ class VectorOpsSpec extends SparkSuite {
       brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("NearestCentroidIdx: argmax semantics — ties keep first, zero " +
+      "vectors rank below any real cosine, empty codebook = -1; " +
+      "interpreted eval == plan result") {
+    import graft.functions.{GraftFunctions, NearestCentroidIdx}
+    import spark.implicits._
+    val cvecs = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val cnorms = Seq(1.0, 1.0, 1.0)
+    val rows = Seq(
+      (0L, Seq(2.0f, 0.0f)), // ties with centroids 0 and 1 → FIRST (0)
+      (1L, Seq(0.0f, 3.0f)), // nearest = 2
+      (2L, Seq(0.0f, 0.0f))  // zero vector: all sims -2.0 → first (0)
+    ).toDF("vec_id", "embedding")
+    val out = rows.select(col("vec_id"),
+      GraftFunctions.nearestCentroidIdx(col("embedding"),
+        sqrt(GraftFunctions.vectorDot(col("embedding"), col("embedding"))),
+        typedlit(cvecs), typedlit(cnorms)).as("i"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 1L -> 2, 2L -> 0))
+
+    // empty codebook → -1 (plan maps to null bucket in ivfAssign)
+    val empty = rows.select(GraftFunctions.nearestCentroidIdx(
+      col("embedding"), lit(1.0),
+      typedlit(Seq.empty[Seq[Float]]), typedlit(Seq.empty[Double]))
+      .as("i")).collect().map(_.getInt(0))
+    assert(empty.forall(_ == -1))
+
+    // interpreted eval matches the codegen path driven above
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val direct = NearestCentroidIdx.compute(
+      new GenericArrayData(Array(2.0f, 0.0f)), 2.0,
+      new GenericArrayData(cvecs.map(v =>
+        new GenericArrayData(v.toArray): Any).toArray),
+      new GenericArrayData(cnorms.toArray))
+    assert(direct == 0)
+  }
+
   /** Mean cosine of every vector to its assigned centroid — the
     * spherical k-means objective a Lloyd step must not decrease. */
   private def meanAssignedCos(emb: DataFrame, cents: DataFrame): Double = {
