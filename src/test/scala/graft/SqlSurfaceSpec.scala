@@ -39,6 +39,24 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(row.getAs[Long]("sh") == 5L) // single hash: its bits win
   }
 
+  test("aggregate + vector natives are callable from SQL: misra_gries " +
+      "sketch and nearest-centroid argmax") {
+    ready
+    val mg = spark.sql(
+      """SELECT graft_misra_gries(t, 4) AS mg FROM (
+        |  SELECT explode(array('a','a','a','b','c','a','b')) AS t)"""
+        .stripMargin).head.getStruct(0)
+    assert(mg.getLong(0) == 7L)
+    assert(mg.getSeq[String](1).contains("a")) // freq 4 > 7/4
+    val nc = spark.sql(
+      """SELECT graft_nearest_centroid(
+        |  array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT)), 2.0D,
+        |  array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |        array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))),
+        |  array(1.0D, 1.0D)) AS i""".stripMargin).head.getInt(0)
+    assert(nc == 1)
+  }
+
   test("documents analysis through SQL: fingerprint + token count") {
     ready
     val rows = spark.sql(
