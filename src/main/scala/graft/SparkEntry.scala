@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.{EventOps, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
@@ -152,6 +153,15 @@ object SparkEntry {
       NearDup.minHashLshPairs(t(s, d, "documents"))),
     "x03_simhash_pairs" -> ((s, d) =>
       NearDup.simHashPairs(t(s, d, "documents"), maxHamming = 6)),
+    // Incremental dedup: a 10% "daily batch" against the other 90% as
+    // the indexed corpus — engine-seeded hashes → rows-only; the
+    // cross-side-of-union equivalence is asserted in NearDupSpec.
+    "x09_incremental_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.minHashLshPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    }),
     "x04_ann_ivf" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nprobe = 2)),

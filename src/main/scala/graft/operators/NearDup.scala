@@ -163,6 +163,33 @@ object NearDup {
         .drop("_bf")
     }
 
+  /** (doc_id, band, bh) rows from a signature table — the join key
+    * layout both the self-join and the incremental path consume. */
+  private def bandsOf(signatures: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = array((0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(slice(col("signature"), bIdx * r + 1, r)).as("bh"))
+    }: _*)
+    signatures
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
+  }
+
+  /** PERSISTABLE LSH band index of a corpus: (doc_id, band, bh), one row
+    * per band per doc. Write it out partitioned/bucketed on (band, bh)
+    * once, and every future incoming batch dedups against the corpus by
+    * equi-joining its own (tiny) band table — the corpus text is never
+    * re-shingled (see minHashLshPairsAgainst). Same (n, numHashes,
+    * bands) MUST be used on both sides: band hashes are only comparable
+    * under identical parameters. */
+  def bandTable(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    bandsOf(minHashSignatures(docs, n, numHashes), numHashes, bands)
+
   /** Candidate pairs via LSH banding: split each signature into `bands`
     * bands of numHashes/bands rows, hash each band, and equi-join on
     * (band, bandHash). Distinct pairs only. `maxBandFreq` caps the size
@@ -170,18 +197,8 @@ object NearDup {
     * capBandGroups; Int.MaxValue disables. */
   def lshCandidates(signatures: DataFrame, numHashes: Int,
       bands: Int, maxBandFreq: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBandFreq >= 2, "maxBandFreq < 2 would drop every pair")
-    val r = numHashes / bands
-    val bandStructs = array((0 until bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64(slice(col("signature"), bIdx * r + 1, r)).as("bh"))
-    }: _*)
-    val banded = capBandGroups(
-      signatures
-        .select(col("doc_id"), explode(bandStructs).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"),
-          col("b.bh").as("bh")),
+    val banded = capBandGroups(bandsOf(signatures, numHashes, bands),
       Seq("band", "bh"), maxBandFreq)
     banded.as("x")
       .join(banded.as("y"),
@@ -232,6 +249,57 @@ object NearDup {
       .filter(col("jaccard") >= minJ)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** INCREMENTAL near-dup: a new batch against an already-indexed
+    * corpus — the daily-ingestion shape, where comparing the corpus to
+    * itself again (what minHashLshPairs over the union does) would cost
+    * corpus², every day, for pairs already known.
+    *
+    * Candidates come from equi-joining the batch's band table against
+    * the corpus's; cost is |batch bands| ⋈ |corpus bands| on (band, bh)
+    * — proportional to the BATCH, never corpus². Pass `corpusBands` to
+    * reuse a persisted bandTable(corpus) (then corpus text is touched
+    * only to re-shingle verification candidates); omit it to derive the
+    * bands inline. Parameters must match the ones the stored index was
+    * built with. `maxBandFreq` caps on the corpus side, where the
+    * boilerplate lives. Output: (new_id, corpus_id, jaccard) — exactly
+    * the cross-side subset of minHashLshPairs over the disjoint union
+    * (NearDupSpec asserts), with the same precision-1 guarantee.
+    * A doc present on both sides with the same id reports itself as its
+    * own duplicate (jaccard 1) — the re-crawl signal, not an error. */
+  def minHashLshPairsAgainst(newDocs: DataFrame, corpusDocs: DataFrame,
+      corpusBands: Option[DataFrame] = None, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, minJ: Double = 0.7,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    val newBands = bandTable(newDocs, n, numHashes, bands)
+    val corpus = capBandGroups(
+      corpusBands.getOrElse(bandTable(corpusDocs, n, numHashes, bands)),
+      Seq("band", "bh"), maxBandFreq)
+    val candidates = newBands.as("x")
+      .join(corpus.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"),
+        col("y.doc_id").as("corpus_id"))
+      .distinct()
+    def shFor(docs: DataFrame, idCol: String) = docs
+      .join(candidates.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        GraftFunctions.shingleHashes(col("text"), n, P).as("sh"))
+    candidates
+      .join(shFor(newDocs, "new_id")
+        .select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(shFor(corpusDocs, "corpus_id")
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   // ----------------------------------------------------------- SimHash

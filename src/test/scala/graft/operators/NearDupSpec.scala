@@ -225,6 +225,40 @@ class NearDupSpec extends SparkSuite {
     assert(kept == Set(1L, 5L, 10L, 42L))
   }
 
+  test("minHashLshPairsAgainst == cross-side subset of minHashLshPairs " +
+      "over the disjoint union; persisted band index gives same rows") {
+    import spark.implicits._
+    val corpus = planted // ids 1..5
+    val batch = Seq(
+      (101L, base.replace("charlie", "CHARLIE_EDIT")), // near-dup of 1
+      (102L, "totally different content with nothing shared at all here " +
+        "pad pad pad words words words")
+    ).toDF("doc_id", "text")
+
+    val inc = NearDup.minHashLshPairsAgainst(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((101L, 1L)), s"planted near-dup missed: $inc")
+    assert(inc.forall { case (n, c) => n >= 100L && c < 100L },
+      "output must only contain (batch, corpus) pairs")
+
+    // equivalence with the self-join over the union, restricted to
+    // cross-side pairs (same seeds -> same bands -> same candidates)
+    val cross = NearDup.minHashLshPairs(corpus.union(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 100L) != (b < 100L) }
+      .map { case (a, b) => if (a >= 100L) (a, b) else (b, a) }.toSet
+    assert(inc == cross, s"inc=$inc cross=$cross")
+
+    // a persisted band index yields identical rows
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_bandidx").toString
+    NearDup.bandTable(corpus).write.mode("overwrite").parquet(idxPath)
+    val viaIndex = NearDup.minHashLshPairsAgainst(batch, corpus,
+      corpusBands = Some(spark.read.parquet(idxPath)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == inc)
+  }
+
   test("duplicateClusters: empty pair set yields empty output") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
