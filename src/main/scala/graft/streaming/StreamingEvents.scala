@@ -33,6 +33,39 @@ object StreamingEvents {
   
 
 
+  /** Stream-stream temporal range join (q45's streaming twin): pairs of
+    * events by the same user with the right side inside (left.ts,
+    * left.ts + gap]. Both sides are watermarked, and the join condition
+    * bounds b.ts relative to a.ts in BOTH directions — that pair of
+    * constraints is what lets Spark expire buffered rows: each side's
+    * state holds only ~(watermark + gap) of history per user, so the
+    * join runs indefinitely on an unbounded stream. Without the range
+    * bounds the state would grow forever (Spark rejects unbounded
+    * stream-stream joins in append mode for exactly that reason).
+    *
+    * The batch twin (EventOps.rangeJoinWithin) bands time into buckets
+    * instead — at rest, banding beats buffering; in motion, the state
+    * store IS the band. StreamingSpec asserts streaming==batch parity
+    * on a closed input. */
+  def rangeJoinWithin(events: DataFrame, gapMinutes: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val a = events
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events
+      .select(col("user_id").as("user_id_b"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("user_id_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+          ./(lit(1000000L)).cast("long").as("gap_seconds"))
+  }
+
   /** Watermarked hourly counts per event type (q20's streaming twin).
     * Append mode: a (window, type) row is emitted once, when the
     * watermark passes the window end. */

@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream range join == batch rangeJoinWithin on a closed " +
+      "input (watermark-bounded state)") {
+    val dir = tmp("rjevents")
+    import spark.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:59"), 7L, "click", 1.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:30"), 7L, "view", 1.0, ""),
+      (3L, Timestamp.valueOf("2024-01-01 10:01:59"), 7L, "click", 1.0, ""),
+      (4L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "view", 1.0, ""),
+      (5L, Timestamp.valueOf("2024-01-01 10:01:00"), 9L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = StreamingEvents.rangeJoinWithin(stream, gapMinutes = 1)
+      .writeStream.format("memory").queryName("rj")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("SELECT * FROM rj")
+      .orderBy("user_id", "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.operators.EventOps
+      .rangeJoinWithin(events.select("event_id", "ts", "user_id"), 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("MisraGries sketch aggregates in a streaming query (state-store " +
       "serialize/merge path) and keeps its guarantee") {
     val dir = tmp("mgdocs")
