@@ -263,11 +263,19 @@ object NearDup {
     * only to re-shingle verification candidates); omit it to derive the
     * bands inline. Parameters must match the ones the stored index was
     * built with. `maxBandFreq` caps on the corpus side, where the
-    * boilerplate lives. Output: (new_id, corpus_id, jaccard) — exactly
-    * the cross-side subset of minHashLshPairs over the disjoint union
-    * (NearDupSpec asserts), with the same precision-1 guarantee.
+    * boilerplate lives. Output: (new_id, corpus_id, jaccard) — at the
+    * default (uncapped) setting, exactly the cross-side subset of
+    * minHashLshPairs over the disjoint union (NearDupSpec asserts),
+    * with the same precision-1 guarantee; with a FINITE maxBandFreq the
+    * two differ at the margin, because the cap here scopes to
+    * corpus-side group sizes while the union form caps combined groups.
     * A doc present on both sides with the same id reports itself as its
-    * own duplicate (jaccard 1) — the re-crawl signal, not an error. */
+    * own duplicate (jaccard 1) — the re-crawl signal, not an error.
+    * The (tiny, id-pair) candidate frame feeds the outer join and both
+    * verification semi-joins, so it is persisted — without it the band
+    * equi-join (and the corpus signature pass under it) would evaluate
+    * three times; same bounded cache-lifecycle note as
+    * minHashLshPairs. */
   def minHashLshPairsAgainst(newDocs: DataFrame, corpusDocs: DataFrame,
       corpusBands: Option[DataFrame] = None, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, minJ: Double = 0.7,
@@ -282,6 +290,7 @@ object NearDup {
       .select(col("x.doc_id").as("new_id"),
         col("y.doc_id").as("corpus_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def shFor(docs: DataFrame, idCol: String) = docs
       .join(candidates.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")

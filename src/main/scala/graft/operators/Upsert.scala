@@ -148,12 +148,6 @@ object Upsert {
     // numbered dirs — silent duplicate keys. The count is persisted with
     // the table on first write and validated on every later merge.
     val persisted = readBucketCount(Paths.get(path))
-    persisted.foreach { n =>
-      require(n == numBuckets,
-        s"bucketed table at $path was written with numBuckets=$n; " +
-          s"merging with numBuckets=$numBuckets would strand existing " +
-          "keys in stale bucket dirs (pass the original count)")
-    }
     val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets.toLong))
     val stamped = incoming
       .withColumn(CREATED_AT, now)
@@ -168,17 +162,25 @@ object Upsert {
       try s.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
       finally s.close()
     }
-    // An EXISTING layout without a stamp cannot be validated at all — a
-    // wrong count here is exactly the silent-duplicate-key corruption the
-    // stamp exists to prevent, so refuse rather than guess. Adopting a
-    // pre-stamp table is explicit: verify the original count, then
-    // stampBucketCount(path, n) once. (Creation stamps BEFORE the first
-    // data write, so a crash between the two leaves a stamp and zero
-    // bucket dirs — a state this check accepts and the next merge heals.)
-    require(persisted.nonEmpty || !exists,
-      s"bucketed table at $path predates the _graft_buckets stamp; " +
-        "its bucket count cannot be validated — verify the layout's " +
-        "original numBuckets and call Upsert.stampBucketCount once")
+    // Validation only matters when DATA exists — a stamp without bucket
+    // dirs (crash between stamp and first write, or a failed creation
+    // retried with a different count) has no keys to strand, so it is
+    // simply re-stamped below. With data present: a mismatched count
+    // would prune to the wrong dirs (silent duplicate keys) → refuse;
+    // an EXISTING layout without a stamp cannot be validated at all →
+    // refuse rather than guess (adopting a pre-stamp table is explicit:
+    // verify the original count, then stampBucketCount(path, n) once).
+    if (exists) {
+      require(persisted.nonEmpty,
+        s"bucketed table at $path predates the _graft_buckets stamp; " +
+          "its bucket count cannot be validated — verify the layout's " +
+          "original numBuckets and call Upsert.stampBucketCount once")
+      require(persisted.get == numBuckets,
+        s"bucketed table at $path was written with " +
+          s"numBuckets=${persisted.get}; merging with " +
+          s"numBuckets=$numBuckets would strand existing keys in stale " +
+          "bucket dirs (pass the original count)")
+    }
     val obs = Observation()
 
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -219,10 +221,11 @@ object Upsert {
                 .as(c)
           }.toSeq: _*)
         }
-      if (persisted.isEmpty) {
-        // stamp-first: if we crash between stamp and data write, the
-        // stamp survives with no bucket dirs — harmless (next merge
-        // validates the same count and creates the data)
+      if (!exists && !persisted.contains(numBuckets)) {
+        // stamp-first (and re-stamp on empty tables): if we crash
+        // between stamp and data write, the stamp survives with no
+        // bucket dirs — harmless, and a retry with a DIFFERENT count on
+        // the still-empty table just overwrites it
         Files.createDirectories(target)
         writeBucketCount(target, numBuckets)
       }

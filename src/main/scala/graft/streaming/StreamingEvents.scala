@@ -49,6 +49,7 @@ object StreamingEvents {
     * on a closed input. */
   def rangeJoinWithin(events: DataFrame, gapMinutes: Int,
       watermark: String = "1 hour"): DataFrame = {
+    require(gapMinutes > 0, "gap must be positive") // parity with batch
     val a = events
       .select(col("user_id"), col("event_id").as("a_id"),
         col("ts").as("a_ts"))

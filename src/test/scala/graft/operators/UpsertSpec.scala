@@ -217,6 +217,26 @@ class UpsertSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("a failed first write never locks an EMPTY table to its bucket " +
+      "count — a retry with a different count re-stamps") {
+    val path = freshDir()
+    // crash state again, but the retry picks a DIFFERENT count: with no
+    // data there are no keys to strand, so it must succeed and re-stamp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    Upsert.stampBucketCount(path, 64)
+    val b = Seq(("https://x.gov/1", "Engineer"))
+      .toDF("position_uri", "position_title")
+    val s = Upsert.mergeParquetBucketed(spark, b, path, "position_uri", 8)
+    assert(s == Upsert.UpsertStats(1, 0, 1))
+    // the re-stamp is authoritative once data exists
+    val b2 = Seq(("https://x.gov/2", "Analyst"))
+      .toDF("position_uri", "position_title")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeParquetBucketed(spark, b2, path, "position_uri", 64)
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+  }
+
   test("readSnapshot falls back to the ._backup copy mid-swap") {
     val path = freshDir()
     val batch = Seq(("https://x.gov/1", "Engineer"))
