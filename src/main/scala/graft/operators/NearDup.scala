@@ -387,8 +387,14 @@ object NearDup {
     * (etl/etl.py:441-458, first-wins); this is that semantic lifted to
     * transitive content similarity. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // both edge orientations from ONE pass over the pair subtree (a
+    // union of two projections would evaluate the — possibly expensive,
+    // e.g. exact-Jaccard — pair plan twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
