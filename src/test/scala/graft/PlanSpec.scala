@@ -181,6 +181,16 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"${exchanges.size}")
   }
 
+  test("x09 incremental LSH: candidate generation is an equi-join on " +
+      "(band, bh) — never a product of batch × corpus") {
+    val df = q("x09_incremental_lsh")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "incremental dedup must never plan a product join")
+  }
+
   test("x02 MinHash: signatures are map-side (no exchange before banding)") {
     import graft.operators.NearDup
     val docs = spark.read.parquet(s"$dir/documents.parquet")

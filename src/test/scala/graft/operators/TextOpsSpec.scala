@@ -140,6 +140,24 @@ class TextOpsSpec extends SparkSuite {
     assert(rows == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("selectWithinTokenBudget: longest-first prefix per source, " +
+      "overflow doc excluded, oversized-head source selects nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),   // 5 tokens
+      (2L, "a b c", "s1"),       // 3 tokens
+      (3L, "a b", "s1"),         // 2 tokens — would overflow budget 9
+      (4L, "a b c d e f g h i j k l", "s2"), // 12 > budget: nothing fits
+      (5L, "", "s3")             // zero tokens
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.selectWithinTokenBudget(docs, 9L).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    // s1: 5 then 5+3=8 fit, 8+2=10 > 9 excluded; s2: 12 > 9, prefix
+    // empty; s3: the zero-token doc "fits" trivially (cum 0 <= 9)
+    assert(out.toSeq == Seq(("s1", 1L, 5L), ("s1", 2L, 8L),
+      ("s3", 5L, 0L)))
+  }
+
   test("heavyHitterTokens: exact result under sketch pressure (k much " +
       "smaller than vocab), independent of partitioning") {
     import spark.implicits._
