@@ -259,6 +259,19 @@ class NearDupSpec extends SparkSuite {
     assert(viaIndex == inc)
   }
 
+  test("duplicateClusters: a 200-node chain converges within maxRounds " +
+      "(pointer jumping gives O(log diameter), not O(diameter))") {
+    import spark.implicits._
+    // pure neighbor-min propagation would need 199 rounds — far over
+    // the default 20; the jump must collapse it
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val clusters = NearDup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.length == 200)
+    assert(clusters.forall(_._2 == 0L),
+      s"all chain nodes must resolve to 0, got ${clusters.take(5).toSeq}")
+  }
+
   test("duplicateClusters: empty pair set yields empty output") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
