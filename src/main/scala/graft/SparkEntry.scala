@@ -134,6 +134,15 @@ object SparkEntry {
     // the result is merge-order independent, so fully oracle-checked.
     "q48_heavy_hitter_tokens" -> ((s, d) =>
       TextOps.heavyHitterTokens(t(s, d, "documents"), k = 35)),
+    // End-to-end dedup: pairs → clusters → canonical-only corpus.
+    "q49_dedup_canonical_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.dedupByClusters(docs,
+        NearDup.duplicateClusters(
+          NearDup.jaccardPairs(docs, n = 3, minJ = 0.7)))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -537,6 +546,28 @@ object SparkEntry {
          FROM tok GROUP BY token
          HAVING count(*) * 35 > (SELECT count(*) FROM tok)
          ORDER BY n_occurrences DESC, token""",
+    // q47's component CTE, then drop every non-canonical member.
+    "q49_dedup_canonical_corpus" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS m FROM r GROUP BY id)
+         SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> m)
+         ORDER BY d.doc_id""",
     "q42_train_val_test_split" ->
       """WITH b AS (SELECT n_chars,
            list_reduce(
