@@ -20,6 +20,10 @@ object Bench {
       val ok = try { exec(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // isolate queries: several operators persist intermediate frames
+      // (LSH candidate/shingle tables); dropping them here keeps each
+      // measurement independent of alphabetical run order
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
