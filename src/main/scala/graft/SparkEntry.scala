@@ -123,6 +123,9 @@ object SparkEntry {
       TextOps.searchByPhrase(t(s, d, "documents"), "table scan")),
     "q45_range_join_pairs" -> ((s, d) =>
       EventOps.rangeJoinWithin(t(s, d, "events"), gapMinutes = 15)),
+    "q50_event_funnel" -> ((s, d) =>
+      EventOps.funnel(t(s, d, "events"),
+        Seq("signup", "click", "purchase"))),
     "q46_token_budget_selection" -> ((s, d) =>
       TextOps.selectWithinTokenBudget(t(s, d, "documents"), 800L)),
     // Transitive closure of the near-dup relation: connected components
@@ -437,6 +440,23 @@ object SparkEntry {
            ON a.user_id = b.user_id AND b.ts > a.ts
               AND epoch_us(b.ts) <= epoch_us(a.ts) + 900000000
          ORDER BY a.user_id, a_id, b_id""",
+    "q50_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING(user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 USING(user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+           CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+             + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS steps_reached,
+           t3 AS completed_at
+         FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+           LEFT JOIN s3 USING(user_id)
+         ORDER BY user_id""",
     "q46_token_budget_selection" ->
       """WITH t AS (SELECT doc_id, source,
            CAST(len(list_filter(string_split(text, ' '), x -> x != ''))

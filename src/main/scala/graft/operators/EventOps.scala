@@ -115,6 +115,47 @@ object EventOps {
       .orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** Ordered funnel: for each user, the earliest strictly-increasing
+    * timestamp chain through `steps` (greedy-earliest is optimal for
+    * completion: taking the earliest valid event at each step can only
+    * enlarge the suffix of events available for the remaining steps).
+    * Output: (user_id, steps_reached, completed_at = ts of the last
+    * step, null unless the whole funnel completed).
+    *
+    * Shape: one filtered aggregate per step — the event_type equality
+    * is pushed into each scan, and every join is per-user single-row
+    * (min-ts) tables, so the cost is k pruned scans + k tiny hash
+    * joins, never a per-user event sort. A single-scan alternative
+    * (collect_list per user + fold) shuffles every event and buffers
+    * per-user history; this shape ships one row per user per step. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage i = (user_id, _t<i+1>): earliest completion time of the
+    // funnel prefix of length i+1. Stage plans nest (stage k contains
+    // stage k-1's subtree), so within the final join Spark reuses the
+    // repeated exchanges rather than recomputing each prefix.
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_t1"))
+    val stages = steps.zipWithIndex.drop(1)
+      .scanLeft(first) { case (prev, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(s"_t$i"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as(s"_t${i + 1}"))
+      }
+    val base = events.select(col("user_id")).distinct()
+    val joined = stages.zipWithIndex.foldLeft(base) { case (acc, (s, i)) =>
+      acc.join(s.select(col("user_id"),
+        col(s"_t${i + 1}").as(s"_r${i + 1}")), Seq("user_id"), "left")
+    }
+    joined.select(col("user_id"),
+      steps.indices.map(i => when(col(s"_r${i + 1}").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _).as("steps_reached"),
+      col(s"_r${steps.size}").as("completed_at"))
+      .orderBy(col("user_id"))
+  }
+
   /** True pivot (wide matrix via RelationalGroupedDataset.pivot with an
     * explicit value list — plan-stable columns; missing combinations
     * coalesced to 0 to match the conditional-count formulation). */

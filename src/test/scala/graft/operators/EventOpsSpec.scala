@@ -48,4 +48,37 @@ class EventOpsSpec extends SparkSuite {
     assert(EventOps.rangeJoinWithin(
       events((1L, 1L, "2024-01-01 00:00:00")), 5).count() == 0)
   }
+
+  test("funnel: strict ordering, greedy-earliest chaining, partial " +
+      "funnels counted per step") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes A→B→C in order
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "B", "2024-01-01 10:01:00"),
+      (3L, 1L, "C", "2024-01-01 10:02:00"),
+      // user 2: B before A — only step A counts
+      (4L, 2L, "B", "2024-01-01 09:00:00"),
+      (5L, 2L, "A", "2024-01-01 09:30:00"),
+      // user 3: A and B at the SAME instant — strict > rejects the chain
+      (6L, 3L, "A", "2024-01-01 08:00:00"),
+      (7L, 3L, "B", "2024-01-01 08:00:00"),
+      // user 4: greedy-earliest — late B still chains to the EARLIER A
+      (8L, 4L, "A", "2024-01-01 07:00:00"),
+      (9L, 4L, "A", "2024-01-01 07:30:00"),
+      (10L, 4L, "B", "2024-01-01 07:10:00"),
+      (11L, 4L, "C", "2024-01-01 07:20:00"),
+      // user 5: no funnel events at all
+      (12L, 5L, "X", "2024-01-01 06:00:00")
+    ).map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.funnel(ev, Seq("A", "B", "C")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.getTimestamp(2)))).toMap
+    assert(out(1L) == (3L, Some(ts("2024-01-01 10:02:00"))))
+    assert(out(2L) == (1L, None))
+    assert(out(3L) == (1L, None))
+    assert(out(4L) == (3L, Some(ts("2024-01-01 07:20:00"))))
+    assert(out(5L) == (0L, None))
+  }
 }
