@@ -298,6 +298,33 @@ object Upsert {
     writeBucketCount(Paths.get(path), numBuckets)
   }
 
+  /** Compact a bucketed table's small files: every incremental merge
+    * rewrites its touched partitions with one file per shuffle task, so
+    * a long-lived table accumulates files until scan planning (listing,
+    * row-group overhead) dominates — the classic lakehouse small-files
+    * problem. One repartition on _bucket lands each partition's rows in
+    * a single task → a single file per bucket dir, swapped in through
+    * the same dynamic-partition-overwrite path as the merge (per-
+    * partition atomicity, bucket-count stamp untouched). Run it on a
+    * maintenance cadence, not per merge. */
+  def compactBucketed(spark: SparkSession, path: String): Unit = {
+    require(readBucketCount(Paths.get(path)).nonEmpty,
+      s"no _graft_buckets stamp at $path — not a bucketed merge table")
+    val prevMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // localCheckpoint materializes the table BEFORE the overwrite —
+    // Spark (rightly) refuses a write whose plan still reads the
+    // destination path, and the blocks also guard against reading
+    // half-overwritten partitions mid-job
+    try spark.read.parquet(path)
+      .repartition(col("_bucket"))
+      .localCheckpoint()
+      .write.partitionBy("_bucket").mode(SaveMode.Overwrite).parquet(path)
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   /** Read the snapshot written by mergeParquet, tolerating an in-flight
     * swap: the swap-then-delete protocol (see class doc) has a window
     * where the live dir is mid-rename and only the `._backup` copy is

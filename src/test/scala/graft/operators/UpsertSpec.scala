@@ -217,6 +217,44 @@ class UpsertSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("compactBucketed: one file per bucket dir afterwards, identical " +
+      "rows, stamp preserved") {
+    val path = freshDir()
+    // three merges -> multiple files accumulate in touched bucket dirs
+    (1 to 3).foreach { i =>
+      val b = Seq((s"https://x.gov/$i", s"Title$i"))
+        .toDF("position_uri", "position_title")
+      Upsert.mergeParquetBucketed(spark, b, path, "position_uri", 2)
+    }
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("position_uri"),
+        r.getAs[String]("position_title"))).toSet
+    Upsert.compactBucketed(spark, path)
+    val root = java.nio.file.Paths.get(path)
+    val bucketDirs = java.nio.file.Files.list(root).iterator()
+    val perDir = scala.collection.mutable.Map.empty[String, Int]
+    bucketDirs.forEachRemaining { d =>
+      if (d.getFileName.toString.startsWith("_bucket=")) {
+        val files = java.nio.file.Files.list(d).iterator()
+        var n = 0
+        files.forEachRemaining(f =>
+          if (f.getFileName.toString.endsWith(".parquet")) n += 1)
+        perDir(d.getFileName.toString) = n
+      }
+    }
+    assert(perDir.nonEmpty && perDir.values.forall(_ == 1),
+      s"expected exactly one parquet file per bucket dir: $perDir")
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("position_uri"),
+        r.getAs[String]("position_title"))).toSet
+    assert(after == before)
+    // stamp survives, so merges keep validating
+    val s = Upsert.mergeParquetBucketed(spark,
+      Seq(("https://x.gov/9", "T9")).toDF("position_uri", "position_title"),
+      path, "position_uri", 2)
+    assert(s == Upsert.UpsertStats(1, 0, 1))
+  }
+
   test("a failed first write never locks an EMPTY table to its bucket " +
       "count — a retry with a different count re-stamps") {
     val path = freshDir()
