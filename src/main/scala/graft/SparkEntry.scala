@@ -146,6 +146,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Benchmark decontamination: eval slice (doc_id % 10 == 0) probed
+    // against the train slice's distinct shingle vocabulary.
+    "q51_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.contamination(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        n = 3, minFrac = 0.3)
+    }),
+    "q52_tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), k = 5)),
+    "q53_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(t(s, d, "documents"), packTokens = 512L)),
+    "q54_collapse_token_runs" -> ((s, d) =>
+      TextOps.collapseTokenRuns(t(s, d, "documents"))),
+    // Embedding-space analog of q49: exact cosine pairs → connected
+    // components → canonical-only embedding corpus.
+    "q55_embedding_dedup" -> ((s, d) =>
+      VectorOps.dedupEmbeddings(t(s, d, "embeddings"), 0.45)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+    "q56_knn_label_vote" -> ((s, d) =>
+      VectorOps.knnLabelVote(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
+    // Corpus-LM fluency: mean bigram conditional probability per doc,
+    // left-to-right fold => bit-identical cross-engine.
+    "q57_bigram_fluency" -> ((s, d) =>
+      TextOps.bigramFluency(t(s, d, "documents"))),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -602,6 +630,133 @@ object SparkEntry {
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM b GROUP BY 1 ORDER BY split""",
+    // Decontamination: test-slice shingles probed against the train
+    // slice's DISTINCT shingle vocabulary (same shingle CTE as q29).
+    "q51_contamination" ->
+      """WITH tr AS (
+           SELECT DISTINCT unnest(list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)])) AS sh
+           FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents WHERE doc_id % 10 != 0)),
+         te AS (
+           SELECT doc_id, unnest(list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents WHERE doc_id % 10 = 0)),
+         m AS (SELECT te.doc_id, count(*) AS n_shingles, count(tr.sh) AS n_matched
+               FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id)
+         SELECT doc_id, n_shingles, n_matched,
+           CAST(n_matched AS DOUBLE) / n_shingles AS overlap_frac
+         FROM m WHERE CAST(n_matched AS DOUBLE) / n_shingles >= 0.3
+         ORDER BY doc_id""",
+    "q52_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x != '')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT doc_id, token, tf, df,
+                 CAST(tf * n AS DOUBLE) / df AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY CAST(tf * n AS DOUBLE) / df DESC, token) AS rank
+               FROM tf JOIN df USING (token) CROSS JOIN nd)
+         SELECT doc_id, token, tf, df, score, rank
+         FROM s WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "q53_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+           FROM t WHERE n_tokens > 0)
+         SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // 512 AS pack_first,
+           (start_offset + n_tokens - 1) // 512 AS pack_last
+         FROM c ORDER BY source, doc_id""",
+    "q54_collapse_token_runs" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         k AS (SELECT doc_id, lst,
+           [lst[i] for i in range(1, len(lst) + 1)
+              if i = 1 or lst[i] != lst[i-1]] AS kept
+           FROM t)
+         SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+           CAST(len(lst) AS BIGINT) AS n_tokens_raw,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(lst) - len(kept) AS BIGINT) AS n_collapsed
+         FROM k ORDER BY doc_id""",
+    // q31's exact pair join, then q47's reachability closure, then drop
+    // every non-canonical cluster member — the embedding q49.
+    "q55_embedding_dedup" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v,
+                  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+                FROM e0),
+         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM nr a JOIN nr b ON a.vec_id < b.vec_id
+               WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS m FROM r GROUP BY id)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> m)
+         ORDER BY vec_id""",
+    // q30's ranked-neighbor CTE, then a per-query label vote.
+    "q56_knn_label_vote" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         s AS (SELECT q.q_id, c.vec_id AS n_id,
+                 list_reduce(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i]),
+                   (x, y) -> x + y) / (q.qn * c.nrm) AS cosine
+               FROM q, n c WHERE c.vec_id != q.q_id),
+         r AS (SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+               FROM s),
+         v AS (SELECT r.q_id, l.label AS n_label, count(*) AS votes
+               FROM r JOIN embeddings l ON r.n_id = l.vec_id
+               WHERE r.rank <= 10 GROUP BY 1, 2),
+         b AS (SELECT q_id, n_label, votes,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY votes DESC, n_label) AS rn FROM v)
+         SELECT b.q_id, b.n_label AS predicted_label, b.votes,
+           t.label AS true_label, b.n_label = t.label AS correct
+         FROM b JOIN embeddings t ON b.q_id = t.vec_id
+         WHERE b.rn = 1 ORDER BY b.q_id""",
+    // Bigram conditional probabilities from window counts over the
+    // exploded bigram rows; per-doc mean via the list_reduce
+    // left-to-right fold (order pinned by pos).
+    "q57_bigram_fluency" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         bi AS (SELECT doc_id,
+                  unnest(range(1, len(lst))) AS pos,
+                  unnest([lst[i] for i in range(1, len(lst))]) AS w1,
+                  unnest([lst[i] || ' ' || lst[i+1] for i in range(1, len(lst))]) AS bg
+                FROM t WHERE len(lst) >= 2),
+         pr AS (SELECT doc_id, pos,
+                  CAST(count(*) OVER (PARTITION BY bg) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY w1) AS p
+                FROM bi)
+         SELECT doc_id, count(*) AS n_bigrams,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+             (a, b) -> a + b) / count(*) AS mean_bigram_p,
+           min(p) AS min_p
+         FROM pr GROUP BY doc_id ORDER BY doc_id""",
     "q30_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

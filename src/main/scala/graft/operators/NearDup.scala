@@ -103,6 +103,40 @@ object NearDup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Train/test DECONTAMINATION: for every evaluation document, the
+    * fraction of its distinct n-gram shingles that appear ANYWHERE in the
+    * training corpus — the standard benchmark-leakage check run before
+    * training (an eval doc whose n-grams are mostly contained in the
+    * training set is contaminated and must be dropped from the benchmark,
+    * or its near-copies dropped from training).
+    *
+    * Scale shape: the training side collapses to its DISTINCT shingle
+    * vocabulary (one row per shingle — partial+final hash aggregate), so
+    * the probe join matches each test shingle against AT MOST ONE row;
+    * boilerplate shingles cannot amplify the join output the way they do
+    * in pair generation (no maxShingleFreq needed here). Cost is one
+    * shuffle of each side on the shingle hash + a per-doc count
+    * aggregate; nothing is quadratic and nothing is driver-side.
+    * Comparisons use 63-bit shingle hashes (see IdentityMod) — exactness
+    * modulo 2⁻⁶⁴-scale collisions, demonstrated exact by the oracle.
+    *
+    * Output: (doc_id, n_shingles, n_matched, overlap_frac) for test docs
+    * with overlap_frac >= minFrac, ordered by doc_id. Docs with fewer
+    * than n tokens have no shingles and are never reported (no n-gram
+    * evidence either way — same contract as minHashSignatures). */
+  def contamination(testDocs: DataFrame, trainDocs: DataFrame, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val trainSh = shingleTable(trainDocs, n).select(col("shingle")).distinct()
+    shingleTable(testDocs, n)
+      .join(trainSh.withColumn("_hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_matched"))
+      .withColumn("overlap_frac",
+        col("n_matched").cast("double") / col("n_shingles"))
+      .filter(col("overlap_frac") >= minFrac)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- MinHash + LSH
 
   /** Shared with the native expression: shingle hashes are reduced below

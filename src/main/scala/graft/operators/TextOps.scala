@@ -168,6 +168,115 @@ object TextOps {
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
   }
 
+  /** TF-IDF top-k distinguishing terms per document — the keyword-
+    * extraction primitive (per-doc topical signature; feeds tagging and
+    * boilerplate-vs-content weighting in a curation pipeline).
+    *
+    * Scoring uses the LINEAR idf variant: score = tf × (N / df), i.e.
+    * term frequency scaled by inverse document frequency WITHOUT the
+    * customary log damping. Rationale: per-doc top-k ordering under any
+    * monotone transform of N/df is identical per fixed tf, and the
+    * linear form is a single division of exact integers — bit-identical
+    * across engines and partitionings, where ln() is only
+    * faithfully-rounded (last-ulp divergence between libm
+    * implementations would break cross-engine hash equality).
+    *
+    * Scale shape: explode → (doc_id, token) partial+final count (the
+    * q27-style data-sized shuffle), df is a WINDOW count over the tf
+    * table (one row per (doc, token) — never re-reads the corpus, and
+    * the window form avoids a groupBy+join-back that would re-evaluate
+    * and re-shuffle the tf subtree per join side), N is a one-row
+    * aggregate joined by broadcast, and the final per-doc top-k is a
+    * streaming rows-frame window on doc_id. No driver actions; nothing
+    * quadratic. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("_n")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Sequence PACKING assignment: per source, documents in doc_id order
+    * are concatenated into one token stream which is cut into fixed
+    * `packTokens`-token training sequences; each document reports the
+    * pack range [pack_first, pack_last] it lands in — the concat-and-
+    * chunk packing used to fill fixed-length context windows without
+    * padding. A document may straddle a pack boundary (span > 1); zero-
+    * token documents contribute nothing to the stream and are dropped.
+    *
+    * Deterministic: the stream order is (source, doc_id), so every rerun
+    * and engine produces identical offsets. The running sum is a
+    * streaming rows-frame window (no per-group buffering); pack ids are
+    * exact integer division — no floating point anywhere.
+    *
+    * Scale: one shuffle on source + a linear in-order pass per source
+    * (same shape and same caveat as selectWithinTokenBudget: a single
+    * source with billions of docs serializes its scan — at that scale,
+    * split the stream by (source, shard) with shard = doc_id range, pack
+    * within shards, and accept shard-boundary padding: offsets stay
+    * deterministic and the window parallelizes per shard). */
+  def packSequences(docs: DataFrame, packTokens: Long): DataFrame = {
+    require(packTokens > 0, "packTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_first", expr(s"start_offset div ${packTokens}L"))
+      .withColumn("pack_last",
+        expr(s"(start_offset + n_tokens - 1L) div ${packTokens}L"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Consecutive-duplicate token collapse ("run-length normalization"):
+    * stuttered boilerplate like "batch batch batch" collapses to one
+    * token — a standard cleanup pass before near-dup detection, since
+    * run inflation both pads length statistics and perturbs shingle
+    * sets. Keeps the FIRST token of every run; document order and all
+    * non-run tokens are untouched.
+    *
+    * Pure map-side projection (embarrassingly parallel). The run test is
+    * a higher-order array filter — interpreted, not codegen'd
+    * (CodegenFallback); one linear pass per row. If this lands in a
+    * per-ingest hot loop, the upgrade path is a native Expression like
+    * RollingHash (same companion-compute pattern). */
+  def collapseTokenRuns(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    // keep token i when it differs from its predecessor; try_element_at
+    // (1-based) yields the predecessor at index i, null at i = 0, and
+    // `true OR null` short-circuits per SQL three-valued logic
+    val kept = filter(toks, (t, i) =>
+      (i === 0) || not(t <=> try_element_at(toks, i)))
+    docs.select(
+      col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      size(toks).cast("long").as("n_tokens_raw"),
+      size(kept).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_collapsed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keyword search: documents whose whitespace-token set contains
     * `term` — the Spark form of the reference's core access path, the
     * GIN-indexed to_tsvector keyword query (init.sql:20; keyword-driven
@@ -206,6 +315,66 @@ object TextOps {
     words.foldLeft(docs)((d, w) => d.filter(col("text").contains(w)))
       .filter(col("text").rlike(pattern))
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Statistical-LM fluency score per document: the mean corpus bigram
+    * conditional probability over the doc's bigrams, p(w₂|w₁) =
+    * c(w₁w₂) / c(w₁·) estimated from THIS corpus — the self-scoring
+    * quality signal (stuttered, templated, or word-salad docs score
+    * off-profile; the cheap stand-in for model-based perplexity
+    * filtering, computable inside the engine with no model).
+    *
+    * Determinism: each probability is one division of exact corpus
+    * counts; the per-doc sum is a LEFT-TO-RIGHT fold over bigrams in
+    * position order (array_sort by pos, then `aggregate` — the same
+    * order DuckDB's list_reduce uses, so results are bit-identical
+    * cross-engine); the mean is one further division. min_p (the doc's
+    * most surprising transition) is order-independent.
+    *
+    * Scale shape: bigrams explode ONCE and the exploded table is
+    * persisted (it feeds the count aggregates and the probe — without
+    * the persist each consumer would re-scan the corpus; same bounded
+    * cache-lifecycle note as NearDup.minHashLshPairs). Counts are
+    * partial+final hash aggregates joined back — each map partition
+    * collapses to its distinct bigrams before any shuffle, and AQE
+    * broadcasts the count tables when the vocabulary is small. A
+    * per-key window count here would be strictly worse: no partial
+    * aggregation, and a heavy-tailed (or tiny) vocabulary serializes
+    * each key's rows through one reducer that AQE cannot split —
+    * windows are unsplittable where joins are. The per-doc fold is a
+    * collect over ≤(doc length) elements after one doc_id shuffle.
+    * Docs with fewer than 2 tokens have no bigrams and are excluded. */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    // positional (w1, bigram) pairs WITH multiplicity — shingles() is
+    // distinct-set semantics, counts here must not be
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          concat_ws(" ", try_element_at(toks, i + 1),
+            try_element_at(toks, i + 2)).as("bg"))))
+      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+    val bi = docs
+      .select(col("doc_id"), posexplode(pairs).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"),
+        col("p.w1").as("w1"), col("p.bg").as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBg = bi.groupBy(col("bg")).agg(count(lit(1)).as("_c_bg"))
+    val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("_c_w1"))
+    bi
+      .join(cBg, "bg")
+      .join(cW1, "w1")
+      .withColumn("_p", col("_c_bg").cast("double") / col("_c_w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("_p")))),
+          lit(0.0), (acc, x) => acc + x.getField("_p")).as("_sum"),
+        min(col("_p")).as("min_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_sum") / col("n_bigrams")).as("mean_bigram_p"),
+        col("min_p"))
       .orderBy(col("doc_id"))
   }
 

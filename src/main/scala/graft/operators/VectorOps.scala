@@ -138,6 +138,60 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** End-to-end EMBEDDING dedup: cosine near-dup pairs → connected
+    * components (NearDup.duplicateClusters — the same min-label
+    * propagation used for text clusters, the pair graph doesn't care
+    * which modality produced it) → keep one canonical vector per
+    * cluster (smallest vec_id) plus everything unpaired.
+    *
+    * `pairs` defaults to the EXACT quadratic join (correctness
+    * baseline); pass cosineLshJoin(emb, threshold) — same (a_id, b_id)
+    * shape — for the 100 TB path: candidates from the band equi-join,
+    * exact-verified, so precision of the pair set is 1 either way and
+    * only recall is traded. Output: the surviving embedding rows,
+    * unchanged schema. */
+  def dedupEmbeddings(emb: DataFrame, threshold: Double,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(cosineSimilarityJoin(emb, threshold))
+      .select(col("a_id"), col("b_id"))
+    val clusters = NearDup.duplicateClusters(p)
+    emb.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** kNN label vote — the embedding-quality eval primitive: for each
+    * query vector, the majority label among its k nearest neighbors
+    * (cosine), compared to the query's own label. Ties break to the
+    * smallest label, so the result is deterministic given the
+    * (deterministic) top-k set.
+    *
+    * Scale shape: inherits annBruteForce's broadcast-queries map-side
+    * scan (≤k rows per query reach the shuffle); the vote is a count
+    * over |queries|×k rows and every subsequent join keys on q_id/n_id
+    * with the tiny side broadcast by AQE. */
+  def knnLabelVote(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val nn = annBruteForce(emb, queryIds, k)
+    val votes = nn
+      .join(emb.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        "n_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("n_label").as("predicted_label"),
+        col("votes"), col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** Coarse centroids per `label` (stand-in for a sampled k-means
     * codebook): mean vector per label, computed by position explode +
     * group — one shuffle of n_vectors * dim rows, then tiny. */

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.NearDup
+
+/** Streaming corpus ingestion with INCREMENTAL near-dup dedup — the
+  * continuous form of the daily-batch shape in
+  * NearDup.minHashLshPairsAgainst (SURVEY §2.10a L27): documents land as
+  * parquet files, and each micro-batch is
+  *
+  *  1. deduplicated WITHIN itself (LSH pairs → connected components →
+  *     canonical survivor — the batch-local q49 pipeline; a batch is
+  *     small, so this is cheap), then
+  *  2. probed against the ACCUMULATED corpus via its persisted LSH band
+  *     index — cost ∝ batch, never corpus², and corpus text is only
+  *     re-shingled for verification candidates — then
+  *  3. the surviving novel documents are appended to the corpus
+  *     alongside their band-index rows, so the next batch probes an
+  *     index that already covers this one.
+  *
+  * Exactly-once: every output is written to a `batch=<id>`
+  * subdirectory with mode Overwrite, so a replayed micro-batch (crash
+  * between the two writes, checkpoint retry) overwrites its own output
+  * instead of duplicating it — the standard idempotent-foreachBatch
+  * layout. Readers take the union of subdirectories
+  * (recursiveFileLookup), which is also how this runner reads the
+  * corpus back for probing.
+  *
+  * At 100 TB the corpus/band paths are object-storage prefixes; the
+  * band index is the thing that makes this sustainable — the full
+  * corpus text is never re-scanned per batch (only candidate
+  * verification touches it, by doc_id equi-join).
+  */
+object StreamingDedup {
+
+  private def subdir(root: String, batchId: Long): String =
+    s"$root/batch=$batchId"
+
+  private def readAccumulated(spark: SparkSession, root: String): Option[DataFrame] =
+    if (new java.io.File(root).exists())
+      Some(spark.read.option("recursiveFileLookup", "true").parquet(root))
+    else None
+
+  /** Dedup one closed batch against itself and (if present) the
+    * accumulated corpus; returns the novel canonical documents. Pure
+    * batch logic — shared by the foreachBatch body and direct callers. */
+  private[streaming] def novelDocs(batch: DataFrame,
+      corpus: Option[DataFrame], corpusBands: Option[DataFrame],
+      n: Int, numHashes: Int, bands: Int, minJ: Double): DataFrame = {
+    val inBatchPairs =
+      NearDup.minHashLshPairs(batch, n, numHashes, bands, minJ)
+        .select(col("a_id"), col("b_id"))
+    val canon = NearDup.dedupByClusters(batch,
+      NearDup.duplicateClusters(inBatchPairs))
+    corpus match {
+      case None => canon
+      case Some(c) =>
+        val dupOfCorpus = NearDup.minHashLshPairsAgainst(
+          canon, c, corpusBands, n, numHashes, bands, minJ)
+          .select(col("new_id").as("doc_id")).distinct()
+        canon.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Run one AvailableNow pass over a landing directory of parquet
+    * document files: land → in-batch dedup → corpus probe → append
+    * novel docs + their band rows. Returns after the pass completes.
+    * `schema` must cover at least (doc_id LONG, text STRING). */
+  def runAvailableNow(spark: SparkSession, landingDir: String,
+      corpusPath: String, bandIndexPath: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJ: Double = 0.7): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // the batch is consumed by several joins below — pin it so the
+          // streaming source isn't re-planned per consumer
+          val pinned = batch.localCheckpoint()
+          val novel = novelDocs(pinned,
+            readAccumulated(s, corpusPath),
+            readAccumulated(s, bandIndexPath),
+            n, numHashes, bands, minJ)
+            .localCheckpoint() // bands below must see the SAME survivors
+          novel.write.mode("overwrite")
+            .parquet(subdir(corpusPath, batchId))
+          NearDup.bandTable(novel, n, numHashes, bands)
+            .write.mode("overwrite")
+            .parquet(subdir(bandIndexPath, batchId))
+        }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -202,4 +202,65 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.isEmpty,
       "signature computation must not shuffle")
   }
+
+  test("q51 contamination: equi-join on the shingle hash — never a " +
+      "product — and the probe is a hash join against a distinct " +
+      "vocabulary (aggregated, so boilerplate cannot amplify)") {
+    val df = q("q51_contamination")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      "contamination probe must be an equi-join on the shingle hash")
+    // the train side must aggregate (distinct) before the join: a
+    // HashAggregate must feed the join's build side
+    assert(plan.toString.contains("HashAggregate"),
+      "train vocabulary must be de-duplicated before the probe join")
+  }
+
+  test("q53 pack sequences: one window shuffle + the output sort; " +
+      "the scan prunes to the three referenced columns") {
+    val df = q("q53_pack_sequences")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (window + order), got ${exchanges.size}")
+    val readSchema = plan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("q54 collapse runs: pure map-side projection — the only " +
+      "exchange is the verification sort") {
+    val df = q("q54_collapse_token_runs")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 1,
+      s"run collapse must be map-side; found ${exchanges.size} exchanges")
+  }
+
+  test("q52 tf-idf: doc-count side is broadcast (no shuffle for N), " +
+      "df computed from the tf table, bounded shuffle count") {
+    val df = q("q52_tfidf_top_terms")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastExchange") ||
+      plan.toString.contains("BroadcastNestedLoopJoin"),
+      "the one-row corpus count must broadcast, never shuffle-join")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // tf agg + token window + doc window + output sort, plus the
+    // SinglePartition exchange of the one-row corpus count (carries
+    // O(#partitions) rows — not data-sized)
+    assert(exchanges.size <= 5,
+      s"tf agg + df window + rank window + sort + count should need " +
+        s"≤5 shuffles, got ${exchanges.size}")
+  }
 }

@@ -277,4 +277,39 @@ class NearDupSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(NearDup.duplicateClusters(empty).count() == 0)
   }
+
+  test("contamination: verbatim-leaked doc scores 1.0, partial overlap " +
+      "is the exact shingle fraction, disjoint doc is absent") {
+    import spark.implicits._
+    val train = Seq((100L, base), (101L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    val test_ = Seq(
+      (1L, base),    // every shingle in train -> 1.0
+      (2L, oneEdit), // 15 of 18 shingles shared -> 15/18
+      (3L, "zulu yankee xray whiskey victor"), // disjoint -> dropped
+      (4L, "a b")    // no 3-shingles -> never reported
+    ).toDF("doc_id", "text")
+    val rows = NearDup.contamination(test_, train, n = 3, minFrac = 0.3)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("overlap_frac") == 1.0)
+    assert(byId(1L).getAs[Long]("n_matched") == 18L)
+    assert(math.abs(byId(2L).getAs[Double]("overlap_frac") - 15.0 / 18) < 1e-12)
+  }
+
+  test("contamination: duplicate-heavy train corpus does not inflate " +
+      "counts (distinct vocabulary, not a postings multi-join)") {
+    import spark.implicits._
+    // the same train doc 50 times: n_matched must count each test
+    // shingle once, not 50 times
+    val train = (0L until 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val test_ = Seq((1L, base)).toDF("doc_id", "text")
+    val r = NearDup.contamination(test_, train, n = 3, minFrac = 0.0)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_shingles") == 18L)
+    assert(r(0).getAs[Long]("n_matched") == 18L)
+    assert(r(0).getAs[Double]("overlap_frac") == 1.0)
+  }
 }

@@ -245,4 +245,120 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(meta == Set(12L))
   }
+
+  test("tfidfTopTerms: rare term outranks frequent term at equal tf; " +
+      "scores are the exact linear-idf values; k truncates") {
+    import spark.implicits._
+    // 3 docs; 'common' appears in all (df=3), 'rare' only in doc 1 (df=1)
+    val docs = Seq(
+      (1L, "common rare common rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, k = 2).collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[String]("token")).toSeq == Seq("rare", "common"))
+    // rare: tf=2, df=1, N=3 -> 6.0 ; common: tf=2, df=3 -> 2.0
+    assert(d1(0).getAs[Double]("score") == 6.0)
+    assert(d1(1).getAs[Double]("score") == 2.0)
+    assert(d1(0).getAs[Long]("rank") == 1L)
+    // every doc emits at most k rows
+    assert(out.groupBy(_.getAs[Long]("doc_id")).values.forall(_.length <= 2))
+    // deterministic tie-break: doc 2's two tokens tie on tf=1 only when
+    // scores differ by df; 'other' (df=1) must outrank 'common' (df=3)
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[String]("token")).toSeq == Seq("other", "common"))
+  }
+
+  test("packSequences: offsets are contiguous per source, pack ids are " +
+      "exact integer division, straddling docs span packs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c"),        // 3 tokens, start 0, pack 0
+      (2L, "s1", "d e f g"),      // 4 tokens, start 3, packs 0..1 (B=5)
+      (3L, "s1", ""),             // 0 tokens: dropped
+      (4L, "s1", "h i"),          // 2 tokens, start 7, pack 1
+      (5L, "s2", "x y z w v u")   // independent stream: start 0, packs 0..1
+    ).map { case (id, src, text) => (id, text, src) }
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.packSequences(docs, packTokens = 5L).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 4L, 5L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("start_offset") == 0L)
+    assert(byId(1L).getAs[Long]("pack_first") == 0L)
+    assert(byId(1L).getAs[Long]("pack_last") == 0L)
+    assert(byId(2L).getAs[Long]("start_offset") == 3L)
+    assert(byId(2L).getAs[Long]("pack_first") == 0L)
+    assert(byId(2L).getAs[Long]("pack_last") == 1L) // tokens 3..6 straddle
+    assert(byId(4L).getAs[Long]("start_offset") == 7L)
+    assert(byId(4L).getAs[Long]("pack_first") == 1L)
+    assert(byId(5L).getAs[Long]("start_offset") == 0L) // per-source stream
+    assert(byId(5L).getAs[Long]("pack_last") == 1L)
+    // invariant on the harness table: within a source, start_offset ==
+    // previous start + previous n_tokens (stream has no gaps or overlaps)
+    val sf = TextOps.packSequences(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 512L)
+      .collect()
+    sf.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      ordered.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("start_offset") ==
+            p.getAs[Long]("start_offset") + p.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+    }
+  }
+
+  test("bigramFluency: hand-computed conditional probabilities, " +
+      "in-order fold, short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: ab ba ab
+      (2L, "a b c"),   // bigrams: ab bc
+      (3L, "solo"),    // no bigrams -> excluded
+      (4L, "")).toDF("doc_id", "text")
+    // corpus: c(ab)=3 c(ba)=1 c(bc)=1 ; prefix: c(a.)=3 c(b.)=2
+    // p(ab)=1.0 p(ba)=0.5 p(bc)=0.5
+    val out = TextOps.bigramFluency(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(byId(1L).getAs[Double]("mean_bigram_p") == (1.0 + 0.5 + 1.0) / 3)
+    assert(byId(1L).getAs[Double]("min_p") == 0.5)
+    assert(byId(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(byId(2L).getAs[Double]("mean_bigram_p") == (1.0 + 0.5) / 2)
+    // repeated-bigram multiplicity counts (shingle-set semantics would
+    // have given c(ab)=2): a fluent stutter scores HIGH, which is why
+    // collapseTokenRuns runs before this in a curation pipeline
+    assert(byId(1L).getAs[Double]("mean_bigram_p") > 0.8)
+  }
+
+  test("collapseTokenRuns: runs collapse to their first token, " +
+      "non-adjacent repeats survive, counts reconcile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "batch batch batch stream batch"),
+      (2L, "a a a a a a"),
+      (3L, "no repeats here"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.collapseTokenRuns(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // adjacent run collapses; the later non-adjacent 'batch' survives
+    assert(byId(1L).getAs[String]("clean_text") == "batch stream batch")
+    assert(byId(1L).getAs[Long]("n_collapsed") == 2L)
+    assert(byId(2L).getAs[String]("clean_text") == "a")
+    assert(byId(2L).getAs[Long]("n_tokens") == 1L)
+    assert(byId(3L).getAs[String]("clean_text") == "no repeats here")
+    assert(byId(3L).getAs[Long]("n_collapsed") == 0L)
+    assert(byId(4L).getAs[String]("clean_text") == "")
+    assert(byId(4L).getAs[Long]("n_tokens") == 0L)
+    // idempotence: collapsing a collapsed corpus changes nothing
+    val once = TextOps.collapseTokenRuns(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextOps.collapseTokenRuns(once).collect()
+    twice.foreach { r =>
+      assert(r.getAs[Long]("n_collapsed") == 0L,
+        s"doc ${r.getAs[Long]("doc_id")} changed on second pass")
+    }
+  }
 }

@@ -318,4 +318,50 @@ class VectorOpsSpec extends SparkSuite {
     assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("dedupEmbeddings: transitive cluster keeps only its min id; " +
+      "survivors below threshold pairwise; LSH pair source agrees on " +
+      "full-recall fixtures") {
+    // clustered: labels 0/1/2 on orthogonal axes — same-label vectors
+    // are near-identical (cos ~ 1), cross-label ~ 0. Each label forms
+    // one 4-member cluster; survivor = min vec_id = 0, 1, 2.
+    val survivors = VectorOps.dedupEmbeddings(clustered, 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(survivors == Set(0L, 1L, 2L))
+    // no surviving pair is still a near-dup under the EXACT join
+    val residual = VectorOps.cosineSimilarityJoin(
+      VectorOps.dedupEmbeddings(clustered, 0.9), 0.9).count()
+    assert(residual == 0L)
+    // swapping in the LSH pair source gives the same survivors here
+    // (recall is full on these planted clusters — VectorOpsSpec's
+    // recall-floor test covers the general subset relation)
+    val viaLsh = VectorOps.dedupEmbeddings(clustered, 0.9,
+      pairs = Some(VectorOps.cosineLshJoin(clustered, 0.9)))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(viaLsh == survivors)
+  }
+
+  test("knnLabelVote: planted clusters vote their own label; votes " +
+      "bounded by k; tie-break is deterministic (smallest label)") {
+    // clustered: each label has 4 members; k=3 neighbors of any query
+    // are exactly its 3 same-label peers -> unanimous correct vote
+    val out = VectorOps.knnLabelVote(clustered, Seq(0L, 1L, 2L), k = 3)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Int]("predicted_label") == r.getAs[Int]("true_label"))
+      assert(r.getAs[Boolean]("correct"))
+      assert(r.getAs[Long]("votes") == 3L)
+    }
+    // with k=12 (the whole corpus), the 3 off-label groups (4 votes
+    // each vs 3 remaining same-label) tie at 4 — the vote must settle
+    // on the smallest tied label, deterministically
+    val wide = VectorOps.knnLabelVote(clustered, Seq(0L), k = 11).collect()
+    assert(wide.length == 1)
+    // neighbor labels: 4× label 1, 4× label 2, 3× label 0 — labels 1
+    // and 2 tie at 4 votes; the smallest tied label must win
+    assert(wide(0).getAs[Int]("predicted_label") == 1)
+    assert(wide(0).getAs[Long]("votes") == 4L)
+    assert(!wide(0).getAs[Boolean]("correct"))
+  }
 }

@@ -200,4 +200,57 @@ class StreamingSpec extends SparkSuite {
       events.toDS().toDF().withColumn("value", lit(1.0))).collect()
     assert(batch.find(_.getLong(0) == 1L).get.getLong(1) == 2L)
   }
+
+  test("streaming incremental dedup: in-batch collapse, corpus probe " +
+      "across micro-batches, band index tracks the corpus") {
+    val landing = tmp("dl"); val ckpt = tmp("dc")
+    val corpus = tmp("dcorp") + "/c"; val bandIdx = tmp("dband") + "/b"
+    import spark.implicits._
+    val base =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val oneEdit = base.replace("november", "EDITED") // J = 15/21 >= 0.7
+    val other = "zulu yankee xray whiskey victor uniform tree stone " +
+      "rock moon lake iron hill glass fire earth dust cloud brick ash"
+    val novel2 = "red orange yellow green blue indigo violet umber " +
+      "teal navy coral pink white black gray silver gold bronze tin lead"
+
+    // batch 1: 1 and 2 are byte-identical (in-batch cluster), 10 distinct
+    val b1 = Seq((1L, base), (2L, base), (10L, other))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(landing)
+    // bands=32 (r=2): detection probability at J~0.71 is ~1 and the
+    // fixed-seed result is deterministic either way
+    StreamingDedup.runAvailableNow(spark, landing, corpus, bandIdx, ckpt,
+      b1.schema, bands = 32)
+    val after1 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(after1 == Set(1L, 10L))
+
+    // batch 2: 20 near-dups corpus doc 1; 21/22 are an in-batch pair
+    Seq((20L, oneEdit), (21L, novel2), (22L, novel2))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    StreamingDedup.runAvailableNow(spark, landing, corpus, bandIdx, ckpt,
+      b1.schema, bands = 32)
+    val after2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(after2 == Set(1L, 10L, 21L),
+      s"near-dup of corpus and in-batch dup must be dropped, got $after2")
+
+    // the band index covers exactly the accumulated corpus
+    val idxDocs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(bandIdx).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(idxDocs == after2)
+
+    // the streaming result equals the direct two-step batch computation
+    val direct1 = StreamingDedup.novelDocs(b1, None, None, 3, 64, 32, 0.7)
+    val direct2 = StreamingDedup.novelDocs(
+      Seq((20L, oneEdit), (21L, novel2), (22L, novel2))
+        .toDF("doc_id", "text"),
+      Some(direct1), None, 3, 64, 32, 0.7)
+    val directIds = (direct1.collect() ++ direct2.collect())
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(directIds == after2)
+  }
 }
