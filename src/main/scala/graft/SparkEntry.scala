@@ -174,6 +174,17 @@ object SparkEntry {
     // left-to-right fold => bit-identical cross-engine.
     "q57_bigram_fluency" -> ((s, d) =>
       TextOps.bigramFluency(t(s, d, "documents"))),
+    // q49 with a QUALITY-priority survivor: keep the longest member of
+    // each near-dup cluster (ties to smallest doc_id), not the min id.
+    "q58_dedup_prefer_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.dedupByClustersPreferring(docs,
+        NearDup.duplicateClusters(
+          NearDup.jaccardPairs(docs, n = 3, minJ = 0.7)),
+        "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q30_ann_topk" -> ((s, d) =>
       VectorOps.annBruteForce(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
@@ -223,6 +234,17 @@ object SparkEntry {
     "x05_media_features" -> ((s, d) =>
       Multimodal.featureSummary(s,
         Multimodal.fromDocuments(t(s, d, "documents")))),
+    // Bloom-filter contamination (q51's 100 TB shape): train vocabulary
+    // broadcast as a bitset, one-sided error — bitset hashing is
+    // engine-specific → rows-only; the no-false-negative superset
+    // property vs exact q51 is pinned in NearDupSpec.
+    "x10_bloom_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.contaminationApprox(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        n = 3, minFrac = 0.3)
+    }),
   )
 
   // DuckDB-exactness conventions used below:
@@ -736,6 +758,32 @@ object SparkEntry {
            t.label AS true_label, b.n_label = t.label AS correct
          FROM b JOIN embeddings t ON b.q_id = t.vec_id
          WHERE b.rn = 1 ORDER BY b.q_id""",
+    // q49's component CTE with an argmax-by-length survivor.
+    "q58_dedup_prefer_quality" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS m FROM r GROUP BY id),
+         rk AS (SELECT comp.id,
+                  row_number() OVER (PARTITION BY comp.m
+                    ORDER BY d.n_chars DESC, comp.id) AS rn
+                FROM comp JOIN documents d ON comp.id = d.doc_id)
+         SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM rk WHERE rn <> 1)
+         ORDER BY d.doc_id""",
     // Bigram conditional probabilities from window counts over the
     // exploded bigram rows; per-doc mean via the list_reduce
     // left-to-right fold (order pinned by pos).

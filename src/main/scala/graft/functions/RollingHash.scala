@@ -79,6 +79,9 @@ object GraftFunctions {
   val HYPERPLANE_BITS = "graft_hyperplane_bits"
   val MISRA_GRIES = "graft_misra_gries"
   val NEAREST_CENTROID = "graft_nearest_centroid"
+  val COLLAPSE_RUNS = "graft_collapse_runs"
+  val BLOOM_AGG = "graft_bloom_agg"
+  val BLOOM_MIGHT_CONTAIN = "graft_bloom_might_contain"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -107,6 +110,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NEAREST_CENTROID,
       exprs => NearestCentroidIdx(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      COLLAPSE_RUNS, exprs => CollapseRuns(exprs.head), "built-in")
+    // Spark's own runtime-join-pruning bloom expressions, exposed at the
+    // user level (they are public but unregistered — the optimizer
+    // normally injects them itself in InjectRuntimeFilter)
+    reg.createOrReplaceTempFunction(
+      BLOOM_AGG,
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      BLOOM_MIGHT_CONTAIN,
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
   }
 
@@ -160,4 +178,19 @@ object GraftFunctions {
   def nearestCentroidIdx(vec: Column, vecNorm: Column, centroidVecs: Column,
       centroidNorms: Column): Column =
     registered(NEAREST_CENTROID, vec, vecNorm, centroidVecs, centroidNorms)
+
+  /** Run-length token collapse in one native pass: struct<clean, n_raw,
+    * n_kept> (see CollapseRuns). */
+  def collapseRuns(text: Column): Column = registered(COLLAPSE_RUNS, text)
+
+  /** Bloom filter of a LONG column as a binary aggregate (Spark's
+    * BloomFilterAggregate — mergeable, so partial aggregation applies;
+    * the filter itself is a broadcastable bitset). */
+  def bloomAgg(item: Column, expectedItems: Long, numBits: Long): Column =
+    registered(BLOOM_AGG, item, lit(expectedItems), lit(numBits))
+
+  /** Membership probe against a bloomAgg bitset: false-positive-only
+    * (never false-negative). */
+  def bloomMightContain(bloom: Column, item: Column): Column =
+    registered(BLOOM_MIGHT_CONTAIN, bloom, item)
 }

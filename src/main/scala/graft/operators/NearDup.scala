@@ -137,6 +137,42 @@ object NearDup {
       .orderBy(col("doc_id"))
   }
 
+  /** APPROXIMATE contamination — the 100 TB shape of `contamination`:
+    * instead of shuffling both shingle tables into an equi-join, the
+    * train vocabulary is folded into a BLOOM FILTER (mergeable partial
+    * aggregate → one broadcastable bitset) and test shingles probe it
+    * MAP-SIDE. No shuffle ever touches the train side beyond its
+    * partial-aggregate reduction, and the test side shuffles only the
+    * per-doc count aggregate.
+    *
+    * Error is ONE-SIDED: a bloom filter has no false negatives, so
+    * per-doc n_matched (and overlap_frac) can only be OVERSTATED —
+    * every truly-contaminated doc at `minFrac` is flagged (recall 1 vs
+    * the exact operator; NearDupSpec pins the superset property), with
+    * false-positive rate governed by numBits/expectedItems. The shape
+    * to reach for when the decision is "drop if contaminated" and a
+    * small over-drop is acceptable. */
+  def contaminationApprox(testDocs: DataFrame, trainDocs: DataFrame,
+      n: Int = 3, minFrac: Double = 0.5, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    // might_contain requires its bloom side to be constant-foldable: a
+    // SCALAR SUBQUERY (executed once, result broadcast into the probe
+    // expression), not a join column
+    val bloom = shingleTable(trainDocs, n)
+      .agg(GraftFunctions.bloomAgg(col("shingle"), expectedItems, numBits)
+        .as("_bf"))
+      .scalar()
+    shingleTable(testDocs, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(GraftFunctions.bloomMightContain(bloom,
+          col("shingle")), lit(1))).as("n_matched"))
+      .withColumn("overlap_frac",
+        col("n_matched").cast("double") / col("n_shingles"))
+      .filter(col("overlap_frac") >= minFrac)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- MinHash + LSH
 
   /** Shared with the native expression: shingle hashes are reduced below
@@ -480,4 +516,31 @@ object NearDup {
       clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** Cluster dedup with a QUALITY-priority survivor: keep the highest-
+    * `scoreCol` member of every near-dup cluster (ties to the smallest
+    * doc_id) instead of the smallest id — the survivor policy a real
+    * curation pipeline wants (near-dup groups usually contain one clean
+    * original and several mangled re-crawls; min-id keeps whichever was
+    * crawled first, this keeps the best).
+    *
+    * Scale shape: the cluster table (one row per doc IN some cluster —
+    * far smaller than the corpus) joins its members' scores, a
+    * per-cluster window picks the argmax, and the non-survivors anti-
+    * join the corpus. The corpus-sized side is touched by exactly two
+    * hash joins on doc_id; the window runs over cluster-membership rows
+    * only. `scoreCol` must be present on `docs`. */
+  def dedupByClustersPreferring(docs: DataFrame, clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_score").desc, col("doc_id"))
+    val losers = clusters
+      .join(docs.select(col("doc_id"), col(scoreCol).as("_score")),
+        "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -256,26 +256,22 @@ object TextOps {
     * sets. Keeps the FIRST token of every run; document order and all
     * non-run tokens are untouched.
     *
-    * Pure map-side projection (embarrassingly parallel). The run test is
-    * a higher-order array filter — interpreted, not codegen'd
-    * (CodegenFallback); one linear pass per row. If this lands in a
-    * per-ingest hot loop, the upgrade path is a native Expression like
-    * RollingHash (same companion-compute pattern). */
-  def collapseTokenRuns(docs: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    // keep token i when it differs from its predecessor; try_element_at
-    // (1-based) yields the predecessor at index i, null at i = 0, and
-    // `true OR null` short-circuits per SQL three-valued logic
-    val kept = filter(toks, (t, i) =>
-      (i === 0) || not(t <=> try_element_at(toks, i)))
-    docs.select(
-      col("doc_id"),
-      array_join(kept, " ").as("clean_text"),
-      size(toks).cast("long").as("n_tokens_raw"),
-      size(kept).cast("long").as("n_tokens"),
-      (size(toks) - size(kept)).cast("long").as("n_collapsed"))
+    * Pure map-side projection (embarrassingly parallel): ONE native
+    * codegen'd character scan per row (graft.functions.CollapseRuns —
+    * the equivalent tokens→indexed-filter→array_join Column tree is an
+    * interpreted HOF that re-materializes the token array per
+    * consumer; TextOpsSpec pins value-equality against that tree). */
+  def collapseTokenRuns(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        GraftFunctions.collapseRuns(col("text")).as("_cr"))
+      .select(
+        col("doc_id"),
+        col("_cr.clean").as("clean_text"),
+        col("_cr.n_raw").as("n_tokens_raw"),
+        col("_cr.n_kept").as("n_tokens"),
+        (col("_cr.n_raw") - col("_cr.n_kept")).as("n_collapsed"))
       .orderBy(col("doc_id"))
-  }
 
   /** Keyword search: documents whose whitespace-token set contains
     * `term` — the Spark form of the reference's core access path, the
@@ -346,7 +342,11 @@ object TextOps {
     * collect over ≤(doc length) elements after one doc_id shuffle.
     * Docs with fewer than 2 tokens have no bigrams and are excluded. */
   def bigramFluency(docs: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
+    // tokens are MATERIALIZED as a column before the pair lambda: a
+    // lambda that referenced the tokens() TREE would inline (and
+    // re-evaluate) the split+filter per element reference — O(len²)
+    // per row; against the attribute each access is O(1)
+    val toks = col("_toks")
     // positional (w1, bigram) pairs WITH multiplicity — shingles() is
     // distinct-set semantics, counts here must not be
     val pairs = when(size(toks) >= 2,
@@ -356,6 +356,7 @@ object TextOps {
             try_element_at(toks, i + 2)).as("bg"))))
       .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
     val bi = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), posexplode(pairs).as(Seq("pos", "p")))
       .select(col("doc_id"), col("pos"),
         col("p.w1").as("w1"), col("p.bg").as("bg"))

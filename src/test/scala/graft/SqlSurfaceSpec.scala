@@ -37,6 +37,10 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(row.getAs[Long]("rh") == 204910434L)
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[Long]("sh") == 5L) // single hash: its bits win
+    val cr = spark.sql(
+      "SELECT graft_collapse_runs(' x x  y ') AS cr").head.getStruct(0)
+    assert(cr.getString(0) == "x y")
+    assert(cr.getLong(1) == 3L && cr.getLong(2) == 2L)
   }
 
   test("aggregate + vector natives are callable from SQL: misra_gries " +

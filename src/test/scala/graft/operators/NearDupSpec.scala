@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSuite
 
@@ -278,6 +278,20 @@ class NearDupSpec extends SparkSuite {
     assert(NearDup.duplicateClusters(empty).count() == 0)
   }
 
+  test("dedupByClustersPreferring: argmax-score survivor per cluster, " +
+      "ties to smallest id, unclustered docs untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.2), (5L, 0.8),
+      (7L, 0.1), (8L, 0.1)).toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = NearDup.dedupByClustersPreferring(docs, clusters, "quality")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // cluster 1: 2 and 3 tie at 0.9 -> smallest id 2 survives (NOT the
+    // min-id policy's 1); cluster 7: tie at 0.1 -> 7; 4 and 5 unclustered
+    assert(kept == Set(2L, 4L, 5L, 7L))
+  }
+
   test("contamination: verbatim-leaked doc scores 1.0, partial overlap " +
       "is the exact shingle fraction, disjoint doc is absent") {
     import spark.implicits._
@@ -296,6 +310,29 @@ class NearDupSpec extends SparkSuite {
     assert(byId(1L).getAs[Double]("overlap_frac") == 1.0)
     assert(byId(1L).getAs[Long]("n_matched") == 18L)
     assert(math.abs(byId(2L).getAs[Double]("overlap_frac") - 15.0 / 18) < 1e-12)
+  }
+
+  test("contaminationApprox: one-sided vs exact — n_matched never " +
+      "understated, same shingle totals, flagged set is a superset") {
+    val test_ = sfDocs.filter(col("doc_id") % 10 === 0)
+    val train = sfDocs.filter(col("doc_id") % 10 =!= 0)
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_matched"))).toMap
+    val exact = asMap(NearDup.contamination(test_, train, 3, 0.0))
+    val approx = asMap(NearDup.contaminationApprox(test_, train, 3, 0.0))
+    assert(approx.keySet == exact.keySet) // minFrac 0: all shingled docs
+    exact.foreach { case (id, (nSh, nM)) =>
+      assert(approx(id)._1 == nSh, s"doc $id shingle count differs")
+      assert(approx(id)._2 >= nM,
+        s"doc $id: bloom reported FEWER matches than exact (false negative)")
+    }
+    // flagged-at-threshold superset (drop decisions never miss)
+    val exactFlagged = NearDup.contamination(test_, train, 3, 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val approxFlagged = NearDup.contaminationApprox(test_, train, 3, 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exactFlagged.subsetOf(approxFlagged))
   }
 
   test("contamination: duplicate-heavy train corpus does not inflate " +

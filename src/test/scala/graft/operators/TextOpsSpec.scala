@@ -361,4 +361,48 @@ class TextOpsSpec extends SparkSuite {
         s"doc ${r.getAs[Long]("doc_id")} changed on second pass")
     }
   }
+
+  test("native CollapseRuns == the tokens/indexed-filter Column tree " +
+      "on adversarial and random inputs (incl. interpreted eval)") {
+    import spark.implicits._
+    // deterministic generator over a space-heavy alphabet: runs, multi-
+    // space gaps, leading/trailing spaces, non-space whitespace inside
+    // tokens (NOT a separator), supplementary-plane chars
+    val rnd = new scala.util.Random(0xc0115eedL)
+    val atoms = Seq("a", "b", "ab", "a\nb", "𝔘𝔫", "x")
+    val gen = (0 until 300).map { i =>
+      val parts = Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextBoolean()) atoms(rnd.nextInt(atoms.length))
+        else " " * (1 + rnd.nextInt(3)))
+      (i.toLong, parts.mkString(rnd.nextInt(3) match {
+        case 0 => "" case 1 => " " case _ => "  "
+      }))
+    }
+    val edge = Seq((1000L, ""), (1001L, "   "), (1002L, "a"),
+      (1003L, "a a"), (1004L, " a  a a "), (1005L, "aa a"))
+    val docs = (gen ++ edge).toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val kept = filter(toks, (t, i) =>
+      (i === 0) || not(t <=> try_element_at(toks, i)))
+    val viaTree = docs.select(col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      size(toks).cast("long").as("n_tokens_raw"),
+      size(kept).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaNative = TextOps.collapseTokenRuns(docs)
+      .select(col("doc_id"), col("clean_text"), col("n_tokens_raw"),
+        col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaNative == viaTree)
+    // interpreted path (eval without codegen) agrees too
+    val cr = graft.functions.CollapseRuns(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" a  a b b ")))
+    val row = cr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getUTF8String(0).toString == "a b")
+    assert(row.getLong(1) == 4L && row.getLong(2) == 2L)
+  }
 }
