@@ -182,26 +182,30 @@ object TextOps {
     * implementations would break cross-engine hash equality).
     *
     * Scale shape: explode → (doc_id, token) partial+final count (the
-    * q27-style data-sized shuffle), df is a WINDOW count over the tf
-    * table (one row per (doc, token) — never re-reads the corpus, and
-    * the window form avoids a groupBy+join-back that would re-evaluate
-    * and re-shuffle the tf subtree per join side), N is a one-row
-    * aggregate joined by broadcast, and the final per-doc top-k is a
-    * streaming rows-frame window on doc_id. No driver actions; nothing
-    * quadratic. */
+    * q27-style data-sized shuffle); the tf table is PERSISTED and df is
+    * a partial+final aggregate over it joined back (AQE broadcasts the
+    * count table when the vocabulary is small). A per-token window
+    * count here would serialize every occurrence of a heavy-tailed
+    * token — a stopword appears in nearly every doc — through one
+    * reducer AQE cannot split (windows are unsplittable where joins
+    * are; same reasoning as bigramFluency). N is a one-row aggregate
+    * joined by broadcast, and the final per-doc top-k is a streaming
+    * rows-frame window on doc_id (safe: doc_id grouping is bounded by
+    * doc length). No driver actions; nothing quadratic. Cache
+    * lifecycle note as in NearDup.minHashLshPairs. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
         .as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(df, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("_n")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -155,10 +155,11 @@ object VectorOps {
     val p = pairs.getOrElse(cosineSimilarityJoin(emb, threshold))
       .select(col("a_id"), col("b_id"))
     val clusters = NearDup.duplicateClusters(p)
-    emb.join(
-      clusters.filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_anti")
+    // one survivor-policy implementation: delegate to the text-side
+    // cluster dedup under the id name it expects
+    NearDup.dedupByClusters(
+      emb.withColumnRenamed("vec_id", "doc_id"), clusters)
+      .withColumnRenamed("doc_id", "vec_id")
   }
 
   /** kNN label vote — the embedding-quality eval primitive: for each

@@ -39,10 +39,32 @@ object StreamingDedup {
   private def subdir(root: String, batchId: Long): String =
     s"$root/batch=$batchId"
 
-  private def readAccumulated(spark: SparkSession, root: String): Option[DataFrame] =
-    if (new java.io.File(root).exists())
-      Some(spark.read.option("recursiveFileLookup", "true").parquet(root))
-    else None
+  /** Accumulated state = the union of every batch subdirectory EXCEPT
+    * the one being (re)written. Excluding the current batchId is what
+    * makes replay idempotent: a replayed batch must never see its own
+    * prior (possibly partial) output as "the corpus", or it would flag
+    * every one of its docs as a self-duplicate and overwrite the batch
+    * dir with an empty result. Listing goes through the Hadoop
+    * FileSystem of the path (java.io.File would silently report
+    * non-local prefixes — s3://, hdfs:// — as absent and skip corpus
+    * dedup entirely). */
+  private def readAccumulated(spark: SparkSession, root: String,
+      excludeBatchId: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val parts = fs.listStatus(path).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName != s"batch=$excludeBatchId")
+        .map(_.toString)
+      if (parts.isEmpty) None
+      else Some(spark.read
+        .option("recursiveFileLookup", "true")
+        .parquet(parts: _*))
+    }
+  }
 
   /** Dedup one closed batch against itself and (if present) the
     * accumulated corpus; returns the novel canonical documents. Pure
@@ -79,25 +101,35 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          // the batch is consumed by several joins below — pin it so the
-          // streaming source isn't re-planned per consumer
-          val pinned = batch.localCheckpoint()
-          val novel = novelDocs(pinned,
-            readAccumulated(s, corpusPath),
-            readAccumulated(s, bandIndexPath),
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, corpusPath, bandIndexPath,
             n, numHashes, bands, minJ)
-            .localCheckpoint() // bands below must see the SAME survivors
-          novel.write.mode("overwrite")
-            .parquet(subdir(corpusPath, batchId))
-          NearDup.bandTable(novel, n, numHashes, bands)
-            .write.mode("overwrite")
-            .parquet(subdir(bandIndexPath, batchId))
-        }
       }
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One micro-batch's work — extracted so replay idempotence is
+    * directly testable (calling this twice with the same batchId must
+    * leave the same corpus). The accumulated reads EXCLUDE this
+    * batchId's own subdirectories (see readAccumulated). */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      corpusPath: String, bandIndexPath: String, n: Int, numHashes: Int,
+      bands: Int, minJ: Double): Unit = {
+    val s = batch.sparkSession
+    // the batch is consumed by several joins below — pin it so the
+    // streaming source isn't re-planned per consumer
+    val pinned = batch.localCheckpoint()
+    val novel = novelDocs(pinned,
+      readAccumulated(s, corpusPath, batchId),
+      readAccumulated(s, bandIndexPath, batchId),
+      n, numHashes, bands, minJ)
+      .localCheckpoint() // bands below must see the SAME survivors
+    novel.write.mode("overwrite")
+      .parquet(subdir(corpusPath, batchId))
+    NearDup.bandTable(novel, n, numHashes, bands)
+      .write.mode("overwrite")
+      .parquet(subdir(bandIndexPath, batchId))
   }
 }

@@ -245,6 +245,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"run collapse must be map-side; found ${exchanges.size} exchanges")
   }
 
+  test("x10 bloom contamination: train side reaches the probe as a " +
+      "subquery bitset — the test-side plan has NO join at all") {
+    val df = q("x10_bloom_contamination")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "the probe must be a map-side might_contain, not any join form")
+    // the only exchange on the test side is the per-doc count aggregate
+    // (+ output sort); the train side lives in a separate subquery stage
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"test side should shuffle only doc-count + sort, got " +
+        s"${exchanges.size}")
+  }
+
   test("q52 tf-idf: doc-count side is broadcast (no shuffle for N), " +
       "df computed from the tf table, bounded shuffle count") {
     val df = q("q52_tfidf_top_terms")

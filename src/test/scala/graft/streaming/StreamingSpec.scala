@@ -252,5 +252,18 @@ class StreamingSpec extends SparkSuite {
     val directIds = (direct1.collect() ++ direct2.collect())
       .map(_.getAs[Long]("doc_id")).toSet
     assert(directIds == after2)
+
+    // REPLAY idempotence: re-running a batch with the same batchId (the
+    // crash-before-checkpoint-commit retry) must not treat its own
+    // prior output as corpus — a replay that saw itself would flag
+    // every doc a self-duplicate and overwrite the dir with nothing
+    StreamingDedup.processBatch(
+      Seq((20L, oneEdit), (21L, novel2), (22L, novel2))
+        .toDF("doc_id", "text"),
+      batchId = 1L, corpus, bandIdx, 3, 64, 32, 0.7)
+    val afterReplay = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(afterReplay == after2,
+      s"replay of batch 1 changed the corpus: $afterReplay")
   }
 }
