@@ -20,6 +20,8 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // engine optimizer extensions (rank-1-per-group → min_by rewrite)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
