@@ -3,18 +3,24 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType}
 
-/** Optimizer rule: rewrite the "rank-1 per group" window pattern
+import graft.functions.RowTopK
+
+/** Optimizer rule: rewrite the "rank ≤ k per group" window patterns
   *
-  *   Filter(rn = 1, Window(rn <- row_number() OVER (PARTITION p ORDER o)))
+  *   Filter(rn = 1,  Window(rn <- row_number() OVER (PARTITION p ORDER o)))
+  *   Filter(rn <= k, Window(rn <- row_number() OVER (PARTITION p ORDER o)))
   *
-  * into a partial-aggregable min_by:
+  * into partial-aggregable forms:
   *
   *   Project(fields of _top1, rn <- 1,
-  *     Aggregate(p, min_by(struct(*), orderKey(o)) AS _top1))
+  *     Aggregate(p, min_by(struct(*), orderKey(o)) AS _top1))          k = 1
+  *   Project(fields of _col, rn <- _pos + 1,
+  *     Generate(posexplode(_topk),
+  *       Aggregate(p, graft_row_top_k(orderKey(o), struct(*), k))))    k ≥ 2
   *
   * Why it matters at 100 TB: the window form shuffles EVERY row on p and
   * sorts each partition before discarding all but one row per group —
@@ -31,10 +37,12 @@ import org.apache.spark.sql.types.NumericType
   * order; min_by picks the row with the least ordering key. The rewrite
   * therefore fires only when they provably agree:
   *  - the single window function is row_number() and the filter keeps
-  *    exactly rank 1 (`= 1` either side, or `<= 1`);
-  *  - every ORDER BY key is non-nullable, and descending keys are
-  *    numeric (negated to fold into the ascending min_by key) — null
-  *    ordering and non-numeric descent bail out;
+  *    rank 1 exactly (`= 1` / `<= 1`) or a bounded prefix (`<= k`);
+  *  - every ORDER BY key folds into an ascending min_by/top-k key:
+  *    ascending keys directly, descending FRACTIONAL/decimal keys by
+  *    negation (integral descent bails — ANSI negation of MinValue
+  *    throws where a sort succeeds), nullable keys via an explicit
+  *    NULLS FIRST/LAST flag field;
   *  - partition keys are plain attributes.
   * On order-key ties both forms keep one arbitrary row (Spark's window
   * sort is not stable across partitionings either), so determinism
@@ -63,30 +71,70 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Ascending min_by key for one sort order: ascending non-nullable
-    * keys pass through, descending non-nullable NUMERIC keys negate;
-    * everything else disqualifies the rewrite. */
-  private def minByKey(s: SortOrder): Option[Expression] = s match {
-    case SortOrder(e, Ascending, _, _) if !e.nullable => Some(e)
-    case SortOrder(e, Descending, _, _)
-        if !e.nullable && e.dataType.isInstanceOf[NumericType] =>
-      Some(UnaryMinus(e))
-    case _ => None
+  /** Ascending key fields for one sort order, such that plain ascending
+    * comparison reproduces the window's (direction, null ordering)
+    * exactly:
+    *  - ascending keys pass through; descending keys negate, allowed
+    *    only for FRACTIONAL/decimal types (ANSI negation of an integral
+    *    MinValue would throw where the window sort succeeds — bail);
+    *  - a NULLABLE key gains an explicit 0/1 null flag in front,
+    *    ordered per the window's NULLS FIRST/LAST, so the value field
+    *    is only ever compared between two non-null (or two null) rows —
+    *    no reliance on any engine-internal null-comparison convention.
+    */
+  private def minByKey(s: SortOrder): Option[Seq[Expression]] = {
+    val e = s.child
+    def withNullFlag(key: Expression): Seq[Expression] =
+      if (!e.nullable) Seq(key)
+      else {
+        val nullSortsFirst = s.nullOrdering == NullsFirst
+        val flag = If(IsNull(e),
+          Literal(if (nullSortsFirst) 0 else 1),
+          Literal(if (nullSortsFirst) 1 else 0))
+        Seq(flag, key)
+      }
+    s.direction match {
+      case Ascending => Some(withNullFlag(e))
+      case Descending if e.dataType == DoubleType ||
+          e.dataType == FloatType || e.dataType.isInstanceOf[DecimalType] =>
+        Some(withNullFlag(UnaryMinus(e)))
+      case _ => None
+    }
+  }
+
+  /** `rank <= k` with k >= 2 (the top-k-per-group pattern, e.g. q08's
+    * shape); `= k` would mean "exactly rank k" and never matches here. */
+  private def rankKAttr(cond: Expression): Option[(ExprId, Int)] =
+    cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+          if k >= 2 => Some((a.exprId, k))
+      case GreaterThanOrEqual(Literal(k: Int, _), a: AttributeReference)
+          if k >= 2 => Some((a.exprId, k))
+      case _ => None
+    }
+
+  private def rewritable(cond: Expression, aliasId: ExprId,
+      part: Seq[Expression], order: Seq[SortOrder],
+      child: LogicalPlan): Boolean =
+    part.forall(_.isInstanceOf[AttributeReference]) &&
+      order.nonEmpty && order.forall(minByKey(_).isDefined) &&
+      child.output.nonEmpty
+
+  private def orderKeyOf(order: Seq[SortOrder]): Expression = {
+    val keys = order.flatMap(minByKey(_).get)
+    if (keys.length == 1) keys.head else CreateStruct(keys)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // ---- rank = 1 → min_by --------------------------------------------
     case Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           part, order, child, _))
         if rankOneAttr(cond).contains(alias.exprId) &&
-          part.forall(_.isInstanceOf[AttributeReference]) &&
-          order.nonEmpty && order.forall(minByKey(_).isDefined) &&
-          child.output.nonEmpty =>
-      val keys = order.map(minByKey(_).get)
-      val orderKey = if (keys.length == 1) keys.head else CreateStruct(keys)
+          rewritable(cond, alias.exprId, part, order, child) =>
       val top = Alias(
         AggregateExpression(
-          MinBy(CreateStruct(child.output), orderKey),
+          MinBy(CreateStruct(child.output), orderKeyOf(order)),
           Complete, isDistinct = false),
         "_graft_top1")()
       val topAttr = top.toAttribute
@@ -99,6 +147,40 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
       }
       val rnOut = Alias(Literal(1), alias.name)(exprId = alias.exprId)
       Project(restored :+ rnOut, Aggregate(part, Seq(top), child))
+
+    // ---- rank <= k → bounded row top-k + posexplode -------------------
+    // Same shuffle economics, k rows per group per map task instead of
+    // one (functions.RowTopK); rank is recovered from the ascending
+    // array position.
+    case Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          part, order, child, _))
+        if rankKAttr(cond).exists { case (id, k) =>
+          id == alias.exprId && k <= RowTopK.MaxK
+        } && rewritable(cond, alias.exprId, part, order, child) =>
+      val k = rankKAttr(cond).get._2
+      val valueStruct = CreateStruct(child.output)
+      val top = Alias(
+        AggregateExpression(
+          RowTopK(orderKeyOf(order), valueStruct, Literal(k)),
+          Complete, isDistinct = false),
+        "_graft_topk")()
+      val topAttr = top.toAttribute
+      val posAttr =
+        AttributeReference("_graft_pos", IntegerType, nullable = false)()
+      val colAttr = AttributeReference("_graft_col", valueStruct.dataType,
+        nullable = false)()
+      val gen = Generate(PosExplode(topAttr),
+        unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+        generatorOutput = Seq(posAttr, colAttr),
+        Aggregate(part, Seq(top), child))
+      val restored = child.output.zipWithIndex.map { case (a, i) =>
+        Alias(GetStructField(colAttr, i, Some(a.name)), a.name)(
+          exprId = a.exprId)
+      }
+      val rnOut = Alias(Add(posAttr, Literal(1)), alias.name)(
+        exprId = alias.exprId)
+      Project(restored :+ rnOut, gen)
   }
 }
 

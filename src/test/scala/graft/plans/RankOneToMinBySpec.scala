@@ -80,25 +80,98 @@ class RankOneToMinBySpec extends SparkSuite {
     assert(withRule == expected)
   }
 
-  test("bails out: rank <= 2, nullable order key, non-numeric desc") {
+  test("rank <= k rewrites to the bounded row top-k aggregate, rank " +
+      "recovered from array position, results identical to the window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 30.0), (2L, "a", 10.0), (3L, "a", 20.0),
+      (4L, "b", 5.0), (5L, "b", 50.0), (6L, "c", 1.0))
+      .toDF("seq", "k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("seq").asc)
+    val top2 = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+    val opt = optimized(top2)
+    assert(!opt.contains("Window") && opt.contains("graft_row_top_k"),
+      s"rank<=2 must rewrite to the bounded aggregate:\n$opt")
+    val got = top2.collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSet
+    // per key, two highest v: a -> seq 1 (rank 1), 3 (rank 2);
+    // b -> 5, 4; c -> 6 (only one row, rank 1)
+    assert(got == Set((1L, 1), (3L, 2), (5L, 1), (4L, 2), (6L, 1)))
+  }
+
+  test("rank <= k on harness data equals the window computed without " +
+      "the rewrite (q08 shape, multi-partition)") {
+    val orders = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "orders")
+    def viaRank(k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }
+    val rewritten = viaRank(2)
+    assert(!optimized(rewritten).contains("Window"))
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: compute ranks driver-side from the raw rows
+    val expected = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (ck, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+          .map { case (t, i) => (ck, t._2, i + 1) }.toSeq
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("nullable order keys rewrite with exact NULLS FIRST/LAST " +
+      "semantics (explicit flag field, window parity)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("seq", "k")
+      .withColumn("nk", when(col("seq") > 1, col("seq"))) // null at seq=1
+    def rank1(order: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(order)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    }
+    // asc = NULLS FIRST by default: the null row wins group a
+    val nf = rank1(col("nk").asc)
+    assert(!optimized(nf).contains("Window"),
+      s"nullable asc must rewrite:\n${optimized(nf)}")
+    assert(nf.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // asc NULLS LAST: the smallest non-null wins group a
+    val nl = rank1(col("nk").asc_nulls_last)
+    assert(!optimized(nl).contains("Window"))
+    assert(nl.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
+  test("bails out: integral desc (ANSI negation), non-numeric desc, " +
+      "k over cap") {
     import spark.implicits._
     val df = Seq((1L, "a", "s1"), (2L, "a", "s2"), (3L, "b", "s3"))
       .toDF("seq", "k", "s")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("seq").asc)
-    // rank <= 2 keeps two rows — must NOT rewrite
-    val top2 = df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= 2)
-    assert(optimized(top2).contains("Window"))
-    assert(top2.count() == 3L)
-    // nullable order key — must NOT rewrite (null sort order differs)
-    val nullableKey = df
-      .withColumn("nk", when(col("seq") > 1, col("seq")))
-    val wN = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("nk").asc)
-    val viaNullable = nullableKey
-      .withColumn("_rn", row_number().over(wN)).filter(col("_rn") === 1)
-    assert(optimized(viaNullable).contains("Window"))
+    // k beyond RowTopK.MaxK — must NOT rewrite
+    val topBig = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 100000)
+    assert(optimized(topBig).contains("Window"))
+    assert(topBig.count() == 3L)
+    // descending LONG order — ANSI negation of MinValue would throw
+    // where the sort succeeds; must NOT rewrite
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    val viaLongDesc = df
+      .withColumn("_rn", row_number().over(wL)).filter(col("_rn") === 1)
+    assert(optimized(viaLongDesc).contains("Window"))
+    assert(viaLongDesc.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
     // descending STRING order — not negatable, must NOT rewrite
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("s").desc)
