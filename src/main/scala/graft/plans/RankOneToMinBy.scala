@@ -61,60 +61,65 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The attribute whose rank the filter pins to 1, if the condition has
-    * exactly that shape. */
-  private def rankOneAttr(cond: Expression): Option[ExprId] = cond match {
-    case EqualTo(a: AttributeReference, l) if isOneLit(l) => Some(a.exprId)
-    case EqualTo(l, a: AttributeReference) if isOneLit(l) => Some(a.exprId)
-    case LessThanOrEqual(a: AttributeReference, l) if isOneLit(l) =>
-      Some(a.exprId)
-    case _ => None
-  }
+  /** The rank bound the filter imposes on `attr`, if the condition has
+    * exactly the shape rank-prefix filters take: `rn = 1` (either
+    * side), `rn <= k`, or `k >= rn`. `rn = k` for k >= 2 means
+    * "exactly rank k" and never matches. */
+  private def rankBound(cond: Expression): Option[(ExprId, Int)] =
+    cond match {
+      case EqualTo(a: AttributeReference, l) if isOneLit(l) =>
+        Some((a.exprId, 1))
+      case EqualTo(l, a: AttributeReference) if isOneLit(l) =>
+        Some((a.exprId, 1))
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+          if k >= 1 => Some((a.exprId, k))
+      case GreaterThanOrEqual(Literal(k: Int, _), a: AttributeReference)
+          if k >= 1 => Some((a.exprId, k))
+      case _ => None
+    }
 
   /** Ascending key fields for one sort order, such that plain ascending
     * comparison reproduces the window's (direction, null ordering)
     * exactly:
     *  - ascending keys pass through; descending keys negate, allowed
-    *    only for FRACTIONAL/decimal types (ANSI negation of an integral
+    *    only for double/float/decimal (ANSI negation of an integral
     *    MinValue would throw where the window sort succeeds — bail);
     *  - a NULLABLE key gains an explicit 0/1 null flag in front,
     *    ordered per the window's NULLS FIRST/LAST, so the value field
     *    is only ever compared between two non-null (or two null) rows —
-    *    no reliance on any engine-internal null-comparison convention.
+    *    no reliance on any engine-internal null-comparison convention;
+    *  - a DESCENDING double/float key also gains a NaN flag: Spark
+    *    orders NaN greatest in BOTH directions, so a descending sort
+    *    ranks NaN first — but negation does not move NaN, so without
+    *    the flag the negated key would rank it last.
     */
   private def minByKey(s: SortOrder): Option[Seq[Expression]] = {
     val e = s.child
-    def withNullFlag(key: Expression): Seq[Expression] =
-      if (!e.nullable) Seq(key)
+    def withNullFlag(keys: Seq[Expression]): Seq[Expression] =
+      if (!e.nullable) keys
       else {
         val nullSortsFirst = s.nullOrdering == NullsFirst
         val flag = If(IsNull(e),
           Literal(if (nullSortsFirst) 0 else 1),
           Literal(if (nullSortsFirst) 1 else 0))
-        Seq(flag, key)
+        flag +: keys
       }
     s.direction match {
-      case Ascending => Some(withNullFlag(e))
+      case Ascending => Some(withNullFlag(Seq(e)))
       case Descending if e.dataType == DoubleType ||
-          e.dataType == FloatType || e.dataType.isInstanceOf[DecimalType] =>
-        Some(withNullFlag(UnaryMinus(e)))
+          e.dataType == FloatType =>
+        // NaN sorts greatest → first under DESC; flag 0 pulls it ahead
+        // of every negated real value. IsNaN(null) is false — null rows
+        // are already segregated by the null flag in front.
+        Some(withNullFlag(Seq(
+          If(IsNaN(e), Literal(0), Literal(1)), UnaryMinus(e))))
+      case Descending if e.dataType.isInstanceOf[DecimalType] =>
+        Some(withNullFlag(Seq(UnaryMinus(e))))
       case _ => None
     }
   }
 
-  /** `rank <= k` with k >= 2 (the top-k-per-group pattern, e.g. q08's
-    * shape); `= k` would mean "exactly rank k" and never matches here. */
-  private def rankKAttr(cond: Expression): Option[(ExprId, Int)] =
-    cond match {
-      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
-          if k >= 2 => Some((a.exprId, k))
-      case GreaterThanOrEqual(Literal(k: Int, _), a: AttributeReference)
-          if k >= 2 => Some((a.exprId, k))
-      case _ => None
-    }
-
-  private def rewritable(cond: Expression, aliasId: ExprId,
-      part: Seq[Expression], order: Seq[SortOrder],
+  private def rewritable(part: Seq[Expression], order: Seq[SortOrder],
       child: LogicalPlan): Boolean =
     part.forall(_.isInstanceOf[AttributeReference]) &&
       order.nonEmpty && order.forall(minByKey(_).isDefined) &&
@@ -126,61 +131,62 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // ---- rank = 1 → min_by --------------------------------------------
     case Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           part, order, child, _))
-        if rankOneAttr(cond).contains(alias.exprId) &&
-          rewritable(cond, alias.exprId, part, order, child) =>
-      val top = Alias(
-        AggregateExpression(
-          MinBy(CreateStruct(child.output), orderKeyOf(order)),
-          Complete, isDistinct = false),
-        "_graft_top1")()
-      val topAttr = top.toAttribute
-      // restore the original output attributes (same exprIds) from the
-      // kept row's struct; the rank column is the constant 1 it was
-      // filtered to, under its original exprId
-      val restored = child.output.zipWithIndex.map { case (a, i) =>
-        Alias(GetStructField(topAttr, i, Some(a.name)), a.name)(
-          exprId = a.exprId)
-      }
-      val rnOut = Alias(Literal(1), alias.name)(exprId = alias.exprId)
-      Project(restored :+ rnOut, Aggregate(part, Seq(top), child))
-
-    // ---- rank <= k → bounded row top-k + posexplode -------------------
-    // Same shuffle economics, k rows per group per map task instead of
-    // one (functions.RowTopK); rank is recovered from the ascending
-    // array position.
-    case Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-          part, order, child, _))
-        if rankKAttr(cond).exists { case (id, k) =>
+        if rankBound(cond).exists { case (id, k) =>
           id == alias.exprId && k <= RowTopK.MaxK
-        } && rewritable(cond, alias.exprId, part, order, child) =>
-      val k = rankKAttr(cond).get._2
-      val valueStruct = CreateStruct(child.output)
-      val top = Alias(
-        AggregateExpression(
-          RowTopK(orderKeyOf(order), valueStruct, Literal(k)),
-          Complete, isDistinct = false),
-        "_graft_topk")()
-      val topAttr = top.toAttribute
-      val posAttr =
-        AttributeReference("_graft_pos", IntegerType, nullable = false)()
-      val colAttr = AttributeReference("_graft_col", valueStruct.dataType,
-        nullable = false)()
-      val gen = Generate(PosExplode(topAttr),
-        unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
-        generatorOutput = Seq(posAttr, colAttr),
-        Aggregate(part, Seq(top), child))
-      val restored = child.output.zipWithIndex.map { case (a, i) =>
-        Alias(GetStructField(colAttr, i, Some(a.name)), a.name)(
-          exprId = a.exprId)
+        } && rewritable(part, order, child) =>
+      val k = rankBound(cond).get._2
+      if (k == 1 && part.nonEmpty) {
+        // ---- rank = 1, grouped → min_by -------------------------------
+        // (a GROUPING-LESS min_by aggregate would emit one spurious
+        // all-null row over runtime-empty input where the window emits
+        // zero — global rank-1 takes the top-k path below, whose empty
+        // array explodes to zero rows)
+        val top = Alias(
+          AggregateExpression(
+            MinBy(CreateStruct(child.output), orderKeyOf(order)),
+            Complete, isDistinct = false),
+          "_graft_top1")()
+        val topAttr = top.toAttribute
+        // restore the original output attributes (same exprIds) from the
+        // kept row's struct; the rank column is the constant 1 it was
+        // filtered to, under its original exprId
+        val restored = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(topAttr, i, Some(a.name)), a.name)(
+            exprId = a.exprId)
+        }
+        val rnOut = Alias(Literal(1), alias.name)(exprId = alias.exprId)
+        Project(restored :+ rnOut, Aggregate(part, Seq(top), child))
+      } else {
+        // ---- rank <= k → bounded row top-k + posexplode ---------------
+        // Same shuffle economics, k rows per group per map task
+        // (functions.RowTopK); rank recovered from the ascending array
+        // position. Also the safe shape for k = 1 with no PARTITION BY.
+        val valueStruct = CreateStruct(child.output)
+        val top = Alias(
+          AggregateExpression(
+            RowTopK(orderKeyOf(order), valueStruct, Literal(k)),
+            Complete, isDistinct = false),
+          "_graft_topk")()
+        val topAttr = top.toAttribute
+        val posAttr =
+          AttributeReference("_graft_pos", IntegerType, nullable = false)()
+        val colAttr = AttributeReference("_graft_col", valueStruct.dataType,
+          nullable = false)()
+        val gen = Generate(PosExplode(topAttr),
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, colAttr),
+          Aggregate(part, Seq(top), child))
+        val restored = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(colAttr, i, Some(a.name)), a.name)(
+            exprId = a.exprId)
+        }
+        val rnOut = Alias(Add(posAttr, Literal(1)), alias.name)(
+          exprId = alias.exprId)
+        Project(restored :+ rnOut, gen)
       }
-      val rnOut = Alias(Add(posAttr, Literal(1)), alias.name)(
-        exprId = alias.exprId)
-      Project(restored :+ rnOut, gen)
   }
 }
 

@@ -152,6 +152,52 @@ class RankOneToMinBySpec extends SparkSuite {
     assert(nl.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
   }
 
+  test("NaN under descending float keys ranks FIRST, matching window " +
+      "semantics (explicit NaN flag in the rewritten key)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "a", Double.NaN), (3L, "a", 7.0),
+      (4L, "b", 1.0)).toDF("seq", "k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("seq").asc)
+    val rank1 = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    assert(!optimized(rank1).contains("Window"))
+    // Spark orders NaN greatest in both directions: desc ranks the NaN
+    // row first — the rewrite must agree, not bury it via negation
+    assert(rank1.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    val top2 = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+    assert(!optimized(top2).contains("Window"))
+    assert(top2.collect().map(r => (r.getLong(0), r.getInt(3))).toSet ==
+      Set((2L, 1), (3L, 2), (4L, 1)))
+  }
+
+  test("global (no PARTITION BY) rank-1 over runtime-empty input " +
+      "yields zero rows, not a spurious null row") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < -5) // empty at runtime, not foldable
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id").asc)
+    val first = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    assert(!optimized(first).contains("Window"),
+      "global rank-1 should take the top-k path, not stay a window")
+    assert(first.count() == 0L,
+      "empty input must yield zero rows, not an all-null aggregate row")
+  }
+
+  test("flipped literal form `1 >= rn` rewrites like `rn <= 1`") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("seq", "k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").asc)
+    val flipped = df.withColumn("_rn", row_number().over(w))
+      .filter(lit(1) >= col("_rn"))
+    assert(!optimized(flipped).contains("Window"))
+    assert(flipped.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("bails out: integral desc (ANSI negation), non-numeric desc, " +
       "k over cap") {
     import spark.implicits._
