@@ -174,6 +174,8 @@ object SparkEntry {
     // left-to-right fold => bit-identical cross-engine.
     "q57_bigram_fluency" -> ((s, d) =>
       TextOps.bigramFluency(t(s, d, "documents"))),
+    "q59_length_histogram" -> ((s, d) =>
+      TextOps.lengthHistogram(t(s, d, "documents"), binTokens = 16L)),
     // q49 with a QUALITY-priority survivor: keep the longest member of
     // each near-dup cluster (ties to smallest doc_id), not the min id.
     "q58_dedup_prefer_quality" -> ((s, d) => {
@@ -758,6 +760,14 @@ object SparkEntry {
            t.label AS true_label, b.n_label = t.label AS correct
          FROM b JOIN embeddings t ON b.q_id = t.vec_id
          WHERE b.rn = 1 ORDER BY b.q_id""",
+    "q59_length_histogram" ->
+      """WITH t AS (SELECT source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT source, n_tokens // 16 AS bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM t GROUP BY source, bin ORDER BY source, bin""",
     // q49's component CTE with an argmax-by-length survivor.
     "q58_dedup_prefer_quality" ->
       """WITH RECURSIVE s AS (

@@ -383,6 +383,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus length histogram per source: documents bucketed by token
+    * count into fixed-width bins — the length-distribution profile a
+    * curation pass reads before choosing truncation/packing budgets
+    * (bulk at 0–2 bins ⇒ fragments; a long tail ⇒ split-before-pack).
+    * bin = n_tokens div width (exact integer division), with per-bin
+    * doc and token counts.
+    *
+    * Pure partial+final hash aggregate on (source, bin) — low
+    * cardinality by construction, map-side combined, no window, no
+    * skew sensitivity. */
+  def lengthHistogram(docs: DataFrame, binTokens: Long = 16L): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bin", expr(s"n_tokens div ${binTokens}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Content fingerprints per document: md5 of whitespace-normalized text
     * (engine-portable) + the codegen'd polynomial rolling hash (native
     * Catalyst expression graft.functions.RollingHash). Map-side except

@@ -262,6 +262,22 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"${exchanges.size}")
   }
 
+  test("q08 top-k per customer: the rank filter is rewritten to the " +
+      "bounded row-top-k aggregate — no window in the executed plan") {
+    val df = q("q08_top_orders_per_customer")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "rank<=k must plan as the partial-aggregable rewrite")
+    assert(plan.contains("graft_row_top_k"),
+      s"expected the RowTopK aggregate in:\n${plan.take(2000)}")
+    val objAggs = collect(df.queryExecution.executedPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.size >= 2,
+      "RowTopK must run as partial+final ObjectHashAggregate")
+  }
+
   test("q52 tf-idf: doc-count side is broadcast (no shuffle for N), " +
       "df computed from the tf table, bounded shuffle count") {
     val df = q("q52_tfidf_top_terms")
