@@ -82,6 +82,7 @@ object GraftFunctions {
   val COLLAPSE_RUNS = "graft_collapse_runs"
   val BLOOM_AGG = "graft_bloom_agg"
   val BLOOM_MIGHT_CONTAIN = "graft_bloom_might_contain"
+  val ROW_TOP_K = "graft_row_top_k"
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -126,6 +127,8 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      ROW_TOP_K, exprs => RowTopK(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -193,4 +196,10 @@ object GraftFunctions {
     * (never false-negative). */
   def bloomMightContain(bloom: Column, item: Column): Column =
     registered(BLOOM_MIGHT_CONTAIN, bloom, item)
+
+  /** Whole-row bounded top-k aggregate: array of `value` payloads for
+    * the k smallest `orderKey`s per group (see RowTopK — the aggregate
+    * the rank-rewrite rule targets, usable directly too). */
+  def rowTopK(orderKey: Column, value: Column, k: Int): Column =
+    registered(ROW_TOP_K, orderKey, value, lit(k))
 }

@@ -41,6 +41,12 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT graft_collapse_runs(' x x  y ') AS cr").head.getStruct(0)
     assert(cr.getString(0) == "x y")
     assert(cr.getLong(1) == 3L && cr.getLong(2) == 2L)
+    // whole-row bounded top-k: 2 smallest keys, payloads in key order
+    val tk = spark.sql(
+      """SELECT graft_row_top_k(v, s, 2) AS t FROM (
+        |  SELECT * FROM VALUES (3.0D, 'c'), (1.0D, 'a'), (2.0D, 'b')
+        |    AS r(v, s))""".stripMargin).head.getSeq[String](0)
+    assert(tk == Seq("a", "b"))
   }
 
   test("aggregate + vector natives are callable from SQL: misra_gries " +
