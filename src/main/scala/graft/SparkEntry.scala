@@ -176,6 +176,8 @@ object SparkEntry {
       TextOps.bigramFluency(t(s, d, "documents"))),
     "q59_length_histogram" -> ((s, d) =>
       TextOps.lengthHistogram(t(s, d, "documents"), binTokens = 16L)),
+    "q60_source_length_quantiles" -> ((s, d) =>
+      TextOps.sourceLengthQuantiles(t(s, d, "documents"))),
     // q49 with a QUALITY-priority survivor: keep the longest member of
     // each near-dup cluster (ties to smallest doc_id), not the min id.
     "q58_dedup_prefer_quality" -> ((s, d) => {
@@ -760,6 +762,18 @@ object SparkEntry {
            t.label AS true_label, b.n_label = t.label AS correct
          FROM b JOIN embeddings t ON b.q_id = t.vec_id
          WHERE b.rn = 1 ORDER BY b.q_id""",
+    "q60_source_length_quantiles" ->
+      """WITH t AS (SELECT source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT source,
+           quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS p75,
+           quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) AS p99,
+           max(n_tokens) AS max_tokens
+         FROM t GROUP BY source ORDER BY source""",
     "q59_length_histogram" ->
       """WITH t AS (SELECT source,
            CAST(len(list_filter(string_split(text, ' '), x -> x != ''))

@@ -405,6 +405,26 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Per-source token-count quantiles: the GROUPED form of the exact
+    * percentile profile (q32 is global) — the statistic behind "cut the
+    * tail at per-source p99 before packing" decisions. Exact
+    * percentile buffers each group's distribution (the correctness
+    * baseline); swap percentile_approx in at 100 TB exactly as x07
+    * does for q32. One shuffle on source, partial aggregation
+    * inapplicable to exact percentile by nature. */
+  def sourceLengthQuantiles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        percentile(col("n_tokens"), lit(0.25)).as("p25"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75"),
+        percentile(col("n_tokens"), lit(0.99)).as("p99"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+
   /** Content fingerprints per document: md5 of whitespace-normalized text
     * (engine-portable) + the codegen'd polynomial rolling hash (native
     * Catalyst expression graft.functions.RollingHash). Map-side except

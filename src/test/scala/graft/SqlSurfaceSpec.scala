@@ -47,6 +47,12 @@ class SqlSurfaceSpec extends SparkSuite {
         |  SELECT * FROM VALUES (3.0D, 'c'), (1.0D, 'a'), (2.0D, 'b')
         |    AS r(v, s))""".stripMargin).head.getSeq[String](0)
     assert(tk == Seq("a", "b"))
+    // any orderable key type works — string keys, long payloads
+    val tks = spark.sql(
+      """SELECT graft_row_top_k(s, n, 2) AS t FROM (
+        |  SELECT * FROM VALUES ('zz', 1L), ('aa', 2L), ('mm', 3L)
+        |    AS r(s, n))""".stripMargin).head.getSeq[Long](0)
+    assert(tks == Seq(2L, 3L))
   }
 
   test("aggregate + vector natives are callable from SQL: misra_gries " +
