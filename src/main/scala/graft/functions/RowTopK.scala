@@ -76,10 +76,16 @@ case class RowTopK(
     // null order key never ranks (row_number over null-filtered input);
     // the VALUE may be null if declared nullable
     if (key != null) {
-      // buffers outlive the input row — copy both sides out of any
-      // reused backing row
-      add(buf, (InternalRow.copyValue(key),
-        InternalRow.copyValue(valueExpr.eval(input))))
+      // admission test BEFORE materializing the payload: once the heap
+      // is warm almost every row loses, and evaluating + deep-copying a
+      // whole-row struct per losing row is exactly the cost this
+      // aggregate exists to avoid. Only admitted rows copy (buffers
+      // outlive any reused backing row).
+      val admit = buf.size < k ||
+        keyOrdering.compare(key, buf.peek()._1) < 0
+      if (admit)
+        add(buf, (InternalRow.copyValue(key),
+          InternalRow.copyValue(valueExpr.eval(input))))
     }
     buf
   }

@@ -119,26 +119,37 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewritable(part: Seq[Expression], order: Seq[SortOrder],
-      child: LogicalPlan): Boolean =
-    part.forall(_.isInstanceOf[AttributeReference]) &&
-      order.nonEmpty && order.forall(minByKey(_).isDefined) &&
-      child.output.nonEmpty
-
-  private def orderKeyOf(order: Seq[SortOrder]): Expression = {
-    val keys = order.flatMap(minByKey(_).get)
-    if (keys.length == 1) keys.head else CreateStruct(keys)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          part, order, child, _)) =>
+      // evaluate the bound and per-key foldings ONCE; anything
+      // disqualifying returns the filter untouched
+      val bound = rankBound(cond)
+      val keyFields = order.map(minByKey)
+      val applicable =
+        bound.exists { case (id, k) =>
+          id == alias.exprId && k <= RowTopK.MaxK
+        } &&
+          part.forall(_.isInstanceOf[AttributeReference]) &&
+          order.nonEmpty &&
+          // a nondeterministic key (random-sample-per-group idiom) must
+          // keep the window plan: the flag fields re-evaluate the key
+          // expression, so flag and value would come from different
+          // draws — the same reason Spark's own rules guard duplication
+          // on `deterministic`
+          order.forall(_.child.deterministic) &&
+          keyFields.forall(_.isDefined) &&
+          child.output.nonEmpty
+      if (!applicable) f
+      else rewrite(bound.get._2, alias, part,
+        keyFields.flatMap(_.get), child)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-          part, order, child, _))
-        if rankBound(cond).exists { case (id, k) =>
-          id == alias.exprId && k <= RowTopK.MaxK
-        } && rewritable(part, order, child) =>
-      val k = rankBound(cond).get._2
-      if (k == 1 && part.nonEmpty) {
+  private def rewrite(k: Int, alias: Alias, part: Seq[Expression],
+      keys: Seq[Expression], child: LogicalPlan): LogicalPlan = {
+    val orderKey = if (keys.length == 1) keys.head else CreateStruct(keys)
+    if (k == 1 && part.nonEmpty) {
         // ---- rank = 1, grouped → min_by -------------------------------
         // (a GROUPING-LESS min_by aggregate would emit one spurious
         // all-null row over runtime-empty input where the window emits
@@ -146,7 +157,7 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
         // array explodes to zero rows)
         val top = Alias(
           AggregateExpression(
-            MinBy(CreateStruct(child.output), orderKeyOf(order)),
+            MinBy(CreateStruct(child.output), orderKey),
             Complete, isDistinct = false),
           "_graft_top1")()
         val topAttr = top.toAttribute
@@ -167,7 +178,7 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
         val valueStruct = CreateStruct(child.output)
         val top = Alias(
           AggregateExpression(
-            RowTopK(orderKeyOf(order), valueStruct, Literal(k)),
+            RowTopK(orderKey, valueStruct, Literal(k)),
             Complete, isDistinct = false),
           "_graft_topk")()
         val topAttr = top.toAttribute
@@ -186,7 +197,7 @@ object RankOneToMinBy extends Rule[LogicalPlan] {
         val rnOut = Alias(Add(posAttr, Literal(1)), alias.name)(
           exprId = alias.exprId)
         Project(restored :+ rnOut, gen)
-      }
+    }
   }
 }
 

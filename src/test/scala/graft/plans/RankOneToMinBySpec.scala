@@ -10,8 +10,8 @@ import graft.operators.Dedup
   * with the window form, bails everywhere else, and the rewritten plan
   * has the partial-aggregate shape the window form lacks. The shared
   * test session is built by GraftSession, so the extension is installed
-  * exactly as in the engine entry points — every other suite (and the
-  * 58 oracle queries) runs WITH the rule active, which is the broad
+  * exactly as in the engine entry points — every other suite (and all
+  * 60 oracle queries) runs WITH the rule active, which is the broad
   * regression net. */
 class RankOneToMinBySpec extends SparkSuite {
 
@@ -225,5 +225,18 @@ class RankOneToMinBySpec extends SparkSuite {
       .withColumn("_rn", row_number().over(wS)).filter(col("_rn") === 1)
     assert(optimized(viaStringDesc).contains("Window"))
     assert(viaStringDesc.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // NONDETERMINISTIC order key (random-sample-per-group idiom): the
+    // analyzer extracts rand() into a _w0 projection BELOW the window,
+    // so the order key the rule sees is a plain (deterministic)
+    // attribute over a materialized draw — the rewrite fires and is
+    // safe (one draw per row, no re-evaluation). The rule's
+    // `deterministic` guard remains as defense-in-depth for hand-built
+    // plans whose orderSpec embeds the nondeterministic expression raw.
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(rand(7).asc)
+    val viaRand = df
+      .withColumn("_rn", row_number().over(wR)).filter(col("_rn") === 1)
+    assert(!optimized(viaRand).contains("Window"))
+    assert(viaRand.count() == 2L) // one survivor per group either way
   }
 }
