@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
-import graft.operators.{EventOps, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
+import graft.functions.ExactNum
+import graft.operators.{EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -248,6 +249,41 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         n = 3, minFrac = 0.3)
+    }),
+    // LSH-backed embedding dedup — the registered 100 TB path for q55:
+    // pairs from the band equi-join (exact-verified candidates, never
+    // all-pairs), then the same clusters → canonical survivor.
+    // Engine-seeded hyperplanes → rows-only; exact-survivor-subset +
+    // survivor-recall floor vs q55 pinned in VectorOpsSpec, no-cartesian
+    // plan pinned in PlanSpec.
+    "x11_embedding_dedup_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.dedupEmbeddings(emb, 0.45,
+        pairs = Some(VectorOps.cosineLshJoin(emb, 0.45)))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+    // Sketch twin of q60 (mergeable per-source quantile sketch — exact
+    // grouped percentile buffers each group's full distribution):
+    // approx values → rows-only; rel-error pinned in TextOpsSpec.
+    "x12_approx_source_length_quantiles" -> ((s, d) =>
+      TextOps.sourceLengthQuantilesApprox(t(s, d, "documents"))),
+    // Skew-safe salted equi-join exercised end-to-end: a synthetically
+    // hot-keyed lineitem (~25% of rows land on key 0) joined to nation
+    // under 8 salts — row-identical to the plain join, so fully
+    // oracle-checked; the hot key's reducer spread is pinned in PlanSpec.
+    "q61_salted_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 4 === 0, lit(0L))
+          .otherwise(col("l_orderkey") % 25).as("k"),
+        col("l_extendedprice"))
+      val dim = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      Layout.saltedEquiJoin(li, dim, "k", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(ExactNum.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
     }),
   )
 
@@ -858,5 +894,15 @@ object SparkEntry {
          WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
              (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
          ORDER BY a_id, b_id""",
+    // Salting is plan-internal: the oracle is the PLAIN join on the same
+    // synthetic hot key — row-identity is the salted join's contract.
+    "q61_salted_skew_join" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN nation
+           ON (CASE WHEN l_orderkey % 4 = 0 THEN 0
+               ELSE l_orderkey % 25 END) = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -88,6 +88,13 @@ object GraftFunctions {
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // True idempotence: `registered` calls this on EVERY Column
+    // construction, and createOrReplaceTempFunction logs a "replacing"
+    // warning per function each time — skip when this session already
+    // has the full set (ROW_TOP_K is registered last, so its presence
+    // implies all of them).
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(ROW_TOP_K))) return
     reg.createOrReplaceTempFunction(
       ROLLING_HASH, exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

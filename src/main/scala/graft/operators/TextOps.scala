@@ -327,10 +327,12 @@ object TextOps {
     *
     * Determinism: each probability is one division of exact corpus
     * counts; the per-doc sum is a LEFT-TO-RIGHT fold over bigrams in
-    * position order (array_sort by pos, then `aggregate` — the same
-    * order DuckDB's list_reduce uses, so results are bit-identical
-    * cross-engine); the mean is one further division. min_p (the doc's
-    * most surprising transition) is order-independent.
+    * position order — a (doc_id, pos)-ordered running-sum ROWS window
+    * adds each _p left-to-right exactly like DuckDB's list_reduce fold,
+    * so results are bit-identical cross-engine; the doc total is the
+    * running sum at the last position (max_by, order-independent) and
+    * the mean is one further division. min_p (the doc's most surprising
+    * transition) is order-independent.
     *
     * Scale shape: bigrams explode ONCE and the exploded table is
     * persisted (it feeds the count aggregates and the probe — without
@@ -342,9 +344,14 @@ object TextOps {
     * per-key window count here would be strictly worse: no partial
     * aggregation, and a heavy-tailed (or tiny) vocabulary serializes
     * each key's rows through one reducer that AQE cannot split —
-    * windows are unsplittable where joins are. The per-doc fold is a
-    * collect over ≤(doc length) elements after one doc_id shuffle.
-    * Docs with fewer than 2 tokens have no bigrams and are excluded. */
+    * windows are unsplittable where joins are. The per-doc ordered sum
+    * is a running-frame window after one doc_id shuffle: rows STREAM
+    * through the frame and the partition buffer is the spillable
+    * ExternalAppendOnlyUnsafeRowArray — unlike the collect_list fold it
+    * replaced, which held ALL of a doc's bigrams in ONE non-spillable
+    * aggregation buffer (O(doc length) heap per doc = OOM risk on
+    * book-length docs at 100×). Docs with fewer than 2 tokens have no
+    * bigrams and are excluded. */
   def bigramFluency(docs: DataFrame): DataFrame = {
     // tokens are MATERIALIZED as a column before the pair lambda: a
     // lambda that referenced the tokens() TREE would inline (and
@@ -367,15 +374,23 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cBg = bi.groupBy(col("bg")).agg(count(lit(1)).as("_c_bg"))
     val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("_c_w1"))
+    // running sum in (doc_id, pos) order: Sum's first update is
+    // 0.0 + p₁ and every later one acc + pᵢ — the exact fp sequence of
+    // the left-to-right fold (all _p are finite and positive, so the
+    // 0.0 seed is bit-neutral); the doc total is the running value at
+    // the final position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     bi
       .join(cBg, "bg")
       .join(cW1, "w1")
       .withColumn("_p", col("_c_bg").cast("double") / col("_c_w1"))
+      .withColumn("_run", sum(col("_p")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          array_sort(collect_list(struct(col("pos"), col("_p")))),
-          lit(0.0), (acc, x) => acc + x.getField("_p")).as("_sum"),
+        max_by(col("_run"), col("pos")).as("_sum"),
         min(col("_p")).as("min_p"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("_sum") / col("n_bigrams")).as("mean_bigram_p"),
@@ -423,6 +438,29 @@ object TextOps {
         percentile(col("n_tokens"), lit(0.75)).as("p75"),
         percentile(col("n_tokens"), lit(0.99)).as("p99"),
         max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+
+  /** Sketch twin of sourceLengthQuantiles (exactly as x07 shadows q32):
+    * per-source percentile_approx — a MERGEABLE KLL-style sketch with
+    * map-side partial aggregation and bounded buffers, where exact
+    * grouped percentile must buffer each group's full distribution.
+    * The 100 TB default; rel-error vs the exact twin pinned in
+    * TextOpsSpec. */
+  def sourceLengthQuantilesApprox(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        percentile_approx(col("n_tokens"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)),
+          lit(accuracy)).as("_q"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("source"),
+        col("_q")(0).as("p25"), col("_q")(1).as("p50"),
+        col("_q")(2).as("p75"), col("_q")(3).as("p99"),
+        col("max_tokens"))
       .orderBy(col("source"))
 
   /** Content fingerprints per document: md5 of whitespace-normalized text

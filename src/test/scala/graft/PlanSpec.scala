@@ -278,6 +278,72 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "RowTopK must run as partial+final ObjectHashAggregate")
   }
 
+  test("x11 LSH embedding dedup: no product join anywhere — pair mining " +
+      "is the band equi-join, and the end-to-end stitch stays hash-join") {
+    // the pair source itself (this is what replaced q55's registered
+    // crossJoin default at scale)
+    import graft.operators.VectorOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = VectorOps.cosineLshJoin(emb, 0.45)
+    pairs.collect()
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"),
+      "LSH pair mining must be the (band, bits) equi-join, never all-pairs")
+    // and the registered x11 entry end-to-end (its final stitch joins
+    // clusters back to the corpus; iterative CC stages are checkpointed
+    // out of this plan but are themselves equi-join-only — NearDupSpec)
+    val df = q("x11_embedding_dedup_lsh")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "x11's registered plan must contain no product join")
+  }
+
+  test("q57 bigram fluency: no per-doc collect_list buffer — the ordered " +
+      "sum runs as a running-frame window (spillable partition buffer)") {
+    val df = q("q57_bigram_fluency")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "q57 must not buffer a whole document in one aggregation buffer")
+    assert(plan.contains("Window"),
+      "ordered per-doc sum must run as a window running frame")
+  }
+
+  test("q61 salted join: the hot key's rows spread across multiple " +
+      "reducer partitions (no single-reducer hot spot)") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions.{col, lit, when, spark_partition_id}
+    // pin the shuffle-join path: broadcast or AQE partition coalescing
+    // would hide the salt spread at this tiny SF
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").select(
+        when(col("l_orderkey") % 4 === 0, lit(0L))
+          .otherwise(col("l_orderkey") % 25).as("k"),
+        col("l_extendedprice"))
+      val dim = spark.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      val joined = Layout.saltedEquiJoin(li, dim, "k", salts = 8)
+      val hotParts = joined.filter(col("k") === 0L)
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(hotParts > 1,
+        s"hot key 0 must land on >1 reducer partition, got $hotParts")
+      // row-identity to the plain join (the salted join's contract)
+      val plain = li.join(dim, "k")
+      assert(joined.count() == plain.count())
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("q52 tf-idf: doc-count side is broadcast (no shuffle for N), " +
       "df computed from the tf table, bounded shuffle count") {
     val df = q("q52_tfidf_top_terms")

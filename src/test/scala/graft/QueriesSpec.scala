@@ -27,6 +27,31 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("x12 per-source approx quantiles track q60's exact values (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact =
+      SparkEntry.queries("q60_source_length_quantiles")(spark, sf01)
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val approx =
+      SparkEntry.queries("x12_approx_source_length_quantiles")(spark, sf01)
+        .collect()
+    assert(approx.length == exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getAs[String]("source"))
+      // max is exact in both
+      assert(a.getAs[Long]("max_tokens") == e.getAs[Long]("max_tokens"))
+      Seq("p25", "p50", "p75", "p99").foreach { c =>
+        val ev = e.getAs[Double](c)
+        val av = a.getAs[Number](c).doubleValue()
+        // the sketch returns a real order statistic; the exact percentile
+        // interpolates — allow 5% relative slack for the interpolation gap
+        assert(math.abs(av - ev) / math.abs(ev) <= 0.05,
+          s"${a.getAs[String]("source")}/$c: approx $av vs exact $ev " +
+            "exceeds 5% relative error")
+      }
+    }
+  }
+
   test("x07 approx quantiles within 1% of q32's exact values (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q32_order_price_quantiles")(spark, sf01)

@@ -259,6 +259,25 @@ class NearDupSpec extends SparkSuite {
     assert(viaIndex == inc)
   }
 
+  test("x02-vs-q29 recall floor at sf0.01: MinHash+LSH keeps >= 0.9 of " +
+      "the exact Jaccard pair set (precision stays 1)") {
+    // The explicit ratio pin the cosine path already has: band-cap or
+    // band-count tuning can shave recall without failing any planted-dup
+    // test — this catches it on a real corpus slice.
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = NearDup.jaccardPairs(docs01, n = 3, minJ = 0.7)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val lsh = NearDup.minHashLshPairs(docs01)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(lsh.subsetOf(exact), "precision must stay 1 (exact-verified)")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"pair recall $recall below pinned floor 0.9 " +
+      s"(${exact.size - lsh.size} of ${exact.size} pairs missed)")
+  }
+
   test("duplicateClusters: a 200-node chain converges within maxRounds " +
       "(pointer jumping gives O(log diameter), not O(diameter))") {
     import spark.implicits._

@@ -341,6 +341,29 @@ class VectorOpsSpec extends SparkSuite {
     assert(viaLsh == survivors)
   }
 
+  test("x11 end-to-end at sf0.01: LSH-pair dedup keeps every exact " +
+      "survivor and removal recall stays >= 0.8") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val all = emb01.count()
+    val exact = VectorOps.dedupEmbeddings(emb01, 0.45)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val viaLsh = VectorOps.dedupEmbeddings(emb01, 0.45,
+      pairs = Some(VectorOps.cosineLshJoin(emb01, 0.45)))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // LSH pairs ⊆ exact pairs, so LSH components REFINE exact components:
+    // the min id of an exact component is the min of whichever LSH
+    // sub-component contains it → every exact survivor survives LSH too
+    assert(exact.subsetOf(viaLsh),
+      s"exact survivors must survive LSH dedup; lost ${exact -- viaLsh}")
+    val removedExact = all - exact.size
+    val removedLsh = all - viaLsh.size
+    assert(removedExact > 0, "fixture must contain near-dups")
+    val recall = removedLsh.toDouble / removedExact
+    assert(recall >= 0.8,
+      s"removal recall $recall below pinned floor 0.8 " +
+        s"($removedLsh of $removedExact near-dups removed)")
+  }
+
   test("knnLabelVote: planted clusters vote their own label; votes " +
       "bounded by k; tie-break is deterministic (smallest label)") {
     // clustered: each label has 4 members; k=3 neighbors of any query
