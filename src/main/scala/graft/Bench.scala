@@ -3,7 +3,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val itersRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3")
+    // fail fast on garbage, clamp to ≥1: iters=0 would make the median
+    // index out of bounds after all the queries already ran
+    val iters = math.max(1,
+      try itersRaw.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$itersRaw'")
+      })
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: executes the FULL delivered plan (count() would let
@@ -30,26 +37,43 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) sec else -sec
       }
-      val failed = times.exists(_ < 0)
-      val sorted = times.map(math.abs).sorted
-      val median = sorted(sorted.length / 2)
-      name -> (if (failed) -median else median)
+      // median of SUCCESSFUL iterations only — mixing failure-elapsed and
+      // success-elapsed magnitudes would report a number that is the
+      // median of neither population for a flaky query. All-failed →
+      // median of the failure elapses (the only data there is). The sign
+      // carries flakiness: any failed iteration negates the report, and
+      // the magnitude is floored at 1 ms so %.3f can never round a fast
+      // failure to "-0.000" (which JSON consumers read as a 0 s success).
+      val succ = times.filter(_ >= 0)
+      val pool = (if (succ.nonEmpty) succ else times.map(math.abs)).sorted
+      val median = pool(pool.length / 2)
+      val anyFailed = times.exists(_ < 0)
+      name -> (if (anyFailed) -math.max(median, 0.001) else median)
     }
     // Fixed 3-decimal formatting: full-precision doubles made the JSON
     // line long enough that the driver's stdout tail-capture truncated
     // q01–q15 out of two consecutive rounds' grading artifacts.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def queriesJson(short: Boolean): String =
+      results.map { case (k, v) =>
+        // The driver keeps only the LAST 2000 chars of stdout, and a
+        // 74-entry map under full names (~25 chars each) has never fit —
+        // every round's grading artifact parsed null. stdout gets the
+        // "q01"/"x11" prefix (unique by construction); the full-name map
+        // is persisted to target/bench.json.
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // belt-and-braces: also persist beside stdout so a truncated capture
-    // can never lose the round's perf record again
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+    println(line(queriesJson(short = true)))
+    // belt-and-braces: also persist (under FULL query names) so a
+    // truncated capture can never lose the round's perf record again
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, json + "\n")
+    java.nio.file.Files.writeString(out, line(queriesJson(short = false)) + "\n")
     spark.stop()
   }
 }

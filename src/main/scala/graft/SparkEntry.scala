@@ -265,7 +265,7 @@ object SparkEntry {
     }),
     // Sketch twin of q60 (mergeable per-source quantile sketch — exact
     // grouped percentile buffers each group's full distribution):
-    // approx values → rows-only; rel-error pinned in TextOpsSpec.
+    // approx values → rows-only; rel-error pinned in QueriesSpec.
     "x12_approx_source_length_quantiles" -> ((s, d) =>
       TextOps.sourceLengthQuantilesApprox(t(s, d, "documents"))),
     // Skew-safe salted equi-join exercised end-to-end: a synthetically
@@ -285,6 +285,20 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
+    // Gopher-style repetition metrics — pure map-side folds over each
+    // doc's own tokens (no corpus-wide n-gram shuffle for a per-doc
+    // statistic); the ORDER BY is the plan's only exchange.
+    "q62_repetition_profile" -> ((s, d) =>
+      TextOps.repetitionProfile(t(s, d, "documents"))),
+    // Cross-corpus boilerplate: document-frequency hash agg joined back
+    // on the shingle hash (hot boilerplate shingles carry ≤ n_docs rows
+    // and AQE skew-splits the join; a count window would serialize them).
+    "q63_boilerplate_fraction" -> ((s, d) =>
+      TextOps.boilerplateFraction(t(s, d, "documents"))),
+    // Per-source quality-gate accounting: map-side per-doc rule flags,
+    // one tiny per-source aggregate.
+    "q64_quality_gate" -> ((s, d) =>
+      TextOps.qualityGate(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -904,5 +918,107 @@ object SparkEntry {
            ON (CASE WHEN l_orderkey % 4 = 0 THEN 0
                ELSE l_orderkey % 25 END) = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // Repetition metrics: trigram/bigram lists with multiplicity; the
+    // top-bigram and max-run counts come from grouped subqueries (DuckDB
+    // side) vs. sorted-array folds (Spark side) — exact integers either
+    // way, so the divisions agree bit-for-bit.
+    "q62_repetition_profile" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         g AS (SELECT doc_id,
+                 [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                  for i in range(1, len(lst) - 1)] AS tg,
+                 [lst[i] || ' ' || lst[i+1]
+                  for i in range(1, len(lst))] AS bgl
+               FROM t),
+         bc AS (SELECT doc_id, max(c) AS max_bg FROM (
+                  SELECT doc_id, bg, count(*) AS c FROM (
+                    SELECT doc_id, unnest(bgl) AS bg FROM g)
+                  GROUP BY doc_id, bg)
+                GROUP BY doc_id),
+         mr AS (SELECT doc_id, max(c) AS max_run FROM (
+                  SELECT doc_id, tok, isl, count(*) AS c FROM (
+                    SELECT doc_id, tok, pos,
+                      pos - row_number() OVER (
+                        PARTITION BY doc_id, tok ORDER BY pos) AS isl
+                    FROM (SELECT doc_id, unnest(lst) AS tok,
+                            generate_subscripts(lst, 1) AS pos FROM t))
+                  GROUP BY doc_id, tok, isl)
+                GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(len(tg) AS BIGINT) AS n_trigrams,
+           CASE WHEN len(tg) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+           END AS dup_trigram_frac,
+           CASE WHEN len(bgl) = 0 THEN 0.0
+                ELSE CAST(bc.max_bg AS DOUBLE) / len(bgl) END
+             AS top_bigram_frac,
+           CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run
+         FROM g LEFT JOIN bc USING (doc_id) LEFT JOIN mr USING (doc_id)
+         ORDER BY doc_id""",
+    "q63_boilerplate_fraction" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(
+             [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+              for i in range(1, len(lst) - 1)])) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         d AS (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+         SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS boiler_frac
+         FROM s JOIN d USING (sh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q64_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         mr AS (SELECT doc_id, max(c) AS max_run FROM (
+                  SELECT doc_id, tok, isl, count(*) AS c FROM (
+                    SELECT doc_id, tok, pos,
+                      pos - row_number() OVER (
+                        PARTITION BY doc_id, tok ORDER BY pos) AS isl
+                    FROM (SELECT doc_id, unnest(lst) AS tok,
+                            generate_subscripts(lst, 1) AS pos FROM t))
+                  GROUP BY doc_id, tok, isl)
+                GROUP BY doc_id),
+         p AS (SELECT t.doc_id, source,
+           len(lst) AS n_tok,
+           [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+            for i in range(1, len(lst) - 1)] AS tg,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(lst, x -> list_contains(
+                  ['the','a','of','and','to','in','is','on','for','with'],
+                  x))) AS DOUBLE) / len(lst) END AS sw,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(lst, x -> CAST(len(x) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE) / len(lst) END AS mtl,
+           coalesce(mr.max_run, 0) AS max_run
+           FROM t LEFT JOIN mr ON t.doc_id = mr.doc_id),
+         f AS (SELECT source,
+           (n_tok >= 30 AND n_tok <= 90) AS ok_len,
+           ((CASE WHEN len(tg) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+             END) <= 0.05 AND max_run <= 3) AS ok_rep,
+           (sw >= 0.01 AND sw <= 0.5 AND mtl >= 2.0 AND mtl <= 8.0)
+             AS ok_qual
+           FROM p)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_len,
+           CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_rep,
+           CAST(sum(CASE WHEN NOT ok_qual THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_quality,
+           CAST(sum(CASE WHEN ok_len AND ok_rep AND ok_qual THEN 1 ELSE 0
+             END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN ok_len AND ok_rep AND ok_qual THEN 1 ELSE 0
+             END) AS DOUBLE) / count(*) AS pass_rate
+         FROM f GROUP BY source ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

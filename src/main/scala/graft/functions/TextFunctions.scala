@@ -82,6 +82,52 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-grams WITH multiplicity (shingles() is distinct-set
+    * semantics; repetition metrics must count repeats). `toks` must be a
+    * MATERIALIZED array attribute, not the tokens() tree — a lambda over
+    * the tree would re-evaluate the split per element reference. */
+  def ngramsWithMultiplicity(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier one
+    * (1 - distinct/total; 0 for docs shorter than n tokens) — the
+    * Gopher-style "duplicate n-gram fraction" repetition signal. */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val g = ngramsWithMultiplicity(toks, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Longest run of consecutive identical tokens (0 for empty docs) —
+    * the stutter signal behind TextOps.collapseTokenRuns. One
+    * left-to-right fold: state (prev, run, best); interpreted HOF —
+    * per-row O(len), native-Expression upgrade path as collapseTokenRuns
+    * had before CollapseRuns. */
+  def maxTokenRun(toks: Column): Column =
+    aggregate(toks,
+      struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (acc, t) => {
+        val run = when(t === acc.getField("p"),
+          acc.getField("r") + 1L).otherwise(lit(1L))
+        struct(t.as("p"), run.as("r"),
+          greatest(run, acc.getField("b")).as("b"))
+      },
+      acc => acc.getField("b"))
+
+  /** Fraction of bigram occurrences taken by the single most frequent
+    * bigram (0 for docs under 2 tokens) — Gopher's "top n-gram
+    * fraction". Longest run in the SORTED bigram array = the max
+    * multiplicity, so one sort + one fold, no per-doc group-by. */
+  def topBigramFrac(toks: Column): Column = {
+    val bg = ngramsWithMultiplicity(toks, 2)
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(maxTokenRun(array_sort(bg)).cast("double") / size(bg))
+  }
+
   /** Polynomial rolling hash over codepoints: h = (h*31 + cp) mod 1e9+7.
     * Expression-tree form (see also graft.functions.RollingHash, the
     * codegen'd native Expression used on the hot path). */

@@ -408,6 +408,108 @@ object TextOps {
     * Pure partial+final hash aggregate on (source, bin) — low
     * cardinality by construction, map-side combined, no window, no
     * skew sensitivity. */
+  /** Per-doc repetition metrics — the Gopher repetition filters
+    * (duplicate-n-gram fraction, top-n-gram fraction, longest token
+    * run) a training pipeline thresholds on before anything expensive
+    * runs. Pure MAP-SIDE projection: every metric is an array fold over
+    * the doc's own tokens, so the plan's only exchange is the trailing
+    * verification ORDER BY (PlanSpec asserts; drop it in pipelines).
+    * Contrast with a per-(doc, n-gram) explode + group-by, which would
+    * shuffle the whole corpus's n-gram stream to compute a per-doc
+    * statistic. Tokens are materialized once as a column; the folds are
+    * interpreted HOFs (per-row O(len log len) for the sort), with the
+    * same native-Expression upgrade path CollapseRuns took. */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val toks = col("_toks")
+    val tg = TextFunctions.ngramsWithMultiplicity(toks, 3)
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(
+        col("doc_id"),
+        size(tg).cast("long").as("n_trigrams"),
+        TextFunctions.dupNgramFrac(toks, 3).as("dup_trigram_frac"),
+        TextFunctions.topBigramFrac(toks).as("top_bigram_frac"),
+        TextFunctions.maxTokenRun(toks).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc cross-corpus boilerplate fraction: the share of a doc's
+    * DISTINCT n-gram shingles that appear in ≥ minDocs documents
+    * (headers, footers, licence blocks — RefinedWeb-style line dedup
+    * generalized to shingles, since the synthetic corpus has no line
+    * structure). Docs shorter than n tokens have no shingles and drop
+    * out.
+    *
+    * Scale shape: document frequency is a partial+final hash aggregate
+    * over the exploded (doc, shingle) table joined back on the shingle
+    * hash — NOT a count window over the exploded rows: boilerplate
+    * shingles are by definition the heavy keys, a per-key window
+    * serializes each through one reducer AQE cannot split, while the
+    * join's hot keys carry ≤ n_docs rows each and AQE skew-splits them
+    * (same reasoning as bigramFluency's count join-backs). */
+  def boilerplateFraction(docs: DataFrame, n: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), n)).as("sh"))
+    // shingles() is distinct-per-doc, so count(*) = document frequency
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-gate accounting per source: how many docs each filter
+    * family rejects, and the final pass rate — the pipeline-health
+    * dashboard a curation run emits. Rules (Gopher-shaped, thresholds
+    * tuned to the synthetic corpus so every family fires):
+    * length (token count in [minTokens, maxTokens]), repetition
+    * (dup-trigram frac ≤ maxDupFrac AND max token run ≤ maxRun),
+    * quality (stopword ratio in [swLo, swHi] AND mean token length in
+    * [mtlLo, mtlHi]). Every per-doc metric is a single division of
+    * exact integers — bit-identical cross-engine — and the whole
+    * per-doc stage is map-side; the only data exchange is the final
+    * tiny per-source aggregate. */
+  def qualityGate(docs: DataFrame,
+      minTokens: Long = 30L, maxTokens: Long = 90L,
+      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
+      swLo: Double = 0.01, swHi: Double = 0.5,
+      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+    val toks = col("_toks")
+    val nTok = size(toks).cast("long")
+    val sw = when(nTok === 0, lit(0.0))
+      .otherwise(size(filter(toks, t =>
+        array_contains(array(DefaultStopwords.map(lit): _*), t)))
+        .cast("double") / size(toks))
+    val mtl = when(nTok === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+    val okLen = nTok >= minTokens && nTok <= maxTokens
+    val okRep = TextFunctions.dupNgramFrac(toks, 3) <= maxDupFrac &&
+      TextFunctions.maxTokenRun(toks) <= maxRun
+    val okQual = sw >= swLo && sw <= swHi && mtl >= mtlLo && mtl <= mtlHi
+    docs
+      .select(col("source"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("source"),
+        okLen.as("_ok_len"), okRep.as("_ok_rep"), okQual.as("_ok_qual"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("_ok_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("_ok_rep"), 1L).otherwise(0L)).as("fail_rep"),
+        sum(when(!col("_ok_qual"), 1L).otherwise(0L)).as("fail_quality"),
+        sum(when(col("_ok_len") && col("_ok_rep") && col("_ok_qual"), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   def lengthHistogram(docs: DataFrame, binTokens: Long = 16L): DataFrame = {
     require(binTokens > 0, "binTokens must be positive")
     docs
@@ -445,7 +547,7 @@ object TextOps {
     * map-side partial aggregation and bounded buffers, where exact
     * grouped percentile must buffer each group's full distribution.
     * The 100 TB default; rel-error vs the exact twin pinned in
-    * TextOpsSpec. */
+    * QueriesSpec ("x12 per-source approx quantiles track q60"). */
   def sourceLengthQuantilesApprox(docs: DataFrame,
       accuracy: Int = 10000): DataFrame =
     docs

@@ -362,4 +362,41 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"tf agg + df window + rank window + sort + count should need " +
         s"≤5 shuffles, got ${exchanges.size}")
   }
+
+  test("q62 repetition profile: per-doc metrics are map-side folds — " +
+      "the only exchange is the verification sort (no corpus-wide " +
+      "n-gram shuffle for a per-doc statistic)") {
+    val df = q("q62_repetition_profile")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 1,
+      s"repetition metrics must be map-side; found ${exchanges.size} " +
+        "exchanges (1 expected for the output ORDER BY)")
+  }
+
+  test("q63 boilerplate fraction: document frequency joins back on the " +
+      "shingle hash — never a product join, and df is aggregated " +
+      "before the join (partial+final, skew-splittable)") {
+    val df = q("q63_boilerplate_fraction")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "df join-back must be an equi-join on the shingle")
+    assert(plan.contains("HashAggregate"),
+      "document frequency must aggregate before the join-back")
+  }
+
+  test("q64 quality gate: per-doc rule flags are map-side — exchanges " +
+      "are only the tiny per-source aggregate + output sort") {
+    val df = q("q64_quality_gate")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"gate must be map-side + one aggregate; got ${exchanges.size}")
+  }
 }

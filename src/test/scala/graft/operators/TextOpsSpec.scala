@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.scalactic.Tolerance._
+
 import graft.SparkSuite
 import graft.functions.{GraftFunctions, TextFunctions}
 
@@ -75,6 +77,85 @@ class TextOpsSpec extends SparkSuite {
       .map("%02x".format(_)).mkString
     assert(evalStr("  A  b\t c ", TextFunctions.fingerprint(col("text")))
       == expected)
+  }
+
+  test("maxTokenRun: longest stutter; empty doc → 0") {
+    def run(t: String): String =
+      evalStr(t, TextFunctions.maxTokenRun(TextFunctions.tokens(col("text"))))
+    assert(run("a b b b c c") == "3")
+    assert(run("a b c") == "1")
+    assert(run("") == "0")
+  }
+
+  test("dupNgramFrac: repeated trigram fraction; short docs → 0") {
+    def f(t: String): String =
+      evalStr(t, TextFunctions.dupNgramFrac(TextFunctions.tokens(col("text")), 3))
+    // "a b c a b c a b c": 7 trigrams, 3 distinct → 1 - 3/7
+    assert(f("a b c a b c a b c").toDouble === (1.0 - 3.0 / 7.0) +- 1e-15)
+    assert(f("a b c d") == "0.0")
+    assert(f("a b") == "0.0")
+  }
+
+  test("topBigramFrac: most frequent bigram share; short docs → 0") {
+    def f(t: String): String =
+      evalStr(t, TextFunctions.topBigramFrac(TextFunctions.tokens(col("text"))))
+    // "x y x y z": bigrams (x y),(y x),(x y),(y z) → top 2 of 4
+    assert(f("x y x y z") == "0.5")
+    assert(f("a") == "0.0")
+  }
+
+  test("repetitionProfile goldens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // dup trigrams, top bigram (a b)=3/8
+      (2L, "w w w w x")          // max_run 4
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionProfile(docs).collect()
+    assert(r(0).getAs[Long]("n_trigrams") == 7L)
+    assert(r(0).getAs[Double]("dup_trigram_frac") === (1.0 - 3.0 / 7.0) +- 1e-15)
+    assert(r(0).getAs[Double]("top_bigram_frac") == 3.0 / 8.0)
+    assert(r(0).getAs[Long]("max_run") == 1L)
+    assert(r(1).getAs[Long]("max_run") == 4L)
+  }
+
+  test("boilerplateFraction: shared shingles flagged at minDocs") {
+    import spark.implicits._
+    // "p q r" appears in all 3 docs; each doc also has a private shingle
+    val docs = Seq(
+      (1L, "p q r s"), (2L, "p q r t"), (3L, "p q r u")
+    ).toDF("doc_id", "text")
+    val r = TextOps.boilerplateFraction(docs, n = 3, minDocs = 3).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_shingles") == 2L)
+      assert(row.getAs[Long]("n_boiler") == 1L)
+      assert(row.getAs[Double]("boiler_frac") == 0.5)
+    }
+  }
+
+  test("qualityGate: each rule family fires independently") {
+    import spark.implicits._
+    // 40 distinct tokens incl. one stopword: passes every gate
+    val pass = ("the" +: (1 to 39).map(i => s"w$i")).mkString(" ")
+    // 44 tokens, "the fox" cycle → dup-trigram frac ≫ cap, run of 4
+    val rep = ("the fox " * 20).trim + " go go go go"
+    // 30 distinct tokens, zero stopwords → fails quality only
+    val qual = (1 to 30).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      ("s1", pass),          // passes all gates
+      ("s1", "a short one"), // 3 tokens → fails length only
+      ("s1", rep),           // fails repetition only
+      ("s1", qual)           // fails quality only
+    ).toDF("source", "text")
+    val r = TextOps.qualityGate(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("fail_len") == 1L)
+    assert(row.getAs[Long]("fail_rep") == 1L)
+    assert(row.getAs[Long]("fail_quality") == 1L)
+    assert(row.getAs[Long]("n_pass") == 1L)
+    assert(row.getAs[Double]("pass_rate") == 0.25)
   }
 
   test("shingles: distinct n-grams; short docs yield empty array") {
