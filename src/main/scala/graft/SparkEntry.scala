@@ -299,6 +299,13 @@ object SparkEntry {
     // one tiny per-source aggregate.
     "q64_quality_gate" -> ((s, d) =>
       TextOps.qualityGate(t(s, d, "documents"))),
+    // Product-quantization ANN (ADC + exact re-rank): the compressed-
+    // index answer to q30 — candidates scanned as m-int codes, top
+    // refine·k re-scored exactly. Engine-seeded codebook → rows-only;
+    // the recall floor vs q30 is pinned in VectorOpsSpec.
+    "x13_ann_pq" -> ((s, d) =>
+      VectorOps.annPq(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
   )
 
   // DuckDB-exactness conventions used below:

@@ -333,4 +333,166 @@ object VectorOps {
           col("emb_norm")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  // ------------------- Product quantization (PQ) -------------------
+
+  /** Squared L2 distance between two float vectors (double arithmetic).
+    * Interpreted HOF — runs per (row × centroid); at m=4/k=16 that is 64
+    * short folds per row, and the native-Expression upgrade path is the
+    * same one NearestCentroidIdx took for IVF. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** 0-based position of the nearest (squared-L2) centroid in a packed
+    * sub-codebook. array_min over struct<d,i> orders by distance then
+    * position — deterministic first-min-wins ties. POSITION is the code:
+    * encode and the query LUT both index the same packed array, so a
+    * centroid losing every vector during training (k-means shrinkage)
+    * can never skew the numbering. */
+  private def argminPos(cents: Column, sv: Column): Column =
+    array_min(transform(cents, (c, i) =>
+      struct(l2sq(sv, c).as("d"), i.as("i")))).getField("i")
+
+  /** Explode each vector into its m equal subvectors (dim must divide). */
+  private def subVectors(emb: DataFrame, m: Int): DataFrame = {
+    val subDim = size(col("embedding")) / m
+    emb
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("vec_id"), col("sub_id"),
+        slice(col("embedding"), col("sub_id") * subDim + 1, subDim).as("sv"))
+  }
+
+  /** Per-(sub_id, code) mean subvector — kmeansStep's repack shape keyed
+    * by subspace. Partial+final avg: each map partition collapses to
+    * ≤ m·k·subDim rows before the shuffle. */
+  private def meanBySubCode(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub_id"), col("code"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub_id"), col("code"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("_pairs"))
+      .select(col("sub_id"), col("code"),
+        transform(col("_pairs"), p => p.getField("c").cast("float"))
+          .as("centroid"))
+
+  /** Codebook packed into ONE broadcastable row: `_cb[sub_id+1][pos]` =
+    * centroid, both levels ascending — the layout encode and the query
+    * LUT share. m·k·subDim floats total (= one full vector per code),
+    * tiny by construction. */
+  private def packPq(codebook: DataFrame): DataFrame =
+    codebook
+      .groupBy(col("sub_id"))
+      .agg(array_sort(collect_list(struct(col("code"), col("centroid"))))
+        .as("_cs"))
+      .select(col("sub_id"),
+        transform(col("_cs"), c => c.getField("centroid")).as("_cents"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("_cents"))))
+        .as("_ss"))
+      .select(transform(col("_ss"), s => s.getField("_cents")).as("_cb"))
+
+  /** Train a product-quantization codebook: m independent per-subspace
+    * k-means (squared-L2), seeded deterministically by vec_id mod k and
+    * refined by `iters` Lloyd steps. Assignment is the zero-shuffle
+    * broadcast-fold (same shape as ivfAssign); the mean recompute
+    * partial-aggregates to ≤ m·k·dim rows per partition. In production
+    * the trainer runs on a sample — the codebook quality needs only a
+    * representative slice, never the full corpus. */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val sub = subVectors(emb, m)
+    var cb = meanBySubCode(
+      sub.withColumn("code", pmod(col("vec_id"), lit(k)).cast("int")))
+    (0 until iters).foreach { _ =>
+      val assigned = sub
+        .crossJoin(broadcast(packPq(cb)))
+        .withColumn("code",
+          argminPos(element_at(col("_cb"), col("sub_id") + 1), col("sv")))
+      cb = meanBySubCode(assigned.select(col("sub_id"), col("code"),
+        col("sv"))).localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode every vector as m byte-sized codes + its true norm — the
+    * 100 TB index layout: 4·dim bytes of floats become m ints + one
+    * float (dim=64, m=8, k=16 → 8 byte-range codes vs 256 bytes of
+    * floats, ~32× smaller once the parquet writer dictionary/byte-packs
+    * the small int range). Pure
+    * MAP-SIDE over the broadcast codebook — zero shuffles touch the
+    * vector side (PlanSpec pins the x13 shape). */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val subDim = size(col("embedding")) / m
+    emb
+      .crossJoin(broadcast(packPq(codebook)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          argminPos(element_at(col("_cb"), s + 1),
+            slice(col("embedding"), s * subDim + 1, subDim))).as("codes"),
+        norm(col("embedding")).as("emb_norm"))
+  }
+
+  /** PQ top-k search with asymmetric distance computation (ADC) + exact
+    * re-rank. Per query: one m×k lookup table of subspace dot products
+    * (dot decomposes across subspaces; cosine follows from the STORED
+    * true norm), so scanning a candidate costs m array lookups instead
+    * of a dim-wide dot — the approximate pass reads only the m-int codes
+    * column. The top refine·k by approximate cosine are re-scored
+    * exactly (one hash join back to the embeddings by id — candidate
+    * count is refine·k·|queries|, broadcast-sized) and the final top-k
+    * ranks by TRUE cosine, so precision of the returned scores is 1;
+    * recall vs. brute force is the PQ trade (floor pinned in
+    * VectorOpsSpec). */
+  def annPq(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 8,
+      kCodes: Int = 16, refine: Int = 16,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqTrain(emb, m, kCodes))
+    val encoded = pqEncode(emb, cb, m)
+    val subDim = size(col("q_emb")) / m
+    val queriesRaw = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
+    // ADC lookup table, built map-side against the broadcast codebook:
+    // _lut[s+1][c+1] = dot(query subvector s, centroid c of subspace s)
+    val queries = queriesRaw
+      .crossJoin(broadcast(packPq(cb)))
+      .select(col("q_id"), col("_qn"),
+        transform(col("_cb"), (cents, s) =>
+          transform(cents, c =>
+            dot(slice(col("q_emb"), s * subDim + 1, subDim), c)))
+          .as("_lut"))
+    // approximate pass: candidate cost = m lookups (never touches the
+    // full embedding column)
+    val approx = encoded
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosPre(
+          aggregate(
+            zip_with(col("codes"), col("_lut"),
+              (cd, row) => element_at(row, cd + 1)),
+            lit(0.0), (acc, x) => acc + x),
+          col("_qn"), col("emb_norm")).as("cosine"))
+    val shortlist = rankTopK(approx, refine * k)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank of the shortlist (ADC + re-rank, the standard PQ
+    // pipeline): true cosine decides the final order
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), "n_id")
+      .join(broadcast(queriesRaw), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosPre(dot(col("q_emb"), col("n_emb")), col("_qn"),
+          norm(col("n_emb"))).as("cosine"))
+    rankTopK(exact, k)
+  }
 }

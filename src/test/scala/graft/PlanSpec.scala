@@ -389,6 +389,25 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "document frequency must aggregate before the join-back")
   }
 
+  test("x13 PQ search: queries+LUT and codebook broadcast — the encoded " +
+      "scan is never shuffled before the bounded ranking, and the " +
+      "exact re-rank joins only the shortlist") {
+    val df = q("x13_ann_pq")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      "the ADC pass must broadcast the query LUTs over the code scan")
+    // training (tiny, m·k-bounded aggregates) is checkpointed out of this
+    // plan; what remains: approx rank by q_id, shortlist joins, final
+    // rank + output sort — all bounded by refine·k·|queries| rows
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 6,
+      s"PQ search shuffles must be candidate-bounded, got ${exchanges.size}")
+  }
+
   test("q64 quality gate: per-doc rule flags are map-side — exchanges " +
       "are only the tiny per-source aggregate + output sort") {
     val df = q("q64_quality_gate")

@@ -364,6 +364,52 @@ class VectorOpsSpec extends SparkSuite {
         s"($removedLsh of $removedExact near-dups removed)")
   }
 
+  test("pqTrain/pqEncode: codebook has ≤ m·k entries of dim/m floats; " +
+      "codes are m positions inside the packed range") {
+    val m = 4
+    val cb = VectorOps.pqTrain(sfEmb, m = m, k = 8, iters = 1)
+    val rows = cb.collect()
+    assert(rows.length <= m * 8)
+    val dim =
+      sfEmb.head.getAs[scala.collection.Seq[Float]]("embedding").length
+    assert(rows.forall(
+      _.getAs[scala.collection.Seq[Float]]("centroid").length == dim / m))
+    val enc = VectorOps.pqEncode(sfEmb, cb, m).collect()
+    assert(enc.length == sfEmb.count())
+    val perSub = rows.groupBy(_.getAs[Int]("sub_id")).view.mapValues(_.length)
+    enc.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.length == m)
+      codes.toSeq.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < perSub(s), s"code $c outside subspace $s")
+      }
+    }
+  }
+
+  test("annPq on lossless clusters: ADC + re-rank returns the exact " +
+      "neighbors (subspace centroids separate the planted clusters)") {
+    // m=2 over dim 4; k=4 codes per subspace comfortably covers the 3
+    // clusters, and the exact re-rank fixes any residual ordering
+    val out = VectorOps.annPq(clustered, Seq(0L, 1L, 2L), k = 3,
+      m = 2, kCodes = 4, refine = 4)
+    val exact = VectorOps.annBruteForce(clustered, Seq(0L, 1L, 2L), k = 3)
+    assert(out.collect().toSeq == exact.collect().toSeq,
+      "on separable clusters PQ must equal brute force")
+  }
+
+  test("x13 recall floor: annPq vs annBruteForce at sf0.01") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(VectorOps.annBruteForce(emb01, ids, k = 10))
+    val approx = pairs(VectorOps.annPq(emb01, ids, k = 10))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85,
+      s"PQ recall@10 $recall below pinned floor 0.85")
+  }
+
   test("knnLabelVote: planted clusters vote their own label; votes " +
       "bounded by k; tie-break is deterministic (smallest label)") {
     // clustered: each label has 4 members; k=3 neighbors of any query
