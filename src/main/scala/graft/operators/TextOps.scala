@@ -420,16 +420,29 @@ object TextOps {
     * interpreted HOFs (per-row O(len log len) for the sort), with the
     * same native-Expression upgrade path CollapseRuns took. */
   def repetitionProfile(docs: DataFrame): DataFrame = {
-    val toks = col("_toks")
-    val tg = TextFunctions.ngramsWithMultiplicity(toks, 3)
+    // n-gram arrays are MATERIALIZED once per row before the metric
+    // expressions: dupNgramFrac/topBigramFrac over the raw tokens would
+    // re-run the transform+concat per reference (3× for trigrams) —
+    // against the attributes each metric is one fold over a built array
+    val tg = col("_tg")
+    val bg = col("_bg")
     docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        TextFunctions.ngramsWithMultiplicity(col("_toks"), 3).as("_tg"),
+        TextFunctions.ngramsWithMultiplicity(col("_toks"), 2).as("_bg"))
       .select(
         col("doc_id"),
         size(tg).cast("long").as("n_trigrams"),
-        TextFunctions.dupNgramFrac(toks, 3).as("dup_trigram_frac"),
-        TextFunctions.topBigramFrac(toks).as("top_bigram_frac"),
-        TextFunctions.maxTokenRun(toks).as("max_run"))
+        when(size(tg) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(tg)).cast("double") / size(tg))
+          .as("dup_trigram_frac"),
+        when(size(bg) === 0, lit(0.0))
+          .otherwise(TextFunctions.maxTokenRun(array_sort(bg))
+            .cast("double") / size(bg))
+          .as("top_bigram_frac"),
+        TextFunctions.maxTokenRun(col("_toks")).as("max_run"))
       .orderBy(col("doc_id"))
   }
 
@@ -449,16 +462,25 @@ object TextOps {
     * (same reasoning as bigramFluency's count join-backs). */
   def boilerplateFraction(docs: DataFrame, n: Int = 3,
       minDocs: Int = 3): DataFrame = {
+    // persisted: feeds both the df aggregate and the join-back probe —
+    // without it the corpus is re-shingled per consumer (same bounded
+    // cache-lifecycle note as NearDup.minHashLshPairs)
     val sh = docs
       .select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), n)).as("sh"))
-    // shingles() is distinct-per-doc, so count(*) = document frequency
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
-    sh.join(df, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingles() is distinct-per-doc, so count(*) = document frequency.
+    // Only shingles AT the threshold survive into the join-back: the
+    // boilerplate set is a small fraction of the vocabulary, so the
+    // probe join's build side shrinks to it (a left join marks members;
+    // non-matches count as clean)
+    val boiler = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+    sh.join(boiler, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
-        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("_df").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_frac",
         col("n_boiler").cast("double") / col("n_shingles"))
       .orderBy(col("doc_id"))
