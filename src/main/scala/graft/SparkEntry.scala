@@ -299,6 +299,13 @@ object SparkEntry {
     // one tiny per-source aggregate.
     "q64_quality_gate" -> ((s, d) =>
       TextOps.qualityGate(t(s, d, "documents"))),
+    // PII scrub: typed redaction + per-category counts, all codegen'd
+    // regexp expressions map-side. The synthetic corpus plants no PII
+    // (counts oracle to 0 and clean_text == text) — behavior goldens
+    // with planted PII live in TextOpsSpec; the oracle pins the regex
+    // dialect parity on the full corpus.
+    "q65_pii_scrub" -> ((s, d) =>
+      TextOps.scrubPii(t(s, d, "documents"))),
     // Product-quantization ANN (ADC + exact re-rank): the compressed-
     // index answer to q30 — candidates scanned as m-int codes, top
     // refine·k re-scored exactly. Engine-seeded codebook → rows-only;
@@ -1027,5 +1034,28 @@ object SparkEntry {
            CAST(sum(CASE WHEN ok_len AND ok_rep AND ok_qual THEN 1 ELSE 0
              END) AS DOUBLE) / count(*) AS pass_rate
          FROM f GROUP BY source ORDER BY source""",
+    // Patterns must stay in sync with TextOps.Pii* (dialect-portable
+    // subset: no lookaround/backreferences, so RE2 == Java semantics).
+    "q65_pii_scrub" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_emails,
+         len(regexp_extract_all(text,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+         len(regexp_extract_all(text,
+           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ids,
+         len(regexp_extract_all(text,
+           '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ID]', 'g'),
+           '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+         FROM documents ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -532,6 +532,43 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** PII detector patterns — dialect-portable (identical semantics under
+    * Java regex and RE2): plain character classes, counted repetition,
+    * word boundaries; no lookaround, no backreferences. Kept in sync
+    * with the q65 oracle SQL. */
+  val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiIpv4 = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  val PiiId = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+  val PiiPhone = """\+?[0-9][0-9()\-\s]{6,}[0-9]"""
+
+  /** PII scrub — the redaction pass a training corpus runs before
+    * anything is retained: emails, IPv4 addresses, SSN-shaped ids, and
+    * phone-shaped digit runs replaced by typed tokens, with per-category
+    * detection counts (counted on the ORIGINAL text, so categories are
+    * independent even where patterns overlap — a phone-shaped id counts
+    * in both). Redaction order email → ip → id → phone: replacement
+    * tokens contain no digits, so earlier redactions can never create
+    * later matches. Pure map-side projection over codegen'd regexp
+    * expressions (zero UDFs); the ORDER BY is the verification sort. */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
+            PiiIpv4, "[IP]"),
+          PiiId, "[ID]"),
+        PiiPhone, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(PiiId)).cast("long").as("n_ids"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
+      clean.as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def lengthHistogram(docs: DataFrame, binTokens: Long = 16L): DataFrame = {
     require(binTokens > 0, "binTokens must be positive")
     docs

@@ -158,6 +158,38 @@ class TextOpsSpec extends SparkSuite {
     assert(row.getAs[Double]("pass_rate") == 0.25)
   }
 
+  test("scrubPii: planted PII redacted with typed tokens; counts are " +
+      "per-category on the original text; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob@example.com or alice.smith+x@corp.co.uk please"),
+      (2L, "server 10.0.0.1 and 192.168.255.254 up"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "call +1 (555) 123-4567 today"),
+      (5L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.scrubPii(docs).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1).getAs[Long]("n_emails") == 2L)
+    assert(r(1).getAs[String]("clean_text") ==
+      "mail [EMAIL] or [EMAIL] please")
+    assert(r(2).getAs[Long]("n_ips") == 2L)
+    assert(r(2).getAs[String]("clean_text") == "server [IP] and [IP] up")
+    assert(r(3).getAs[Long]("n_ids") == 1L)
+    // the ssn shape also matches the phone-run detector on the ORIGINAL
+    // text (independent categories), but redaction order means the [ID]
+    // token already replaced the digits
+    assert(r(3).getAs[Long]("n_phones") == 1L)
+    assert(r(3).getAs[String]("clean_text") == "ssn [ID] on file")
+    assert(r(4).getAs[Long]("n_phones") == 1L)
+    assert(r(4).getAs[String]("clean_text") == "call [PHONE] today")
+    assert(r(5).getAs[String]("clean_text") ==
+      "nothing sensitive here at all")
+    assert(r(5).getAs[Long]("n_emails") +
+      r(5).getAs[Long]("n_ips") + r(5).getAs[Long]("n_ids") +
+      r(5).getAs[Long]("n_phones") == 0L)
+  }
+
   test("shingles: distinct n-grams; short docs yield empty array") {
     assert(evalStr("a b c d", TextFunctions.shingles(col("text"), 2))
       == "[a b, b c, c d]")
