@@ -82,6 +82,7 @@ object GraftFunctions {
   val COLLAPSE_RUNS = "graft_collapse_runs"
   val BLOOM_AGG = "graft_bloom_agg"
   val BLOOM_MIGHT_CONTAIN = "graft_bloom_might_contain"
+  val REPETITION_STATS = "graft_repetition_stats"
   val ROW_TOP_K = "graft_row_top_k"
 
   /** Idempotent; register once per session, then use from Column API or
@@ -134,6 +135,8 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      REPETITION_STATS, exprs => RepetitionStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       ROW_TOP_K, exprs => RowTopK(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -192,6 +195,12 @@ object GraftFunctions {
   /** Run-length token collapse in one native pass: struct<clean, n_raw,
     * n_kept> (see CollapseRuns). */
   def collapseRuns(text: Column): Column = registered(COLLAPSE_RUNS, text)
+
+  /** Repetition counters in one native pass: struct<n_bigrams,
+    * max_bigram_count, n_trigrams, n_distinct_trigrams, max_run> (see
+    * RepetitionStats). */
+  def repetitionStats(text: Column): Column =
+    registered(REPETITION_STATS, text)
 
   /** Bloom filter of a LONG column as a binary aggregate (Spark's
     * BloomFilterAggregate — mergeable, so partial aggregation applies;

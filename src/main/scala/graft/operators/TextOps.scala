@@ -420,29 +420,29 @@ object TextOps {
     * interpreted HOFs (per-row O(len log len) for the sort), with the
     * same native-Expression upgrade path CollapseRuns took. */
   def repetitionProfile(docs: DataFrame): DataFrame = {
-    // n-gram arrays are MATERIALIZED once per row before the metric
-    // expressions: dupNgramFrac/topBigramFrac over the raw tokens would
-    // re-run the transform+concat per reference (3× for trigrams) —
-    // against the attributes each metric is one fold over a built array
-    val tg = col("_tg")
-    val bg = col("_bg")
+    // one native single-pass scan per row (graft_repetition_stats) —
+    // the portable HOF tree (TextFunctions.dupNgramFrac/topBigramFrac/
+    // maxTokenRun) materializes five intermediate arrays and interprets
+    // its folds; equivalence between the two is pinned in TextOpsSpec.
+    // Counts are exact integers either way, so the fraction divisions
+    // below are bit-identical to the DuckDB oracle
+    val st = col("_st")
     docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), col("_toks"),
-        TextFunctions.ngramsWithMultiplicity(col("_toks"), 3).as("_tg"),
-        TextFunctions.ngramsWithMultiplicity(col("_toks"), 2).as("_bg"))
+      .select(col("doc_id"),
+        GraftFunctions.repetitionStats(col("text")).as("_st"))
       .select(
         col("doc_id"),
-        size(tg).cast("long").as("n_trigrams"),
-        when(size(tg) === 0, lit(0.0))
+        st.getField("n_trigrams").as("n_trigrams"),
+        when(st.getField("n_trigrams") === 0L, lit(0.0))
           .otherwise(lit(1.0) -
-            size(array_distinct(tg)).cast("double") / size(tg))
+            st.getField("n_distinct_trigrams").cast("double") /
+              st.getField("n_trigrams"))
           .as("dup_trigram_frac"),
-        when(size(bg) === 0, lit(0.0))
-          .otherwise(TextFunctions.maxTokenRun(array_sort(bg))
-            .cast("double") / size(bg))
+        when(st.getField("n_bigrams") === 0L, lit(0.0))
+          .otherwise(st.getField("max_bigram_count").cast("double") /
+            st.getField("n_bigrams"))
           .as("top_bigram_frac"),
-        TextFunctions.maxTokenRun(col("_toks")).as("max_run"))
+        st.getField("max_run").as("max_run"))
       .orderBy(col("doc_id"))
   }
 
@@ -503,6 +503,7 @@ object TextOps {
       swLo: Double = 0.01, swHi: Double = 0.5,
       mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
     val toks = col("_toks")
+    val st = col("_st")
     val nTok = size(toks).cast("long")
     val sw = when(nTok === 0, lit(0.0))
       .otherwise(size(filter(toks, t =>
@@ -511,12 +512,16 @@ object TextOps {
     val mtl = when(nTok === 0, lit(0.0))
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
         .cast("double") / size(toks))
+    val dupFrac = when(st.getField("n_trigrams") === 0L, lit(0.0))
+      .otherwise(lit(1.0) -
+        st.getField("n_distinct_trigrams").cast("double") /
+          st.getField("n_trigrams"))
     val okLen = nTok >= minTokens && nTok <= maxTokens
-    val okRep = TextFunctions.dupNgramFrac(toks, 3) <= maxDupFrac &&
-      TextFunctions.maxTokenRun(toks) <= maxRun
+    val okRep = dupFrac <= maxDupFrac && st.getField("max_run") <= maxRun
     val okQual = sw >= swLo && sw <= swHi && mtl >= mtlLo && mtl <= mtlHi
     docs
-      .select(col("source"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("source"), TextFunctions.tokens(col("text")).as("_toks"),
+        GraftFunctions.repetitionStats(col("text")).as("_st"))
       .select(col("source"),
         okLen.as("_ok_len"), okRep.as("_ok_rep"), okQual.as("_ok_qual"))
       .groupBy(col("source"))

@@ -104,6 +104,45 @@ class TextOpsSpec extends SparkSuite {
     assert(f("a") == "0.0")
   }
 
+  test("native RepetitionStats == portable HOF metrics on the harness " +
+      "corpus and edge cases") {
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a a", "a  a a", "x y x y z",
+      "a b c a b c a b c").zipWithIndex
+      .map { case (t, i) => (i.toLong + 1000L, t) }.toDF("doc_id", "text")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Seq(edge, corpus).foreach { docs =>
+      val toks = TextFunctions.tokens(col("text"))
+      val st = GraftFunctions.repetitionStats(col("text"))
+      // guarded fractions exactly as repetitionProfile computes them
+      val nativeDup = when(st.getField("n_trigrams") === 0L, lit(0.0))
+        .otherwise(lit(1.0) -
+          st.getField("n_distinct_trigrams").cast("double") /
+            st.getField("n_trigrams"))
+      val nativeTop = when(st.getField("n_bigrams") === 0L, lit(0.0))
+        .otherwise(st.getField("max_bigram_count").cast("double") /
+          st.getField("n_bigrams"))
+      val rows = docs.select(
+        st.getField("n_trigrams").as("native_ntg"),
+        st.getField("max_run").as("native_run"),
+        nativeDup.as("native_dup"),
+        nativeTop.as("native_top"),
+        size(TextFunctions.ngramsWithMultiplicity(toks, 3))
+          .cast("long").as("hof_ntg"),
+        TextFunctions.maxTokenRun(toks).as("hof_run"),
+        TextFunctions.dupNgramFrac(toks, 3).as("hof_dup"),
+        TextFunctions.topBigramFrac(toks).as("hof_top")).collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("native_ntg") == r.getAs[Long]("hof_ntg"))
+        assert(r.getAs[Long]("native_run") == r.getAs[Long]("hof_run"))
+        assert(r.getAs[Double]("native_dup") == r.getAs[Double]("hof_dup"))
+        assert(r.getAs[Double]("native_top") == r.getAs[Double]("hof_top"))
+      }
+    }
+  }
+
   test("repetitionProfile goldens") {
     import spark.implicits._
     val docs = Seq(
