@@ -58,7 +58,7 @@ object Bench {
     def queriesJson(short: Boolean): String =
       results.map { case (k, v) =>
         // The driver keeps only the LAST 2000 chars of stdout, and a
-        // 74-entry map under full names (~25 chars each) has never fit —
+        // 70+-entry map under full names (~25 chars each) has never fit —
         // every round's grading artifact parsed null. stdout gets the
         // "q01"/"x11" prefix (unique by construction); the full-name map
         // is persisted to target/bench.json.

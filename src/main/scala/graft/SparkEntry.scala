@@ -1046,7 +1046,8 @@ object SparkEntry {
          len(regexp_extract_all(text,
            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ids,
          len(regexp_extract_all(text,
-           '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_phones,
+           '(\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ]?[0-9]{3}-[0-9]{4})'))
+           AS n_phones,
          regexp_replace(
            regexp_replace(
              regexp_replace(
@@ -1055,7 +1056,8 @@ object SparkEntry {
                  '[EMAIL]', 'g'),
                '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ID]', 'g'),
-           '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+           '(\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ]?[0-9]{3}-[0-9]{4})',
+           '[PHONE]', 'g') AS clean_text
          FROM documents ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -9,7 +9,10 @@ object Verify {
     // iteration (the driver always calls with exactly two args)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
-      case Array(a, b, p) => (a, b, Some(p.split(',').toSeq))
+      // drop empty prefixes ("q62,,q63" / a lone ","): startsWith("")
+      // is always true and would silently select every query
+      case Array(a, b, p) =>
+        (a, b, Some(p.split(',').toSeq.filter(_.nonEmpty)))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()

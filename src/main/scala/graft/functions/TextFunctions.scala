@@ -27,8 +27,12 @@ object TextFunctions {
     ceil(length(text).cast("double") / 4.0).cast("long")
 
   /** Fraction of whitespace tokens that appear in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  /** stopwordRatio over an already-materialized token array (pass the
+    * attribute, not the tokens() tree, when the array is reused). */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
     when(size(toks) === 0, lit(0.0))
       .otherwise(size(filter(toks, t => array_contains(sw, t)))
@@ -43,13 +47,15 @@ object TextFunctions {
           length(text))
 
   /** Mean whitespace-token length. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOf(tokens(text))
+
+  /** meanTokenLength over an already-materialized token array. */
+  def meanTokenLengthOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t))
           .cast("double") / size(toks))
-  }
 
   /** Marker-word language heuristic: the language whose marker set hits
     * the most tokens wins; 'und' when nothing matches. Deterministic and

@@ -505,13 +505,10 @@ object TextOps {
     val toks = col("_toks")
     val st = col("_st")
     val nTok = size(toks).cast("long")
-    val sw = when(nTok === 0, lit(0.0))
-      .otherwise(size(filter(toks, t =>
-        array_contains(array(DefaultStopwords.map(lit): _*), t)))
-        .cast("double") / size(toks))
-    val mtl = when(nTok === 0, lit(0.0))
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / size(toks))
+    // the Of-forms share the guard-and-divide (oracle-parity) logic with
+    // q26's docProfile — one definition, both call sites
+    val sw = TextFunctions.stopwordRatioOf(toks, DefaultStopwords)
+    val mtl = TextFunctions.meanTokenLengthOf(toks)
     val dupFrac = when(st.getField("n_trigrams") === 0L, lit(0.0))
       .otherwise(lit(1.0) -
         st.getField("n_distinct_trigrams").cast("double") /
@@ -538,13 +535,20 @@ object TextOps {
   }
 
   /** PII detector patterns — dialect-portable (identical semantics under
-    * Java regex and RE2): plain character classes, counted repetition,
-    * word boundaries; no lookaround, no backreferences. Kept in sync
-    * with the q65 oracle SQL. */
+    * Java regex and RE2): plain character classes with explicit members
+    * (no \s — Java's includes U+000B vertical tab, RE2's does not),
+    * counted repetition, word boundaries; no lookaround, no
+    * backreferences. Kept in sync with the q65 oracle SQL.
+    *
+    * Phone shape is deliberately anchored — either an international +
+    * prefix or a hyphenated NANP tail — so runs of ordinary numbers
+    * ("1990 2000 2010") are never redacted; unseparated digit runs are
+    * a documented false negative of the heuristic. */
   val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val PiiIpv4 = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
   val PiiId = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
-  val PiiPhone = """\+?[0-9][0-9()\-\s]{6,}[0-9]"""
+  val PiiPhone =
+    """(\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ]?[0-9]{3}-[0-9]{4})"""
 
   /** PII scrub — the redaction pass a training corpus runs before
     * anything is retained: emails, IPv4 addresses, SSN-shaped ids, and

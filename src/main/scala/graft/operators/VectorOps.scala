@@ -358,9 +358,19 @@ object VectorOps {
     array_min(transform(cents, (c, i) =>
       struct(l2sq(sv, c).as("d"), i.as("i")))).getField("i")
 
-  /** Explode each vector into its m equal subvectors (dim must divide). */
+  /** floor(dim/m) as an INT column — Column `/` is double division, and
+    * feeding that to slice() would rely on implicit double→int narrowing
+    * (silently wrong positions for a non-dividing m, and an analysis
+    * error under ANSI mode). With the explicit floor-cast, a non-dividing
+    * m deterministically ignores the trailing dim%m dimensions in the
+    * codes (they still contribute to the stored true norm); standard PQ
+    * picks m to divide dim. */
+  private def subDimOf(e: Column, m: Int): Column =
+    floor(size(e) / m).cast("int")
+
+  /** Explode each vector into its m equal subvectors. */
   private def subVectors(emb: DataFrame, m: Int): DataFrame = {
-    val subDim = size(col("embedding")) / m
+    val subDim = subDimOf(col("embedding"), m)
     emb
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
@@ -429,10 +439,14 @@ object VectorOps {
     * the small int range). Pure
     * MAP-SIDE over the broadcast codebook — zero shuffles touch the
     * vector side (PlanSpec pins the x13 shape). */
-  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
-    val subDim = size(col("embedding")) / m
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    pqEncodePacked(emb, packPq(codebook), m)
+
+  private def pqEncodePacked(emb: DataFrame, packed: DataFrame,
+      m: Int): DataFrame = {
+    val subDim = subDimOf(col("embedding"), m)
     emb
-      .crossJoin(broadcast(packPq(codebook)))
+      .crossJoin(broadcast(packed))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
           argminPos(element_at(col("_cb"), s + 1),
@@ -455,8 +469,12 @@ object VectorOps {
       kCodes: Int = 16, refine: Int = 16,
       codebook: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(pqTrain(emb, m, kCodes))
-    val encoded = pqEncode(emb, cb, m)
-    val subDim = size(col("q_emb")) / m
+    // packed ONCE and shared by encode + LUT — packing aggregates the
+    // codebook plan, and an unmaterialized caller-supplied codebook
+    // would otherwise compute twice
+    val packed = packPq(cb)
+    val encoded = pqEncodePacked(emb, packed, m)
+    val subDim = subDimOf(col("q_emb"), m)
     val queriesRaw = emb
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -464,7 +482,7 @@ object VectorOps {
     // ADC lookup table, built map-side against the broadcast codebook:
     // _lut[s+1][c+1] = dot(query subvector s, centroid c of subspace s)
     val queries = queriesRaw
-      .crossJoin(broadcast(packPq(cb)))
+      .crossJoin(broadcast(packed))
       .select(col("q_id"), col("_qn"),
         transform(col("_cb"), (cents, s) =>
           transform(cents, c =>

@@ -204,8 +204,9 @@ class TextOpsSpec extends SparkSuite {
       (1L, "mail bob@example.com or alice.smith+x@corp.co.uk please"),
       (2L, "server 10.0.0.1 and 192.168.255.254 up"),
       (3L, "ssn 123-45-6789 on file"),
-      (4L, "call +1 (555) 123-4567 today"),
-      (5L, "nothing sensitive here at all")
+      (4L, "call +1 (555) 123-4567 or 555-123-4567 today"),
+      (5L, "nothing sensitive here at all"),
+      (6L, "revenues for 1990 2000 2010 grew")
     ).toDF("doc_id", "text")
     val r = TextOps.scrubPii(docs).collect()
       .map(row => row.getAs[Long]("doc_id") -> row).toMap
@@ -215,18 +216,22 @@ class TextOpsSpec extends SparkSuite {
     assert(r(2).getAs[Long]("n_ips") == 2L)
     assert(r(2).getAs[String]("clean_text") == "server [IP] and [IP] up")
     assert(r(3).getAs[Long]("n_ids") == 1L)
-    // the ssn shape also matches the phone-run detector on the ORIGINAL
-    // text (independent categories), but redaction order means the [ID]
-    // token already replaced the digits
-    assert(r(3).getAs[Long]("n_phones") == 1L)
+    // the anchored phone shape (leading + or hyphenated NANP tail) does
+    // NOT fire on the 3-2-4 ssn shape — categories stay disjoint here
+    assert(r(3).getAs[Long]("n_phones") == 0L)
     assert(r(3).getAs[String]("clean_text") == "ssn [ID] on file")
-    assert(r(4).getAs[Long]("n_phones") == 1L)
-    assert(r(4).getAs[String]("clean_text") == "call [PHONE] today")
+    assert(r(4).getAs[Long]("n_phones") == 2L)
+    assert(r(4).getAs[String]("clean_text") ==
+      "call [PHONE] or [PHONE] today")
     assert(r(5).getAs[String]("clean_text") ==
       "nothing sensitive here at all")
     assert(r(5).getAs[Long]("n_emails") +
       r(5).getAs[Long]("n_ips") + r(5).getAs[Long]("n_ids") +
       r(5).getAs[Long]("n_phones") == 0L)
+    // plain numeric runs are not phone-shaped — never redacted
+    assert(r(6).getAs[Long]("n_phones") == 0L)
+    assert(r(6).getAs[String]("clean_text") ==
+      "revenues for 1990 2000 2010 grew")
   }
 
   test("shingles: distinct n-grams; short docs yield empty array") {
