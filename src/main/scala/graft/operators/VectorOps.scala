@@ -418,7 +418,11 @@ object VectorOps {
     * representative slice, never the full corpus. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 2): DataFrame = {
+    // persisted: the exploded subvector table feeds the seed aggregate
+    // and every Lloyd assignment — without it the corpus re-explodes per
+    // iteration (same bounded cache-lifecycle note as NearDup)
     val sub = subVectors(emb, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = meanBySubCode(
       sub.withColumn("code", pmod(col("vec_id"), lit(k)).cast("int")))
     (0 until iters).foreach { _ =>
