@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -497,28 +497,59 @@ object TextOps {
     * exact integers — bit-identical cross-engine — and the whole
     * per-doc stage is map-side; the only data exchange is the final
     * tiny per-source aggregate. */
-  def qualityGate(docs: DataFrame,
-      minTokens: Long = 30L, maxTokens: Long = 90L,
-      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
-      swLo: Double = 0.01, swHi: Double = 0.5,
-      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+  /** The three rule-family flags over the prepared `_toks`/`_st`
+    * columns — ONE definition shared by the q64 accounting aggregate and
+    * the filterQuality pipeline stage (the Of-forms in turn share the
+    * guard-and-divide oracle-parity logic with q26's docProfile). */
+  private def qualityFlags(
+      minTokens: Long, maxTokens: Long,
+      maxDupFrac: Double, maxRun: Long,
+      swLo: Double, swHi: Double,
+      mtlLo: Double, mtlHi: Double): (Column, Column, Column) = {
     val toks = col("_toks")
     val st = col("_st")
     val nTok = size(toks).cast("long")
-    // the Of-forms share the guard-and-divide (oracle-parity) logic with
-    // q26's docProfile — one definition, both call sites
     val sw = TextFunctions.stopwordRatioOf(toks, DefaultStopwords)
     val mtl = TextFunctions.meanTokenLengthOf(toks)
     val dupFrac = when(st.getField("n_trigrams") === 0L, lit(0.0))
       .otherwise(lit(1.0) -
         st.getField("n_distinct_trigrams").cast("double") /
           st.getField("n_trigrams"))
-    val okLen = nTok >= minTokens && nTok <= maxTokens
-    val okRep = dupFrac <= maxDupFrac && st.getField("max_run") <= maxRun
-    val okQual = sw >= swLo && sw <= swHi && mtl >= mtlLo && mtl <= mtlHi
+    (nTok >= minTokens && nTok <= maxTokens,
+      dupFrac <= maxDupFrac && st.getField("max_run") <= maxRun,
+      sw >= swLo && sw <= swHi && mtl >= mtlLo && mtl <= mtlHi)
+  }
+
+  private def withRuleColumns(docs: DataFrame): DataFrame =
     docs
-      .select(col("source"), TextFunctions.tokens(col("text")).as("_toks"),
-        GraftFunctions.repetitionStats(col("text")).as("_st"))
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+      .withColumn("_st", GraftFunctions.repetitionStats(col("text")))
+
+  /** Per-doc quality FILTER — the pipeline-stage form of the q64 gate:
+    * keeps exactly the docs the gate counts as n_pass, preserving the
+    * input schema. Map-side; composes in front of dedup/ingestion
+    * (quality-filter THEN dedup is the standard curation order — see
+    * StreamingDedup's qualityFilter hook). */
+  def filterQuality(docs: DataFrame,
+      minTokens: Long = 30L, maxTokens: Long = 90L,
+      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
+      swLo: Double = 0.01, swHi: Double = 0.5,
+      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+    val (okLen, okRep, okQual) = qualityFlags(minTokens, maxTokens,
+      maxDupFrac, maxRun, swLo, swHi, mtlLo, mtlHi)
+    withRuleColumns(docs)
+      .filter(okLen && okRep && okQual)
+      .drop("_toks", "_st")
+  }
+
+  def qualityGate(docs: DataFrame,
+      minTokens: Long = 30L, maxTokens: Long = 90L,
+      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
+      swLo: Double = 0.01, swHi: Double = 0.5,
+      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+    val (okLen, okRep, okQual) = qualityFlags(minTokens, maxTokens,
+      maxDupFrac, maxRun, swLo, swHi, mtlLo, mtlHi)
+    withRuleColumns(docs)
       .select(col("source"),
         okLen.as("_ok_len"), okRep.as("_ok_rep"), okQual.as("_ok_qual"))
       .groupBy(col("source"))

@@ -95,7 +95,9 @@ object StreamingDedup {
       corpusPath: String, bandIndexPath: String, checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minJ: Double = 0.7): StreamingQuery = {
+      minJ: Double = 0.7,
+      qualityFilter: Option[DataFrame => DataFrame] = None)
+      : StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(landingDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -103,7 +105,7 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           processBatch(batch, batchId, corpusPath, bandIndexPath,
-            n, numHashes, bands, minJ)
+            n, numHashes, bands, minJ, qualityFilter)
       }
       .start()
     q.awaitTermination()
@@ -116,11 +118,18 @@ object StreamingDedup {
     * batchId's own subdirectories (see readAccumulated). */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       corpusPath: String, bandIndexPath: String, n: Int, numHashes: Int,
-      bands: Int, minJ: Double): Unit = {
+      bands: Int, minJ: Double,
+      qualityFilter: Option[DataFrame => DataFrame] = None): Unit = {
     val s = batch.sparkSession
     // the batch is consumed by several joins below — pin it so the
-    // streaming source isn't re-planned per consumer
-    val pinned = batch.localCheckpoint()
+    // streaming source isn't re-planned per consumer. The quality
+    // pre-filter (e.g. TextOps.filterQuality) runs FIRST — the standard
+    // curation order: rejected docs never reach dedup, the corpus, or
+    // the band index, so the filter also shrinks every later batch's
+    // probe work
+    val pinned = qualityFilter.foldLeft(batch.localCheckpoint()) {
+      (b, f) => f(b)
+    }
     val novel = novelDocs(pinned,
       readAccumulated(s, corpusPath, batchId),
       readAccumulated(s, bandIndexPath, batchId),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.SparkSuite
-import graft.operators.EventOps
+import graft.operators.{EventOps, TextOps}
 
 /** Streaming twins vs their batch operators: identical results on the
   * same data (the streaming==batch parity that makes the incremental
@@ -265,5 +265,39 @@ class StreamingSpec extends SparkSuite {
       .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(afterReplay == after2,
       s"replay of batch 1 changed the corpus: $afterReplay")
+  }
+
+  test("streaming ingestion with quality pre-filter: rejected docs " +
+      "never reach the corpus or band index; equals filter-then-dedup " +
+      "batch computation") {
+    val landing = tmp("ql"); val ckpt = tmp("qc")
+    val corpus = tmp("qcorp") + "/c"; val bandIdx = tmp("qband") + "/b"
+    import spark.implicits._
+    val good =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    // run of 10 identical tokens → fails the repetition family
+    val junk = Array.fill(10)("spam").mkString(" ")
+    val filter: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      d => TextOps.filterQuality(d, minTokens = 10L, maxTokens = 90L,
+        maxDupFrac = 0.5, maxRun = 3L, swLo = 0.0, swHi = 1.0,
+        mtlLo = 1.0, mtlHi = 10.0)
+    // 1 and 3 are byte-identical (in-batch pair); 2 is junk
+    val b1 = Seq((1L, good), (2L, junk), (3L, good)).toDF("doc_id", "text")
+    b1.write.mode("append").parquet(landing)
+    StreamingDedup.runAvailableNow(spark, landing, corpus, bandIdx, ckpt,
+      b1.schema, bands = 32, qualityFilter = Some(filter))
+    val corpusIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(corpusIds == Set(1L),
+      s"junk must be filtered and the dup collapsed, got $corpusIds")
+    val idxIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(bandIdx).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(idxIds == Set(1L), "band index must track the filtered corpus")
+    // parity: the direct batch pipeline (filterQuality → novelDocs)
+    val direct = StreamingDedup.novelDocs(filter(b1), None, None,
+      3, 64, 32, 0.7).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(direct == corpusIds)
   }
 }
