@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,9 +65,19 @@ private[sources] class UsaJobsTable(props: Map[String, String])
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = props ++ options.asScala
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns {
+      // column pruning pushed INTO the source: a projection that drops
+      // `payload` (count-shaped reads, page inventories) never
+      // materializes the page JSON into rows — the fetch itself still
+      // happens, because "this page returned data" is what defines row
+      // existence. Catalyst shows the pruned schema in the scan's
+      // ReadSchema (spec-pinned).
+      private var required: StructType = UsaJobsDataSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = UsaJobsDataSource.Schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -86,7 +96,7 @@ private[sources] class UsaJobsTable(props: Map[String, String])
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new UsaJobsReaderFactory
+        new UsaJobsReaderFactory(required.fieldNames.toSeq)
     }
   }
 }
@@ -96,7 +106,8 @@ private[sources] case class UsaJobsPagePartition(page: Int, keyword: String,
     apiKey: Option[String], baseUrl: String, requestIntervalMs: Long)
   extends InputPartition
 
-private[sources] class UsaJobsReaderFactory extends PartitionReaderFactory {
+private[sources] class UsaJobsReaderFactory(
+    requiredFields: Seq[String]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[UsaJobsPagePartition]
@@ -129,7 +140,10 @@ private[sources] class UsaJobsReaderFactory extends PartitionReaderFactory {
         }
 
       override def get(): InternalRow =
-        InternalRow(p.page, UTF8String.fromString(payload))
+        InternalRow(requiredFields.map {
+          case "page" => p.page
+          case "payload" => UTF8String.fromString(payload)
+        }: _*)
 
       override def close(): Unit = ()
     }

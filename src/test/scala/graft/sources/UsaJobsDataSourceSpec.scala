@@ -30,6 +30,21 @@ class UsaJobsDataSourceSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("payload").contains("SearchResult")))
   }
 
+  test("column pruning reaches the source: a page-only projection " +
+      "reads a payload-free schema and still sees every page row") {
+    val df = spark.read.format("usajobs")
+      .option("pages.dir", pagesDir(3))
+      .option("maxPages", "5")
+      .load()
+      .select("page")
+    val pages = df.collect().map(_.getAs[Int]("page")).sorted.toSeq
+    assert(pages == Seq(1, 2, 3),
+      "row existence (page returned data) must survive pruning")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("page") && !scan.contains("payload"),
+      s"pruned scan must not carry payload: $scan")
+  }
+
   test("page-per-partition: fetch parallelism equals maxPages") {
     val df = spark.read.format("usajobs")
       .option("pages.dir", pagesDir(2))
