@@ -35,6 +35,50 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: RepetitionStats == reference Scala counters on " +
+      "arbitrary token sequences (incl. stutter-heavy)") {
+    // small vocab + duplication bias so runs and repeated n-grams occur
+    val doc: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "cc", "ddd", "e"),
+      2 -> Gen.const(""), // consecutive spaces when joined
+      1 -> unicodeString.map(_.replace(" ", ""))))
+      .map(_.mkString(" "))
+    val inputs = sample(doc, 200, 7L)
+    def ref(text: String): (Long, Long, Long, Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val bgs = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val tgs = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      val maxRun =
+        if (toks.isEmpty) 0L
+        else {
+          var best = 1; var cur = 1
+          toks.sliding(2).foreach {
+            case Seq(x, y) =>
+              cur = if (x == y) cur + 1 else 1
+              best = math.max(best, cur)
+            case _ => ()
+          }
+          best.toLong
+        }
+      (bgs.length.toLong,
+        if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.length).max.toLong,
+        tgs.length.toLong, tgs.distinct.length.toLong, maxRun)
+    }
+    val st = GraftFunctions.repetitionStats(col("text"))
+    val rows = inputs.toDF("text").select(
+      st.getField("n_bigrams"), st.getField("max_bigram_count"),
+      st.getField("n_trigrams"), st.getField("n_distinct_trigrams"),
+      st.getField("max_run")).collect()
+    rows.zip(inputs).foreach { case (r, s) =>
+      val expected = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(expected == ref(s), s"mismatch for '${s.take(60)}'")
+    }
+  }
+
   test("property: ShingleHashes == HOF tree on arbitrary token lists") {
     val doc: Gen[String] = Gen.listOf(Gen.frequency(
       4 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy"),
