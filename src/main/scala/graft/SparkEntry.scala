@@ -299,6 +299,12 @@ object SparkEntry {
     // one tiny per-source aggregate.
     "q64_quality_gate" -> ((s, d) =>
       TextOps.qualityGate(t(s, d, "documents"))),
+    // Bloom-delivered boilerplate probe (the 100 TB twin of q63, as x10
+    // twins q51): vocabulary still df-aggregated exactly, but delivered
+    // as one scalar bitset — no probe-side join. Engine-seeded hashes →
+    // rows-only; superset property pinned in TextOpsSpec.
+    "x14_boilerplate_bloom" -> ((s, d) =>
+      TextOps.boilerplateFractionApprox(t(s, d, "documents"))),
     // PII scrub: typed redaction + per-category counts, all codegen'd
     // regexp expressions map-side. The synthetic corpus plants no PII
     // (counts oracle to 0 and clean_text == text) — behavior goldens

@@ -486,6 +486,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Approximate twin of boilerplateFraction — the 100 TB delivery path
+    * (exactly as x10 shadows q51): the boilerplate vocabulary is still
+    * found by the exact document-frequency aggregate (a count threshold
+    * can't sketch away), but it reaches the probe as ONE bloom-filter
+    * bitset via a scalar subquery instead of a join — so the probe side
+    * never shuffles doc-shingle rows by shingle, and works over 63-bit
+    * shingle hashes end-to-end (narrower than strings in the df
+    * exchange). One-sided error: might_contain never misses a member,
+    * so per-doc n_boiler is a superset count (approx ≥ exact, pinned in
+    * TextOpsSpec); false positives are governed by numBits. */
+  def boilerplateFractionApprox(docs: DataFrame, n: Int = 3,
+      minDocs: Int = 3, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val mod = Long.MaxValue
+    val sh = docs.select(col("doc_id"),
+      explode(GraftFunctions.shingleHashes(col("text"), n, mod)).as("sh"))
+    val bloom = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .agg(GraftFunctions.bloomAgg(col("sh"), expectedItems, numBits)
+        .as("_bf"))
+      .scalar()
+    sh.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(GraftFunctions.bloomMightContain(bloom, col("sh")),
+          lit(1))).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-gate accounting per source: how many docs each filter
     * family rejects, and the final pass rate — the pipeline-health
     * dashboard a curation run emits. Rules (Gopher-shaped, thresholds

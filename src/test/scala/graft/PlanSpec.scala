@@ -408,6 +408,15 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"PQ search shuffles must be candidate-bounded, got ${exchanges.size}")
   }
 
+  test("x14 bloom boilerplate: the probe side has NO join — the " +
+      "vocabulary arrives as a scalar-subquery bitset") {
+    val df = q("x14_boilerplate_bloom")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "probe must be a map-side might_contain, never a join form")
+  }
+
   test("q64 quality gate: per-doc rule flags are map-side — exchanges " +
       "are only the tiny per-source aggregate + output sort") {
     val df = q("q64_quality_gate")

@@ -172,6 +172,27 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("boilerplateFractionApprox: same shingle universe as exact, " +
+      "n_boiler is a superset count (bloom one-sided), equal on the " +
+      "harness fixture at default bits") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.boilerplateFraction(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_boiler"))).toMap
+    val approx = TextOps.boilerplateFractionApprox(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_boiler"))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (id, (nSh, nBoil)) =>
+      val (aSh, aBoil) = approx(id)
+      assert(aSh == nSh, s"doc $id shingle universe must match")
+      assert(aBoil >= nBoil, s"doc $id: bloom must never miss a member")
+      // 2^23 bits vs a few thousand members → FP-free on this fixture
+      assert(aBoil == nBoil, s"doc $id: expected no false positives")
+    }
+  }
+
   test("qualityGate: each rule family fires independently") {
     import spark.implicits._
     // 40 distinct tokens incl. one stopword: passes every gate
