@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.functions.ExactNum
-import graft.operators.{EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
+import graft.operators.{Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -299,6 +299,12 @@ object SparkEntry {
     // one tiny per-source aggregate.
     "q64_quality_gate" -> ((s, d) =>
       TextOps.qualityGate(t(s, d, "documents"))),
+    // End-to-end curation pipeline (quality filter → PII scrub → LSH
+    // dedup on scrubbed text → sequence packing) — the composed run a
+    // real curation job executes. Engine-seeded hashes → rows-only;
+    // stage-consistency pinned in CurationSpec.
+    "x15_curation_pipeline" -> ((s, d) =>
+      Curation.pipeline(t(s, d, "documents"))),
     // Bloom-delivered boilerplate probe (the 100 TB twin of q63, as x10
     // twins q51): vocabulary still df-aggregated exactly, but delivered
     // as one scalar bitset — no probe-side join. Engine-seeded hashes →

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline a training-data run actually
+  * executes, composed from the operators this engine exposes — in the
+  * standard order (each stage shrinks the next stage's input):
+  *
+  *   1. quality filter (TextOps.filterQuality — map-side rule flags;
+  *      rejects never reach anything expensive),
+  *   2. PII scrub (TextOps.piiCleanText rewriting `text` in place —
+  *      map-side codegen'd regexps),
+  *   3. near-dup dedup on the SCRUBBED text (MinHash+LSH pairs →
+  *      connected components → canonical min-id survivor — the q49
+  *      pipeline on its scale path; scrubbing first means two docs
+  *      differing only in redacted PII dedup as the near-dups they
+  *      are),
+  *   4. sequence packing (TextOps.packSequences — per-source token
+  *      streams cut into fixed packs).
+  *
+  * Registered as x15: hashes are engine-seeded (rows-only in the
+  * oracle); stage-consistency properties live in CurationSpec. At
+  * 100 TB every stage keeps its own scale shape (documented at each
+  * operator) and the composition adds no new shuffle beyond the
+  * stages' own.
+  */
+object Curation {
+
+  def pipeline(docs: DataFrame, packTokens: Long = 256L,
+      minJ: Double = 0.7, bands: Int = 16): DataFrame = {
+    val quality = TextOps.filterQuality(docs)
+    val scrubbed = quality
+      .withColumn("text", TextOps.piiCleanText(col("text")))
+    val pairs = NearDup
+      .minHashLshPairs(scrubbed, bands = bands, minJ = minJ)
+      .select(col("a_id"), col("b_id"))
+    val deduped = NearDup.dedupByClusters(scrubbed,
+      NearDup.duplicateClusters(pairs))
+    TextOps.packSequences(deduped, packTokens)
+  }
+}

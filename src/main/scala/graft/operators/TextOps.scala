@@ -621,15 +621,19 @@ object TextOps {
     * tokens contain no digits, so earlier redactions can never create
     * later matches. Pure map-side projection over codegen'd regexp
     * expressions (zero UDFs); the ORDER BY is the verification sort. */
-  def scrubPii(docs: DataFrame): DataFrame = {
-    val clean =
+  /** The redaction expression alone — for pipelines that rewrite the
+    * text column in place (see Curation.pipeline). */
+  def piiCleanText(text: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
-            PiiIpv4, "[IP]"),
-          PiiId, "[ID]"),
-        PiiPhone, "[PHONE]")
+          regexp_replace(text, PiiEmail, "[EMAIL]"),
+          PiiIpv4, "[IP]"),
+        PiiId, "[ID]"),
+      PiiPhone, "[PHONE]")
+
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val clean = piiCleanText(col("text"))
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_emails"),
