@@ -17,9 +17,15 @@ object Bench {
     // Catalyst prune final sorts and projections out of the measurement).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm the JVM/codegen once so measured times reflect steady state.
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => try exec(fn(spark, sfDir)) catch { case _: Throwable => () })
+    // Warm the JVM/codegen so measured times reflect steady state. Three
+    // passes, not one: q01 is also the FIRST measured query, and with a
+    // single warm-up its median still absorbed leftover JIT compilation
+    // (~3x its steady-state time).
+    SparkEntry.queries.get("q01_pricing_summary").foreach { fn =>
+      (0 until 3).foreach { _ =>
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+    }
     // Each query runs `iters` times and reports the MEDIAN: identical-code
     // rounds r3/r4 showed single-iteration times wobbling up to 3.9× —
     // a one-shot harness cannot detect a real 2× regression. A failed
