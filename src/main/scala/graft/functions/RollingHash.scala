@@ -83,6 +83,7 @@ object GraftFunctions {
   val BLOOM_AGG = "graft_bloom_agg"
   val BLOOM_MIGHT_CONTAIN = "graft_bloom_might_contain"
   val REPETITION_STATS = "graft_repetition_stats"
+  val DOC_PROFILE_STATS = "graft_doc_profile_stats"
   val ROW_TOP_K = "graft_row_top_k"
 
   /** Idempotent; register once per session, then use from Column API or
@@ -137,6 +138,8 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       REPETITION_STATS, exprs => RepetitionStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      DOC_PROFILE_STATS, exprs => DocProfileStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       ROW_TOP_K, exprs => RowTopK(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -201,6 +204,12 @@ object GraftFunctions {
     * RepetitionStats). */
   def repetitionStats(text: Column): Column =
     registered(REPETITION_STATS, text)
+
+  /** Doc-profile counters in one native pass: struct<n_tokens,
+    * token_len_sum, stopword_hits, en_hits, n_subtokens, alpha_chars>
+    * (see DocProfileStats). */
+  def docProfileStats(text: Column): Column =
+    registered(DOC_PROFILE_STATS, text)
 
   /** Bloom filter of a LONG column as a binary aggregate (Spark's
     * BloomFilterAggregate — mergeable, so partial aggregation applies;

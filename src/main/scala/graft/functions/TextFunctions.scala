@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Canonical stopword list — shared by the Column trees, the native
+    * DocProfileStats expression, and (via TextOps.DefaultStopwords) the
+    * DuckDB oracle SQL. */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Marker tokens for the 'en' language heuristic (langIdHeuristic). */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and")
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
@@ -64,7 +73,7 @@ object TextFunctions {
     val toks = tokens(lower(text))
     def hits(markers: Seq[String]): Column =
       size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
-    val en = hits(Seq("the", "a", "of", "and"))
+    val en = hits(EnMarkers)
     when(size(toks) === 0, lit("und"))
       .when(en > 0, lit("en"))
       .otherwise(lit("und"))

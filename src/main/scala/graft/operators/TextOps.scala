@@ -22,9 +22,10 @@ import graft.functions.{GraftFunctions, TextFunctions}
 object TextOps {
 
   /** Stopword list shared with the DuckDB oracle — keep in sync with
-    * SparkEntry.oracleSql. */
-  val DefaultStopwords: Seq[String] =
-    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    * SparkEntry.oracleSql. Canonical definition lives in TextFunctions
+    * (the native DocProfileStats expression needs it without a
+    * functions→operators dependency cycle). */
+  val DefaultStopwords: Seq[String] = TextFunctions.DefaultStopwords
 
   /** Corpus stats per source: doc/char/token totals (SURVEY §2.5 A1/A2
     * generalized to the documents table). */
@@ -62,18 +63,38 @@ object TextOps {
     * — drop it when composing into a pipeline. Every double column is a
     * single division of exact integers, so values are bit-identical
     * across engines and partitionings. */
-  def docProfile(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
-      TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe_est"),
-      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-      TextFunctions.meanTokenLength(col("text")).as("mean_token_len"),
-      TextFunctions.stopwordRatio(col("text"), DefaultStopwords)
-        .as("stopword_ratio"),
-      TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+  def docProfile(docs: DataFrame): DataFrame = {
+    // one native scan per row (graft_doc_profile_stats) computes every
+    // integer counter; the ratio divisions stay in the Column layer over
+    // those exact integers, so results are bit-identical to the portable
+    // HOF tree (equivalence pinned in TextOpsSpec + PropertySpec) and to
+    // the DuckDB oracle
+    val st = col("_st")
+    val nTok = st.getField("n_tokens")
+    docs
+      .select(col("doc_id"), col("text"),
+        GraftFunctions.docProfileStats(col("text")).as("_st"))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        st.getField("n_subtokens").as("n_subtokens"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe_est"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(st.getField("alpha_chars").cast("double") /
+            length(col("text")))
+          .as("alpha_ratio"),
+        when(nTok === 0L, lit(0.0))
+          .otherwise(st.getField("token_len_sum").cast("double") / nTok)
+          .as("mean_token_len"),
+        when(nTok === 0L, lit(0.0))
+          .otherwise(st.getField("stopword_hits").cast("double") / nTok)
+          .as("stopword_ratio"),
+        when(nTok === 0L, lit("und"))
+          .when(st.getField("en_hits") > 0L, lit("en"))
+          .otherwise(lit("und"))
+          .as("lang_guess"))
       .orderBy(col("doc_id"))
+  }
 
   /** Global token frequency, top k. The one genuinely data-sized shuffle
     * in this module: explode to (token) then hash-aggregate; partial

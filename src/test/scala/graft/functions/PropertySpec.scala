@@ -35,6 +35,43 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: DocProfileStats counters == HOF trees on arbitrary " +
+      "unicode docs (case mapping, surrogates, mixed separators)") {
+    val doc: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf("the", "a", "The", "cat", "X1", "d-e_f", "123"),
+      2 -> Gen.const(""),
+      1 -> unicodeString.map(_.replace(" ", ""))))
+      .map(_.mkString(" "))
+    val inputs = sample(doc, 200, 11L)
+    val st = GraftFunctions.docProfileStats(col("text"))
+    val toks = TextFunctions.tokens(col("text"))
+    val rows = inputs.toDF("text").select(
+      st.getField("n_tokens").as("na"),
+      size(toks).cast("long").as("ha"),
+      st.getField("token_len_sum").as("nb"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("hb"),
+      st.getField("stopword_hits").as("nc"),
+      size(filter(toks, t => array_contains(
+        array(TextFunctions.DefaultStopwords.map(lit): _*), t)))
+        .cast("long").as("hc"),
+      st.getField("en_hits").as("nd"),
+      size(filter(TextFunctions.tokens(lower(col("text"))),
+        t => array_contains(
+          array(TextFunctions.EnMarkers.map(lit): _*), t)))
+        .cast("long").as("hd"),
+      st.getField("n_subtokens").as("ne"),
+      TextFunctions.subTokenCount(col("text")).as("he"),
+      st.getField("alpha_chars").as("nf"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("long").as("hf")).collect()
+    rows.zip(inputs).foreach { case (r, s) =>
+      Seq("a", "b", "c", "d", "e", "f").foreach { k =>
+        assert(r.getAs[Long]("n" + k) == r.getAs[Long]("h" + k),
+          s"counter $k mismatch for '${s.take(60)}'")
+      }
+    }
+  }
+
   test("property: RepetitionStats == reference Scala counters on " +
       "arbitrary token sequences (incl. stutter-heavy)") {
     // small vocab + duplication bias so runs and repeated n-grams occur

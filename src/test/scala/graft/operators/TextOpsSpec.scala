@@ -104,6 +104,32 @@ class TextOpsSpec extends SparkSuite {
     assert(f("a") == "0.0")
   }
 
+  test("native DocProfileStats == portable HOF profile on the harness " +
+      "corpus and edge cases (all seven q26 columns)") {
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "The cat", "the a of and", "x1-y2_z3",
+      "ABC def 123", "  padded  the  ").zipWithIndex
+      .map { case (t, i) => (i.toLong + 1000L, t) }.toDF("doc_id", "text")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Seq(edge, corpus).foreach { docs =>
+      val native = TextOps.docProfile(docs).collect()
+      val hof = docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe_est"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_token_len"),
+        TextFunctions.stopwordRatio(col("text"), TextOps.DefaultStopwords)
+          .as("stopword_ratio"),
+        TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id")).collect()
+      assert(native.toSeq == hof.toSeq)
+    }
+  }
+
   test("native RepetitionStats == portable HOF metrics on the harness " +
       "corpus and edge cases") {
     import spark.implicits._
