@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    empties dropped); token lengths and alpha counts are CODE POINTS,
   *    matching Spark's length() (UTF8String.numChars), not UTF-16 units;
   *  - stopword hits match RAW tokens (stopwordRatio does not lowercase);
-  *  - en-marker hits and sub-tokens work on the LOWERED string via
-  *    String.toLowerCase() — the same call UTF8String.toLowerCase makes
-  *    for non-ASCII input, so the lowering agrees with Spark's lower()
-  *    in-JVM — split on runs outside [a-z0-9] exactly as the
+  *  - en-marker hits and sub-tokens work on the LOWERED string with
+  *    UTF8String.toLowerCase's exact branch (locale-independent ASCII
+  *    map for full-ASCII input; String.toLowerCase() otherwise), so the
+  *    lowering agrees with Spark's lower() in-JVM under ANY default
+  *    locale — split on runs outside [a-z0-9] exactly as the
   *    split(lower(text), "[^a-z0-9]+") tree does.
   *
   * The ratio divisions stay in the Column layer over these exact
@@ -106,10 +107,28 @@ object DocProfileStats {
         i = j
       }
     }
-    // pass 2 — LOWERED string (String.toLowerCase, the same call
-    // UTF8String.toLowerCase makes for non-ASCII): en-marker hits over
-    // its single-space tokens; sub-tokens = maximal [a-z0-9] runs
-    val lo = s.toLowerCase
+    // pass 2 — LOWERED string, replicating UTF8String.toLowerCase's
+    // branch exactly: full-ASCII input takes a locale-INDEPENDENT
+    // ASCII map (A-Z → a-z only), non-ASCII falls back to
+    // String.toLowerCase(). Calling String.toLowerCase unconditionally
+    // would diverge from Spark's lower() under tr/az default locales
+    // (ASCII 'I' → dotless 'ı'). En-marker hits over the lowered
+    // single-space tokens; sub-tokens = maximal [a-z0-9] runs
+    val lo = {
+      var k = 0
+      var ascii = true
+      while (ascii && k < len) { if (s.charAt(k) >= 0x80) ascii = false; k += 1 }
+      if (ascii) {
+        val b = new java.lang.StringBuilder(len)
+        k = 0
+        while (k < len) {
+          val c = s.charAt(k)
+          b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          k += 1
+        }
+        b.toString
+      } else s.toLowerCase
+    }
     val lolen = lo.length
     var enHits = 0L
     var nSub = 0L

@@ -30,8 +30,13 @@ object Curation {
   def pipeline(docs: DataFrame, packTokens: Long = 256L,
       minJ: Double = 0.7, bands: Int = 16): DataFrame = {
     val quality = TextOps.filterQuality(docs)
+    // persisted: the scrubbed frame feeds three plan consumers (LSH
+    // signatures, candidate verification re-shingle, final anti-join) —
+    // without it the gate + four-regex scrub re-run per consumer (same
+    // bounded cache-lifecycle note as NearDup.minHashLshPairs)
     val scrubbed = quality
       .withColumn("text", TextOps.piiCleanText(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = NearDup
       .minHashLshPairs(scrubbed, bands = bands, minJ = minJ)
       .select(col("a_id"), col("b_id"))

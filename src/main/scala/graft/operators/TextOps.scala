@@ -521,8 +521,12 @@ object TextOps {
       minDocs: Int = 3, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
     val mod = Long.MaxValue
+    // persisted: feeds both the bloom scalar subquery and the probe
+    // aggregate — the same two-consumer shape the exact twin persists
+    // for (without it the corpus re-shingles per consumer)
     val sh = docs.select(col("doc_id"),
       explode(GraftFunctions.shingleHashes(col("text"), n, mod)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)
       .agg(GraftFunctions.bloomAgg(col("sh"), expectedItems, numBits)
@@ -553,13 +557,16 @@ object TextOps {
     * columns — ONE definition shared by the q64 accounting aggregate and
     * the filterQuality pipeline stage (the Of-forms in turn share the
     * guard-and-divide oracle-parity logic with q26's docProfile). */
+  private val QToks = "__graft_q_toks"
+  private val QSt = "__graft_q_st"
+
   private def qualityFlags(
       minTokens: Long, maxTokens: Long,
       maxDupFrac: Double, maxRun: Long,
       swLo: Double, swHi: Double,
       mtlLo: Double, mtlHi: Double): (Column, Column, Column) = {
-    val toks = col("_toks")
-    val st = col("_st")
+    val toks = col(QToks)
+    val st = col(QSt)
     val nTok = size(toks).cast("long")
     val sw = TextFunctions.stopwordRatioOf(toks, DefaultStopwords)
     val mtl = TextFunctions.meanTokenLengthOf(toks)
@@ -572,16 +579,31 @@ object TextOps {
       sw >= swLo && sw <= swHi && mtl >= mtlLo && mtl <= mtlHi)
   }
 
-  private def withRuleColumns(docs: DataFrame): DataFrame =
+  private def withRuleColumns(docs: DataFrame): DataFrame = {
+    // collision-proofed internals: withColumn would silently overwrite a
+    // user column of the same name and filterQuality would then drop it
+    require(!docs.columns.contains(QToks) && !docs.columns.contains(QSt),
+      s"input must not carry reserved columns $QToks/$QSt")
     docs
-      .withColumn("_toks", TextFunctions.tokens(col("text")))
-      .withColumn("_st", GraftFunctions.repetitionStats(col("text")))
+      .withColumn(QToks, TextFunctions.tokens(col("text")))
+      .withColumn(QSt, GraftFunctions.repetitionStats(col("text")))
+  }
 
   /** Per-doc quality FILTER — the pipeline-stage form of the q64 gate:
     * keeps exactly the docs the gate counts as n_pass, preserving the
     * input schema. Map-side; composes in front of dedup/ingestion
     * (quality-filter THEN dedup is the standard curation order — see
-    * StreamingDedup's qualityFilter hook). */
+    * StreamingDedup's qualityFilter hook).
+    *
+    * The observe() between the rule projection and the filter is a
+    * PUSHDOWN BARRIER doing double duty: without it,
+    * PushPredicateThroughNonJoin inlines the token/stats aliases into
+    * the filter condition, re-evaluating split(text) ~14× and the
+    * repetition scan 4× per row (verified in the optimized plan); a
+    * CollectMetrics node is not a push-through case, so the flags are
+    * computed ONCE per row — and the metric it collects (rows entering
+    * the gate) is the pipeline-health count a curation run wants
+    * anyway, same observation pattern as EtlJob (SURVEY A5). */
   def filterQuality(docs: DataFrame,
       minTokens: Long = 30L, maxTokens: Long = 90L,
       maxDupFrac: Double = 0.05, maxRun: Long = 3L,
@@ -589,9 +611,14 @@ object TextOps {
       mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
     val (okLen, okRep, okQual) = qualityFlags(minTokens, maxTokens,
       maxDupFrac, maxRun, swLo, swHi, mtlLo, mtlHi)
+    // unique per call: CollectMetrics names must not collide if two
+    // gates land in one query (e.g. filtering both sides of a join)
+    val gateName = "quality_gate_" +
+      java.util.UUID.randomUUID().toString.take(8)
     withRuleColumns(docs)
+      .observe(gateName, count(lit(1)).as("rows_in"))
       .filter(okLen && okRep && okQual)
-      .drop("_toks", "_st")
+      .drop(QToks, QSt)
   }
 
   def qualityGate(docs: DataFrame,

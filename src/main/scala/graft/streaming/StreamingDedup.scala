@@ -123,13 +123,13 @@ object StreamingDedup {
     val s = batch.sparkSession
     // the batch is consumed by several joins below — pin it so the
     // streaming source isn't re-planned per consumer. The quality
-    // pre-filter (e.g. TextOps.filterQuality) runs FIRST — the standard
-    // curation order: rejected docs never reach dedup, the corpus, or
-    // the band index, so the filter also shrinks every later batch's
-    // probe work
-    val pinned = qualityFilter.foldLeft(batch.localCheckpoint()) {
-      (b, f) => f(b)
-    }
+    // pre-filter (e.g. TextOps.filterQuality) runs BEFORE the pin — the
+    // standard curation order: rejected docs never reach dedup, the
+    // corpus, or the band index (shrinking every later batch's probe
+    // work), and checkpointing the FILTERED frame means the gate runs
+    // once instead of per consumer and junk rows are never materialized
+    val pinned = qualityFilter.map(f => f(batch)).getOrElse(batch)
+      .localCheckpoint()
     val novel = novelDocs(pinned,
       readAccumulated(s, corpusPath, batchId),
       readAccumulated(s, bandIndexPath, batchId),
