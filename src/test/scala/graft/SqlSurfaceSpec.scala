@@ -41,6 +41,23 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT graft_collapse_runs(' x x  y ') AS cr").head.getStruct(0)
     assert(cr.getString(0) == "x y")
     assert(cr.getLong(1) == 3L && cr.getLong(2) == 2L)
+    // repetition counters: "a b a b b" → 4 bigrams ("a b"x2 top),
+    // 3 trigrams all distinct, trailing run of 2
+    val rs = spark.sql(
+      "SELECT graft_repetition_stats('a b a b b') AS rs").head.getStruct(0)
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 2L &&
+      rs.getLong(2) == 3L && rs.getLong(3) == 3L && rs.getLong(4) == 2L)
+    // doc-profile counters: 4 tokens (1 stopword "The"→lowered "the"
+    // marker hit), 3 sub-token runs in "x-1 y"
+    val dp = spark.sql(
+      "SELECT graft_doc_profile_stats('The cat x-1 y') AS dp")
+      .head.getStruct(0)
+    assert(dp.getLong(0) == 4L)   // n_tokens
+    assert(dp.getLong(1) == 10L)  // token_len_sum 3+3+3+1
+    assert(dp.getLong(2) == 0L)   // "The" != "the": raw stopword miss
+    assert(dp.getLong(3) == 1L)   // lowered "the" is an en marker
+    assert(dp.getLong(4) == 5L)   // the|cat|x|1|y sub-token runs
+    assert(dp.getLong(5) == 8L)   // T,h,e,c,a,t,x,y
     // whole-row bounded top-k: 2 smallest keys, payloads in key order
     val tk = spark.sql(
       """SELECT graft_row_top_k(v, s, 2) AS t FROM (
