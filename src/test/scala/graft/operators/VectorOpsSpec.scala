@@ -386,6 +386,41 @@ class VectorOpsSpec extends SparkSuite {
     }
   }
 
+  test("pqEncode positions == reference per-subspace L2 argmin on " +
+      "deterministic pseudo-random vectors (ties break to first)") {
+    val m = 2; val k = 4; val dim = 8
+    def prand(seed: Int): Float =
+      (((seed * 1103515245 + 12345) & 0x7fffffff) % 1000) / 500.0f - 1.0f
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, (0 until dim).map(d => prand(i * 31 + d)), i % 3)
+    }
+    val emb = vecDf(vecs)
+    val cb = VectorOps.pqTrain(emb, m = m, k = k, iters = 1)
+    // reference codebook layout: ascending (sub_id, code) = the packed
+    // position order
+    val packed = cb.collect()
+      .map(r => (r.getAs[Int]("sub_id"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toIndexedSeq))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq).toMap
+    val enc = VectorOps.pqEncode(emb, cb, m).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toIndexedSeq).toMap
+    vecs.foreach { case (id, v, _) =>
+      val sd = dim / m
+      (0 until m).foreach { s =>
+        val sub = v.slice(s * sd, (s + 1) * sd)
+        val dists = packed(s).map(c =>
+          sub.zip(c).map { case (a, b) =>
+            val d = a.toDouble - b.toDouble; d * d
+          }.sum)
+        val expect = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(enc(id)(s) == expect,
+          s"vec $id subspace $s: code ${enc(id)(s)} != argmin $expect")
+      }
+    }
+  }
+
   test("annPq on lossless clusters: ADC + re-rank returns the exact " +
       "neighbors (subspace centroids separate the planted clusters)") {
     // m=2 over dim 4; k=4 codes per subspace comfortably covers the 3
