@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is exactly what kept the
+// driver's tail-parse of Bench's JSON line failing even once the line
+// fit the capture window. StdoutOutput inherits the parent stdout
+// directly: Bench/Verify println lines arrive bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

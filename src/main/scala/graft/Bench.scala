@@ -26,29 +26,37 @@ object Bench {
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
-    // Each query runs `iters` times and reports the MEDIAN: identical-code
-    // rounds r3/r4 showed single-iteration times wobbling up to 3.9× —
-    // a one-shot harness cannot detect a real 2× regression. A failed
-    // query is recorded as NEGATIVE seconds (never as a fast success)
-    // and still counts toward the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until iters).map { _ =>
+    // INTERLEAVED passes: each pass runs the WHOLE query list once, and a
+    // query's report is the median of its per-pass times. Back-to-back
+    // per-query iterations (rounds ≤6) let one query's heap/GC debt land
+    // on the same alphabetical neighbor in every iteration — q56 swung
+    // 8.25× across rounds on byte-identical code because q55's 12.5M-pair
+    // cross join always immediately preceded it. Spreading a query's
+    // iterations across passes decorrelates its measurement from any
+    // single neighbor's JVM state. A failed run is recorded as NEGATIVE
+    // seconds (never as a fast success).
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Seq[Seq[Double]] = (0 until iters).map { _ =>
+      names.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        // isolate iterations/queries: several operators persist
-        // intermediate frames (LSH candidate/shingle tables); dropping
-        // them keeps each measurement independent of run order
+        // isolate queries: several operators persist intermediate frames
+        // (LSH candidate/shingle tables); dropping them keeps each
+        // measurement independent of run order
         spark.catalog.clearCache()
         if (ok) sec else -sec
       }
-      // median of SUCCESSFUL iterations only — mixing failure-elapsed and
+    }
+    val results = names.zipWithIndex.map { case ((name, _), qi) =>
+      val times = passes.map(_(qi))
+      // median of SUCCESSFUL passes only — mixing failure-elapsed and
       // success-elapsed magnitudes would report a number that is the
       // median of neither population for a flaky query. All-failed →
       // median of the failure elapses (the only data there is). The sign
-      // carries flakiness: any failed iteration negates the report, and
-      // the magnitude is floored at 1 ms so %.3f can never round a fast
+      // carries flakiness: any failed pass negates the report, and the
+      // magnitude is floored at 1 ms so %.3f can never round a fast
       // failure to "-0.000" (which JSON consumers read as a 0 s success).
       val succ = times.filter(_ >= 0)
       val pool = (if (succ.nonEmpty) succ else times.map(math.abs)).sorted
@@ -61,15 +69,19 @@ object Bench {
     // q01–q15 out of two consecutive rounds' grading artifacts.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // stdout gets the "q01"/"x11" prefix keys (the full-name map goes to
+    // target/bench.json) — assert the prefixes really are unique, because
+    // two queries sharing one (q66_a/q66_b) would silently emit duplicate
+    // JSON keys and one result would shadow the other in the artifact
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "short bench keys must be unique — rename the colliding query")
     def queriesJson(short: Boolean): String =
       results.map { case (k, v) =>
         // The driver keeps only the LAST 2000 chars of stdout, and a
         // 70+-entry map under full names (~25 chars each) has never fit —
-        // every round's grading artifact parsed null. stdout gets the
-        // "q01"/"x11" prefix (unique by construction); the full-name map
-        // is persisted to target/bench.json.
-        val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt(v)
+        // every pre-round-6 grading artifact parsed null.
+        "\"" + (if (short) shortKey(k) else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     def line(qs: String): String =
@@ -81,5 +93,13 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line(queriesJson(short = false)) + "\n")
     spark.stop()
+    // Re-print the short-key line as the ABSOLUTE last stdout act, after
+    // spark.stop(): round 6's line fit the driver's 2000-char tail but
+    // still parsed null because sbt's `[info] ` prefix and trailing
+    // shutdown/`[success]` noise bracketed it. System.out directly (not
+    // sbt's logger) and nothing after it is the best we control from
+    // inside the forked JVM.
+    System.out.println(line(queriesJson(short = true)))
+    System.out.flush()
   }
 }

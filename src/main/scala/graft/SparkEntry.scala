@@ -163,11 +163,17 @@ object SparkEntry {
     "q54_collapse_token_runs" -> ((s, d) =>
       TextOps.collapseTokenRuns(t(s, d, "documents"))),
     // Embedding-space analog of q49: exact cosine pairs → connected
-    // components → canonical-only embedding corpus.
-    "q55_embedding_dedup" -> ((s, d) =>
-      VectorOps.dedupEmbeddings(t(s, d, "embeddings"), 0.45)
+    // components → canonical-only embedding corpus. The EXACT quadratic
+    // pair source is opt-in here because the DuckDB oracle computes the
+    // all-pairs baseline; the no-arg dedupEmbeddings default is the LSH
+    // band join (x11's path — no cartesian, pinned in VectorOpsSpec).
+    "q55_embedding_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.dedupEmbeddings(emb, 0.45,
+        pairs = Some(VectorOps.pairsExact(emb, 0.45)))
         .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
     "q56_knn_label_vote" -> ((s, d) =>
       VectorOps.knnLabelVote(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),

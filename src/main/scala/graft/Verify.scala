@@ -10,9 +10,16 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       // drop empty prefixes ("q62,,q63" / a lone ","): startsWith("")
-      // is always true and would silently select every query
+      // is always true and would silently select every query. A prefix
+      // arg with NO non-empty entries (",") is a hard error — Some(Nil)
+      // would match nothing and the run would silently write an empty
+      // verify dir.
       case Array(a, b, p) =>
-        (a, b, Some(p.split(',').toSeq.filter(_.nonEmpty)))
+        val prefixes = p.split(',').toSeq.filter(_.nonEmpty)
+        if (prefixes.isEmpty) sys.error(
+          s"prefix filter '$p' contains no usable prefixes — " +
+            "omit the argument to run every query")
+        (a, b, Some(prefixes))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()

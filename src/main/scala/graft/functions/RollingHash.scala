@@ -85,6 +85,24 @@ object GraftFunctions {
   val REPETITION_STATS = "graft_repetition_stats"
   val DOC_PROFILE_STATS = "graft_doc_profile_stats"
   val ROW_TOP_K = "graft_row_top_k"
+  val PQ_SUB_ARGMIN = "graft_pq_sub_argmin"
+  val PQ_CODES = "graft_pq_codes"
+
+  /** Exact-arity guard for registered builders: without it SQL callers
+    * passing EXTRA arguments would have them silently dropped
+    * (`exprs.head` ignores the tail), and missing arguments would
+    * surface as a bare IndexOutOfBounds instead of an analysis-time
+    * arity message — the same rigor checkInputDataTypes applies to
+    * types, applied to argument count. */
+  private def arity(name: String, n: Int, exprs: Seq[Expression])
+      (build: Seq[Expression] => Expression): Expression = {
+    if (exprs.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> name, "expectedNum" -> n.toString,
+        "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    build(exprs)
+  }
 
   /** Idempotent; register once per session, then use from Column API or
     * SQL (`SELECT graft_rolling_hash(text) ...`). */
@@ -98,50 +116,82 @@ object GraftFunctions {
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(ROW_TOP_K))) return
     reg.createOrReplaceTempFunction(
-      ROLLING_HASH, exprs => RollingHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      VECTOR_DOT, exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MINHASH_SIG, exprs => MinHashSig(exprs(0), exprs(1), exprs(2)),
+      ROLLING_HASH,
+      exprs => arity(ROLLING_HASH, 1, exprs)(e => RollingHash(e.head)),
       "built-in")
     reg.createOrReplaceTempFunction(
-      SIMHASH, exprs => SimHash63(exprs.head), "built-in")
+      VECTOR_DOT,
+      exprs => arity(VECTOR_DOT, 2, exprs)(e => VectorDot(e(0), e(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH_SIG,
+      exprs => arity(MINHASH_SIG, 3, exprs)(e =>
+        MinHashSig(e(0), e(1), e(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      SIMHASH,
+      exprs => arity(SIMHASH, 1, exprs)(e => SimHash63(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
       SHINGLE_HASHES,
-      exprs => ShingleHashes(exprs(0), exprs(1), exprs(2)), "built-in")
+      exprs => arity(SHINGLE_HASHES, 3, exprs)(e =>
+        ShingleHashes(e(0), e(1), e(2))), "built-in")
     reg.createOrReplaceTempFunction(
-      TOP_K, exprs => BoundedTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+      TOP_K,
+      exprs => arity(TOP_K, 3, exprs)(e => BoundedTopK(e(0), e(1), e(2))),
+      "built-in")
     reg.createOrReplaceTempFunction(
       HYPERPLANE_BITS,
-      exprs => HyperplaneBits(exprs(0), exprs(1), exprs(2), exprs(3)),
+      exprs => arity(HYPERPLANE_BITS, 4, exprs)(e =>
+        HyperplaneBits(e(0), e(1), e(2), e(3))),
       "built-in")
     reg.createOrReplaceTempFunction(
-      MISRA_GRIES, exprs => MisraGries(exprs(0), exprs(1)), "built-in")
+      MISRA_GRIES,
+      exprs => arity(MISRA_GRIES, 2, exprs)(e => MisraGries(e(0), e(1))),
+      "built-in")
     reg.createOrReplaceTempFunction(
       NEAREST_CENTROID,
-      exprs => NearestCentroidIdx(exprs(0), exprs(1), exprs(2), exprs(3)),
+      exprs => arity(NEAREST_CENTROID, 4, exprs)(e =>
+        NearestCentroidIdx(e(0), e(1), e(2), e(3))),
       "built-in")
     reg.createOrReplaceTempFunction(
-      COLLAPSE_RUNS, exprs => CollapseRuns(exprs.head), "built-in")
+      COLLAPSE_RUNS,
+      exprs => arity(COLLAPSE_RUNS, 1, exprs)(e => CollapseRuns(e.head)),
+      "built-in")
     // Spark's own runtime-join-pruning bloom expressions, exposed at the
     // user level (they are public but unregistered — the optimizer
     // normally injects them itself in InjectRuntimeFilter)
     reg.createOrReplaceTempFunction(
       BLOOM_AGG,
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      exprs => arity(BLOOM_AGG, 3, exprs)(e =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(e(0), e(1), e(2))),
       "built-in")
     reg.createOrReplaceTempFunction(
       BLOOM_MIGHT_CONTAIN,
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
+      exprs => arity(BLOOM_MIGHT_CONTAIN, 2, exprs)(e =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(e(0), e(1))),
       "built-in")
     reg.createOrReplaceTempFunction(
-      REPETITION_STATS, exprs => RepetitionStats(exprs.head), "built-in")
+      REPETITION_STATS,
+      exprs => arity(REPETITION_STATS, 1, exprs)(e =>
+        RepetitionStats(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      DOC_PROFILE_STATS, exprs => DocProfileStats(exprs.head), "built-in")
+      DOC_PROFILE_STATS,
+      exprs => arity(DOC_PROFILE_STATS, 1, exprs)(e =>
+        DocProfileStats(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      ROW_TOP_K, exprs => RowTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+      PQ_SUB_ARGMIN,
+      exprs => arity(PQ_SUB_ARGMIN, 2, exprs)(e => PqSubArgmin(e(0), e(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      PQ_CODES,
+      exprs => arity(PQ_CODES, 2, exprs)(e => PqArgminCodes(e(0), e(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      ROW_TOP_K,
+      exprs => arity(ROW_TOP_K, 3, exprs)(e => RowTopK(e(0), e(1), e(2))),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -227,4 +277,14 @@ object GraftFunctions {
     * the rank-rewrite rule targets, usable directly too). */
   def rowTopK(orderKey: Column, value: Column, k: Int): Column =
     registered(ROW_TOP_K, orderKey, value, lit(k))
+
+  /** Nearest-centroid PQ code (array position) of one subvector by
+    * squared L2 (see PqSubArgmin); -1 for an empty centroid list. */
+  def pqSubArgmin(sv: Column, cents: Column): Column =
+    registered(PQ_SUB_ARGMIN, sv, cents)
+
+  /** All m PQ codes of a vector against the packed codebook in one
+    * native two-level loop (see PqArgminCodes). */
+  def pqCodes(vec: Column, codebook: Column): Column =
+    registered(PQ_CODES, vec, codebook)
 }

@@ -144,15 +144,18 @@ object VectorOps {
     * which modality produced it) → keep one canonical vector per
     * cluster (smallest vec_id) plus everything unpaired.
     *
-    * `pairs` defaults to the EXACT quadratic join (correctness
-    * baseline); pass cosineLshJoin(emb, threshold) — same (a_id, b_id)
-    * shape — for the 100 TB path: candidates from the band equi-join,
-    * exact-verified, so precision of the pair set is 1 either way and
-    * only recall is traded. Output: the surviving embedding rows,
-    * unchanged schema. */
+    * `pairs` defaults to the LSH band equi-join (cosineLshJoin with its
+    * default band layout) — the 100 TB path: candidates come from the
+    * banded signature join, never all-pairs, and every candidate is
+    * verified with the EXACT cosine, so the pair set's precision is 1
+    * and only recall is traded (floor pinned in VectorOpsSpec). For the
+    * exact quadratic baseline — the shape the DuckDB oracle computes —
+    * pass `pairs = Some(pairsExact(emb, threshold))` explicitly; the
+    * default API is deliberately the scale-safe one. Output: the
+    * surviving embedding rows, unchanged schema. */
   def dedupEmbeddings(emb: DataFrame, threshold: Double,
       pairs: Option[DataFrame] = None): DataFrame = {
-    val p = pairs.getOrElse(cosineSimilarityJoin(emb, threshold))
+    val p = pairs.getOrElse(cosineLshJoin(emb, threshold))
       .select(col("a_id"), col("b_id"))
     val clusters = NearDup.duplicateClusters(p)
     // one survivor-policy implementation: delegate to the text-side
@@ -161,6 +164,14 @@ object VectorOps {
       emb.withColumnRenamed("vec_id", "doc_id"), clusters)
       .withColumnRenamed("doc_id", "vec_id")
   }
+
+  /** The exact quadratic pair source for dedupEmbeddings, under the
+    * opt-in name: all-pairs cosine at the threshold. Use only at sizes
+    * where O(n²) is affordable (correctness baselining, sampled audits
+    * of the LSH default's recall) — the default dedupEmbeddings path is
+    * the banded LSH join. */
+  def pairsExact(emb: DataFrame, threshold: Double): DataFrame =
+    cosineSimilarityJoin(emb, threshold)
 
   /** kNN label vote — the embedding-quality eval primitive: for each
     * query vector, the majority label among its k nearest neighbors
@@ -335,28 +346,16 @@ object VectorOps {
   }
 
   // ------------------- Product quantization (PQ) -------------------
-
-  /** Squared L2 distance between two float vectors (double arithmetic).
-    * Interpreted HOF — runs per (row × centroid); at m=4/k=16 that is 64
-    * short folds per row, and the native-Expression upgrade path is the
-    * same one NearestCentroidIdx took for IVF. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, d) => acc + d)
-
-  /** 0-based position of the nearest (squared-L2) centroid in a packed
-    * sub-codebook. array_min over struct<d,i> orders by distance then
-    * position — deterministic first-min-wins ties. POSITION is the code:
-    * encode and the query LUT both index the same packed array, so a
-    * centroid losing every vector during training (k-means shrinkage)
-    * can never skew the numbering. */
-  private def argminPos(cents: Column, sv: Column): Column =
-    array_min(transform(cents, (c, i) =>
-      struct(l2sq(sv, c).as("d"), i.as("i")))).getField("i")
+  //
+  // The per-subvector argmin — the hot loop of both training assignment
+  // and encoding, the paths that touch every row of a 100 TB corpus —
+  // runs in the native codegen'd PqSubArgmin / PqArgminCodes
+  // expressions (graft.functions.PqArgmin; the same upgrade
+  // NearestCentroidIdx gave IVF). The replaced HOF tree evaluated m×k
+  // interpreted zip_with/aggregate folds per row; equivalence to that
+  // portable tree is property-pinned in PropertySpec, and position
+  // semantics (POSITION is the code, first-min ties — shrinkage-proof
+  // numbering) are documented on the expressions themselves.
 
   /** floor(dim/m) as an INT column — Column `/` is double division, and
     * feeding that to slice() would rely on implicit double→int narrowing
@@ -428,8 +427,8 @@ object VectorOps {
     (0 until iters).foreach { _ =>
       val assigned = sub
         .crossJoin(broadcast(packPq(cb)))
-        .withColumn("code",
-          argminPos(element_at(col("_cb"), col("sub_id") + 1), col("sv")))
+        .withColumn("code", GraftFunctions.pqSubArgmin(col("sv"),
+          element_at(col("_cb"), col("sub_id") + 1)))
       cb = meanBySubCode(assigned.select(col("sub_id"), col("code"),
         col("sv"))).localCheckpoint()
     }
@@ -443,18 +442,20 @@ object VectorOps {
     * the small int range). Pure
     * MAP-SIDE over the broadcast codebook — zero shuffles touch the
     * vector side (PlanSpec pins the x13 shape). */
-  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame =
-    pqEncodePacked(emb, packPq(codebook), m)
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    require(m > 0, "m must be positive")
+    pqEncodePacked(emb, packPq(codebook))
+  }
 
-  private def pqEncodePacked(emb: DataFrame, packed: DataFrame,
-      m: Int): DataFrame = {
-    val subDim = subDimOf(col("embedding"), m)
+  private def pqEncodePacked(emb: DataFrame,
+      packed: DataFrame): DataFrame = {
+    // m is implied by the packed codebook (size(_cb) == m for any
+    // packPq output built with the same m) — PqArgminCodes derives the
+    // subvector slicing from it natively, one two-level loop per row
     emb
       .crossJoin(broadcast(packed))
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          argminPos(element_at(col("_cb"), s + 1),
-            slice(col("embedding"), s * subDim + 1, subDim))).as("codes"),
+        GraftFunctions.pqCodes(col("embedding"), col("_cb")).as("codes"),
         norm(col("embedding")).as("emb_norm"))
   }
 
@@ -477,7 +478,7 @@ object VectorOps {
     // codebook plan, and an unmaterialized caller-supplied codebook
     // would otherwise compute twice
     val packed = packPq(cb)
-    val encoded = pqEncodePacked(emb, packed, m)
+    val encoded = pqEncodePacked(emb, packed)
     val subDim = subDimOf(col("q_emb"), m)
     val queriesRaw = emb
       .filter(col("vec_id").isin(queryIds: _*))

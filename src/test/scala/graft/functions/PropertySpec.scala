@@ -146,6 +146,54 @@ class PropertySpec extends SparkSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("property: PqArgminCodes / PqSubArgmin == portable argmin tree " +
+      "on random vectors and codebooks (coarse values force ties)") {
+    // The portable reference is the exact HOF tree the native
+    // expressions replaced (VectorOps pre-round-7): per-subspace
+    // zip_with/aggregate squared-L2 fold, array_min over struct<d,i>
+    // (first-min ties), slice-derived subvectors.
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double")
+          d * d
+        }),
+        lit(0.0), (acc, d) => acc + d)
+    def argminPos(cents: org.apache.spark.sql.Column,
+        sv: org.apache.spark.sql.Column) =
+      array_min(transform(cents, (c, i) =>
+        struct(l2sq(sv, c).as("d"), i.as("i")))).getField("i")
+    val m = 4
+    val dim = 8 // subDim = 2
+    // coarse value set → duplicate centroids and equidistant ties are
+    // common, exercising the first-min tie-break on both sides
+    val coarse = Gen.oneOf(-1.0f, 0.0f, 0.5f, 1.0f, 2.0f)
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim, coarse).map(_.toSeq)
+    val centGen: Gen[Seq[Float]] = Gen.listOfN(dim / m, coarse).map(_.toSeq)
+    val cbGen: Gen[Seq[Seq[Seq[Float]]]] =
+      Gen.listOfN(m, Gen.choose(1, 5).flatMap(k =>
+        Gen.listOfN(k, centGen).map(_.toSeq))).map(_.toSeq)
+    val inputs = sample(Gen.zip(vecGen, cbGen), 200, 11L)
+    val subDim = floor(size(col("embedding")) / m).cast("int")
+    val rows = inputs.toDF("embedding", "cb").select(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        argminPos(element_at(col("cb"), s + 1),
+          slice(col("embedding"), s * subDim + 1, subDim))).as("tree"),
+      GraftFunctions.pqCodes(col("embedding"), col("cb")).as("native"),
+      // the train-path scalar: subspace 0's argmin on the first slice
+      argminPos(element_at(col("cb"), 1),
+        slice(col("embedding"), lit(1), subDim)).as("tree0"),
+      GraftFunctions.pqSubArgmin(
+        slice(col("embedding"), lit(1), subDim),
+        element_at(col("cb"), 1)).as("native0")).collect()
+    rows.zip(inputs).foreach { case (r, (v, cb)) =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"codes mismatch for vec=$v cb=$cb")
+      assert(r.getInt(2) == r.getInt(3),
+        s"sub-argmin mismatch for vec=$v cb=${cb.head}")
+    }
+  }
+
   test("property: remuneration renders $min - $max for arbitrary ranges") {
     val range = Gen.zip(Gen.chooseNum(0, 900000), Gen.chooseNum(0, 900000))
     val cases = sample(range, 80, 4L)

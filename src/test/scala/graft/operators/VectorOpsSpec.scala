@@ -320,32 +320,39 @@ class VectorOpsSpec extends SparkSuite {
   }
 
   test("dedupEmbeddings: transitive cluster keeps only its min id; " +
-      "survivors below threshold pairwise; LSH pair source agrees on " +
-      "full-recall fixtures") {
+      "survivors below threshold pairwise; the no-arg DEFAULT is the " +
+      "LSH pair source and plans no cartesian product") {
     // clustered: labels 0/1/2 on orthogonal axes — same-label vectors
     // are near-identical (cos ~ 1), cross-label ~ 0. Each label forms
     // one 4-member cluster; survivor = min vec_id = 0, 1, 2.
-    val survivors = VectorOps.dedupEmbeddings(clustered, 0.9)
+    val exactDedup = VectorOps.dedupEmbeddings(clustered, 0.9,
+      pairs = Some(VectorOps.pairsExact(clustered, 0.9)))
+    val survivors = exactDedup
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(survivors == Set(0L, 1L, 2L))
     // no surviving pair is still a near-dup under the EXACT join
-    val residual = VectorOps.cosineSimilarityJoin(
-      VectorOps.dedupEmbeddings(clustered, 0.9), 0.9).count()
+    val residual = VectorOps.cosineSimilarityJoin(exactDedup, 0.9).count()
     assert(residual == 0L)
-    // swapping in the LSH pair source gives the same survivors here
+    // the DEFAULT (LSH-banded) pair source gives the same survivors here
     // (recall is full on these planted clusters — VectorOpsSpec's
-    // recall-floor test covers the general subset relation)
-    val viaLsh = VectorOps.dedupEmbeddings(clustered, 0.9,
-      pairs = Some(VectorOps.cosineLshJoin(clustered, 0.9)))
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(viaLsh == survivors)
+    // recall-floor test covers the general subset relation) ...
+    val default = VectorOps.dedupEmbeddings(clustered, 0.9)
+    assert(default.collect().map(_.getAs[Long]("vec_id")).toSet == survivors)
+    // ... and, the point of the default flip: a caller who doesn't pick
+    // a pair source gets the scale-safe plan — no cartesian product,
+    // no broadcast nested loop anywhere in the no-arg call's plan
+    val plan = default.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"default dedupEmbeddings must not plan a product join:\n$plan")
   }
 
   test("x11 end-to-end at sf0.01: LSH-pair dedup keeps every exact " +
       "survivor and removal recall stays >= 0.8") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val all = emb01.count()
-    val exact = VectorOps.dedupEmbeddings(emb01, 0.45)
+    val exact = VectorOps.dedupEmbeddings(emb01, 0.45,
+      pairs = Some(VectorOps.pairsExact(emb01, 0.45)))
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val viaLsh = VectorOps.dedupEmbeddings(emb01, 0.45,
       pairs = Some(VectorOps.cosineLshJoin(emb01, 0.45)))
