@@ -324,6 +324,14 @@ object SparkEntry {
     // dialect parity on the full corpus.
     "q65_pii_scrub" -> ((s, d) =>
       TextOps.scrubPii(t(s, d, "documents"))),
+    // Sharded packing (q53's billion-doc form): pack within
+    // (source, doc_id div 100), fresh pack per shard, GLOBAL pack ids
+    // via the tiny per-source shard-summary prefix sum. The only
+    // serialized window runs over shard summaries, never documents
+    // (PlanSpec pins no empty-partition window).
+    "q66_pack_sequences_sharded" -> ((s, d) =>
+      TextOps.packSequencesSharded(t(s, d, "documents"),
+        packTokens = 512L, shardDocs = 100L)),
     // Product-quantization ANN (ADC + exact re-rank): the compressed-
     // index answer to q30 — candidates scanned as m-int codes, top
     // refine·k re-scored exactly. Engine-seeded codebook → rows-only;
@@ -1077,5 +1085,30 @@ object SparkEntry {
            '(\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3}\)?[\- ]?[0-9]{3}-[0-9]{4})',
            '[PHONE]', 'g') AS clean_text
          FROM documents ORDER BY doc_id""",
+    "q66_pack_sequences_sharded" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT doc_id, source, n_tokens, doc_id // 100 AS shard
+           FROM t WHERE n_tokens > 0),
+         c AS (SELECT doc_id, source, shard, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source, shard
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS BIGINT) AS start_offset
+           FROM s),
+         b AS (SELECT source, shard,
+           CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_packs
+           FROM s GROUP BY source, shard),
+         o AS (SELECT source, shard,
+           CAST(COALESCE(sum(n_packs) OVER (PARTITION BY source
+             ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS pack_base
+           FROM b)
+         SELECT c.doc_id, c.source, c.shard, c.n_tokens, c.start_offset,
+           pack_base + start_offset // 512 AS pack_first,
+           pack_base + (start_offset + n_tokens - 1) // 512 AS pack_last
+         FROM c JOIN o ON c.source = o.source AND c.shard = o.shard
+         ORDER BY c.source, c.doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -27,15 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stages 1–2 (quality gate, then in-place PII scrub) as one map-side
+    * transform — the SHARED front half of the batch pipeline and of the
+    * streaming ingestion path (StreamingDedup.runCurationAvailableNow
+    * applies this per micro-batch, so streaming and batch curation run
+    * the identical gate and scrub, in the identical order: scrub AFTER
+    * the gate so rule statistics see the raw text, scrub BEFORE dedup
+    * so docs differing only in redacted PII collapse as near-dups). */
+  def prepare(docs: DataFrame): DataFrame =
+    TextOps.filterQuality(docs)
+      .withColumn("text", TextOps.piiCleanText(col("text")))
+
   def pipeline(docs: DataFrame, packTokens: Long = 256L,
       minJ: Double = 0.7, bands: Int = 16): DataFrame = {
-    val quality = TextOps.filterQuality(docs)
     // persisted: the scrubbed frame feeds three plan consumers (LSH
     // signatures, candidate verification re-shingle, final anti-join) —
     // without it the gate + four-regex scrub re-run per consumer (same
     // bounded cache-lifecycle note as NearDup.minHashLshPairs)
-    val scrubbed = quality
-      .withColumn("text", TextOps.piiCleanText(col("text")))
+    val scrubbed = prepare(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = NearDup
       .minHashLshPairs(scrubbed, bands = bands, minJ = minJ)

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * embarrassingly parallel over partitions at 100 TB; partitioning and
   * column pruning behave exactly as for any other binary column).
   *
-  * The actual codecs are STUBBED: this environment has no image/audio
-  * libraries, so `StubCodec` below is a deterministic fake standing in
-  * for (e.g.) javax.imageio / ffmpeg bindings. Every stub is marked; the
-  * operator signatures, schemas and batch shapes are what a real codec
-  * would plug into unchanged.
+  * Codecs: IMAGE payloads (`format` starting "image/") decode FOR REAL
+  * through the JDK's javax.imageio (`ImageIoCodec` — PNG/BMP/GIF/JPEG,
+  * no external dependency): luminance-histogram features over actual
+  * pixels, true decoded dimensions, real resampling + PNG re-encode.
+  * Audio/video and non-media payloads still go through the
+  * deterministic `StubCodec` fake (this environment has no
+  * libsndfile/ffmpeg); the stub boundary is marked, and the operator
+  * signatures, schemas and batch shapes are shared by both paths.
   */
 object Multimodal {
 
@@ -32,6 +35,74 @@ object Multimodal {
 
   /** One sampled frame (video stand-in): evenly-spaced binary chunk. */
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  // ------------------------------------------------------------ real codec
+
+  /** REAL image codec over the JDK's javax.imageio — decodes PNG, BMP,
+    * GIF and JPEG bytes with no external dependency. Used for records
+    * whose `format` declares an image MIME type; everything else falls
+    * back to StubCodec (format-gated so text/audio payloads never pay
+    * the ImageIO reader-registry probe per row). All methods are
+    * executor-side pure functions over the record's own bytes —
+    * map-side, no shared state, safe under any partitioning. */
+  object ImageIoCodec {
+    def isImage(format: String): Boolean =
+      format != null && format.startsWith("image/")
+
+    /** None when the bytes are not a decodable image (corrupt row —
+      * callers degrade to the stub rather than failing the partition,
+      * the same per-item error isolation the JSON ingest applies). */
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+
+    /** Luminance histogram over REAL pixels, folded to `dim` buckets and
+      * L1-normalized — same output contract as StubCodec.features (sums
+      * to ~1), computed from decoded image content: bucket =
+      * luma·dim/256 with ITU-R BT.601 integer luma (r·299+g·587+b·114)/1000. */
+    def features(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val counts = new Array[Int](dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          counts(luma * dim / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(1, w * h).toFloat
+      counts.map(_ / total)
+    }
+
+    /** Real resample to w×h (Java2D bilinear) re-encoded as PNG —
+      * lossless, so resize → decode → extract composes exactly. */
+    def resize(r: MediaRecord, img: java.awt.image.BufferedImage, w: Int,
+        h: Int): MediaRecord = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val bytes = bos.toByteArray
+      r.copy(content = bytes, format = "image/png",
+        n_bytes = bytes.length.toLong, width = w, height = h)
+    }
+  }
 
   // ------------------------------------------------------------ STUB codec
 
@@ -79,25 +150,46 @@ object Multimodal {
       (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"))
 
   /** Feature extraction: one iterator pass per partition (mapInPandas
-    * batch shape), decoding each record through the (stubbed) codec.
-    * Pure map side — no shuffle; scales with partition count. */
+    * batch shape). Image records decode through the REAL ImageIoCodec —
+    * features over actual pixels, dimensions from the decoded image
+    * (authoritative over declared metadata); everything else (and any
+    * corrupt image row) degrades to the stub. Pure map side — no
+    * shuffle; scales with partition count. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        MediaFeatures(r.doc_id, r.width, r.height,
-          StubCodec.features(r.content, dim))
+        val decoded =
+          if (ImageIoCodec.isImage(r.format)) ImageIoCodec.decode(r.content)
+          else None
+        decoded match {
+          case Some(img) =>
+            MediaFeatures(r.doc_id, img.getWidth, img.getHeight,
+              ImageIoCodec.features(img, dim))
+          case None =>
+            MediaFeatures(r.doc_id, r.width, r.height,
+              StubCodec.features(r.content, dim))
+        }
       }
     }
   }
 
   /** Resize: per-partition batch transform keeping the MediaRecord
-    * schema (so resize → decode → extract compose). */
+    * schema (so resize → decode → extract compose). Image records get a
+    * real Java2D resample re-encoded as PNG; others the stub. */
   def resize(spark: SparkSession, media: DataFrame, w: Int,
       h: Int): Dataset[MediaRecord] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(StubCodec.resize(_, w, h)))
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      val decoded =
+        if (ImageIoCodec.isImage(r.format)) ImageIoCodec.decode(r.content)
+        else None
+      decoded match {
+        case Some(img) => ImageIoCodec.resize(r, img, w, h)
+        case None => StubCodec.resize(r, w, h)
+      }
+    })
   }
 
   /** Frame sampling (video stand-in): n evenly-spaced fixed-size chunks

@@ -274,6 +274,68 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Sharded sequence packing — the billion-doc form of packSequences
+    * (whose class doc names this design): the per-source token stream is
+    * split into fixed `shardDocs`-wide doc_id ranges, documents pack
+    * WITHIN their (source, shard), and each shard begins a fresh pack —
+    * accepting up to packTokens−1 padding tokens at every shard
+    * boundary in exchange for a heavy window that parallelizes per
+    * shard instead of serializing each source's whole scan.
+    *
+    * Pack ids stay GLOBAL and deterministic: shard s's packs start at
+    * pack_base(s) = Σ over earlier shards of ceil(shard_tokens /
+    * packTokens). That prefix sum runs over SHARD SUMMARIES (n_docs /
+    * shardDocs rows — tiny), so the only serialized window in the plan
+    * touches a frame thousands of times smaller than the corpus; the
+    * doc-level running sum partitions by (source, shard) and the
+    * summary table broadcasts back onto the docs (AQE). Offsets are
+    * shard-local (the global stream is not contiguous across a padded
+    * boundary — by construction); reruns and engines agree exactly
+    * because shard assignment, in-shard order and pack arithmetic are
+    * all integer functions of (source, doc_id, n_tokens). */
+  def packSequencesSharded(docs: DataFrame, packTokens: Long,
+      shardDocs: Long): DataFrame = {
+    require(packTokens > 0, "packTokens must be positive")
+    require(shardDocs > 0, "shardDocs must be positive")
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // previous shards of the same source only: the frame excludes the
+    // current row, so shard 0's base is the coalesced 0
+    val wBase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", expr(s"doc_id div ${shardDocs}L"))
+    val local = toks.withColumn("start_offset",
+      sum(col("n_tokens")).over(wShard) - col("n_tokens"))
+    val bases = toks
+      .groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .withColumn("_packs",
+        expr(s"(_t + ${packTokens - 1}L) div ${packTokens}L"))
+      .withColumn("pack_base",
+        coalesce(sum(col("_packs")).over(wBase), lit(0L)))
+      .select(col("source"), col("shard"), col("pack_base"))
+    local
+      .join(bases, Seq("source", "shard"))
+      .withColumn("pack_first",
+        col("pack_base") + expr(s"start_offset div ${packTokens}L"))
+      .withColumn("pack_last",
+        col("pack_base") +
+          expr(s"(start_offset + n_tokens - 1L) div ${packTokens}L"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("pack_first"), col("pack_last"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Consecutive-duplicate token collapse ("run-length normalization"):
     * stuttered boilerplate like "batch batch batch" collapses to one
     * token — a standard cleanup pass before near-dup detection, since

@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,10 +28,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * fetch) — cluster-wide pacing needs an external token bucket, noted in
   * the option doc.
   *
-  * Output schema: (page INT, payload STRING) — raw page JSON, parsed
-  * downstream by Curate.fromPayloads through the usual explode/project
-  * plan, so the whole curation pipeline is shared with the driver-drain
-  * path.
+  * Output schema: (page INT, keyword STRING, location STRING,
+  * payload STRING) — `keyword`/`location` echo the API request
+  * parameters that produced each page, and `payload` is the raw page
+  * JSON, parsed downstream by Curate.fromPayloads through the usual
+  * explode/project plan, so the whole curation pipeline is shared with
+  * the driver-drain path.
+  *
+  * Filter pushdown (SupportsPushDownFilters): the search parameters are
+  * the API's OWN access path (the reference sends them as `Keyword` /
+  * `LocationName` request params rather than filtering responses), so a
+  * `filter()` on this frame must become part of the REQUEST, not a
+  * post-scan predicate over pages fetched with the default keyword:
+  *  - `keyword = 'x'` / `location = 'y'` equality becomes the request
+  *    parameter (overriding the reader option) and is fully consumed —
+  *    every produced row carries exactly that value;
+  *  - `page` equality/range bounds shrink the PLANNED partition set, so
+  *    fewer pages are fetched at all;
+  *  - contradictory equalities (`keyword='a' AND keyword='b'`) plan
+  *    zero partitions — no fetch, correctly empty;
+  *  - anything else is left to Spark as a residual filter over the
+  *    emitted columns.
+  * Pushed filters are surfaced in the scan's plan description
+  * (spec-pinned), column pruning via SupportsPushDownRequiredColumns as
+  * before.
   *
   * Transports (chosen from options, all executor-constructible):
   *  - `pages.dir`: directory of page-N.json fixture files (tests/replay);
@@ -52,6 +72,8 @@ class UsaJobsDataSource extends TableProvider with DataSourceRegister {
 object UsaJobsDataSource {
   val Schema: StructType = new StructType()
     .add("page", IntegerType, nullable = false)
+    .add("keyword", StringType, nullable = false)
+    .add("location", StringType, nullable = true)
     .add("payload", StringType, nullable = false)
 }
 
@@ -66,7 +88,7 @@ private[sources] class UsaJobsTable(props: Map[String, String])
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = props ++ options.asScala
     new ScanBuilder with Scan with Batch
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning pushed INTO the source: a projection that drops
       // `payload` (count-shaped reads, page inventories) never
       // materializes the page JSON into rows — the fetch itself still
@@ -76,16 +98,83 @@ private[sources] class UsaJobsTable(props: Map[String, String])
       private var required: StructType = UsaJobsDataSource.Schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+
+      // --- filter pushdown state (plan-time, driver-side) ---
+      // Equality constraints start from the reader options and tighten;
+      // `contradiction` records keyword='a' AND keyword='b' (plans zero
+      // partitions). Page bounds clip the 1..maxPages planning range.
+      private var keywordEq: Option[String] = None
+      private var locationEq: Option[String] = None
+      private var contradiction = false
+      private var pageLo = 1
+      private var pageHi = Int.MaxValue
+      private var accepted: Array[Filter] = Array.empty
+
+      private def tightenString(cur: Option[String],
+          v: String): Option[String] = cur match {
+        case Some(existing) if existing != v => contradiction = true; cur
+        case _ => Some(v)
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ours, residual) = filters.partition {
+          case EqualTo("keyword" | "location", _: String) => true
+          case EqualNullSafe("keyword" | "location", _: String) => true
+          case EqualTo("page", _: Int) => true
+          case LessThan("page", _: Int) => true
+          case LessThanOrEqual("page", _: Int) => true
+          case GreaterThan("page", _: Int) => true
+          case GreaterThanOrEqual("page", _: Int) => true
+          // page/keyword are non-nullable by schema: trivially true
+          case IsNotNull("page" | "keyword") => true
+          case _ => false
+        }
+        ours.foreach {
+          case EqualTo("keyword", v: String) =>
+            keywordEq = tightenString(keywordEq, v)
+          case EqualNullSafe("keyword", v: String) =>
+            keywordEq = tightenString(keywordEq, v)
+          case EqualTo("location", v: String) =>
+            locationEq = tightenString(locationEq, v)
+          case EqualNullSafe("location", v: String) =>
+            locationEq = tightenString(locationEq, v)
+          case EqualTo("page", v: Int) =>
+            pageLo = math.max(pageLo, v); pageHi = math.min(pageHi, v)
+          case LessThan("page", v: Int) =>
+            pageHi = math.min(pageHi, v - 1)
+          case LessThanOrEqual("page", v: Int) =>
+            pageHi = math.min(pageHi, v)
+          case GreaterThan("page", v: Int) =>
+            pageLo = math.max(pageLo, v + 1)
+          case GreaterThanOrEqual("page", v: Int) =>
+            pageLo = math.max(pageLo, v)
+          case _ => () // IsNotNull on non-nullable columns: no-op
+        }
+        accepted = ours
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = accepted
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
+      override def description(): String = {
+        val pushed =
+          if (accepted.isEmpty) "" else accepted.mkString(", ")
+        s"usajobs PushedFilters: [$pushed]"
+      }
 
       override def planInputPartitions(): Array[InputPartition] = {
         val maxPages = merged.getOrElse("maxpages", "20").toInt
-        (1 to maxPages).map(p =>
-          UsaJobsPagePartition(p,
-            merged.getOrElse("keyword", "data engineering"),
-            merged.get("location").filter(_.nonEmpty),
+        val lo = math.max(1, pageLo)
+        val hi = math.min(maxPages, pageHi)
+        if (contradiction || lo > hi) return Array.empty
+        val keyword = keywordEq
+          .orElse(merged.get("keyword")).getOrElse("data engineering")
+        val location = locationEq
+          .orElse(merged.get("location").filter(_.nonEmpty))
+        (lo to hi).map(p =>
+          UsaJobsPagePartition(p, keyword, location,
             merged.getOrElse("resultsperpage", "500").toInt,
             merged.get("pages.dir"),
             merged.get("api.key"),
@@ -142,6 +231,9 @@ private[sources] class UsaJobsReaderFactory(
       override def get(): InternalRow =
         InternalRow(requiredFields.map {
           case "page" => p.page
+          case "keyword" => UTF8String.fromString(p.keyword)
+          case "location" =>
+            p.location.map(UTF8String.fromString).orNull
           case "payload" => UTF8String.fromString(payload)
         }: _*)
 

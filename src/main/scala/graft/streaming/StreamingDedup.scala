@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.NearDup
+import graft.operators.{Curation, NearDup, TextOps}
 
 /** Streaming corpus ingestion with INCREMENTAL near-dup dedup — the
   * continuous form of the daily-batch shape in
@@ -110,6 +110,38 @@ object StreamingDedup {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Streaming form of Curation.pipeline — full parity with the batch
+    * curation order (gate → scrub → dedup → pack):
+    *
+    *  - per micro-batch, Curation.prepare applies the SAME quality gate
+    *    and in-place PII scrub the batch pipeline runs (scrub before
+    *    dedup, so docs differing only in redacted PII collapse), then
+    *    the incremental LSH dedup ingests the survivors;
+    *  - after the AvailableNow pass drains, the ACCUMULATED canonical
+    *    corpus is packed. Packing runs over the final state rather than
+    *    per batch for the same reason the batch pipeline packs LAST:
+    *    pack assignment is a whole-corpus, order-sensitive prefix sum —
+    *    a per-batch packing would renumber every time a later batch
+    *    lands. (For a corpus too large to renumber, packSequencesSharded
+    *    bounds the blast radius to a shard.)
+    *
+    * Returns the packed assignment over the accumulated corpus; with
+    * the same documents and batch split ordered by doc_id, its rows
+    * equal Curation.pipeline's (StreamingSpec pins the equality). */
+  def runCurationAvailableNow(spark: SparkSession, landingDir: String,
+      corpusPath: String, bandIndexPath: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      packTokens: Long = 256L, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJ: Double = 0.7): DataFrame = {
+    runAvailableNow(spark, landingDir, corpusPath, bandIndexPath,
+      checkpointDir, schema, n, numHashes, bands, minJ,
+      qualityFilter = Some(Curation.prepare(_)))
+    val corpus = readAccumulated(spark, corpusPath, excludeBatchId = -1L)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    TextOps.packSequences(corpus, packTokens)
   }
 
   /** One micro-batch's work — extracted so replay idempotence is

@@ -408,6 +408,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"PQ search shuffles must be candidate-bounded, got ${exchanges.size}")
   }
 
+  test("q66 sharded packing: every window is partitioned — the doc-level " +
+      "running sum keys on (source, shard), so no window serializes a " +
+      "whole source, let alone the corpus") {
+    val df = q("q66_pack_sequences_sharded")
+    df.collect()
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected window nodes in the packing plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window would serialize the corpus: $w"))
+    // the heavy (doc-level) window must key on BOTH source and shard —
+    // that is the parallelism claim of the sharded design
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "doc-level running sum must partition by (source, shard)")
+  }
+
   test("x14 bloom boilerplate: the probe side has NO join — the " +
       "vocabulary arrives as a scalar-subquery bitset") {
     val df = q("x14_boilerplate_bloom")

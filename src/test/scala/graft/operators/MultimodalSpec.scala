@@ -47,6 +47,66 @@ class MultimodalSpec extends SparkSuite {
     assert(f.features.length == 4)
   }
 
+  /** A real 2×2 PNG via the same JDK encoder executors use: black,
+    * white, red, blue pixels — known BT.601 lumas 0, 255, 76, 29. */
+  private def png2x2(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // black  → luma 0   → bucket 0 (dim=4)
+    img.setRGB(1, 0, 0xFFFFFF) // white  → luma 255 → bucket 3
+    img.setRGB(0, 1, 0xFF0000) // red    → luma 76  → bucket 1
+    img.setRGB(1, 1, 0x0000FF) // blue   → luma 29  → bucket 0
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: a 2×2 PNG extracts the exact pixel-luminance " +
+      "histogram and decoded dimensions override declared metadata") {
+    import spark.implicits._
+    val bytes = png2x2()
+    // declared 320×240 is WRONG on purpose: the decoded 2×2 must win
+    val mediaDf = Seq(
+      Multimodal.MediaRecord(1L, bytes, "image/png", bytes.length.toLong,
+        320, 240),
+      // a text row in the same frame keeps going through the stub
+      Multimodal.MediaRecord(2L, "hello".getBytes("UTF-8"), "text/utf-8",
+        5L, 320, 240)).toDF()
+    val feats = Multimodal.extractFeatures(spark, mediaDf, dim = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    val img = feats(1L)
+    assert(img.width == 2 && img.height == 2,
+      "decoded dimensions must come from the actual image")
+    // black+blue → bucket 0, red → bucket 1, white → bucket 3; 4 pixels
+    assert(img.features.toSeq == Seq(0.5f, 0.25f, 0.0f, 0.25f),
+      s"luminance histogram mismatch: ${img.features.toSeq}")
+    val txt = feats(2L)
+    assert(txt.width == 320 && txt.height == 240,
+      "non-image rows keep the stub path")
+    // corrupt image bytes degrade to the stub instead of failing the task
+    val corrupt = Seq(Multimodal.MediaRecord(3L,
+      Array[Byte](1, 2, 3), "image/png", 3L, 9, 9)).toDF()
+    val cf = Multimodal.extractFeatures(spark, corrupt, dim = 4).head()
+    assert(cf.width == 9 && math.abs(cf.features.sum - 1.0f) < 1e-3f)
+  }
+
+  test("real image resize: 2×2 PNG resampled to 1×1 re-encodes as a " +
+      "decodable PNG with true dimensions, and composes with extract") {
+    import spark.implicits._
+    val bytes = png2x2()
+    val mediaDf = Seq(Multimodal.MediaRecord(1L, bytes, "image/png",
+      bytes.length.toLong, 2, 2)).toDF()
+    val r = Multimodal.resize(spark, mediaDf, 1, 1).head()
+    assert(r.width == 1 && r.height == 1 && r.format == "image/png")
+    val round = Multimodal.ImageIoCodec.decode(r.content)
+    assert(round.exists(i => i.getWidth == 1 && i.getHeight == 1),
+      "resized payload must itself be a decodable PNG")
+    val f = Multimodal.extractFeatures(spark, Multimodal.resize(
+      spark, mediaDf, 1, 1).toDF(), dim = 4).head()
+    assert(f.width == 1 && f.height == 1 &&
+      math.abs(f.features.sum - 1.0f) < 1e-3f)
+  }
+
   test("frameSample: n evenly-spaced chunks, real byte slicing") {
     val frames = Multimodal.frameSample(spark, media, n = 5, frameBytes = 16)
       .collect()

@@ -513,6 +513,52 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("packSequencesSharded: one giant shard reproduces packSequences " +
+      "exactly; small shards keep global pack ids disjoint and " +
+      "monotone, with deterministic shard-boundary padding") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // degenerate sharding (every doc_id in shard 0) must equal the
+    // unsharded operator column-for-column — the padding-free base case
+    val unsharded = TextOps.packSequences(sfDocs, 64L).collect().toSeq
+    val one = TextOps.packSequencesSharded(sfDocs, 64L,
+      shardDocs = 1000000L).drop("shard").collect().toSeq
+    assert(one == unsharded)
+    // real sharding: within a source, shard s's packs end strictly
+    // before shard s+1's begin (fresh pack per shard), and pack_base
+    // follows the ceil prefix sum exactly
+    val sharded = TextOps.packSequencesSharded(sfDocs, 64L, shardDocs = 7L)
+      .collect()
+    sharded.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val byShard = rows.groupBy(_.getAs[Long]("shard")).toSeq.sortBy(_._1)
+      byShard.sliding(2).foreach {
+        case Seq((_, a), (_, b)) =>
+          val aMax = a.map(_.getAs[Long]("pack_last")).max
+          val bMin = b.map(_.getAs[Long]("pack_first")).min
+          assert(aMax < bMin,
+            s"shard packs must be disjoint: $aMax !< $bMin")
+          // fresh pack per shard: the next shard's first pack is exactly
+          // the prior base + ceil(shard tokens / packTokens)
+          val aTokens = a.map(_.getAs[Long]("n_tokens")).sum
+          val aBase = a.map(_.getAs[Long]("pack_first")).min
+          assert(bMin == aBase + (aTokens + 63L) / 64L)
+        case _ =>
+      }
+      // shard-local offsets remain gap-free in doc_id order
+      byShard.foreach { case (_, rows) =>
+        rows.sortBy(_.getAs[Long]("doc_id")).sliding(2).foreach {
+          case Array(p, n) =>
+            assert(n.getAs[Long]("start_offset") ==
+              p.getAs[Long]("start_offset") + p.getAs[Long]("n_tokens"))
+          case _ =>
+        }
+      }
+    }
+    // deterministic across input partitionings (the q66 contract)
+    val repart = TextOps.packSequencesSharded(sfDocs.repartition(13), 64L,
+      shardDocs = 7L).collect()
+    assert(sharded.toSeq == repart.toSeq)
+  }
+
   test("bigramFluency: hand-computed conditional probabilities, " +
       "in-order fold, short docs excluded") {
     import spark.implicits._

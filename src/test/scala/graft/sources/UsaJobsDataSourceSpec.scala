@@ -68,6 +68,53 @@ class UsaJobsDataSourceSpec extends SparkSuite {
       "$80,000 - $120,000 Per Year")
   }
 
+  test("filter pushdown: keyword/location equality becomes the API " +
+      "request parameter — rows echo it, the scan shows it pushed, and " +
+      "no residual Filter survives in the plan") {
+    val df = spark.read.format("usajobs")
+      .option("pages.dir", pagesDir(2))
+      .option("maxPages", "4")
+      .option("keyword", "default kw")
+      .load()
+      .filter(org.apache.spark.sql.functions.col("keyword") === "data science")
+      .filter(org.apache.spark.sql.functions.col("location") === "Texas")
+    val rows = df.collect()
+    // fixture transport ignores the request params, but the emitted
+    // columns ARE the request: every row must carry the pushed values
+    // (this is what makes full consumption semantically sound)
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("keyword") == "data science"))
+    assert(rows.forall(_.getAs[String]("location") == "Texas"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("keyword"),
+      s"pushed filters must be visible in the scan description: $plan")
+    assert(!plan.contains("FilterExec") &&
+      !plan.split('\n').exists(l => l.trim.startsWith("+- Filter") ||
+        l.trim.startsWith("Filter")),
+      s"consumed equality must leave no residual Filter: $plan")
+  }
+
+  test("filter pushdown: page bounds shrink the PLANNED partition set — " +
+      "fewer pages are fetched at all") {
+    import org.apache.spark.sql.functions.col
+    val dir = pagesDir(5)
+    def src = spark.read.format("usajobs")
+      .option("pages.dir", dir).option("maxPages", "5").load()
+    // page = 2 → exactly one partition planned (one fetch)
+    val one = src.filter(col("page") === 2)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getAs[Int]("page")).toSeq == Seq(2))
+    // 2 <= page < 5 → three partitions
+    val range = src.filter(col("page") >= 2 && col("page") < 5)
+    assert(range.rdd.getNumPartitions == 3)
+    assert(range.collect().map(_.getAs[Int]("page")).sorted.toSeq ==
+      Seq(2, 3, 4))
+    // contradictory equalities → zero partitions, correctly empty
+    val none = src.filter(col("keyword") === "a")
+      .filter(col("keyword") === "b")
+    assert(none.collect().isEmpty)
+  }
+
   test("live transport demands an api key") {
     val e = intercept[Exception] {
       spark.read.format("usajobs").option("maxPages", "1").load().collect()

@@ -300,4 +300,72 @@ class StreamingSpec extends SparkSuite {
       3, 64, 32, 0.7).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(direct == corpusIds)
   }
+
+  test("streaming curation (gate -> scrub -> dedup -> pack) across two " +
+      "passes == batch Curation.pipeline on the union") {
+    val landing = tmp("cl"); val ckpt = tmp("cc")
+    val corpus = tmp("ccorp") + "/c"; val bandIdx = tmp("cband") + "/b"
+    import spark.implicits._
+    // docs must pass the DEFAULT quality gate (30..90 unique-ish tokens,
+    // >=1 stopword); clusters are PAIRWISE similar and batches split in
+    // doc_id order, so greedy incremental dedup and the global CC agree
+    def mk(ts: String*): String = ts.mkString(" ")
+    val base = mk(("alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango the cedar birch maple aspen willow poplar hazel " +
+      "rowan alder laurel olive elm oak pine fir yew ash beech").split(' ')
+      .toIndexedSeq: _*) // 39 unique tokens incl "the"
+    val oneEdit = base.replace("november", "edited") // J = 38/40 >= 0.7
+    val other = mk(("zulu yankee xray whiskey victor uniform stone rock " +
+      "moon lake iron hill glass fire earth dust cloud brick mica sand " +
+      "and river delta2 canyon mesa butte ridge valley creek brook " +
+      "pond marsh fen bog heath moor dune reef atoll").split(' ')
+      .toIndexedSeq: _*)
+    val novel2 = mk(("red orange yellow green blue indigo violet umber " +
+      "teal navy coral pink white black gray silver gold bronze tin " +
+      "lead for crimson scarlet amber jade ruby pearl onyx topaz opal " +
+      "quartz slate copper brass nickel zinc iron2 steel").split(' ')
+      .toIndexedSeq: _*)
+    // identical after PII scrub, different before: scrub-before-dedup
+    // is what makes these collapse — on BOTH sides. Token set disjoint
+    // from every other cluster (sharing base's tokens would J-merge
+    // them into doc 1's cluster).
+    val pii = mk(("apple banana cherry damson elder fig grape guava " +
+      "kiwi lemon mango melon nectarine orange2 papaya peach pear plum " +
+      "quince raspberry of apricot currant date dewberry durian " +
+      "feijoa jackfruit jujube kumquat longan loquat lychee mulberry " +
+      "persimmon pomelo sapote soursop tamarind").split(' ')
+      .toIndexedSeq: _*)
+    val email1 = pii.replace("tamarind", "contact@example.com")
+    val email2 = pii.replace("tamarind", "other@sample.org")
+      .replace("apple", "apple2") // still J = 37/41 >= 0.7 post-scrub
+    val junk = Array.fill(40)("spam").mkString(" ")
+
+    val b1 = Seq((1L, base, "s1"), (2L, base, "s1"), (4L, junk, "s1"),
+      (10L, other, "s2")).toDF("doc_id", "text", "source")
+    val b2 = Seq((20L, oneEdit, "s1"), (21L, novel2, "s2"),
+      (22L, novel2, "s2"), (30L, email1, "s2"), (31L, email2, "s2"))
+      .toDF("doc_id", "text", "source")
+
+    b1.write.mode("append").parquet(landing)
+    StreamingDedup.runCurationAvailableNow(spark, landing, corpus,
+      bandIdx, ckpt, b1.schema, packTokens = 64L, bands = 32)
+    b2.write.mode("append").parquet(landing)
+    val streamed = StreamingDedup.runCurationAvailableNow(spark, landing,
+      corpus, bandIdx, ckpt, b1.schema, packTokens = 64L, bands = 32)
+
+    val batch = graft.operators.Curation.pipeline(b1.unionByName(b2),
+      packTokens = 64L, bands = 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "n_tokens", "start_offset",
+        "pack_first", "pack_last").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val s = rows(streamed)
+    assert(s == rows(batch),
+      s"streaming curation must equal the batch pipeline, got $s")
+    // sanity on the fixture's intent: junk gated out, all three clusters
+    // collapsed (incl. the PII-only-difference pair), packs assigned
+    assert(s.map(_._1) == Set(1L, 10L, 21L, 30L))
+  }
 }
