@@ -332,6 +332,17 @@ object SparkEntry {
     "q66_pack_sequences_sharded" -> ((s, d) =>
       TextOps.packSequencesSharded(t(s, d, "documents"),
         packTokens = 512L, shardDocs = 100L)),
+    // Near-containment pairs (overlap coefficient): the subset-copy
+    // detector Jaccard misses on size-skewed pairs; same inverted-index
+    // shape as q29.
+    "q67_containment_pairs" -> ((s, d) =>
+      NearDup.containmentPairs(t(s, d, "documents"), n = 3, minC = 0.8)),
+    // Data-mixture sampling: per-source keep-rates over the q42 content
+    // hash — deterministic, map-side.
+    "q68_sample_mixture" -> ((s, d) =>
+      TextOps.sampleMixture(s, t(s, d, "documents"),
+        Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25,
+          "src4" -> 10), defaultPct = 40)),
     // Product-quantization ANN (ADC + exact re-rank): the compressed-
     // index answer to q30 — candidates scanned as m-int codes, top
     // refine·k re-scored exactly. Engine-seeded codebook → rows-only;
@@ -1110,5 +1121,34 @@ object SparkEntry {
            pack_base + (start_offset + n_tokens - 1) // 512 AS pack_last
          FROM c JOIN o ON c.source = o.source AND c.shard = o.shard
          ORDER BY c.source, c.doc_id""",
+    "q67_containment_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS n_a, len(b.sh) AS n_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id,
+           CAST(common AS DOUBLE) / LEAST(n_a, n_b) AS containment
+         FROM p WHERE n_a > 0 AND n_b > 0
+           AND CAST(common AS DOUBLE) / LEAST(n_a, n_b) >= 0.8
+         ORDER BY a_id, b_id""",
+    "q68_sample_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''),
+                 ch -> CAST(unicode(ch) AS BIGINT))),
+             (acc, cp) -> (acc * 31 + cp) % 1000000007) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, source, bucket FROM b
+         WHERE bucket < CASE source
+           WHEN 'src0' THEN 100 WHEN 'src1' THEN 75 WHEN 'src2' THEN 50
+           WHEN 'src3' THEN 25 WHEN 'src4' THEN 10 ELSE 40 END
+         ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

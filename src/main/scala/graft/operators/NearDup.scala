@@ -73,7 +73,41 @@ object NearDup {
     * with a finite cap Jaccard is a lower bound (candidates may be lost,
     * never inflated). */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
-      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+      maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    pairCounts(docs, n, maxShingleFreq)
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Overlap-coefficient (Szymkiewicz–Simpson) pairs: common /
+    * min(|A|, |B|) ≥ minC — the near-CONTAINMENT detector. Jaccard
+    * under-scores a short document copied inside a much longer one
+    * (union is dominated by the longer side); the overlap coefficient
+    * scores a full subset-copy 1.0 regardless of the size ratio, which
+    * is exactly the quote/excerpt/boilerplate-inclusion duplication a
+    * Jaccard-thresholded pass misses. Same inverted-index equi-join
+    * shape and skew cap as jaccardPairs (never a cartesian product);
+    * overlap ≥ jaccard always, so this pair set is a superset of
+    * jaccardPairs' at the same threshold (NearDupSpec pins both
+    * properties). */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.8,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    pairCounts(docs, n, maxShingleFreq)
+      .withColumn("containment", col("common").cast("double") /
+        least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= minC)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Shared inverted-index pair mining for the exact similarity family:
+    * distinct-shingle postings (optionally frequency-capped — the skew
+    * guard), self-equi-joined on shingle hash, aggregated to one row
+    * per candidate pair with the intersection size and both set sizes.
+    * Only docs sharing ≥1 (admitted) shingle produce a row. */
+  private def pairCounts(docs: DataFrame, n: Int,
+      maxShingleFreq: Int): DataFrame = {
     val sh = shingleTable(docs, n)
     val counts = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
@@ -96,11 +130,6 @@ object NearDup {
         col("n_sh").as("n_a")), "a_id")
       .join(counts.select(col("doc_id").as("b_id"),
         col("n_sh").as("n_b")), "b_id")
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= minJ)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Train/test DECONTAMINATION: for every evaluation document, the

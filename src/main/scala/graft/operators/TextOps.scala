@@ -274,6 +274,42 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Deterministic data-MIXTURE sampling: keep each document with a
+    * per-source rate (percent), decided by the same content hash the
+    * train/val/test split uses — bucket = rollingHash(text) mod 100,
+    * keep iff bucket < rate(source). This is the "mixture weights"
+    * stage of a training-data pipeline (downsample the crawl, keep all
+    * of the curated sources) with every property that stage needs:
+    *  - deterministic and engine-independent (hash of the content, not
+    *    of partition/row position — reruns, retries and different
+    *    cluster layouts keep the same documents);
+    *  - consistent across stages (a doc's bucket equals its q42 split
+    *    bucket, so mixture sampling composes with splitting without
+    *    correlation surprises beyond the shared hash);
+    *  - pure MAP-SIDE: one codegen'd hash + one comparison per row,
+    *    zero shuffles before the output sort — at 100 TB this runs at
+    *    scan speed.
+    * Rates outside [0, 100] are rejected; unlisted sources use
+    * `defaultPct`. */
+  def sampleMixture(spark: SparkSession, docs: DataFrame,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "sampling rates are percentages in [0, 100]")
+    val bucket = pmod(GraftFunctions.rollingHash(spark, col("text")),
+      lit(100L))
+    // nested conditional over the (small, driver-side) rate map; keys
+    // are distinct so fold order does not matter
+    val rate = rates.foldLeft(lit(defaultPct)) {
+      case (acc, (src, pct)) =>
+        when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sharded sequence packing — the billion-doc form of packSequences
     * (whose class doc names this design): the per-source token stream is
     * split into fixed `shardDocs`-wide doc_id ranges, documents pack

@@ -56,6 +56,38 @@ class NearDupSpec extends SparkSuite {
     assert(!pairs.exists(r => r.getAs[Long]("b_id") == 4L))
   }
 
+  test("containmentPairs: a full subset-copy scores 1.0 where Jaccard " +
+      "misses it; overlap >= jaccard so q67 pairs superset q29 pairs") {
+    import spark.implicits._
+    // doc 2 = doc 1 quoted inside 3x unrelated padding: every shingle
+    // of 1 appears in 2 (containment 1.0), but the union is dominated
+    // by the padding so Jaccard is far below any dedup threshold
+    val short = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val pad1 = (1 to 24).map(i => s"pad$i").mkString(" ")
+    val pad2 = (25 to 48).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),
+      (2L, s"$pad1 $short $pad2"),
+      (3L, "totally different tokens here with no overlap at all")
+    ).toDF("doc_id", "text")
+    val cont = NearDup.containmentPairs(docs, n = 3, minC = 0.99)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Long]("a_id") == 1L &&
+      cont.head.getAs[Long]("b_id") == 2L)
+    assert(math.abs(cont.head.getAs[Double]("containment") - 1.0) < 1e-12)
+    // the same pair is invisible to Jaccard at the usual threshold:
+    // common = 6 (short's shingles), union ~ 6 + 52 - 6
+    assert(NearDup.jaccardPairs(docs, n = 3, minJ = 0.7).count() == 0L)
+    // superset relation at equal thresholds on the harness table
+    val j = NearDup.jaccardPairs(sfDocs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = NearDup.containmentPairs(sfDocs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j.subsetOf(c),
+      s"overlap >= jaccard must make q67 a superset: ${j -- c}")
+  }
+
   test("jaccardPairs maxShingleFreq drops ubiquitous shingles " +
       "from pair generation (skew guard)") {
     import spark.implicits._

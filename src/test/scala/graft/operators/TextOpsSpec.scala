@@ -513,6 +513,34 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("sampleMixture: rate 0 excludes, 100 keeps all, buckets match " +
+      "the split hash, and the sample is partitioning-independent") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("src0" -> 100, "src1" -> 0)
+    val out = TextOps.sampleMixture(spark, sfDocs, rates, defaultPct = 40)
+      .collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    val counts = sfDocs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 100: every src0 doc kept; rate 0: no src1 doc survives
+    assert(bySrc.get("src0").map(_.length.toLong) == counts.get("src0"))
+    assert(!bySrc.contains("src1"))
+    // default rate applies to unlisted sources, roughly proportionally
+    // (deterministic hash, not random — just sanity-bound it)
+    val src2Kept = bySrc.get("src2").map(_.length).getOrElse(0)
+    assert(src2Kept > 0 && src2Kept < counts("src2"))
+    // every kept row's bucket really is < its source's rate
+    out.foreach { r =>
+      val rate = rates.getOrElse(r.getAs[String]("source"), 40)
+      assert(r.getAs[Long]("bucket") < rate)
+    }
+    // deterministic under repartitioning (content hash, not position)
+    val re = TextOps.sampleMixture(spark, sfDocs.repartition(13), rates, 40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(re.toSeq == out.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
   test("packSequencesSharded: one giant shard reproduces packSequences " +
       "exactly; small shards keep global pack ids disjoint and " +
       "monotone, with deterministic shard-boundary padding") {
