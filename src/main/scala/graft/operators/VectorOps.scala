@@ -320,12 +320,26 @@ object VectorOps {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
-    // per-query probe list: nprobe nearest centroids, picked MAP-SIDE from
-    // the broadcast codebook (sort the per-row scored array, slice nprobe)
-    // — same zero-shuffle shape as ivfAssign, and array_sort on
-    // struct<negated sim, centroid_id> reproduces the previous
-    // (sim desc, centroid_id asc) window order exactly
-    val probes = queries.crossJoin(broadcast(packCentroids(centroids)))
+    val probes = probeTable(queries, centroids, nprobe)
+    // score only vectors in probed buckets; norms were computed once in
+    // ivfAssign and carried as emb_norm; rank via the bounded heap
+    val scored = indexed
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"),
+          col("emb_norm")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query probe list: nprobe nearest centroids, picked MAP-SIDE
+    * from the broadcast codebook (sort the per-row scored array, slice
+    * nprobe) — same zero-shuffle shape as ivfAssign; array_sort on
+    * struct<negated sim, centroid_id> gives (sim desc, centroid_id asc)
+    * order exactly. */
+  private def probeTable(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(packCentroids(centroids)))
       .select(col("q_id"), col("q_emb"), col("_qn"),
         explode(slice(
           array_sort(transform(col("_cents"), c =>
@@ -334,9 +348,42 @@ object VectorOps {
           1, nprobe)).as("_p"))
       .select(col("q_id"), col("q_emb"), col("_qn"),
         col("_p.centroid_id").as("bucket"))
-    // score only vectors in probed buckets; norms were computed once in
-    // ivfAssign and carried as emb_norm; rank via the bounded heap
-    val scored = indexed
+
+  /** Materialize the IVF index as BUCKET-PARTITIONED parquet — the
+    * 100 TB index layout: one directory per coarse centroid, so a
+    * search's bucket predicate becomes a PARTITION filter and unprobed
+    * buckets are never opened, let alone scanned. Assignment is the
+    * zero-shuffle ivfAssign map pass; the write's only movement is the
+    * file commit itself. */
+  def writeIvfIndex(emb: DataFrame, centroids: DataFrame,
+      path: String): Unit =
+    ivfAssign(emb, centroids)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** IVF top-k search against the MATERIALIZED index: probes are picked
+    * map-side from the broadcast codebook (identical to annIvf), the
+    * probed bucket set — ≤ |queries|·nprobe values, tiny by the ANN
+    * contract — is collected and applied as a literal partition filter,
+    * so the scan reads ONLY the probed directories (PartitionFilters in
+    * the plan; VectorOpsSpec proves it by corrupting an unprobed bucket
+    * and searching anyway). At a query volume where that driver collect
+    * matters, the broadcast-join form with dynamic partition pruning is
+    * the drop-in replacement. Scores/ranks are identical to annIvf over
+    * the same codebook and nprobe (exact within probed buckets). */
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queryDocs: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int, centroids: DataFrame): DataFrame = {
+    val queries = queryDocs
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
+    val probes = probeTable(queries, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.get(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    val scored = idx
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

@@ -9,7 +9,8 @@ import graft.functions.VectorFunctions
 /** Vector math goldens + ANN operators over synthetic clustered vectors
   * (where correct answers are known analytically) and the harness
   * embeddings table (shape/consistency checks). */
-class VectorOpsSpec extends SparkSuite {
+class VectorOpsSpec extends SparkSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def vecDf(rows: Seq[(Long, Seq[Float], Int)]): DataFrame = {
     import spark.implicits._
@@ -317,6 +318,40 @@ class VectorOpsSpec extends SparkSuite {
     val brute = VectorOps.annBruteForce(sfEmb, qIds, k = 5).collect()
     assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("materialized IVF index: search scans ONLY the probed bucket " +
+      "partitions (partition pruning, metric-verified) and returns " +
+      "annIvf's exact results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val centroids = VectorOps.labelCentroids(clustered)
+    VectorOps.writeIvfIndex(clustered, centroids, dir)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(bucketDirs == Set("bucket=0", "bucket=1", "bucket=2"))
+    // queries 0 and 3 are both label 0; nprobe=1 probes exactly bucket 0
+    val qIds = Seq(0L, 3L)
+    val res = VectorOps.annIvfIndexed(spark, dir, clustered, qIds,
+      k = 3, nprobe = 1, centroids)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = VectorOps.annIvf(clustered, qIds, k = 3, nprobe = 1,
+      codebook = Some(centroids)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == direct.toSeq,
+      "indexed search must rank exactly as the in-memory IVF")
+    // the scan carried a PARTITION filter and read 1 of the 3 buckets
+    val scans = collectWithSubqueries(res.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("ivf_idx")) => s
+    }
+    assert(scans.nonEmpty, "expected the index scan in the plan")
+    val scan = scans.head
+    assert(scan.metadata.get("PartitionFilters")
+      .exists(_.contains("bucket")),
+      s"bucket membership must be a partition filter: ${scan.metadata}")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.contains(1L),
+      s"must read exactly the probed bucket partition, read $partsRead")
   }
 
   test("dedupEmbeddings: transitive cluster keeps only its min id; " +
