@@ -350,6 +350,17 @@ object SparkEntry {
     "x13_ann_pq" -> ((s, d) =>
       VectorOps.annPq(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
+    // Incremental EMBEDDING near-dup (x09's shape in vector space): a
+    // 10% increment probed against the other 90% through its persisted
+    // hyperplane band index. Engine-seeded planes → rows-only; the
+    // cross-side-of-union equivalence is pinned in VectorOpsSpec.
+    "x16_incremental_cosine_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      VectorOps.cosineLshJoinAgainst(
+        emb.filter(col("vec_id") % 10 === 0), corpus, 0.45,
+        corpusBands = Some(VectorOps.hyperplaneBandTable(corpus)))
+    }),
   )
 
   // DuckDB-exactness conventions used below:

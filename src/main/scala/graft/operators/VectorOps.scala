@@ -107,6 +107,17 @@ object VectorOps {
     * `maxBandFreq` caps the size of a (band, bits) group admitted to
     * pair generation (NearDup.capBandGroups semantics — the skew guard
     * for duplicate-heavy or low-entropy-band corpora). */
+  /** The persistable cosine-LSH index rows for an embedding corpus:
+    * (vec_id, band, bits) under the engine's fixed hyperplane seed —
+    * what cosineLshJoin bands internally, exposed so an accumulating
+    * pipeline can write the index once and probe it per increment
+    * (cosineLshJoinAgainst) instead of re-hashing the corpus. */
+  def hyperplaneBandTable(emb: DataFrame, bands: Int = 12,
+      rowsPerBand: Int = 3): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(GraftFunctions.hyperplaneBits(col("embedding"), bands,
+        rowsPerBand, 0x5eedL)).as(Seq("band", "bits")))
+
   def cosineLshJoin(emb: DataFrame, threshold: Double, bands: Int = 12,
       rowsPerBand: Int = 3, maxBandFreq: Int = Int.MaxValue): DataFrame = {
     require(maxBandFreq >= 2, "maxBandFreq < 2 would drop every pair")
@@ -114,9 +125,7 @@ object VectorOps {
     // the pair dedup shuffle narrow rows; embeddings re-join afterwards
     // (two hash joins on vec_id) for the exact verification
     val banded = NearDup.capBandGroups(
-      emb.select(col("vec_id"),
-        posexplode(GraftFunctions.hyperplaneBits(col("embedding"), bands,
-          rowsPerBand, 0x5eedL)).as(Seq("band", "bits"))),
+      hyperplaneBandTable(emb, bands, rowsPerBand),
       Seq("band", "bits"), maxBandFreq)
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -136,6 +145,46 @@ object VectorOps {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Incremental cosine near-dup: NEW vectors probed AGAINST an
+    * accumulated corpus via its (optionally persisted) hyperplane band
+    * index — the embedding analog of NearDup.minHashLshPairsAgainst
+    * (the continuous-ingestion shape: per-increment cost ∝ increment,
+    * never corpus²). Candidates come from the (band, bits) equi-join of
+    * the increment's bands against the index; every candidate is
+    * verified with the EXACT cosine, so precision is 1 and the pair set
+    * equals cosineLshJoin over the union restricted to cross pairs
+    * (VectorOpsSpec pins the equivalence — same seed, so a vector's
+    * signature is identical on both paths). Corpus embeddings are
+    * touched only to verify candidates (hash join on vec_id). */
+  def cosineLshJoinAgainst(newEmb: DataFrame, corpusEmb: DataFrame,
+      threshold: Double, corpusBands: Option[DataFrame] = None,
+      bands: Int = 12, rowsPerBand: Int = 3,
+      maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxBandFreq >= 2, "maxBandFreq < 2 would drop every pair")
+    val newBands = hyperplaneBandTable(newEmb, bands, rowsPerBand)
+    val corpus = NearDup.capBandGroups(
+      corpusBands.getOrElse(hyperplaneBandTable(corpusEmb, bands,
+        rowsPerBand)),
+      Seq("band", "bits"), maxBandFreq)
+    val candidates = newBands.as("x")
+      .join(corpus.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits"))
+      .select(col("x.vec_id").as("new_id"), col("y.vec_id").as("corpus_id"))
+      .distinct()
+    val a = newEmb.select(col("vec_id").as("new_id"),
+      col("embedding").as("e_a"), norm(col("embedding")).as("_na"))
+    val b = corpusEmb.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("e_b"), norm(col("embedding")).as("_nb"))
+    candidates
+      .join(a, "new_id")
+      .join(b, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        cosPre(dot(col("e_a"), col("e_b")), col("_na"), col("_nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   /** End-to-end EMBEDDING dedup: cosine near-dup pairs → connected

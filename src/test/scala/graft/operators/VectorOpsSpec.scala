@@ -320,6 +320,32 @@ class VectorOpsSpec extends SparkSuite
       brute.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("cosineLshJoinAgainst == cosineLshJoin on the union restricted " +
+      "to cross pairs; persisted band index path identical (sf0.001)") {
+    val newSide = sfEmb.filter(col("vec_id") % 10 === 0)
+    val corpus = sfEmb.filter(col("vec_id") % 10 =!= 0)
+    val incr = VectorOps.cosineLshJoinAgainst(newSide, corpus, 0.45)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // full-union pairs, kept only when the sides straddle the split
+    val full = VectorOps.cosineLshJoin(sfEmb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .toSet
+    assert(incr == full,
+      s"incremental probe must equal union cross pairs; " +
+        s"only-incr=${incr -- full} only-full=${full -- incr}")
+    // probing a PRE-BUILT index gives byte-identical rows (the seed is
+    // the engine's: signatures agree between build and probe time)
+    val viaIndex = VectorOps.cosineLshJoinAgainst(newSide, corpus, 0.45,
+      corpusBands = Some(VectorOps.hyperplaneBandTable(corpus)))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(viaIndex == incr)
+  }
+
   test("materialized IVF index: search scans ONLY the probed bucket " +
       "partitions (partition pruning, metric-verified) and returns " +
       "annIvf's exact results") {
