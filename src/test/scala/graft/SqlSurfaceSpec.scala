@@ -25,6 +25,21 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(viaSql.map(_.toSeq).toSeq == viaOps.map(_.toSeq).toSeq)
   }
 
+  test("registered builders validate arity at analysis time: extra " +
+      "arguments are an error, never silently dropped") {
+    ready
+    // pre-guard, graft_rolling_hash('a','b') ran on 'a' and ignored 'b'
+    val extra = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_rolling_hash('a', 'b')").collect()
+    }
+    assert(extra.getMessage.contains("graft_rolling_hash"))
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vector_dot(array(CAST(1.0 AS FLOAT)))")
+        .collect()
+    }
+    assert(missing.getMessage.contains("graft_vector_dot"))
+  }
+
   test("native functions are callable from SQL") {
     ready
     val row = spark.sql(
