@@ -36,7 +36,7 @@ import graft.operators.{Curation, NearDup, TextOps}
   */
 object StreamingDedup {
 
-  private def subdir(root: String, batchId: Long): String =
+  private[streaming] def subdir(root: String, batchId: Long): String =
     s"$root/batch=$batchId"
 
   /** Accumulated state = the union of every batch subdirectory EXCEPT
@@ -48,7 +48,7 @@ object StreamingDedup {
     * FileSystem of the path (java.io.File would silently report
     * non-local prefixes — s3://, hdfs:// — as absent and skip corpus
     * dedup entirely). */
-  private def readAccumulated(spark: SparkSession, root: String,
+  private[streaming] def readAccumulated(spark: SparkSession, root: String,
       excludeBatchId: Long): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.VectorOps
+
+/** Streaming EMBEDDING ingestion with incremental cosine near-dup
+  * dedup — the vector-space twin of StreamingDedup (SURVEY L58 over
+  * L13/L27's layout): embedding rows land as parquet files, and each
+  * micro-batch is
+  *
+  *  1. deduplicated WITHIN itself (cosine-LSH pairs → connected
+  *     components → canonical min-id survivor — dedupEmbeddings'
+  *     default path; a batch is small, so this is cheap), then
+  *  2. probed against the ACCUMULATED corpus via its persisted
+  *     hyperplane band index (cosineLshJoinAgainst — cost ∝ batch,
+  *     never corpus²; corpus embeddings are only joined for candidate
+  *     verification), then
+  *  3. surviving novel vectors append to the corpus alongside their
+  *     band rows (hyperplaneBandTable), so the next batch probes an
+  *     index that already covers this one.
+  *
+  * Exactly-once follows StreamingDedup's idempotent-foreachBatch
+  * layout verbatim: every output lands in a `batch=<id>` subdirectory
+  * with mode Overwrite, and the accumulated read EXCLUDES the batch
+  * being (re)written, so a checkpoint-retry replay overwrites its own
+  * output instead of duplicating it or self-deduplicating to nothing.
+  *
+  * At 100 TB the band index is what makes this sustainable: the full
+  * embedding corpus is never re-hashed per batch — band signatures are
+  * computed once at ingestion and persisted as plain parquet.
+  */
+object StreamingEmbeddingDedup {
+
+  /** Dedup one closed batch against itself and (if present) the
+    * accumulated corpus; returns the novel canonical vectors. Pure
+    * batch logic — shared by the foreachBatch body and direct callers. */
+  private[streaming] def novelVectors(batch: DataFrame,
+      corpus: Option[DataFrame], corpusBands: Option[DataFrame],
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    val canon = VectorOps.dedupEmbeddings(batch, threshold,
+      pairs = Some(VectorOps.cosineLshJoin(batch, threshold, bands,
+        rowsPerBand)))
+    corpus match {
+      case None => canon
+      case Some(c) =>
+        val dupOfCorpus = VectorOps.cosineLshJoinAgainst(canon, c,
+          threshold, corpusBands, bands, rowsPerBand)
+          .select(col("new_id").as("vec_id")).distinct()
+        canon.join(dupOfCorpus, Seq("vec_id"), "left_anti")
+    }
+  }
+
+  /** Run one AvailableNow pass over a landing directory of parquet
+    * embedding files: land → in-batch dedup → corpus probe → append
+    * novel vectors + their band rows. Returns after the pass completes.
+    * `schema` must cover at least (vec_id LONG, embedding ARRAY<FLOAT>). */
+  def runAvailableNow(spark: SparkSession, landingDir: String,
+      corpusPath: String, bandIndexPath: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      threshold: Double = 0.9, bands: Int = 12, rowsPerBand: Int = 3)
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, corpusPath, bandIndexPath,
+            threshold, bands, rowsPerBand)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** One micro-batch's work — extracted so replay idempotence is
+    * directly testable. Accumulated reads EXCLUDE this batchId's own
+    * subdirectories (StreamingDedup.readAccumulated's contract). */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      corpusPath: String, bandIndexPath: String, threshold: Double,
+      bands: Int, rowsPerBand: Int): Unit = {
+    val s = batch.sparkSession
+    // pin the streamed batch: it feeds the LSH self-join, the corpus
+    // probe and the final anti-join
+    val pinned = batch.localCheckpoint()
+    val novel = novelVectors(pinned,
+      StreamingDedup.readAccumulated(s, corpusPath, batchId),
+      StreamingDedup.readAccumulated(s, bandIndexPath, batchId),
+      threshold, bands, rowsPerBand)
+      .localCheckpoint() // band rows below must see the SAME survivors
+    novel.write.mode("overwrite")
+      .parquet(StreamingDedup.subdir(corpusPath, batchId))
+    VectorOps.hyperplaneBandTable(novel, bands, rowsPerBand)
+      .write.mode("overwrite")
+      .parquet(StreamingDedup.subdir(bandIndexPath, batchId))
+  }
+}

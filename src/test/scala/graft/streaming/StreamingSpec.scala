@@ -301,6 +301,55 @@ class StreamingSpec extends SparkSuite {
     assert(direct == corpusIds)
   }
 
+  test("streaming embedding ingestion: in-batch collapse, corpus probe " +
+      "across micro-batches, band index tracks the corpus, replay " +
+      "idempotent") {
+    val landing = tmp("el"); val ckpt = tmp("ec")
+    val corpus = tmp("ecorp") + "/c"; val bandIdx = tmp("eband") + "/b"
+    import spark.implicits._
+    def vec(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a(3) = eps; a.toSeq
+    }
+    // batch 1: 1 and 2 identical (in-batch cluster), 10 orthogonal
+    val b1 = Seq((1L, vec(0, 0f), 0), (2L, vec(0, 0f), 0),
+      (10L, vec(1, 0f), 1)).toDF("vec_id", "embedding", "label")
+    b1.write.mode("append").parquet(landing)
+    StreamingEmbeddingDedup.runAvailableNow(spark, landing, corpus,
+      bandIdx, ckpt, b1.schema, threshold = 0.9)
+    val after1 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(after1 == Set(1L, 10L))
+    // batch 2: 20 near-dups corpus vec 1 (cos ~ 0.99995); 21/22 are a
+    // novel in-batch pair on a fresh axis
+    val b2 = Seq((20L, vec(0, 0.01f), 0), (21L, vec(2, 0f), 2),
+      (22L, vec(2, 0f), 2)).toDF("vec_id", "embedding", "label")
+    b2.write.mode("append").parquet(landing)
+    StreamingEmbeddingDedup.runAvailableNow(spark, landing, corpus,
+      bandIdx, ckpt, b1.schema, threshold = 0.9)
+    val after2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(after2 == Set(1L, 10L, 21L),
+      s"corpus near-dup and in-batch dup must be dropped, got $after2")
+    // the band index covers exactly the accumulated corpus
+    val idxIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(bandIdx).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(idxIds == after2)
+    // parity with the direct two-step batch computation
+    val d1 = StreamingEmbeddingDedup.novelVectors(b1, None, None,
+      0.9, 12, 3)
+    val d2 = StreamingEmbeddingDedup.novelVectors(b2, Some(d1), None,
+      0.9, 12, 3)
+    assert((d1.collect() ++ d2.collect())
+      .map(_.getAs[Long]("vec_id")).toSet == after2)
+    // replay of batch 1 (crash-retry) must not see its own output
+    StreamingEmbeddingDedup.processBatch(b2, batchId = 1L, corpus,
+      bandIdx, 0.9, 12, 3)
+    val afterReplay = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(afterReplay == after2,
+      s"replay of batch 1 changed the corpus: $afterReplay")
+  }
+
   test("streaming curation (gate -> scrub -> dedup -> pack) across two " +
       "passes == batch Curation.pipeline on the union") {
     val landing = tmp("cl"); val ckpt = tmp("cc")
