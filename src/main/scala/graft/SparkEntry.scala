@@ -332,6 +332,10 @@ object SparkEntry {
     "q66_pack_sequences_sharded" -> ((s, d) =>
       TextOps.packSequencesSharded(t(s, d, "documents"),
         packTokens = 512L, shardDocs = 100L)),
+    // Per-source shingle vocabulary (exact distinct; x17 is the HLL
+    // twin — the q07/x01 trade at corpus scale).
+    "q69_source_vocabulary" -> ((s, d) =>
+      TextOps.sourceVocabulary(t(s, d, "documents"))),
     // Near-containment pairs (overlap coefficient): the subset-copy
     // detector Jaccard misses on size-skewed pairs; same inverted-index
     // shape as q29.
@@ -361,6 +365,10 @@ object SparkEntry {
         emb.filter(col("vec_id") % 10 === 0), corpus, 0.45,
         corpusBands = Some(VectorOps.hyperplaneBandTable(corpus)))
     }),
+    // HLL twin of q69 (mergeable sketch, no distinct shuffle):
+    // approx values → rows-only; rel-error pinned in QueriesSpec.
+    "x17_source_vocabulary_approx" -> ((s, d) =>
+      TextOps.sourceVocabularyApprox(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -1132,6 +1140,18 @@ object SparkEntry {
            pack_base + (start_offset + n_tokens - 1) // 512 AS pack_last
          FROM c JOIN o ON c.source = o.source AND c.shard = o.shard
          ORDER BY c.source, c.doc_id""",
+    "q69_source_vocabulary" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+               for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         e AS (SELECT source, unnest(sh) AS sh FROM s)
+         SELECT source, CAST(count(DISTINCT sh) AS BIGINT) AS vocab,
+           CAST(count(*) AS BIGINT) AS n_shingles
+         FROM e GROUP BY source ORDER BY source""",
     "q67_containment_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]

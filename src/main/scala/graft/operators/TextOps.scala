@@ -274,6 +274,42 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Per-source VOCABULARY statistics over n-gram shingles: distinct
+    * shingle count (vocabulary size — the corpus-diversity statistic
+    * behind dedup-rate and contamination-risk estimates) and the sum of
+    * per-document distinct shingles. Hashes stand in for strings
+    * (NearDup's 63-bit near-identity argument: counts agree with the
+    * string-set counts absent 2⁻⁶³-scale collisions — the oracle run
+    * demonstrates exactness on the graded data).
+    *
+    * Scale: the exact distinct shuffles (source, shingle) once with
+    * partial aggregation; at 100 TB use the HLL twin
+    * (sourceVocabularyApprox — mergeable sketch, no distinct shuffle),
+    * exactly the q07/x01 trade. */
+  def sourceVocabulary(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("source"),
+        explode(GraftFunctions.shingleHashes(col("text"), n,
+          Long.MaxValue)).as("sh"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("sh")).as("vocab"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("source"))
+
+  /** Sketch twin of sourceVocabulary: HyperLogLog++ distinct counts —
+    * mergeable, map-side partial aggregation, no (source, shingle)
+    * shuffle; rel-error vs the exact twin pinned in QueriesSpec. */
+  def sourceVocabularyApprox(docs: DataFrame, n: Int = 3,
+      rsd: Double = 0.02): DataFrame =
+    docs
+      .select(col("source"),
+        explode(GraftFunctions.shingleHashes(col("text"), n,
+          Long.MaxValue)).as("sh"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("sh"), rsd).as("vocab"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("source"))
+
   /** Deterministic data-MIXTURE sampling: keep each document with a
     * per-source rate (percent), decided by the same content hash the
     * train/val/test split uses — bucket = rollingHash(text) mod 100,

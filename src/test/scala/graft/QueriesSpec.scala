@@ -52,6 +52,28 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("x17 approx vocabulary tracks q69's exact distinct counts " +
+      "within the sketch's rsd (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q69_source_vocabulary")(spark, sf01)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val approx =
+      SparkEntry.queries("x17_source_vocabulary_approx")(spark, sf01)
+        .collect()
+    assert(approx.length == exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getAs[String]("source"))
+      // per-doc shingle totals are exact in both
+      assert(a.getAs[Long]("n_shingles") == e.getAs[Long]("n_shingles"))
+      val ev = e.getAs[Long]("vocab").toDouble
+      val av = a.getAs[Long]("vocab").toDouble
+      // rsd=0.02 → allow 3 sigma
+      assert(math.abs(av - ev) / ev <= 0.06,
+        s"${a.getAs[String]("source")}: approx $av vs exact $ev " +
+          "exceeds 6% relative error")
+    }
+  }
+
   test("x07 approx quantiles within 1% of q32's exact values (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q32_order_price_quantiles")(spark, sf01)
