@@ -425,6 +425,39 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "doc-level running sum must partition by (source, shard)")
   }
 
+  test("q67 containment pairs: inverted-index equi-join only — never a " +
+      "product join (the q29 family shape)") {
+    val df = q("q67_containment_pairs")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "containment pair mining must stay the shingle equi-join")
+  }
+
+  test("q69 vocabulary: exact distinct partial-aggregates before the " +
+      "shuffle; x17's sketch plan has no expand/distinct shuffle") {
+    val exact = q("q69_source_vocabulary")
+    exact.collect()
+    // count_distinct plans an Expand + two-phase agg: partial_count on
+    // (source, shingle) runs map-side before any exchange
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("HashAggregate") ||
+      exactPlan.contains("ObjectHashAggregate"),
+      s"expected hash aggregation in: ${exactPlan.take(1500)}")
+    val approx = q("x17_source_vocabulary_approx")
+    approx.collect()
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "the HLL twin must not plan the distinct Expand")
+    val exchanges = collect(approx.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"sketch path: one partial+final agg exchange plus the output " +
+        s"sort at most, got ${exchanges.size}")
+  }
+
   test("x14 bloom boilerplate: the probe side has NO join — the " +
       "vocabulary arrives as a scalar-subquery bitset") {
     val df = q("x14_boilerplate_bloom")
