@@ -369,6 +369,17 @@ object SparkEntry {
     // approx values → rows-only; rel-error pinned in QueriesSpec.
     "x17_source_vocabulary_approx" -> ((s, d) =>
       TextOps.sourceVocabularyApprox(t(s, d, "documents"))),
+    // BPE tokenizer end-to-end: train 16 merges on the word-frequency
+    // table (corpus touched once), then segment every document through
+    // the native BpeSegment expression. Merge choice depends on the
+    // engine's tie-order spec → rows-only; equivalence to an
+    // independent reference BPE and train==segment consistency are
+    // pinned in TextOpsSpec.
+    "x18_bpe_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.bpeSegment(docs, TextOps.bpeTrain(docs, nMerges = 16))
+        .select(col("doc_id"), col("n_tokens"))
+    }),
   )
 
   // DuckDB-exactness conventions used below:

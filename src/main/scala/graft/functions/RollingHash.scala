@@ -87,6 +87,7 @@ object GraftFunctions {
   val ROW_TOP_K = "graft_row_top_k"
   val PQ_SUB_ARGMIN = "graft_pq_sub_argmin"
   val PQ_CODES = "graft_pq_codes"
+  val BPE_SEGMENT = "graft_bpe_segment"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -189,6 +190,10 @@ object GraftFunctions {
       exprs => arity(PQ_CODES, 2, exprs)(e => PqArgminCodes(e(0), e(1))),
       "built-in")
     reg.createOrReplaceTempFunction(
+      BPE_SEGMENT,
+      exprs => arity(BPE_SEGMENT, 2, exprs)(e => BpeSegment(e(0), e(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       ROW_TOP_K,
       exprs => arity(ROW_TOP_K, 3, exprs)(e => RowTopK(e(0), e(1), e(2))),
       "built-in")
@@ -287,4 +292,9 @@ object GraftFunctions {
     * native two-level loop (see PqArgminCodes). */
   def pqCodes(vec: Column, codebook: Column): Column =
     registered(PQ_CODES, vec, codebook)
+
+  /** BPE tokens of a document against rank-ordered "left right" merge
+    * rules (see BpeSegment). */
+  def bpeSegment(text: Column, rules: Column): Column =
+    registered(BPE_SEGMENT, text, rules)
 }

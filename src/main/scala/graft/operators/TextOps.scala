@@ -274,6 +274,129 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  // --------------------------------------------------- BPE tokenizer
+
+  /** Train a byte-pair-encoding merge table on the corpus — the
+    * tokenizer-training stage of an LLM data pipeline.
+    *
+    * Classic word-frequency BPE: the CORPUS is touched exactly once
+    * (one shuffle to build the distinct-word frequency table); every
+    * merge iteration then runs on that table, which is vocabulary-
+    * sized — thousands to low millions of rows at any corpus scale —
+    * so 100 TB of text costs the same per merge as 100 MB. Each round
+    * counts adjacent symbol pairs weighted by word frequency, picks
+    * the most frequent (ties broken lexicographically — fully
+    * deterministic), and rewrites the symbol sequences left-to-right.
+    * The per-word rewrite is an interpreted fold, which is FINE here
+    * precisely because it never touches the corpus — only the word
+    * table (the same sample-not-corpus argument as pqTrain's trainer).
+    *
+    * Base symbols are UTF-16 code units (ASCII-safe; supplementary-
+    * plane text would want a code-point splitter — scope note).
+    * Returns the merge table (rank INT, left STRING, right STRING),
+    * rank in creation order — the artifact bpeSegment consumes. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    var syms = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      // Spark's split keeps trailing empty strings (java split limit
+      // -1): the zero-width lookahead matches at end-of-word too, so
+      // strip the empties or "" becomes a trainable symbol
+      .select(col("cnt"),
+        array_remove(split(col("w"), "(?!^)"), "").as("symbols"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val best = syms
+        .filter(size(col("symbols")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(slice(symbols, 1, size(symbols) - 1), " +
+            "(s, i) -> struct(s AS l, symbols[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best.head.getString(0), best.head.getString(1))
+        merges += ((rank, l, r))
+        // left-to-right non-overlapping rewrite of (l, r) -> l+r via a
+        // fold: merge when the accumulated tail is l and the next
+        // symbol is r ("aaa" under (a,a) correctly gives [aa, a])
+        syms = syms.withColumn("symbols",
+          aggregate(col("symbols"),
+            array().cast("array<string>"),
+            (acc, s) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + r))))
+                .otherwise(concat(acc, array(s)))))
+          .localCheckpoint() // truncate the per-iteration lineage
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** The trained word table's end state for a given merge table —
+    * exposed for equivalence testing (bpeSegment must reproduce it). */
+  private[operators] def bpeTrainSymbols(docs: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val rules = merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var syms = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .select(col("w"),
+        array_remove(split(col("w"), "(?!^)"), "").as("symbols"))
+    rules.foreach { case (l, r) =>
+      syms = syms.withColumn("symbols",
+        aggregate(col("symbols"), array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))))
+        .localCheckpoint()
+    }
+    syms
+  }
+
+  /** Segment text with a trained merge table — MAP-SIDE tokenization
+    * of the corpus (this IS the 100 TB-touching path, so it runs in
+    * the native codegen'd BpeSegment expression, one pass per row over
+    * the broadcast packed rules): whitespace words split to UTF-16
+    * code units, merges applied lowest-rank-first (the standard BPE
+    * apply loop), tokens returned in document order. Output:
+    * (doc_id, tokens ARRAY<STRING>, n_tokens). */
+  def bpeSegment(docs: DataFrame, merges: DataFrame): DataFrame = {
+    // rank-ordered rules packed into ONE broadcastable row; array_sort
+    // on struct(rank, rule) is the order-proof packing (collect_list
+    // alone has no ordering guarantee — same pattern as packCentroids)
+    val packed = merges
+      .agg(array_sort(collect_list(struct(col("rank"),
+        concat(col("left"), lit(" "), col("right")).as("rule"))))
+        .as("_rs"))
+      .select(transform(col("_rs"), r => r.getField("rule")).as("_rules"))
+    docs
+      .crossJoin(broadcast(packed))
+      .select(col("doc_id"),
+        GraftFunctions.bpeSegment(col("text"), col("_rules")).as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source VOCABULARY statistics over n-gram shingles: distinct
     * shingle count (vocabulary size — the corpus-diversity statistic
     * behind dedup-rate and contamination-risk estimates) and the sum of

@@ -513,6 +513,101 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  /** Driver-side reference BPE over a word-frequency table — the
+    * classic algorithm, independently implemented for equivalence. */
+  private def refBpe(wordCounts: Seq[(String, Long)],
+      n: Int): Seq[(String, String)] = {
+    def mergeLR(s: Vector[String], l: String, r: String): Vector[String] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+          acc += (l + r); i += 2
+        } else { acc += s(i); i += 1 }
+      }
+      acc.toVector
+    }
+    var syms = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toVector, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var dry = false
+    while (k < n && !dry) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      syms.foreach { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).foreach(p =>
+          counts((p(0), p(1))) += c)
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r), _) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((l, r))
+        syms = syms.map { case (s, c) => (mergeLR(s, l, r), c) }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain == independent reference BPE on the classic fixture; " +
+      "bpeSegment reproduces the training end-state per word and " +
+      "round-trips the text") {
+    import spark.implicits._
+    // the BPE-paper fixture: low x5, lower x2, newest x6, widest x3
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 8)
+    val got = merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expect = refBpe(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    assert(got == expect, s"merge table diverged: $got vs $expect")
+    // first merges must be the textbook ones: (e,s) then (es,t)
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")))
+    // segmentation reproduces the training end-state for every word
+    val trained = TextOps.bpeTrainSymbols(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val wordDf = trained.keys.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toSeq.toDF("doc_id", "text")
+    val seg = TextOps.bpeSegment(wordDf, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byId = wordDf.collect().map(r => r.getLong(0) -> r.getString(1))
+    byId.foreach { case (id, w) =>
+      assert(seg(id) == trained(w),
+        s"'$w': segment ${seg(id)} != trained ${trained(w)}")
+      assert(seg(id).mkString == w, s"'$w' must round-trip")
+    }
+  }
+
+  test("bpeSegment == training end-state on harness docs (sf0.001), " +
+      "multi-word documents tokenize in order") {
+    import spark.implicits._
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextOps.bpeTrain(sfDocs, nMerges = 12)
+    assert(merges.count() == 12)
+    val trained = TextOps.bpeTrainSymbols(sfDocs, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val seg = TextOps.bpeSegment(sfDocs, merges)
+    val rows = seg.collect()
+    assert(rows.length == sfDocs.count())
+    // per-document tokens == concatenation of each word's trained
+    // segmentation, in document order
+    val texts = sfDocs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val docWords = texts(r.getLong(0)).split("\\s+").filter(_.nonEmpty)
+      val expect = docWords.flatMap(w => trained(w)).toSeq
+      assert(r.getSeq[String](1) == expect,
+        s"doc ${r.getLong(0)} tokens diverge from trained segmentation")
+    }
+  }
+
   test("sampleMixture: rate 0 excludes, 100 keeps all, buckets match " +
       "the split hash, and the sample is partitioning-independent") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
