@@ -336,6 +336,17 @@ object SparkEntry {
     // twin — the q07/x01 trade at corpus scale).
     "q69_source_vocabulary" -> ((s, d) =>
       TextOps.sourceVocabulary(t(s, d, "documents"))),
+    // Per-source quality quota (per-domain cap): top-5 docs per source
+    // by distinct-token ratio — the rank window rewrites to the bounded
+    // row-top-k aggregate (PlanSpec), same as q08.
+    "q70_source_quota" -> ((s, d) =>
+      TextOps.sourceQualityQuota(t(s, d, "documents"), n = 5)),
+    // Exact-substring duplication profile (Lee et al. ExactSubstr at
+    // 5-gram granularity): fraction of each doc's tokens covered by a
+    // span occurring >= 2 times in the corpus. q63's join-back shape +
+    // a per-doc lag window for span merging.
+    "q71_exact_substr" -> ((s, d) =>
+      TextOps.exactSubstrProfile(t(s, d, "documents"))),
     // Near-containment pairs (overlap coefficient): the subset-copy
     // detector Jaccard misses on size-skewed pairs; same inverted-index
     // shape as q29.
@@ -1163,6 +1174,47 @@ object SparkEntry {
          SELECT source, CAST(count(DISTINCT sh) AS BIGINT) AS vocab,
            CAST(count(*) AS BIGINT) AS n_shingles
          FROM e GROUP BY source ORDER BY source""",
+    "q71_exact_substr" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         g AS (SELECT doc_id, generate_subscripts(gl, 1) AS pos,
+                 unnest(gl) AS gram
+           FROM (SELECT doc_id,
+             [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] || ' ' ||
+              lst[i+3] || ' ' || lst[i+4]
+              for i in range(1, len(lst) - 3)] AS gl FROM t)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         p AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+         cov AS (SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_grams,
+           CAST(sum(CASE WHEN prev IS NULL OR pos - prev >= 5 THEN 5
+                         ELSE pos - prev END) AS BIGINT) AS covered
+           FROM (SELECT doc_id, pos, lag(pos) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS prev FROM p)
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(lst) AS BIGINT) AS n_tokens,
+           COALESCE(n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(covered, 0) AS covered_tokens,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(COALESCE(covered, 0) AS DOUBLE) / len(lst)
+           END AS dup_frac
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         ORDER BY t.doc_id""",
+    "q70_source_quota" ->
+      """WITH t AS (SELECT source, doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         p AS (SELECT source, doc_id,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(lst)) AS DOUBLE) / len(lst)
+           END AS diversity
+           FROM t)
+         SELECT source, doc_id, diversity, rn FROM (
+           SELECT source, doc_id, diversity,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY diversity DESC, doc_id) AS BIGINT) AS rn
+           FROM p) WHERE rn <= 5 ORDER BY source, rn""",
     "q67_containment_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]

@@ -901,6 +901,97 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source quality QUOTA — keep the top-n docs per source by
+    * lexical diversity (distinct-token ratio, ties broken by doc_id):
+    * the "per-domain cap" a curation pipeline applies so one crawl
+    * domain cannot dominate the training mixture regardless of its
+    * volume. The score is a single division of exact integers
+    * (bit-identical cross-engine, same convention as q26/q64).
+    *
+    * Written as the rank-window form; at plan time the RankOneToMinBy
+    * rule rewrites it to the bounded `graft_row_top_k` aggregate
+    * (map-side partial keeps ≤ n rows per source per task), so at
+    * 100 TB a hot domain's documents combine before the exchange
+    * instead of flowing through one reducer's sort — PlanSpec pins
+    * the rewrite on this exact query. */
+  def sourceQualityQuota(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "quota must be at least 1")
+    val toks = TextFunctions.tokens(col("text"))
+    val diversity = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") /
+        size(toks))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), diversity.as("diversity"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Exact-substring duplication profile — the span-level dedup
+    * statistic of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ExactSubstr), at token n-gram
+    * granularity: for each document, the fraction of its tokens
+    * covered by an n-token span that occurs at least `minCount` times
+    * anywhere in the corpus (the tokens span-dedup would cut).
+    *
+    * The paper builds a corpus suffix array; the Spark-native shape is
+    * position-indexed n-grams + the q63 df join-back:
+    *  1. explode (doc_id, pos, gram) — the only data-sized shuffle is
+    *     the gram hash-aggregate (map-side partial combine);
+    *  2. duplicated grams = HAVING count >= minCount (hot grams carry
+    *     one row each into the join, AQE skew-splits the join-back);
+    *  3. per-doc coverage merges overlapping [pos, pos+n-1] spans with
+    *     a lag window — partitions are per-document, so the sort is
+    *     bounded by document length, never corpus-sized (q57's
+    *     argument).
+    * Every count is exact-integer; the fraction is a single division
+    * (oracle-parity convention, q26/q64/q70). */
+  def exactSubstrProfile(docs: DataFrame, n: Int = 5,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        expr(
+          s"""transform(
+             |  slice(_toks, 1, greatest(size(_toks) - ${n - 1}, 0)),
+             |  (t, i) -> struct(
+             |    CAST(i + 1 AS BIGINT) AS pos,
+             |    concat_ws(' ', ${(0 until n).map(k =>
+                    if (k == 0) "t" else s"_toks[i + $k]").mkString(", ")}
+             |    ) AS gram))""".stripMargin).as("_g"))
+    val grams = base
+      .select(col("doc_id"), explode(col("_g")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = grams.join(dup, "gram")
+      .withColumn("_prev", lag(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_grams"),
+        sum(when(col("_prev").isNull ||
+              col("pos") - col("_prev") >= n, n.toLong)
+            .otherwise(col("pos") - col("_prev"))).as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(coalesce(col("covered_tokens"), lit(0L))
+            .cast("double") / col("n_tokens")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII detector patterns — dialect-portable (identical semantics under
     * Java regex and RE2): plain character classes with explicit members
     * (no \s — Java's includes U+000B vertical tab, RE2's does not),

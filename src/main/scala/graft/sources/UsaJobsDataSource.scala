@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,6 +53,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-pinned), column pruning via SupportsPushDownRequiredColumns as
   * before.
   *
+  * Limit pushdown (SupportsPushDownLimit): each page partition emits at
+  * most one row, so `limit(n)` clips the planned page range to its
+  * first n pages — the later fetches never happen. This is
+  * semantics-preserving under the pagination contract the drain loop
+  * already relies on (an empty page ends the result set — S2's stop
+  * condition): if an empty page sits inside the clipped range, every
+  * page after it is empty too, so no row the full scan would have kept
+  * is lost. The limit stays partially-pushed (Spark keeps its own
+  * LIMIT operator) since a fixture dir with a hole violates that
+  * contract only in tests.
+  *
   * Transports (chosen from options, all executor-constructible):
   *  - `pages.dir`: directory of page-N.json fixture files (tests/replay);
   *    missing file ⇒ empty page.
@@ -88,7 +99,8 @@ private[sources] class UsaJobsTable(props: Map[String, String])
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = props ++ options.asScala
     new ScanBuilder with Scan with Batch
-        with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+        with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownLimit {
       // column pruning pushed INTO the source: a projection that drops
       // `payload` (count-shaped reads, page inventories) never
       // materializes the page JSON into rows — the fetch itself still
@@ -155,19 +167,37 @@ private[sources] class UsaJobsTable(props: Map[String, String])
       }
       override def pushedFilters(): Array[Filter] = accepted
 
+      // --- limit pushdown (plan-time) ---
+      // ≤ 1 row per page partition ⇒ the first `limit` planned pages
+      // can produce every row the limit keeps (empty-page-ends-results
+      // contract, see class doc). Partially pushed: Spark keeps its
+      // LIMIT node, we just stop planning fetches it would discard.
+      private var pushedLimit: Option[Int] = None
+      override def pushLimit(l: Int): Boolean = {
+        pushedLimit = Some(l)
+        true
+      }
+      override def isPartiallyPushed: Boolean = true
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def description(): String = {
         val pushed =
           if (accepted.isEmpty) "" else accepted.mkString(", ")
-        s"usajobs PushedFilters: [$pushed]"
+        val lim = pushedLimit.map(l => s" PushedLimit: $l").getOrElse("")
+        s"usajobs PushedFilters: [$pushed]$lim"
       }
 
       override def planInputPartitions(): Array[InputPartition] = {
         val maxPages = merged.getOrElse("maxpages", "20").toInt
         val lo = math.max(1, pageLo)
-        val hi = math.min(maxPages, pageHi)
+        var hi = math.min(maxPages, pageHi)
+        pushedLimit match {
+          case Some(l) if l <= 0 => hi = lo - 1 // LIMIT 0: plan nothing
+          case Some(l) => hi = math.min(hi, lo + l - 1)
+          case None => ()
+        }
         if (contradiction || lo > hi) return Array.empty
         val keyword = keywordEq
           .orElse(merged.get("keyword")).getOrElse("data engineering")

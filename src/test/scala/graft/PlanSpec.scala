@@ -278,6 +278,24 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "RowTopK must run as partial+final ObjectHashAggregate")
   }
 
+  test("q70 per-source quota: the rank filter rewrites to the bounded " +
+      "row-top-k aggregate on the documents side too — no window, " +
+      "map-side partial before the source exchange") {
+    val df = q("q70_source_quota")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the per-domain cap must plan as the partial-aggregable rewrite " +
+        "(a window would sort every hot domain in one reducer)")
+    assert(plan.contains("graft_row_top_k"),
+      s"expected the RowTopK aggregate in:\n${plan.take(2000)}")
+    val objAggs = collect(df.queryExecution.executedPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.size >= 2,
+      "RowTopK must run as partial+final ObjectHashAggregate")
+  }
+
   test("x11 LSH embedding dedup: no product join anywhere — pair mining " +
       "is the band equi-join, and the end-to-end stitch stays hash-join") {
     // the pair source itself (this is what replaced q55's registered

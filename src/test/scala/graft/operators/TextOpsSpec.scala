@@ -608,6 +608,45 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("exactSubstrProfile: planted duplicate spans are found, " +
+      "overlapping spans merge (coverage never double-counts), and " +
+      "unique/short docs report zero") {
+    import spark.implicits._
+    // doc 0 and 1 share the 5-token span "a b c d e"; doc 2 contains
+    // it TWICE with a 2-token overlap shift (positions 1 and 4 share
+    // tokens); doc 3 is all-unique; doc 4 is too short for any 5-gram
+    val docs = Seq(
+      (0L, "a b c d e x1 y1 z1 w1 v1"),
+      (1L, "p1 q1 a b c d e r1 s1"),
+      (2L, "a b c a b c d e f g"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7"),
+      (4L, "t1 t2 t3")).toDF("doc_id", "text")
+    val got = TextOps.exactSubstrProfile(docs, n = 5, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 0: span at pos 1 → 5 of 10 tokens covered
+    assert(got(0L) == ((10L, 1L, 5L, 0.5)))
+    // doc 1: span at pos 3 → 5 of 9 tokens
+    assert(got(1L) == ((9L, 1L, 5L, 5.0 / 9.0)))
+    // doc 2: "a b c d e" at pos 4; also "b c d e f"/"c d e f g"? those
+    // occur once each — only grams with corpus count >= 2 count.
+    // Additionally "a b c ..." 5-grams starting at pos 1: "a b c a b"
+    // occurs once. So coverage = 5 tokens from pos 4.
+    assert(got(2L) == ((10L, 1L, 5L, 0.5)))
+    assert(got(3L) == ((7L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((3L, 0L, 0L, 0.0)))
+    // overlap merge: two copies of the same 6-token run in one doc —
+    // adjacent duplicated 5-grams (pos 1, 2) must merge to 6 covered
+    // tokens, not 10
+    val overlap = Seq(
+      (0L, "m n o p q r"),
+      (1L, "m n o p q r")).toDF("doc_id", "text")
+    val o = TextOps.exactSubstrProfile(overlap, n = 5, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(o(0L) == ((2L, 6L)) && o(1L) == ((2L, 6L)),
+      s"overlapping spans must merge: $o")
+  }
+
   test("sampleMixture: rate 0 excludes, 100 keeps all, buckets match " +
       "the split hash, and the sample is partitioning-independent") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

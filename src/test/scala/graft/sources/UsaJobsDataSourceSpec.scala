@@ -115,6 +115,36 @@ class UsaJobsDataSourceSpec extends SparkSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("limit pushdown: limit(n) clips the PLANNED page range — later " +
+      "pages are never fetched, and the limit composes with page bounds") {
+    import org.apache.spark.sql.functions.col
+    val dir = pagesDir(5)
+    def src = spark.read.format("usajobs")
+      .option("pages.dir", dir).option("maxPages", "5").load()
+    // the SCAN's planned partitions are what counts — limit(n).rdd
+    // reflects the post-limit exchange, not the fetch plan
+    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    // limit 2 → two partitions planned (two fetches), rows = pages 1-2
+    val two = src.limit(2)
+    assert(scanPartitions(two) == 2)
+    assert(two.collect().map(_.getAs[Int]("page")).sorted.toSeq ==
+      Seq(1, 2))
+    // pushed limit surfaces in the scan description
+    assert(two.queryExecution.executedPlan.toString
+      .contains("PushedLimit: 2"))
+    // composes with a pushed page lower bound: start at 3, keep 2
+    val mid = src.filter(col("page") >= 3).limit(2)
+    assert(scanPartitions(mid) == 2)
+    assert(mid.collect().map(_.getAs[Int]("page")).sorted.toSeq ==
+      Seq(3, 4))
+    // limit larger than the page range degrades to the full plan
+    assert(scanPartitions(src.limit(99)) == 5)
+  }
+
   test("live transport demands an api key") {
     val e = intercept[Exception] {
       spark.read.format("usajobs").option("maxPages", "1").load().collect()
