@@ -269,6 +269,19 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
+    // SemDeDup (k-means-bucketed semantic dedup): within-cluster exact
+    // cosine pairs through the shared survivor policy. Engine-seeded
+    // centroids → rows-only; precision-1 subset + recall-vs-exact floor
+    // pinned in VectorOpsSpec.
+    "x19_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // probes=3: this corpus' 0.45 threshold is far below the paper's
+      // high-similarity regime, so boundary pairs need the extra cells
+      // (recall floor pinned in VectorOpsSpec)
+      VectorOps.semDedup(emb, 0.45, probes = 3)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
     // Sketch twin of q60 (mergeable per-source quantile sketch — exact
     // grouped percentile buffers each group's full distribution):
     // approx values → rows-only; rel-error pinned in QueriesSpec.

@@ -222,6 +222,69 @@ object VectorOps {
   def pairsExact(emb: DataFrame, threshold: Double): DataFrame =
     cosineSimilarityJoin(emb, threshold)
 
+  /** SemDeDup pair source (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): bucket the
+    * corpus with k-means, then mine near-dup pairs ONLY within each
+    * cluster — exact cosine inside the bucket, zero candidates across
+    * buckets. The paper's observation is that semantic duplicates land
+    * in the same k-means cell with overwhelming probability, so the
+    * all-pairs cost collapses from n² to Σ|cluster|².
+    *
+    * Scale shape: assignment is ivfAssign's map-side native argmax over
+    * the broadcast codebook (zero vector-side shuffle); pair mining is
+    * an EQUI-join on the cluster id (hash join, never a product —
+    * PlanSpec); each candidate is scored with the exact cosine, so
+    * precision is 1 and only recall is traded (pairs whose endpoints
+    * straddle a cell boundary are missed — the paper's trade, audited
+    * against pairsExact in VectorOpsSpec). `probes` multi-assigns each
+    * vector to its nearest cells (the annIvf nprobe idea applied to
+    * indexing): a boundary pair still meets in one endpoint's
+    * second-choice cell, at candidate cost (probes·|cell|)² per cell
+    * instead of |cell|². Cluster-size skew is the |cluster|² hazard;
+    * `trainCentroids`' Lloyd steps level cells, and AQE skew-join
+    * splits what remains. */
+  def semDedupPairs(emb: DataFrame, threshold: Double,
+      centroids: DataFrame, probes: Int = 2): DataFrame = {
+    require(probes >= 1, "probes must be at least 1")
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_en"))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("vec_id"), col("embedding"), col("_en"),
+        explode(slice(
+          array_sort(transform(col("_cents"), c =>
+            struct((-simKey(col("embedding"), c, col("_en"))).as("_neg"),
+              c.getField("centroid_id").as("centroid_id")))),
+          1, probes)).as("_p"))
+      .select(col("vec_id"), col("embedding"), col("_en"),
+        col("_p.centroid_id").as("bucket"))
+    val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("e_a"), col("_en").as("_na"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("e_b"), col("_en").as("_nb"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosPre(dot(col("e_a"), col("e_b")), col("_na"), col("_nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // multi-assignment can surface a pair once per SHARED cell —
+      // collapse to one row (the cosine is identical on every copy)
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SemDeDup end-to-end: k-means-bucketed pair mining feeding the
+    * shared cluster-dedup survivor policy (smallest vec_id canonical,
+    * unpaired rows pass through). `centroids` defaults to the
+    * Lloyd-trained codebook. */
+  def semDedup(emb: DataFrame, threshold: Double,
+      centroids: Option[DataFrame] = None, probes: Int = 2): DataFrame = {
+    val c = centroids.getOrElse(trainCentroids(emb))
+    dedupEmbeddings(emb, threshold,
+      pairs = Some(semDedupPairs(emb, threshold, c, probes)))
+  }
+
   /** kNN label vote — the embedding-quality eval primitive: for each
     * query vector, the majority label among its k nearest neighbors
     * (cosine), compared to the query's own label. Ties break to the

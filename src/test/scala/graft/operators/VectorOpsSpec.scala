@@ -204,6 +204,51 @@ class VectorOpsSpec extends SparkSuite
       s"(${exact.size - lsh.size} of ${exact.size} pairs missed)")
   }
 
+  test("semDedupPairs: precision 1 (subset of exact with identical " +
+      "cosines), multi-probe recall climbs with probes and clears the " +
+      "x19 floor at sf0.01; pair mining is an equi-join, never a " +
+      "product") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exactDf = VectorOps.cosineSimilarityJoin(emb01, 0.45)
+    val exact = exactDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    val cents = VectorOps.trainCentroids(emb01)
+    def pairsAt(p: Int) =
+      VectorOps.semDedupPairs(emb01, 0.45, cents, probes = p).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val p1 = pairsAt(1)
+    val p3 = pairsAt(3)
+    // precision 1: every mined pair is an exact pair, cosine identical
+    for ((k, v) <- p3) {
+      assert(exact.contains(k), s"pair $k not in the exact set")
+      assert(math.abs(exact(k) - v) < 1e-12,
+        "within-cell cosine must be the exact cosine")
+    }
+    // multi-assignment recovers boundary pairs single-assignment loses
+    assert(p1.keySet.subsetOf(p3.keySet) && p3.size > p1.size,
+      s"probes=3 must strictly widen probes=1 (${p1.size} -> ${p3.size})")
+    // the x19 configuration (probes=3) clears its recall floor even in
+    // this corpus' loose-threshold regime (0.45 — far below the
+    // high-similarity setting SemDeDup assumes)
+    val recall = p3.size.toDouble / exact.size
+    assert(recall >= 0.9, s"probes=3 recall $recall below pinned 0.9 " +
+      s"(${exact.size - p3.size} of ${exact.size} pairs missed)")
+    // plan shape: candidates come from the bucket equi-join — the only
+    // product-shaped node allowed is the single-row codebook broadcast
+    val plan = VectorOps.semDedupPairs(emb01, 0.45, cents, probes = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pair mining must never plan a cartesian product")
+    // survivors: semDedup keeps one canonical vector per duplicate
+    // cluster plus all unpaired rows — never more than the corpus,
+    // never fewer than corpus minus paired rows
+    val n = emb01.count()
+    val survivors = VectorOps.semDedup(emb01, 0.45, Some(cents),
+      probes = 3).count()
+    assert(survivors < n && survivors >= n - 2L * exact.size)
+  }
+
   test("labelCentroids: mean per dimension, ordered by position") {
     val c = VectorOps.labelCentroids(clustered).collect()
       .map(r => r.getAs[Long]("centroid_id") ->
