@@ -952,21 +952,23 @@ object TextOps {
   def exactSubstrProfile(docs: DataFrame, n: Int = 5,
       minCount: Long = 2L): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
-    val base = docs
+    // persisted: the position-indexed gram table feeds BOTH the
+    // duplicated-gram aggregate and the join-back probe (q52/q63's
+    // shared-intermediate pattern) — without it the gram-string
+    // construction re-runs per consumer and dominates the query
+    val grams = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
-        size(col("_toks")).cast("long").as("n_tokens"),
-        expr(
+        explode(expr(
           s"""transform(
              |  slice(_toks, 1, greatest(size(_toks) - ${n - 1}, 0)),
              |  (t, i) -> struct(
              |    CAST(i + 1 AS BIGINT) AS pos,
              |    concat_ws(' ', ${(0 until n).map(k =>
                     if (k == 0) "t" else s"_toks[i + $k]").mkString(", ")}
-             |    ) AS gram))""".stripMargin).as("_g"))
-    val grams = base
-      .select(col("doc_id"), explode(col("_g")).as("g"))
+             |    ) AS gram))""".stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
@@ -981,7 +983,10 @@ object TextOps {
         sum(when(col("_prev").isNull ||
               col("pos") - col("_prev") >= n, n.toLong)
             .otherwise(col("pos") - col("_prev"))).as("covered_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
+    // the doc spine needs only token COUNTS — one cheap scan, none of
+    // the gram construction
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
