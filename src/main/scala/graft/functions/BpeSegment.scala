@@ -21,13 +21,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * all its occurrences left-to-right, until no rule applies. Tokens
   * are emitted in document order.
   *
-  * The rank map is rebuilt per row from the rules array (O(rules),
-  * tiny vs the segmentation work per document); interning it per
-  * broadcast would save microseconds at the cost of identity-keyed
-  * caching — documented trade.
+  * When the rules child is FOLDABLE (the TextOps.bpeSegment path packs
+  * the merge table as a literal), the rank map is built ONCE per
+  * expression instance and shared across every row of the task — a
+  * real tokenizer carries ~50k merges, and an O(rules) per-row rebuild
+  * on the corpus-touching path would swamp the segmentation itself.
+  * A non-foldable rules column (arbitrary SQL callers) falls back to
+  * the per-row build, which stays correct for per-row rule sets. An
+  * identity-keyed cache for that path would be unsound: an
+  * UnsafeArrayData can keep its identity while a reused row buffer
+  * repoints its bytes.
   */
 case class BpeSegment(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Rank map prebuilt once when the rules are plan-time constant;
+    * null otherwise (per-row fallback). Lazy: first touch happens
+    * task-side after deserialization, so each task builds it at most
+    * once. */
+  @transient private lazy val staticRanks: java.util.HashMap[String, Integer] =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null
+      else BpeSegment.buildRanks(v.asInstanceOf[ArrayData])
+    } else null
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = left.dataType == StringType &&
@@ -46,14 +63,20 @@ case class BpeSegment(left: Expression, right: Expression)
 
   override def nullSafeEval(text: Any, rules: Any): Any =
     BpeSegment.segment(text.asInstanceOf[UTF8String],
-      rules.asInstanceOf[ArrayData])
+      rules.asInstanceOf[ArrayData], staticRanks)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, r) =>
+    nullSafeCodeGen(ctx, ev, (t, r) => {
+      val ranks =
+        if (right.foldable && staticRanks != null)
+          ctx.addReferenceObj("bpeRanks", staticRanks,
+            "java.util.HashMap<String, Integer>")
+        else "null"
       s"""
-         |${ev.value} = graft.functions.BpeSegment.segment($t, $r);
-       """.stripMargin)
+         |${ev.value} = graft.functions.BpeSegment.segment($t, $r, $ranks);
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BpeSegment =
@@ -61,18 +84,28 @@ case class BpeSegment(left: Expression, right: Expression)
 }
 
 object BpeSegment {
-  /** Static worker shared by interpreted eval and generated code. */
-  def segment(text: UTF8String, rules: ArrayData): ArrayData = {
+  /** rule = "left right"; symbols never contain whitespace (words are
+    * whitespace-split before symbolization), so the FIRST space is the
+    * separator and the key can be the rule string itself. */
+  private[functions] def buildRanks(
+      rules: ArrayData): java.util.HashMap[String, Integer] = {
     val nRules = rules.numElements()
     val ranks = new java.util.HashMap[String, Integer](nRules * 2)
     var i = 0
     while (i < nRules) {
-      // rule = "left right"; symbols never contain whitespace (words
-      // are whitespace-split before symbolization), so the FIRST space
-      // is the separator and the key can be the rule string itself
       ranks.put(rules.getUTF8String(i).toString, Integer.valueOf(i))
       i += 1
     }
+    ranks
+  }
+
+  /** Static worker shared by interpreted eval and generated code.
+    * `prebuilt` is the plan-time-constant rank map (null → build from
+    * `rules` per row; `rules` must always be passed since merged-rule
+    * text is looked up by rank either way). */
+  def segment(text: UTF8String, rules: ArrayData,
+      prebuilt: java.util.HashMap[String, Integer]): ArrayData = {
+    val ranks = if (prebuilt != null) prebuilt else buildRanks(rules)
     val words = text.toString.split("\\s+")
     val out = new java.util.ArrayList[UTF8String]()
     var w = 0

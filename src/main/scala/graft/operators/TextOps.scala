@@ -374,24 +374,27 @@ object TextOps {
 
   /** Segment text with a trained merge table — MAP-SIDE tokenization
     * of the corpus (this IS the 100 TB-touching path, so it runs in
-    * the native codegen'd BpeSegment expression, one pass per row over
-    * the broadcast packed rules): whitespace words split to UTF-16
-    * code units, merges applied lowest-rank-first (the standard BPE
-    * apply loop), tokens returned in document order. Output:
-    * (doc_id, tokens ARRAY<STRING>, n_tokens). */
+    * the native codegen'd BpeSegment expression, one pass per row):
+    * whitespace words split to UTF-16 code units, merges applied
+    * lowest-rank-first (the standard BPE apply loop), tokens returned
+    * in document order. Output: (doc_id, tokens ARRAY<STRING>,
+    * n_tokens).
+    *
+    * The rank-ordered rules are collected HERE and shipped as a
+    * FOLDABLE literal, so BpeSegment builds its rank map once per
+    * task instead of once per row (a real tokenizer carries ~50k
+    * merges). The collect is vocabulary-sized — the same
+    * never-corpus-sized argument as bpeTrain's own driver loop — and
+    * trades the zero-job plan-construction property for a
+    * constant-per-row corpus pass, the right side of the trade on the
+    * path that touches every row. */
   def bpeSegment(docs: DataFrame, merges: DataFrame): DataFrame = {
-    // rank-ordered rules packed into ONE broadcastable row; array_sort
-    // on struct(rank, rule) is the order-proof packing (collect_list
-    // alone has no ordering guarantee — same pattern as packCentroids)
-    val packed = merges
-      .agg(array_sort(collect_list(struct(col("rank"),
-        concat(col("left"), lit(" "), col("right")).as("rule"))))
-        .as("_rs"))
-      .select(transform(col("_rs"), r => r.getField("rule")).as("_rules"))
+    val rules: Seq[String] = merges.orderBy(col("rank")).collect()
+      .map(r => r.getString(1) + " " + r.getString(2)).toSeq
     docs
-      .crossJoin(broadcast(packed))
       .select(col("doc_id"),
-        GraftFunctions.bpeSegment(col("text"), col("_rules")).as("tokens"))
+        GraftFunctions.bpeSegment(col("text"), typedlit(rules))
+          .as("tokens"))
       .select(col("doc_id"), col("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))

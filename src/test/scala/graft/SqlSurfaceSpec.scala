@@ -116,4 +116,23 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("fp").length == 32))
     assert(rows.forall(_.getAs[Long]("rh") >= 0L))
   }
+
+  test("graft_bpe_segment from SQL: foldable literal rules and a " +
+      "non-foldable per-row rules COLUMN segment identically") {
+    ready
+    // literal rules → the prebuilt-rank-map path
+    val lit = spark.sql(
+      """SELECT graft_bpe_segment('lowest low', array('o w', 'l ow'))
+        |         AS toks""".stripMargin).collect().head.getSeq[String](0)
+    assert(lit == Seq("low", "e", "s", "t", "low"))
+    // the same rules arriving as a genuinely non-foldable per-row
+    // COLUMN (data-dependent on range(1)'s id, so constant folding
+    // cannot collapse it) must take the per-row fallback and agree
+    val col = spark.sql(
+      """SELECT graft_bpe_segment('lowest low',
+        |         array(if(id >= 0, 'o w', 'x'), 'l ow')) AS toks
+        |FROM range(1)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(col == lit)
+  }
 }
