@@ -93,7 +93,12 @@ object BpeSegment {
     val ranks = new java.util.HashMap[String, Integer](nRules * 2)
     var i = 0
     while (i < nRules) {
-      ranks.put(rules.getUTF8String(i).toString, Integer.valueOf(i))
+      // a null rule entry (nullable SQL arrays) is simply inert: it
+      // never enters the rank map, so no pair can select its rank and
+      // the later rules.getUTF8String(bestRank) only ever reads ranks
+      // that came from the map
+      val r = rules.getUTF8String(i)
+      if (r != null) ranks.put(r.toString, Integer.valueOf(i))
       i += 1
     }
     ranks

@@ -88,6 +88,7 @@ object GraftFunctions {
   val PQ_SUB_ARGMIN = "graft_pq_sub_argmin"
   val PQ_CODES = "graft_pq_codes"
   val BPE_SEGMENT = "graft_bpe_segment"
+  val TOP_CENTROIDS = "graft_top_centroids"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -153,6 +154,11 @@ object GraftFunctions {
       NEAREST_CENTROID,
       exprs => arity(NEAREST_CENTROID, 4, exprs)(e =>
         NearestCentroidIdx(e(0), e(1), e(2), e(3))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      TOP_CENTROIDS,
+      exprs => arity(TOP_CENTROIDS, 5, exprs)(e =>
+        TopCentroidIdxs(e(0), e(1), e(2), e(3), e(4))),
       "built-in")
     reg.createOrReplaceTempFunction(
       COLLAPSE_RUNS,
@@ -249,6 +255,14 @@ object GraftFunctions {
   def nearestCentroidIdx(vec: Column, vecNorm: Column, centroidVecs: Column,
       centroidNorms: Column): Column =
     registered(NEAREST_CENTROID, vec, vecNorm, centroidVecs, centroidNorms)
+
+  /** Top-`probes` centroid array positions by cosine over a packed
+    * codebook, descending similarity, ties to the smaller position
+    * (see TopCentroidIdxs); element 0 == nearestCentroidIdx. */
+  def topCentroidIdxs(vec: Column, vecNorm: Column, centroidVecs: Column,
+      centroidNorms: Column, probes: Column): Column =
+    registered(TOP_CENTROIDS, vec, vecNorm, centroidVecs, centroidNorms,
+      probes)
 
   /** Run-length token collapse in one native pass: struct<clean, n_raw,
     * n_kept> (see CollapseRuns). */

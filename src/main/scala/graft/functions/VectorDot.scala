@@ -164,3 +164,120 @@ object NearestCentroidIdx {
     best
   }
 }
+
+/** Top-`probes` centroid indices by cosine — the multi-assignment
+  * generalization of NearestCentroidIdx for cluster-bucketed dedup
+  * (SemDeDup): each corpus vector joins its `probes` nearest cells so
+  * boundary pairs still meet, and the selection runs as ONE native
+  * two-level loop per row inside whole-stage codegen (an array_sort
+  * over a transform'd struct array would be CodegenFallback — an
+  * interpreted per-row sort of the whole codebook on the
+  * corpus-touching path).
+  *
+  * Children: (vec ARRAY<FLOAT>, vecNorm DOUBLE,
+  * centroidVecs ARRAY<ARRAY<FLOAT>>, centroidNorms ARRAY<DOUBLE>,
+  * probes INT — plan-time literal). Returns ARRAY<INT> of centroid
+  * ARRAY POSITIONS in descending-similarity order, ties to the
+  * smaller position (exactly NearestCentroidIdx's strict-> rule, so
+  * element 0 always equals its argmax). Zero-norm degenerate
+  * similarities follow NearestCentroidIdx's convention. */
+case class TopCentroidIdxs(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, fifth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+
+  override def children: Seq[Expression] =
+    Seq(first, second, third, fourth, fifth)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArr(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val ok = isFloatArr(first.dataType) &&
+      second.dataType == DoubleType &&
+      (third.dataType match {
+        case ArrayType(e, _) => isFloatArr(e)
+        case _ => false
+      }) &&
+      (fourth.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) &&
+      fifth.dataType == org.apache.spark.sql.types.IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, DOUBLE, ARRAY<ARRAY<FLOAT>>, " +
+        s"ARRAY<DOUBLE>, INT), got ${children.map(_.dataType.catalogString)
+          .mkString(", ")}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_centroids"
+
+  override def nullSafeEval(e: Any, en: Any, cv: Any, cn: Any,
+      p: Any): Any =
+    TopCentroidIdxs.compute(e.asInstanceOf[ArrayData],
+      en.asInstanceOf[Double], cv.asInstanceOf[ArrayData],
+      cn.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, en, cv, cn, p) =>
+      s"""
+         |${ev.value} = graft.functions.TopCentroidIdxs.compute(
+         |  $e, $en, $cv, $cn, $p);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopCentroidIdxs =
+    copy(first = newChildren(0), second = newChildren(1),
+      third = newChildren(2), fourth = newChildren(3),
+      fifth = newChildren(4))
+}
+
+object TopCentroidIdxs {
+  /** Static worker shared by interpreted eval and generated code:
+    * bounded insertion selection — probes is tiny, so the inner shift
+    * is a handful of moves, never a sort of the codebook. */
+  def compute(vec: ArrayData, en: Double, cvecs: ArrayData,
+      cnorms: ArrayData, probes: Int): ArrayData = {
+    val k = math.min(cvecs.numElements(), cnorms.numElements())
+    val p = math.max(0, math.min(probes, k))
+    if (p == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val idxs = new Array[Int](p)
+    val sims = new Array[Double](p)
+    var filled = 0
+    var i = 0
+    while (i < k) {
+      val c = cvecs.getArray(i)
+      val n = math.min(vec.numElements(), c.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += vec.getFloat(j).toDouble * c.getFloat(j).toDouble
+        j += 1
+      }
+      val denom = en * cnorms.getDouble(i)
+      val sim = if (denom == 0.0) -2.0 else acc / denom
+      // insertion point: strictly-greater keeps earlier positions
+      // first on ties (NearestCentroidIdx's rule)
+      var pos = filled
+      while (pos > 0 && sims(pos - 1) < sim) pos -= 1
+      if (pos < p) {
+        var m = math.min(filled, p - 1)
+        while (m > pos) { sims(m) = sims(m - 1); idxs(m) = idxs(m - 1); m -= 1 }
+        sims(pos) = sim
+        idxs(pos) = i
+        if (filled < p) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = idxs(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -295,6 +295,29 @@ object TextOps {
     * plane text would want a code-point splitter — scope note).
     * Returns the merge table (rank INT, left STRING, right STRING),
     * rank in creation order — the artifact bpeSegment consumes. */
+  /** A word's base symbol array: UTF-16 code units. Spark's split
+    * keeps trailing empty strings (java split limit -1) and the
+    * zero-width lookahead matches at end-of-word too, so strip the
+    * empties or "" becomes a trainable symbol. */
+  private def bpeBaseSymbols(w: Column): Column =
+    array_remove(split(w, "(?!^)"), "")
+
+  /** Left-to-right non-overlapping rewrite of (l, r) -> l+r via a
+    * fold: merge when the accumulated tail is l and the next symbol is
+    * r ("aaa" under (a,a) correctly gives [aa, a]). ONE definition
+    * shared by training and the equivalence helper so the rewrite
+    * semantics cannot desynchronize from what the tests compare
+    * against. */
+  private def bpeMergeFold(symbols: Column, l: String, r: String): Column =
+    aggregate(symbols,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = docs.sparkSession
@@ -303,11 +326,7 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
-      // Spark's split keeps trailing empty strings (java split limit
-      // -1): the zero-width lookahead matches at end-of-word too, so
-      // strip the empties or "" becomes a trainable symbol
-      .select(col("cnt"),
-        array_remove(split(col("w"), "(?!^)"), "").as("symbols"))
+      .select(col("cnt"), bpeBaseSymbols(col("w")).as("symbols"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
@@ -326,18 +345,8 @@ object TextOps {
       else {
         val (l, r) = (best.head.getString(0), best.head.getString(1))
         merges += ((rank, l, r))
-        // left-to-right non-overlapping rewrite of (l, r) -> l+r via a
-        // fold: merge when the accumulated tail is l and the next
-        // symbol is r ("aaa" under (a,a) correctly gives [aa, a])
-        syms = syms.withColumn("symbols",
-          aggregate(col("symbols"),
-            array().cast("array<string>"),
-            (acc, s) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(l) && s === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(l + r))))
-                .otherwise(concat(acc, array(s)))))
+        syms = syms
+          .withColumn("symbols", bpeMergeFold(col("symbols"), l, r))
           .localCheckpoint() // truncate the per-iteration lineage
         rank += 1
       }
@@ -356,17 +365,10 @@ object TextOps {
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
-      .select(col("w"),
-        array_remove(split(col("w"), "(?!^)"), "").as("symbols"))
+      .select(col("w"), bpeBaseSymbols(col("w")).as("symbols"))
     rules.foreach { case (l, r) =>
-      syms = syms.withColumn("symbols",
-        aggregate(col("symbols"), array().cast("array<string>"),
-          (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(l + r))))
-              .otherwise(concat(acc, array(s)))))
+      syms = syms
+        .withColumn("symbols", bpeMergeFold(col("symbols"), l, r))
         .localCheckpoint()
     }
     syms

@@ -246,18 +246,21 @@ object VectorOps {
   def semDedupPairs(emb: DataFrame, threshold: Double,
       centroids: DataFrame, probes: Int = 2): DataFrame = {
     require(probes >= 1, "probes must be at least 1")
+    // multi-assignment runs in the native TopCentroidIdxs expression —
+    // one two-level loop per row inside codegen, like ivfAssign's
+    // argmax (an array_sort over a transform'd struct array here would
+    // be CodegenFallback: an interpreted per-row sort of the codebook
+    // on the corpus-touching path)
     val assigned = emb
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_en"))
-      .crossJoin(broadcast(packCentroids(centroids)))
+      .crossJoin(broadcast(packCentroidsFlat(centroids)))
+      .select(col("vec_id"), col("embedding"), col("_en"), col("_cids"),
+        explode(GraftFunctions.topCentroidIdxs(col("embedding"),
+          col("_en"), col("_cvecs"), col("_cnorms"), lit(probes)))
+          .as("_bi"))
       .select(col("vec_id"), col("embedding"), col("_en"),
-        explode(slice(
-          array_sort(transform(col("_cents"), c =>
-            struct((-simKey(col("embedding"), c, col("_en"))).as("_neg"),
-              c.getField("centroid_id").as("centroid_id")))),
-          1, probes)).as("_p"))
-      .select(col("vec_id"), col("embedding"), col("_en"),
-        col("_p.centroid_id").as("bucket"))
+        element_at(col("_cids"), col("_bi") + 1).as("bucket"))
     val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("e_a"), col("_en").as("_na"))
     val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),

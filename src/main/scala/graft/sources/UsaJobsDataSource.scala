@@ -195,7 +195,8 @@ private[sources] class UsaJobsTable(props: Map[String, String])
         var hi = math.min(maxPages, pageHi)
         pushedLimit match {
           case Some(l) if l <= 0 => hi = lo - 1 // LIMIT 0: plan nothing
-          case Some(l) => hi = math.min(hi, lo + l - 1)
+          case Some(l) => // Long arithmetic: lo + Int.MaxValue - 1 wraps
+            hi = math.min(hi.toLong, lo.toLong + l - 1L).toInt
           case None => ()
         }
         if (contradiction || lo > hi) return Array.empty

@@ -194,6 +194,56 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: TopCentroidIdxs — element 0 == nearestCentroidIdx, " +
+      "order == a driver-side stable sort by (sim desc, position), on " +
+      "random vectors and codebooks (coarse values force ties)") {
+    val dim = 6
+    val coarse = Gen.oneOf(-1.0f, 0.0f, 0.5f, 1.0f)
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim, coarse).map(_.toSeq)
+    val cbGen: Gen[Seq[Seq[Float]]] = Gen.choose(1, 6)
+      .flatMap(k => Gen.listOfN(k, vecGen)).map(_.toSeq)
+    val inputs = sample(Gen.zip(vecGen, cbGen), 200, 17L)
+    def normD(v: Seq[Float]): Double =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val probes = 3
+    val rows = inputs.toDF("embedding", "cb").select(
+      GraftFunctions.topCentroidIdxs(col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))),
+        col("cb"),
+        transform(col("cb"), c => sqrt(aggregate(c, lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))),
+        lit(probes)).as("top"),
+      GraftFunctions.nearestCentroidIdx(col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))),
+        col("cb"),
+        transform(col("cb"), c => sqrt(aggregate(c, lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))))
+        .as("nearest")).collect()
+    rows.zip(inputs).foreach { case (r, (v, cb)) =>
+      val top = r.getSeq[Int](0)
+      // driver-side reference: sims in NearestCentroidIdx's exact
+      // arithmetic (left-to-right double accumulation), stable sort
+      val en = normD(v)
+      val sims = cb.map { c =>
+        val acc = v.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+          a + x.toDouble * y.toDouble }
+        val denom = en * normD(c)
+        if (denom == 0.0) -2.0 else acc / denom
+      }
+      // stable sortWith + primitive > : -0.0 and 0.0 compare equal
+      // (as in the native dcmp), so ties keep index order
+      val expect = sims.zipWithIndex
+        .sortWith((a, b) => a._1 > b._1)
+        .take(probes).map(_._2)
+      assert(top == expect, s"top-$probes mismatch for vec=$v cb=$cb: " +
+        s"$top vs $expect (sims $sims)")
+      assert(top.head == r.getInt(1),
+        "element 0 must equal the argmax expression")
+    }
+  }
+
   test("property: remuneration renders $min - $max for arbitrary ranges") {
     val range = Gen.zip(Gen.chooseNum(0, 900000), Gen.chooseNum(0, 900000))
     val cases = sample(range, 80, 4L)
