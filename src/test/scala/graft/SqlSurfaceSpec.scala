@@ -134,5 +134,12 @@ class SqlSurfaceSpec extends SparkSuite {
         |FROM range(1)""".stripMargin)
       .collect().head.getSeq[String](0)
     assert(col == lit)
+    // a null rule entry (nullable SQL arrays) is inert, not an NPE
+    val withNull = spark.sql(
+      """SELECT graft_bpe_segment('lowest low',
+        |         array('o w', if(id < 0, 'x', NULL), 'l ow')) AS toks
+        |FROM range(1)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(withNull == lit)
   }
 }
