@@ -360,6 +360,10 @@ object SparkEntry {
     // a per-doc lag window for span merging.
     "q71_exact_substr" -> ((s, d) =>
       TextOps.exactSubstrProfile(t(s, d, "documents"))),
+    // Source-overlap matrix: pairwise vocabulary Jaccard between
+    // sources — pair space bounded by #sources², never corpus-sized.
+    "q72_source_overlap" -> ((s, d) =>
+      TextOps.sourceOverlap(t(s, d, "documents"))),
     // Near-containment pairs (overlap coefficient): the subset-copy
     // detector Jaccard misses on size-skewed pairs; same inverted-index
     // shape as q29.
@@ -1214,6 +1218,26 @@ object SparkEntry {
            END AS dup_frac
          FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
          ORDER BY t.doc_id""",
+    "q72_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         e AS (SELECT source,
+                 unnest([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                         for i in range(1, len(lst) - 1)]) AS sh FROM t),
+         s AS (SELECT DISTINCT source, sh FROM e),
+         v AS (SELECT source, count(*) AS vocab FROM s GROUP BY source),
+         c AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS common
+               FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, common,
+           CAST(va.vocab + vb.vocab - common AS BIGINT) AS unioned,
+           CAST(common AS DOUBLE) / (va.vocab + vb.vocab - common)
+             AS jaccard
+         FROM c JOIN v va ON c.src_a = va.source
+                JOIN v vb ON c.src_b = vb.source
+         ORDER BY src_a, src_b""",
     "q70_source_quota" ->
       """WITH t AS (SELECT source, doc_id,
            list_filter(string_split(text, ' '), x -> x != '') AS lst

@@ -438,6 +438,45 @@ object TextOps {
         count(lit(1)).as("n_shingles"))
       .orderBy(col("source"))
 
+  /** Source-overlap matrix: pairwise vocabulary Jaccard between
+    * sources over n-gram shingles — the "which crawls duplicate each
+    * other" report that directs cross-source dedup (L44's boilerplate
+    * probe tells you WHAT is shared; this tells you WHO shares).
+    * Output: (src_a, src_b, common, unioned, jaccard) for every source
+    * pair sharing ≥ 1 shingle, src_a < src_b, ordered by pair.
+    *
+    * Scale shape: the distinct (source, shingle) table is q69's
+    * shuffle (persisted — it feeds both the per-source vocabulary
+    * count and the pair join); the shingle self-join emits ≤
+    * C(#sources, 2) rows PER SHINGLE, so the pair space is bounded by
+    * #sources² regardless of corpus size, and the final aggregate is
+    * #source-pairs rows. Shingles ride as 64-bit hashes (q69's
+    * convention), not strings. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val s = docs
+      .select(col("source"),
+        explode(GraftFunctions.shingleHashes(col("text"), n,
+          Long.MaxValue)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = s.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val c = s.select(col("source").as("src_a"), col("sh"))
+      .join(s.select(col("source").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("common"))
+    c
+      .join(v.select(col("source").as("src_a"), col("vocab").as("_va")),
+        "src_a")
+      .join(v.select(col("source").as("src_b"), col("vocab").as("_vb")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        (col("_va") + col("_vb") - col("common")).as("unioned"),
+        (col("common").cast("double") /
+          (col("_va") + col("_vb") - col("common"))).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Deterministic data-MIXTURE sampling: keep each document with a
     * per-source rate (percent), decided by the same content hash the
     * train/val/test split uses — bucket = rollingHash(text) mod 100,
