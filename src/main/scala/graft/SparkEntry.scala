@@ -371,6 +371,11 @@ object SparkEntry {
       NearDup.containmentPairs(t(s, d, "documents"), n = 3, minC = 0.8)),
     // Data-mixture sampling: per-source keep-rates over the q42 content
     // hash — deterministic, map-side.
+    // Per-source heavy hitters: grouped Misra-Gries sketch (≤k counters
+    // per source per partition) + exact verify over the broadcast
+    // candidate table — output bounded by sources×k at any corpus size.
+    "q73_heavy_hitters_by_source" -> ((s, d) =>
+      TextOps.heavyHittersBySource(t(s, d, "documents"), k = 50)),
     "q68_sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(s, t(s, d, "documents"),
         Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25,
@@ -1268,6 +1273,16 @@ object SparkEntry {
          FROM p WHERE n_a > 0 AND n_b > 0
            AND CAST(common AS DOUBLE) / LEAST(n_a, n_b) >= 0.8
          ORDER BY a_id, b_id""",
+    "q73_heavy_hitters_by_source" ->
+      """WITH toks AS (SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+           FROM documents),
+         tot AS (SELECT source, count(*) AS n FROM toks GROUP BY source)
+         SELECT t.source, token, count(*) AS n_occurrences
+         FROM toks t JOIN tot USING (source)
+         GROUP BY t.source, token, n
+         HAVING count(*) * 50 > n
+         ORDER BY t.source, token""",
     "q68_sample_mixture" ->
       """WITH b AS (SELECT doc_id, source,
            list_reduce(

@@ -160,6 +160,39 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** Per-SOURCE exact heavy hitters at sketch cost: for each source,
+    * all tokens whose frequency strictly exceeds n_source/k (n_source =
+    * that source's total token occurrences). Same sketch-then-verify
+    * shape as [[heavyHitterTokens]], but the Misra-Gries sketch runs as
+    * a GROUPED aggregate — partial state is ≤k counters PER GROUP per
+    * partition, so the sketch shuffle is (groups × k) rows no matter
+    * how large the corpus. The per-source candidate table (≤ groups×k
+    * rows) broadcasts; the verify pass filters to candidates map-side
+    * and shuffles ≤k distinct (source, token) keys per source — where a
+    * per-source exact GROUP BY would shuffle every distinct (source,
+    * token) pair. Output is bounded by groups×k rows at any scale, and
+    * is bit-exact: `GROUP BY source, token HAVING count*k > n_source`,
+    * independent of sketch merge order (any candidate superset yields
+    * the same rows). The per-source n rides the broadcast row, so no
+    * second aggregate over the corpus is needed. */
+  def heavyHittersBySource(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketches = toks
+      .groupBy(col("source"))
+      .agg(GraftFunctions.misraGries(col("token"), k).as("mg"))
+      .select(col("source"), col("mg.n").as("_n"),
+        col("mg.candidates").as("_cand"))
+    toks
+      .join(broadcast(sketches), Seq("source"))
+      .filter(array_contains(col("_cand"), col("token")))
+      .groupBy(col("source"), col("token"), col("_n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > col("_n"))
+      .select(col("source"), col("token"), col("n_occurrences"))
+      .orderBy(col("source"), col("token"))
+  }
+
   /** Token-budget corpus selection: per source, admit documents
     * longest-first until the cumulative whitespace-token count reaches
     * `budgetTokens` — the "fill the training mix to N tokens per source"

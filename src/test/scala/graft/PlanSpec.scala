@@ -181,6 +181,26 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"${exchanges.size}")
   }
 
+  test("q73 grouped heavy hitters: grouped MG sketch is ObjectHashAgg " +
+      "and the candidate table reaches the verify pass by broadcast") {
+    val df = q("q73_heavy_hitters_by_source")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val objAggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.size >= 2,
+      "grouped MG must run as partial+final ObjectHashAggregate")
+    val bcasts = collect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty,
+      "the sources×k candidate table must broadcast — a shuffle join " +
+        "would re-shuffle the full token stream")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      "verify pass must not sort-merge the corpus-sized token side")
+  }
+
   test("x09 incremental LSH: candidate generation is an equi-join on " +
       "(band, bh) — never a product of batch × corpus") {
     val df = q("x09_incremental_lsh")

@@ -391,6 +391,27 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("heavyHittersBySource: per-source thresholds are independent — " +
+      "a token heavy in one source is invisible to the others") {
+    import spark.implicits._
+    // srcA: "hot" is 12/30 tokens (> 30/5); srcB: "hot" appears once in
+    // 30 tokens (well under 30/5) while "warm" is 12/30. A global
+    // threshold would merge these; per-source must separate them.
+    val a = (0 until 6).map(i =>
+      (i.toLong, "srcA", "hot hot w" + i + " w" + i + " w" + i))
+    val b = (0 until 6).map(i =>
+      (10L + i, "srcB",
+        (if (i == 0) "hot" else "v" + i) + " warm warm u" + i + " u" + i))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    for (parts <- Seq(1, 7)) {
+      val got = TextOps.heavyHittersBySource(docs.repartition(parts), k = 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set(("srcA", "hot", 12L), ("srcB", "warm", 12L)),
+        s"at $parts partitions: $got")
+    }
+  }
+
   test("misraGries sketch: candidate list bounded by k and contains " +
       "every true heavy hitter") {
     import spark.implicits._
