@@ -376,6 +376,32 @@ object SparkEntry {
     // candidate table — output bounded by sources×k at any corpus size.
     "q73_heavy_hitters_by_source" -> ((s, d) =>
       TextOps.heavyHittersBySource(t(s, d, "documents"), k = 50)),
+    // Markov transition matrix: adjacent (prev → next) event-type pairs
+    // per user + row-conditional probability; one user_id window pass,
+    // final table bounded by #event_types².
+    "q74_event_transitions" -> ((s, d) =>
+      EventOps.eventTransitions(t(s, d, "events"))),
+    // Per-type inter-arrival profile: exact-integer microsecond gaps
+    // between a user's consecutive same-type events, quantile profile
+    // per type. (user, type)-keyed window — finer than sessionize.
+    "q75_inter_arrival" -> ((s, d) =>
+      EventOps.interArrivalProfile(t(s, d, "events"))),
+    // Vocabulary growth curve: new-shingle count per (source, doc_id
+    // bucket) + cumulative vocabulary — crawl-saturation report. The
+    // only data-sized exchange is the (source, shingle) min-aggregate.
+    "q76_vocabulary_growth" -> ((s, d) =>
+      TextOps.vocabularyGrowth(t(s, d, "documents"))),
+    // Text normalization: control-strip + whitespace-collapse + Unicode
+    // NFC in one native codegen'd scan — pure map-side; DuckDB's
+    // nfc_normalize expresses the identical transform.
+    "q77_normalize_text" -> ((s, d) =>
+      TextOps.normalizeText(t(s, d, "documents"))),
+    // Full PII scrub incl. Luhn-validated payment cards: the checksum
+    // is a per-match decision no regex (or SQL oracle) can express —
+    // rows-only; planted-card goldens + regex-chain parity in
+    // TextOpsSpec pin the semantics.
+    "x20_pii_scrub_cards" -> ((s, d) =>
+      TextOps.scrubPiiAll(t(s, d, "documents"))),
     "q68_sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(s, t(s, d, "documents"),
         Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25,
@@ -1296,5 +1322,53 @@ object SparkEntry {
            WHEN 'src0' THEN 100 WHEN 'src1' THEN 75 WHEN 'src2' THEN 50
            WHEN 'src3' THEN 25 WHEN 'src4' THEN 10 ELSE 40 END
          ORDER BY doc_id""",
+    "q74_event_transitions" ->
+      """WITH t AS (SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+           FROM events)
+         SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) /
+             sum(count(*)) OVER (PARTITION BY prev_type) AS p
+         FROM t WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type
+         ORDER BY prev_type, event_type""",
+    "q75_inter_arrival" ->
+      """WITH g AS (SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             AS gap_us
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_gap_us,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_gap_us,
+           max(gap_us) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q76_vocabulary_growth" ->
+      """WITH s AS (SELECT doc_id, source,
+           [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+             for i in range(1, len(lst) - 1)] AS sh
+           FROM (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         e AS (SELECT source, unnest(sh) AS sh, doc_id FROM s),
+         f AS (SELECT source, sh, min(doc_id) AS first_doc
+               FROM e GROUP BY source, sh),
+         b AS (SELECT source, first_doc // 50 AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_shingles
+               FROM f GROUP BY source, bucket)
+         SELECT source, bucket, new_shingles,
+           CAST(sum(new_shingles) OVER (
+             PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum_vocab
+         FROM b ORDER BY source, bucket""",
+    "q77_normalize_text" ->
+      """WITH n AS (SELECT doc_id, text,
+           nfc_normalize(trim(regexp_replace(regexp_replace(text,
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, norm_text != text AS changed
+         FROM n ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -89,6 +89,8 @@ object GraftFunctions {
   val PQ_CODES = "graft_pq_codes"
   val BPE_SEGMENT = "graft_bpe_segment"
   val TOP_CENTROIDS = "graft_top_centroids"
+  val NORMALIZE_TEXT = "graft_normalize_text"
+  val LUHN_SCRUB = "graft_luhn_scrub"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -203,6 +205,14 @@ object GraftFunctions {
       ROW_TOP_K,
       exprs => arity(ROW_TOP_K, 3, exprs)(e => RowTopK(e(0), e(1), e(2))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      NORMALIZE_TEXT,
+      exprs => arity(NORMALIZE_TEXT, 1, exprs)(e => NormalizeText(e.head)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      LUHN_SCRUB,
+      exprs => arity(LUHN_SCRUB, 1, exprs)(e => LuhnScrub(e.head)),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -267,6 +277,15 @@ object GraftFunctions {
   /** Run-length token collapse in one native pass: struct<clean, n_raw,
     * n_kept> (see CollapseRuns). */
   def collapseRuns(text: Column): Column = registered(COLLAPSE_RUNS, text)
+
+  /** Control-strip + whitespace-collapse + Unicode NFC in one native
+    * pass (see NormalizeText). */
+  def normalizeText(text: Column): Column =
+    registered(NORMALIZE_TEXT, text)
+
+  /** Luhn-validated payment-card redaction in one native pass:
+    * struct<clean, n_cards> (see LuhnScrub). */
+  def luhnScrub(text: Column): Column = registered(LUHN_SCRUB, text)
 
   /** Repetition counters in one native pass: struct<n_bigrams,
     * max_bigram_count, n_trigrams, n_distinct_trigrams, max_run> (see

@@ -222,4 +222,64 @@ object EventOps {
         count(when(col("event_type") === "signup", 1)).as("signups"),
         count(when(col("event_type") === "error", 1)).as("errors"))
       .orderBy(col("user_id"))
+
+  /** Markov transition matrix over per-user event sequences: counts of
+    * adjacent (prev_type → type) pairs plus the row-conditional
+    * probability p(next | prev) — the "what follows what" report behind
+    * funnel design and bot/anomaly detection (a user whose transition
+    * distribution is far from the corpus matrix is automated traffic).
+    *
+    * Determinism: the per-user order is the total key (ts, event_id);
+    * the probability is a single division of two exact integers, so it
+    * is bit-identical across engines and partitionings.
+    *
+    * Scale shape: one window pass per user (shuffle on user_id, linear
+    * in each user's events — the sessionize shape), then a hash
+    * aggregate whose result is bounded by #event_types², so the final
+    * window (row-normalization) runs over a constant-size table no
+    * matter the corpus. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Per-type inter-arrival profile: for each event type, the
+    * distribution of the gap (microseconds, exact integers) between a
+    * user's consecutive events of THAT type — purchase frequency, error
+    * burstiness, the cadence statistic capacity planning reads.
+    *
+    * The gap is independent of the (ts, event_id) tie-break: lag(ts)
+    * over equal timestamps yields the same multiset of gaps whichever
+    * tie order the engine picks.
+    *
+    * Scale shape: one window pass keyed (user_id, event_type) — finer
+    * than sessionize's key, so skew is strictly lower; the exact
+    * grouped percentile is the q60 correctness-baseline trade
+    * (percentile_approx is the documented 100 TB swap, as x12/x07). */
+  def interArrivalProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_gap_us"),
+        percentile(col("gap_us"), lit(0.9)).as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -510,6 +510,43 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Vocabulary growth curve: per source, how many NEVER-SEEN-BEFORE
+    * n-gram shingles each block of `bucketDocs` documents introduces
+    * (by doc_id order), plus the cumulative vocabulary. A flattening
+    * curve says the crawl is saturating (more docs, no new content —
+    * diminishing returns for training); a linear one says the source
+    * is still productive. The per-shingle statistic is first_doc =
+    * min(doc_id), so the curve is insertion-order semantics computed
+    * with zero sequential processing.
+    *
+    * Scale shape: the only data-sized exchange is the (source, shingle)
+    * hash aggregate — min() partial-aggregates map-side, so each
+    * distinct shingle crosses the wire once per partition at most
+    * (q69's shuffle with a min attached). The bucket rollup is
+    * #sources × #buckets rows, and the cumulative window runs over that
+    * summary table only (never the corpus — the L52 prefix-sum shape).
+    * Shingles ride as 64-bit rolling hashes, never strings. */
+  def vocabularyGrowth(docs: DataFrame, n: Int = 3,
+      bucketDocs: Long = 50L): DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val buckets = docs
+      .select(col("source"), col("doc_id"),
+        explode(GraftFunctions.shingleHashes(col("text"), n,
+          Long.MaxValue)).as("sh"))
+      .groupBy(col("source"), col("sh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .withColumn("bucket", expr(s"first_doc div ${bucketDocs}L"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("new_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    buckets
+      .withColumn("cum_vocab", sum(col("new_shingles")).over(w))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Deterministic data-MIXTURE sampling: keep each document with a
     * per-source rate (percent), decided by the same content hash the
     * train/val/test split uses — bucket = rollingHash(text) mod 100,
@@ -1119,6 +1156,51 @@ object TextOps {
       regexp_count(col("text"), lit(PiiId)).cast("long").as("n_ids"),
       regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
       clean.as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Text normalization pass (the stage BEFORE any token statistic):
+    * control-strip + whitespace-collapse + Unicode NFC through the
+    * native `GraftFunctions.normalizeText` scan, plus a changed flag so
+    * a pipeline can report how much of the crawl was non-canonical.
+    * Pure map-side projection — shuffle-free at any corpus size (only
+    * the verification sort exchanges); DuckDB expresses the identical
+    * transform (nfc_normalize + regexps), oracle-checked as q77. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = GraftFunctions.normalizeText(col("text"))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full PII scrub: Luhn-validated payment cards FIRST (the native
+    * per-match-checksum scan — see functions.LuhnScrub for why a regex
+    * cannot do this), then the scrubPii regex chain over the card-free
+    * text. The existing chain cannot detect cards at all (grouped
+    * forms never align with the 3-3-4 phone shape) — cards pass
+    * through scrubPii verbatim, the gap this operator closes; scanning
+    * cards first also guarantees no later category can claim a card's
+    * digit groups however those patterns evolve. Counts per category
+    * on the card-free pre-regex text, matching scrubPii's
+    * independent-detector accounting. Pure map-side, zero UDFs. */
+  def scrubPiiAll(docs: DataFrame): DataFrame = {
+    val card = GraftFunctions.luhnScrub(col("text"))
+    docs
+      .withColumn("_card", card)
+      .select(
+        col("doc_id"),
+        col("_card.n_cards").as("n_cards"),
+        regexp_count(col("_card.clean"), lit(PiiEmail)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("_card.clean"), lit(PiiIpv4)).cast("long")
+          .as("n_ips"),
+        regexp_count(col("_card.clean"), lit(PiiId)).cast("long")
+          .as("n_ids"),
+        regexp_count(col("_card.clean"), lit(PiiPhone)).cast("long")
+          .as("n_phones"),
+        piiCleanText(col("_card.clean")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

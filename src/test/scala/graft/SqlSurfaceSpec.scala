@@ -85,6 +85,31 @@ class SqlSurfaceSpec extends SparkSuite {
         |  SELECT * FROM VALUES ('zz', 1L), ('aa', 2L), ('mm', 3L)
         |    AS r(s, n))""".stripMargin).head.getSeq[Long](0)
     assert(tks == Seq(2L, 3L))
+    // text normalization: control chars strip, runs collapse, NFC
+    // composes e + combining acute (U+0301) into é
+    val nt = spark.sql(
+      "SELECT graft_normalize_text('  a\tb  café  ') AS t").head
+      .getString(0)
+    assert(nt == "a b café")
+    assert(spark.sql(
+      "SELECT graft_normalize_text(CAST(NULL AS STRING)) AS t")
+      .head.isNullAt(0))
+    // Luhn card scrub: checksum-valid grouped card redacts, the
+    // failed-checksum twin stays
+    val ls = spark.sql(
+      """SELECT graft_luhn_scrub(
+        |  'a 4111 1111 1111 1111 b 4111111111111112') AS s"""
+        .stripMargin).head.getStruct(0)
+    assert(ls.getString(0) == "a [CARD] b 4111111111111112")
+    assert(ls.getLong(1) == 1L)
+    val extraNt = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_normalize_text('a', 'b')").collect()
+    }
+    assert(extraNt.getMessage.contains("graft_normalize_text"))
+    val extraLs = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_luhn_scrub('a', 'b')").collect()
+    }
+    assert(extraLs.getMessage.contains("graft_luhn_scrub"))
   }
 
   test("aggregate + vector natives are callable from SQL: misra_gries " +

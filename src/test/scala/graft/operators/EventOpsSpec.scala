@@ -81,4 +81,69 @@ class EventOpsSpec extends SparkSuite {
     assert(out(4L) == (3L, Some(ts("2024-01-01 07:20:00"))))
     assert(out(5L) == (0L, None))
   }
+
+  test("eventTransitions: adjacent pairs per user, users never chain " +
+      "into each other, probabilities normalize per prev row") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: A → B → B → C
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "B", "2024-01-01 10:01:00"),
+      (3L, 1L, "B", "2024-01-01 10:02:00"),
+      (4L, 1L, "C", "2024-01-01 10:03:00"),
+      // user 2: A → B (their first event must NOT chain off user 1's C)
+      (5L, 2L, "A", "2024-01-01 10:04:00"),
+      (6L, 2L, "B", "2024-01-01 10:05:00"),
+      // user 3: a single event contributes no transition
+      (7L, 3L, "C", "2024-01-01 10:00:00")
+    ).map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("A", "B") -> (2L, 1.0),
+      ("B", "B") -> (1L, 0.5),
+      ("B", "C") -> (1L, 0.5)),
+      s"got $out")
+  }
+
+  test("eventTransitions: same-timestamp events order by event_id") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = Seq((1L, 1L, "A", t0), (2L, 1L, "B", t0), (3L, 1L, "C", t0))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val pairs = EventOps.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("A", "B"), ("B", "C")))
+  }
+
+  test("interArrivalProfile: gaps are within (user, type) only; exact " +
+      "integer microseconds; quantiles interpolate") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 type A at 0s, 10s, 30s → gaps 10s, 20s
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "A", "2024-01-01 10:00:10"),
+      (3L, 1L, "A", "2024-01-01 10:00:30"),
+      // user 1 type B interleaved — must not shrink A's gaps
+      (4L, 1L, "B", "2024-01-01 10:00:05"),
+      // user 2 type A at 100s, 140s → gap 40s
+      (5L, 2L, "A", "2024-01-01 10:01:40"),
+      (6L, 2L, "A", "2024-01-01 10:02:20"),
+      // user 3: single B event → no gap; B has no profile row
+      (7L, 3L, "B", "2024-01-01 10:00:00")
+    ).map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val rows = EventOps.interArrivalProfile(ev).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A"),
+      "type B never has two events for one user")
+    val a = rows.head
+    assert(a.getLong(1) == 3L)                       // n_gaps
+    assert(a.getLong(2) == 10000000L)                // min 10 s
+    assert(a.getDouble(3) == 20000000.0)             // p50 of {10,20,40}s
+    // p90 over {10,20,40}s: position 0.9*2 = 1.8 → 20s + 0.8*(40-20)s
+    assert(math.abs(a.getDouble(4) - 36000000.0) < 1e-6)
+    assert(a.getLong(5) == 40000000L)                // max 40 s
+  }
 }

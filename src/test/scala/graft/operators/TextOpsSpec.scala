@@ -838,4 +838,118 @@ class TextOpsSpec extends SparkSuite {
     assert(row.getUTF8String(0).toString == "a b")
     assert(row.getLong(1) == 4L && row.getLong(2) == 2L)
   }
+
+  test("vocabularyGrowth: a shingle counts only at its first doc per " +
+      "source; buckets partition by doc_id; cumulative sums per source") {
+    import spark.implicits._
+    // bucketDocs = 2 → docs {0,1} bucket 0, {2,3} bucket 1.
+    // srcA doc0 introduces [a b c]; doc2 repeats it (no new shingle)
+    // and introduces [b c d]. srcB doc1 independently introduces
+    // [a b c] — per-source novelty, not global.
+    val docs = Seq(
+      (0L, "srcA", "a b c"),
+      (2L, "srcA", "a b c d"),
+      (1L, "srcB", "a b c"),
+      (3L, "srcB", "a b c")
+    ).toDF("doc_id", "source", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = TextOps.vocabularyGrowth(docs.repartition(parts),
+        n = 3, bucketDocs = 2L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == Seq(
+        ("srcA", 0L, 1L, 1L), ("srcA", 1L, 1L, 2L),
+        ("srcB", 0L, 1L, 1L)),
+        s"at $parts partitions: $got")
+    }
+  }
+
+  test("vocabularyGrowth: docs shorter than n contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((0L, "s", "a b"), (1L, "s", "")).toDF(
+      "doc_id", "source", "text")
+    assert(TextOps.vocabularyGrowth(docs, n = 3, bucketDocs = 10L)
+      .count() == 0L)
+  }
+
+  test("normalizeText: NFC composition, control-char strip, whitespace " +
+      "collapse, trim; canonical text unchanged") {
+    import spark.implicits._
+    val decomposed = "café"          // e + combining acute
+    val composed = "café"             // precomposed é
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "a\tb\r\nc"),                   // tabs/newlines → single spaces
+      (4L, "  lead  mid gap trail  "),
+      (5L, "already canonical"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (composed, true),
+      "decomposed sequence composes to NFC and flags changed")
+    assert(out(2L) == (composed, false))
+    assert(out(3L) == ("a b c", true))
+    assert(out(4L) == ("lead mid gap trail", true))
+    assert(out(5L) == ("already canonical", false))
+    assert(out(6L) == ("", false))
+  }
+
+  test("luhn card scrub: checksum decides; grouped forms redact as one " +
+      "unit; near-miss lengths and failed checksums stay verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),        // 16-digit valid
+      (2L, "pay 4111 1111 1111 1111 now"),     // space-grouped valid
+      (3L, "pay 4111-1111-1111-1111 now"),     // dash-grouped valid
+      (4L, "pay 4222222222222 now"),           // 13-digit valid
+      (5L, "amex 371449635398431 ok"),         // 15-digit valid
+      (6L, "id 4111111111111112 fails luhn"),  // checksum fails → kept
+      (7L, "order 123456789012 is short"),     // 12 digits → kept
+      (8L, "ts 12345678901234567890 too long"),// 20 digits → kept
+      (9L, "call 555-123-4567 re 4111111111111111"), // phone + card
+      (10L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      GraftFunctions.luhnScrub(col("text")).as("s"))
+      .select(col("doc_id"), col("s.clean"), col("s.n_cards")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("pay [CARD] now", 1L))
+    assert(out(2L) == ("pay [CARD] now", 1L))
+    assert(out(3L) == ("pay [CARD] now", 1L))
+    assert(out(4L) == ("pay [CARD] now", 1L))
+    assert(out(5L) == ("amex [CARD] ok", 1L))
+    assert(out(6L) == ("id 4111111111111112 fails luhn", 0L))
+    assert(out(7L) == ("order 123456789012 is short", 0L))
+    assert(out(8L) == ("ts 12345678901234567890 too long", 0L))
+    assert(out(9L) == ("call 555-123-4567 re [CARD]", 1L))
+    assert(out(10L) == ("no digits at all", 0L))
+  }
+
+  test("scrubPiiAll: cards redact before the regex chain; the regex " +
+      "chain alone is card-blind (the gap this closes); other " +
+      "categories match scrubPii") {
+    import spark.implicits._
+    val docs = Seq(
+      // A grouped card: the phone regex alone would eat its middle.
+      (1L, "card 4111 1111 1111 1111 mail a@b.co ip 10.0.0.1 " +
+        "ssn 123-45-6789 tel 555-123-4567"),
+      (2L, "clean document")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPiiAll(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)), r.getString(6))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 1L, 1L, 1L)))
+    assert(out(1L)._2 ==
+      "card [CARD] mail [EMAIL] ip [IP] ssn [ID] tel [PHONE]")
+    assert(out(2L) == (((0L, 0L, 0L, 0L, 0L)), "clean document"))
+    // Premise: the regex chain alone is card-blind — the grouped card
+    // passes through scrubPii verbatim (that is the detection gap
+    // scrubPiiAll closes with the Luhn scan):
+    val regexOnly = TextOps.scrubPii(docs).collect()
+      .filter(_.getLong(0) == 1L).head.getString(5)
+    assert(regexOnly.contains("4111 1111 1111 1111"),
+      s"premise check: regex chain alone leaves the card: $regexOnly")
+  }
 }
