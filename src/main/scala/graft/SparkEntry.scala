@@ -396,6 +396,11 @@ object SparkEntry {
     // nfc_normalize expresses the identical transform.
     "q77_normalize_text" -> ((s, d) =>
       TextOps.normalizeText(t(s, d, "documents"))),
+    // Markup stripping: tag strip → entity decode (&amp; last) →
+    // whitespace collapse — the crawl-extraction stage, dialect-
+    // portable so the oracle computes the identical transform.
+    "q78_strip_markup" -> ((s, d) =>
+      TextOps.stripMarkup(t(s, d, "documents"))),
     // Full PII scrub incl. Luhn-validated payment cards: the checksum
     // is a per-match decision no regex (or SQL oracle) can express —
     // rows-only; planted-card goldens + regex-chain parity in
@@ -438,6 +443,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextOps.bpeSegment(docs, TextOps.bpeTrain(docs, nMerges = 16))
         .select(col("doc_id"), col("n_tokens"))
+    }),
+    // Tokenizer fertility: BPE tokens per word / chars per token, per
+    // source — one map-side segmentation scan + a tiny per-source
+    // aggregate. Engine-trained merges → rows-only; the composition
+    // equality vs bpeSegment is pinned in TextOpsSpec.
+    "x21_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.bpeFertility(docs, TextOps.bpeTrain(docs, nMerges = 16))
     }),
   )
 
@@ -1370,5 +1383,16 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, norm_text, norm_text != text AS changed
          FROM n ORDER BY doc_id""",
+    "q78_strip_markup" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+             AS n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             ' +', ' ', 'g')) AS clean_text
+         FROM documents ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -5,8 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** The end-to-end curation pipeline a training-data run actually
   * executes, composed from the operators this engine exposes — in the
-  * standard order (each stage shrinks the next stage's input):
+  * standard order (each stage shrinks or canonicalizes the next
+  * stage's input):
   *
+  *   0. canonicalization (TextOps.markupCleanText — tag strip + entity
+  *      decode; then functions.NormalizeText — control-strip +
+  *      whitespace-collapse + Unicode NFC): every later stage measures
+  *      and hashes ONE byte form per logical character — without NFC,
+  *      a composed/decomposed pair of the same document can never
+  *      dedup (their shingle hashes differ),
   *   1. quality filter (TextOps.filterQuality — map-side rule flags;
   *      rejects never reach anything expensive),
   *   2. PII scrub (TextOps.piiCleanText rewriting `text` in place —
@@ -27,15 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Stages 1–2 (quality gate, then in-place PII scrub) as one map-side
-    * transform — the SHARED front half of the batch pipeline and of the
-    * streaming ingestion path (StreamingDedup.runCurationAvailableNow
-    * applies this per micro-batch, so streaming and batch curation run
-    * the identical gate and scrub, in the identical order: scrub AFTER
-    * the gate so rule statistics see the raw text, scrub BEFORE dedup
-    * so docs differing only in redacted PII collapse as near-dups). */
+  /** Stages 0–2 (canonicalize, quality gate, in-place PII scrub) as one
+    * map-side transform — the SHARED front half of the batch pipeline
+    * and of the streaming ingestion path
+    * (StreamingDedup.runCurationAvailableNow applies this per
+    * micro-batch, so streaming and batch curation run the identical
+    * stages in the identical order: normalize BEFORE the gate so rule
+    * statistics measure canonical text, scrub AFTER the gate so rule
+    * statistics see un-redacted text, scrub BEFORE dedup so docs
+    * differing only in redacted PII collapse as near-dups). */
   def prepare(docs: DataFrame): DataFrame =
-    TextOps.filterQuality(docs)
+    TextOps.filterQuality(
+      docs.withColumn("text",
+        graft.functions.GraftFunctions.normalizeText(
+          TextOps.markupCleanText(col("text")))))
       .withColumn("text", TextOps.piiCleanText(col("text")))
 
   def pipeline(docs: DataFrame, packTokens: Long = 256L,

@@ -435,6 +435,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer FERTILITY report: per source, BPE tokens per whitespace
+    * word and characters per BPE token — the statistic that tells you
+    * how well a tokenizer fits each corpus slice (fertility near 1 ≈
+    * whole words in vocabulary; near chars-per-word ≈ the tokenizer
+    * falls back to characters, e.g. on a domain/language the merges
+    * never saw). Word semantics match bpeTrain's split exactly, and
+    * non-space chars are counted (so chars_per_token × n_tokens
+    * reconstructs the corpus's non-space mass).
+    *
+    * Scale shape: the segmentation is the x18 native map-side pass
+    * (broadcast rule list, one codegen'd apply loop per row); the
+    * only exchange is the tiny per-source aggregate — fertility of a
+    * 100 TB corpus costs one scan. Ratios are single divisions of
+    * exact per-source integer sums: bit-identical at any
+    * parallelism. */
+  def bpeFertility(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val rules: Seq[String] = merges.orderBy(col("rank")).collect()
+      .map(r => r.getString(1) + " " + r.getString(2)).toSeq
+    docs
+      .select(col("source"),
+        size(array_remove(split(col("text"), "\\s+"), ""))
+          .cast("long").as("_w"),
+        size(GraftFunctions.bpeSegment(col("text"), typedlit(rules)))
+          .cast("long").as("_t"),
+        length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("long").as("_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_bpe_tokens"),
+        sum(col("_c")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source VOCABULARY statistics over n-gram shingles: distinct
     * shingle count (vocabulary size — the corpus-diversity statistic
     * behind dedup-rate and contamination-risk estimates) and the sum of
@@ -1174,6 +1212,44 @@ object TextOps {
       (norm =!= col("text")).as("changed"))
       .orderBy(col("doc_id"))
   }
+
+  /** Markup stripping — the crawl-extraction stage: HTML/XML tags
+    * become spaces, the five core character entities (+ nbsp) decode,
+    * space runs collapse, ends trim. Tags are stripped BEFORE entities
+    * decode, so escaped markup in CONTENT ("&lt;tag&gt;") survives as
+    * literal text ("<tag>") instead of being re-stripped — and "&amp;"
+    * decodes LAST, so double-escaped entities ("&amp;lt;") decode one
+    * level ("&lt;"), exactly like a single-pass HTML decoder. Reports
+    * the tag count on the original text.
+    *
+    * Every piece is dialect-portable (same regex subset + literal
+    * replaces in RE2 and Java), so DuckDB expresses the identical
+    * transform — oracle-checked as q78. Pure map-side codegen'd
+    * projection: zero shuffles beyond the verification sort, zero
+    * UDFs. */
+  private val MarkupTagPat = "<[^>]*>"
+
+  /** The markup transform as a Column (the pipeline form — see
+    * stripMarkup for semantics): tag strip → entity decode (&amp;
+    * last) → space collapse → trim. */
+  def markupCleanText(text: Column): Column = {
+    val detagged = regexp_replace(text, MarkupTagPat, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(detagged) { case (c, (k, v)) =>
+        replace(c, lit(k), lit(v))
+      }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  def stripMarkup(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(MarkupTagPat)).cast("long")
+        .as("n_tags"),
+      markupCleanText(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
 
   /** Full PII scrub: Luhn-validated payment cards FIRST (the native
     * per-match-checksum scan — see functions.LuhnScrub for why a regex

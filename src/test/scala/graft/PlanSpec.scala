@@ -515,4 +515,56 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 2,
       s"gate must be map-side + one aggregate; got ${exchanges.size}")
   }
+
+  test("q74 transitions: one user_id window shuffle feeds a bounded " +
+      "aggregate — the normalizing window never touches event-sized " +
+      "data, and nothing joins") {
+    val df = q("q74_event_transitions")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "transition matrix must not join")
+    assert(plan.contains("HashAggregate"),
+      "pair counts must partial+final hash aggregate")
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // user window + pair aggregate + type-normalizing window + sort;
+    // all but the first run over ≤ #event_types² rows
+    assert(exchanges.size <= 4,
+      s"unexpected exchange count ${exchanges.size}")
+  }
+
+  test("q77 normalize / x20 card scrub: pure map-side projections — " +
+      "the only exchange is the output sort") {
+    for (name <- Seq("q77_normalize_text", "x20_pii_scrub_cards")) {
+      val df = q(name)
+      df.collect()
+      val exchanges = collect(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e
+      }
+      assert(exchanges.size <= 1,
+        s"$name must be map-side; found ${exchanges.size} exchanges")
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+        s"$name must not join")
+    }
+  }
+
+  test("q76 vocabulary growth: the shingle min-aggregate partial-" +
+      "aggregates map-side; the cumulative window runs post-rollup " +
+      "(never over shingle-sized data)") {
+    val df = q("q76_vocabulary_growth")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "growth curve must not join")
+    assert(plan.contains("HashAggregate"),
+      "min(first_doc) must be a partial+final hash aggregate")
+    // shingle agg + bucket agg + source window + sort — the first is
+    // the only one carrying shingle-sized data
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 4,
+      s"unexpected exchange count ${exchanges.size}")
+  }
 }

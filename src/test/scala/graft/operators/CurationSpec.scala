@@ -31,8 +31,7 @@ class CurationSpec extends SparkSuite {
 
     // composition == running the stages by hand
     val byHand = {
-      val q = TextOps.filterQuality(docs)
-        .withColumn("text", TextOps.piiCleanText(col("text")))
+      val q = Curation.prepare(docs)
       val pairs = NearDup.minHashLshPairs(q)
         .select(col("a_id"), col("b_id"))
       TextOps.packSequences(
@@ -44,5 +43,34 @@ class CurationSpec extends SparkSuite {
     val passing = TextOps.filterQuality(docs)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids.subsetOf(passing))
+  }
+
+  test("pipeline: NFC canonicalization happens before dedup — a " +
+      "composed/decomposed pair of the same document collapses (it " +
+      "cannot without stage 0: every shingle hash differs)") {
+    import spark.implicits._
+    // Identical documents where EVERY content token carries an e-acute;
+    // 5 uses precomposed U+00E9 throughout, 6 the decomposed
+    // e + U+0301. Byte-distinct everywhere, so without NFC the two
+    // shingle sets are DISJOINT (every trigram contains an accented
+    // token) and no dedup path can see the pair.
+    val body = "the " + (0 until 39).map(i => s"w\u00e9$i").mkString(" ")
+    val bodyDecomposed =
+      "the " + (0 until 39).map(i => s"we\u0301$i").mkString(" ")
+    assert(body != bodyDecomposed, "premise: byte-distinct inputs")
+    val docs = Seq(
+      (5L, "s1", body),
+      (6L, "s1", bodyDecomposed)
+    ).toDF("doc_id", "source", "text")
+    val ids = Curation.pipeline(docs, packTokens = 16L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(5L), s"NFC twins must dedup to the min id; got $ids")
+
+    // premise check: WITHOUT normalization the pair is invisible to
+    // LSH (disjoint shingle sets — Jaccard 0)
+    val gated = TextOps.filterQuality(docs)
+      .withColumn("text", TextOps.piiCleanText(col("text")))
+    assert(NearDup.minHashLshPairs(gated).count() == 0L,
+      "premise: un-normalized NFC twins must NOT pair")
   }
 }

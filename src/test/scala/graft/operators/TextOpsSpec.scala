@@ -606,6 +606,36 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpeFertility: per-source ratios equal the bpeSegment " +
+      "composition; a source the merges fit has lower fertility than " +
+      "one they never saw") {
+    import spark.implicits._
+    // srcA repeats the fixture words the merges are trained on; srcB
+    // is character-soup the merge table never saw (falls back toward
+    // per-character tokens → higher fertility)
+    val docs = Seq(
+      (0L, "srcA", "low low lower newest"),
+      (1L, "srcA", "newest widest low"),
+      (2L, "srcB", "zq xv kj pq")
+    ).toDF("doc_id", "source", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 8)
+    val out = TextOps.bpeFertility(docs, merges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // composition: token totals from bpeSegment, words/chars by hand
+    // (srcA: 4+3 words, (3+3+5+6)+(6+6+3)=32 non-space chars;
+    //  srcB: 4 words, 8 chars)
+    val seg = TextOps.bpeSegment(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val aToks = seg(0L) + seg(1L)
+    assert(out("srcA") == ((7L, aToks, aToks.toDouble / 7L,
+      32.0 / aToks)))
+    assert(out("srcB") == ((4L, seg(2L), seg(2L).toDouble / 4L,
+      8.0 / seg(2L))))
+    assert(out("srcB")._3 > out("srcA")._3,
+      "unseen character-soup must have higher fertility")
+  }
+
   test("bpeSegment == training end-state on harness docs (sf0.001), " +
       "multi-word documents tokenize in order") {
     import spark.implicits._
@@ -894,6 +924,28 @@ class TextOpsSpec extends SparkSuite {
     assert(out(4L) == ("lead mid gap trail", true))
     assert(out(5L) == ("already canonical", false))
     assert(out(6L) == ("", false))
+  }
+
+  test("stripMarkup: tags strip before entities decode; &amp; decodes " +
+      "last (double-escape survives one level); tag count on original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a &amp;lt; b"),               // double-escaped: one level only
+      (3L, "x &lt;tag&gt; y"),            // escaped markup is CONTENT
+      (4L, "A&nbsp;B &#39;q&#39; &quot;r&quot;"),
+      (5L, "spread < real > keeps loose angle brackets"),
+      (6L, "no markup here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (4L, "Hello world"))
+    assert(out(2L) == (0L, "a &lt; b"))
+    assert(out(3L) == (0L, "x <tag> y"))
+    assert(out(4L) == (0L, "A B 'q' \"r\""))
+    // "< real >" IS tag-shaped ("<[^>]*>" matches "< real >"):
+    assert(out(5L) == (1L, "spread keeps loose angle brackets"))
+    assert(out(6L) == (0L, "no markup here"))
   }
 
   test("luhn card scrub: checksum decides; grouped forms redact as one " +
