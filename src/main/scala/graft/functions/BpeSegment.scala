@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Children: (text STRING, rules ARRAY<STRING>) where each rule is
   * "left right" in rank order (rank = array position), the packed
   * single-row broadcast TextOps.bpeSegment builds. Semantics follow the
-  * standard BPE apply loop: per whitespace word, start from UTF-16
-  * code-unit symbols (matching training's base segmentation), then
+  * standard BPE apply loop: per whitespace word, start from Unicode
+  * code-POINT symbols (matching training's base segmentation — neither
+  * path ever splits inside a surrogate pair), then
   * repeatedly find the LOWEST-RANK adjacent pair present and rewrite
   * all its occurrences left-to-right, until no rule applies. Tokens
   * are emitted in document order.
@@ -119,9 +120,15 @@ object BpeSegment {
       if (word.nonEmpty) {
         var syms = new java.util.ArrayList[String](word.length)
         var c = 0
-        while (c < word.length) { // UTF-16 code units, as in training
-          syms.add(String.valueOf(word.charAt(c)))
-          c += 1
+        while (c < word.length) {
+          // one symbol per Unicode CODE POINT, as in training (both
+          // bpeTrain's driver-side symbolizer and the bpeBaseSymbols
+          // regex split never cut inside a surrogate pair); code-unit
+          // splitting here would make supplementary-plane merge rules
+          // learned at training time unmatchable at apply time
+          val n = Character.charCount(word.codePointAt(c))
+          syms.add(word.substring(c, c + n))
+          c += n
         }
         var done = false
         while (!done && syms.size > 1) {

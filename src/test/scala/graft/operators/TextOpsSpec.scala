@@ -659,6 +659,89 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpeTrain launches no per-merge Spark jobs: job count is " +
+      "independent of nMerges (the corpus is scanned exactly once and " +
+      "the merge loop runs on the driver)") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").localCheckpoint()
+    val sc = spark.sparkContext
+    // the status tracker is listener-fed (async), so poll to a fixpoint
+    def jobsInGroup(g: String): Int = {
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(g).length
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur
+        Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(g).length
+        spins += 1
+      }
+      cur
+    }
+    def trainJobs(n: Int): Int = {
+      val group = s"bpe-train-jobs-$n"
+      sc.setJobGroup(group, "bpeTrain job-count pin")
+      try TextOps.bpeTrain(docs, nMerges = n).count()
+      finally sc.clearJobGroup()
+      jobsInGroup(group)
+    }
+    val j2 = trainJobs(2)
+    val j12 = trainJobs(12)
+    assert(j2 == j12,
+      s"job count must not scale with nMerges: $j2 jobs at 2 merges " +
+        s"vs $j12 at 12 — the merge loop is launching cluster work")
+  }
+
+  test("BPE train/segment agree on supplementary-plane text: symbols " +
+      "are code points on both paths, rules never split a surrogate " +
+      "pair, segmentation round-trips") {
+    import spark.implicits._
+    val emoji = "😀" // U+1F600, a surrogate pair in UTF-16
+    val word = emoji + "ab"
+    val docs = Seq((0L, s"$word $word $emoji$emoji"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 3)
+    val rules = merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // every learned symbol is a well-formed string: surrogates only in
+    // matched pairs (a code-unit symbolizer would learn lone halves)
+    rules.foreach { case (l, r) =>
+      Seq(l, r).foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          if (Character.isHighSurrogate(ch)) {
+            assert(i + 1 < s.length &&
+              Character.isLowSurrogate(s.charAt(i + 1)),
+              s"unpaired high surrogate in learned symbol '$s'")
+            i += 2
+          } else {
+            assert(!Character.isLowSurrogate(ch),
+              s"unpaired low surrogate in learned symbol '$s'")
+            i += 1
+          }
+        }
+      }
+    }
+    // the frequency-2 pairs merge before the frequency-1 emoji pair,
+    // and the emoji participates in a merge as a WHOLE code point
+    assert(rules.head == (("a", "b")))
+    assert(rules.contains((emoji, "ab")))
+    // segmentation reproduces the training end-state (the cross-path
+    // consistency a code-unit segmenter breaks on non-BMP input) and
+    // round-trips the text
+    val trained = TextOps.bpeTrainSymbols(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val seg = TextOps.bpeSegment(docs, merges).collect().head
+      .getSeq[String](1)
+    assert(seg == trained(word) ++ trained(word) ++ trained(emoji + emoji))
+    assert(seg.mkString == word + word + emoji + emoji)
+  }
+
   test("exactSubstrProfile: planted duplicate spans are found, " +
       "overlapping spans merge (coverage never double-counts), and " +
       "unique/short docs report zero") {
