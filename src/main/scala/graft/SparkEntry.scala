@@ -452,6 +452,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextOps.bpeFertility(docs, TextOps.bpeTrain(docs, nMerges = 16))
     }),
+    // Hashed-gram twin of q71: the dominant gram shuffle carries
+    // 64-bit xxhashes instead of full 5-token strings (the q63/q69
+    // exact-vs-sketch trade). Hash-dependent values → rows-only;
+    // hashed == exact on the harness corpus pinned in TextOpsSpec.
+    "x22_exact_substr_hashed" -> ((s, d) =>
+      TextOps.exactSubstrProfileApprox(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:

@@ -1192,12 +1192,34 @@ object TextOps {
     * Every count is exact-integer; the fraction is a single division
     * (oracle-parity convention, q26/q64/q70). */
   def exactSubstrProfile(docs: DataFrame, n: Int = 5,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    substrProfileImpl(docs, n, minCount, hashed = false)
+
+  /** Hashed-gram twin of [[exactSubstrProfile]] — the q63/q69
+    * exact-vs-sketch trade applied to the span profile: the
+    * position-indexed gram column is folded to a 64-bit xxhash
+    * map-side, BEFORE the persist and the duplicated-gram exchange,
+    * so the dominant shuffle carries 8-byte longs where the exact
+    * form ships full n-token strings (~10× the bytes at n=5 on
+    * English text). Identical plan shape otherwise; the only
+    * divergence is a hash collision aliasing two distinct grams
+    * (probability ≈ (#distinct grams)²/2⁶⁵ — negligible at any
+    * real corpus size, and a collision only ever OVERCOUNTS
+    * duplication, never misses it). TextOpsSpec pins hashed == exact
+    * on the harness corpus. */
+  def exactSubstrProfileApprox(docs: DataFrame, n: Int = 5,
+      minCount: Long = 2L): DataFrame =
+    substrProfileImpl(docs, n, minCount, hashed = true)
+
+  private def substrProfileImpl(docs: DataFrame, n: Int,
+      minCount: Long, hashed: Boolean): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
     // persisted: the position-indexed gram table feeds BOTH the
     // duplicated-gram aggregate and the join-back probe (q52/q63's
     // shared-intermediate pattern) — without it the gram-string
     // construction re-runs per consumer and dominates the query
+    val gramCol =
+      if (hashed) xxhash64(col("g.gram")) else col("g.gram")
     val grams = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
@@ -1209,7 +1231,7 @@ object TextOps {
              |    concat_ws(' ', ${(0 until n).map(k =>
                     if (k == 0) "t" else s"_toks[i + $k]").mkString(", ")}
              |    ) AS gram))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .select(col("doc_id"), col("g.pos").as("pos"), gramCol.as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("_c"))

@@ -781,6 +781,28 @@ class TextOpsSpec extends SparkSuite {
       s"overlapping spans must merge: $o")
   }
 
+  test("exactSubstrProfileApprox == exactSubstrProfile row-for-row on " +
+      "the planted fixture and the harness corpus (64-bit gram hashes " +
+      "are collision-free at this size)") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "a b c d e x1 y1 z1 w1 v1"),
+      (1L, "p1 q1 a b c d e r1 s1"),
+      (2L, "a b c a b c d e f g"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7"),
+      (4L, "t1 t2 t3")).toDF("doc_id", "text")
+    val sfDocs =
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(planted, sfDocs).foreach { docs =>
+      val exact = TextOps.exactSubstrProfile(docs, n = 5, minCount = 2L)
+        .collect().toSeq
+      val hashed = TextOps.exactSubstrProfileApprox(docs, n = 5,
+        minCount = 2L).collect().toSeq
+      assert(hashed == exact,
+        "hashed-gram profile must equal the exact profile")
+    }
+  }
+
   test("sampleMixture: rate 0 excludes, 100 keeps all, buckets match " +
       "the split hash, and the sample is partitioning-independent") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
