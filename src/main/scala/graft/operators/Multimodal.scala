@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * through the JDK's javax.imageio (`ImageIoCodec` — PNG/BMP/GIF/JPEG,
   * no external dependency): luminance-histogram features over actual
   * pixels, true decoded dimensions, real resampling + PNG re-encode.
-  * Audio/video and non-media payloads still go through the
-  * deterministic `StubCodec` fake (this environment has no
-  * libsndfile/ffmpeg); the stub boundary is marked, and the operator
-  * signatures, schemas and batch shapes are shared by both paths.
+  * AUDIO payloads (`format` starting "audio/") decode FOR REAL through
+  * javax.sound.sampled (`AudioCodec` — WAV/AIFF PCM plus whatever the
+  * JDK converter chain reaches): amplitude-histogram features,
+  * sample-rate/duration/RMS summaries over actual samples. Video and
+  * non-media payloads still go through the deterministic `StubCodec`
+  * fake (no ffmpeg in this environment); the stub boundary is marked,
+  * and the operator signatures, schemas and batch shapes are shared by
+  * all paths.
   */
 object Multimodal {
 
@@ -104,6 +108,98 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over the JDK's javax.sound.sampled — decodes WAV
+    * and AIFF (PCM, plus anything the JDK's format converters can reach,
+    * e.g. A-law/µ-law) with no external dependency. Format-gated the
+    * same way as ImageIoCodec: only records whose format starts with
+    * "audio/" pay the decode probe. Executor-side pure functions —
+    * map-side, no shared state. */
+  object AudioCodec {
+    def isAudio(format: String): Boolean =
+      format != null && format.startsWith("audio/")
+
+    /** Decoded audio: true sample rate / channel count / frame count
+      * from the container header, samples mono-folded to [-1, 1]. */
+    final case class DecodedAudio(sampleRate: Float, channels: Int,
+        frames: Long, samples: Array[Double])
+
+    /** None when the bytes are not decodable audio — callers degrade
+      * to the stub, the same per-item error isolation as images. */
+    def decode(content: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          // normalize through the JDK converter to 16-bit signed
+          // little-endian PCM so 8-bit/unsigned/companded encodings
+          // all land on one sample-extraction path
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = math.max(1, target.getChannels)
+            val nFrames = bytes.length / (2 * ch)
+            val mono = new Array[Double](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var s = 0.0
+              var c = 0
+              while (c < ch) {
+                val idx = (f * ch + c) * 2
+                val lo = bytes(idx) & 0xff
+                val hi = bytes(idx + 1) // little-endian, signed high byte
+                s += ((hi << 8) | lo) / 32768.0
+                c += 1
+              }
+              mono(f) = s / ch
+              f += 1
+            }
+            Some(DecodedAudio(target.getSampleRate, ch, nFrames.toLong, mono))
+          } finally pcm.close()
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: IllegalArgumentException => None // no converter chain
+      }
+
+    def durationSec(a: DecodedAudio): Double =
+      if (a.sampleRate <= 0) 0.0 else a.frames / a.sampleRate.toDouble
+
+    /** Root-mean-square amplitude of the mono-folded signal in [0, 1]. */
+    def rms(a: DecodedAudio): Double =
+      if (a.samples.isEmpty) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < a.samples.length) {
+          acc += a.samples(i) * a.samples(i)
+          i += 1
+        }
+        math.sqrt(acc / a.samples.length)
+      }
+
+    /** Amplitude histogram over REAL samples: [-1, 1] folded to `dim`
+      * buckets, L1-normalized — the same output contract as the image
+      * luma histogram (sums to ~1). */
+    def features(a: DecodedAudio, dim: Int): Array[Float] = {
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < a.samples.length) {
+        val v = (a.samples(i) + 1.0) / 2.0
+        counts(math.min(dim - 1, math.max(0, (v * dim).toInt))) += 1
+        i += 1
+      }
+      val total = math.max(1, a.samples.length).toFloat
+      counts.map(_ / total)
+    }
+  }
+
   // ------------------------------------------------------------ STUB codec
 
   /** ======================= STUB BOUNDARY =======================
@@ -160,18 +256,42 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val decoded =
-          if (ImageIoCodec.isImage(r.format)) ImageIoCodec.decode(r.content)
+        val imageFeats =
+          if (ImageIoCodec.isImage(r.format))
+            ImageIoCodec.decode(r.content).map(img =>
+              MediaFeatures(r.doc_id, img.getWidth, img.getHeight,
+                ImageIoCodec.features(img, dim)))
           else None
-        decoded match {
-          case Some(img) =>
-            MediaFeatures(r.doc_id, img.getWidth, img.getHeight,
-              ImageIoCodec.features(img, dim))
-          case None =>
-            MediaFeatures(r.doc_id, r.width, r.height,
-              StubCodec.features(r.content, dim))
-        }
+        val audioFeats =
+          if (imageFeats.isEmpty && AudioCodec.isAudio(r.format))
+            AudioCodec.decode(r.content).map(a =>
+              // dims carry declared metadata: audio has no pixel grid
+              MediaFeatures(r.doc_id, r.width, r.height,
+                AudioCodec.features(a, dim)))
+          else None
+        imageFeats.orElse(audioFeats).getOrElse(
+          MediaFeatures(r.doc_id, r.width, r.height,
+            StubCodec.features(r.content, dim)))
       }
+    }
+  }
+
+  /** Per-record audio summary from REAL decode: header sample rate and
+    * channel count, decoded frame count, duration and RMS amplitude.
+    * Non-audio and undecodable rows are dropped (the quarantine
+    * convention) — pure map-side flatMap, no shuffle. */
+  case class AudioSummary(doc_id: Long, sample_rate: Double,
+      n_channels: Int, n_frames: Long, duration_sec: Double, rms: Double)
+
+  def audioSummary(spark: SparkSession,
+      media: DataFrame): Dataset[AudioSummary] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      if (AudioCodec.isAudio(r.format))
+        AudioCodec.decode(r.content).map(a =>
+          AudioSummary(r.doc_id, a.sampleRate.toDouble, a.channels,
+            a.frames, AudioCodec.durationSec(a), AudioCodec.rms(a)))
+      else None
     }
   }
 

@@ -119,6 +119,73 @@ class MultimodalSpec extends SparkSuite {
     assert(f0.head.frame.toSeq == content.take(16).toSeq)
   }
 
+  /** A real WAV via the same JDK encoder executors use: 16-bit mono
+    * PCM, 8 kHz, 0.5 s of a 440 Hz sine at amplitude 0.5 — known
+    * sample rate 8000, 4000 frames, duration 0.5 s, RMS 0.5/√2. */
+  private def sineWav(): Array[Byte] = {
+    val sampleRate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = 0.5 * math.sin(2 * math.Pi * 440.0 * i / sampleRate)
+      val s = math.round(v * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: a planted sine WAV reports its true sample " +
+      "rate, duration and RMS; features come from actual samples; " +
+      "corrupt audio degrades to the stub") {
+    import spark.implicits._
+    val bytes = sineWav()
+    val mediaDf = Seq(
+      Multimodal.MediaRecord(1L, bytes, "audio/wav", bytes.length.toLong,
+        0, 0),
+      Multimodal.MediaRecord(2L, "hello".getBytes("UTF-8"), "text/utf-8",
+        5L, 320, 240)).toDF()
+    val s = Multimodal.audioSummary(spark, mediaDf).collect()
+    assert(s.length == 1, "non-audio rows are dropped from the summary")
+    val a = s.head
+    assert(a.doc_id == 1L && a.sample_rate == 8000.0 && a.n_channels == 1)
+    assert(a.n_frames == 4000L && math.abs(a.duration_sec - 0.5) < 1e-9)
+    // sine RMS = amplitude/√2; 16-bit quantization keeps it within 1e-3
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2.0)) < 1e-3,
+      s"RMS ${a.rms} != ${0.5 / math.sqrt(2.0)}")
+    // extractFeatures routes audio through the REAL codec: a sine's
+    // amplitude histogram is edge-heavy (arcsine law) and must differ
+    // from the stub's byte-value histogram of the same payload
+    val feats = Multimodal.extractFeatures(spark, mediaDf, dim = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    val audio = feats(1L).features
+    assert(math.abs(audio.sum - 1.0f) < 1e-3f)
+    assert(audio.toSeq != Multimodal.StubCodec.features(bytes, 4).toSeq,
+      "audio features must come from decoded samples, not raw bytes")
+    // amplitude 0.5 never reaches the outermost quarter-buckets' edges:
+    // with dim=4, samples in [-0.5, 0.5] land in buckets 0..3 but the
+    // arcsine peaks sit just inside buckets 0 and 3's inner edges —
+    // symmetric signal → near-symmetric histogram
+    assert(math.abs(audio(0) + audio(1) - (audio(2) + audio(3))) < 0.05f,
+      s"sine histogram should be symmetric: ${audio.toSeq}")
+    // corrupt audio bytes degrade to the stub instead of failing
+    val corrupt = Seq(Multimodal.MediaRecord(3L,
+      Array[Byte](9, 9, 9), "audio/wav", 3L, 7, 7)).toDF()
+    val cf = Multimodal.extractFeatures(spark, corrupt, dim = 4).head()
+    assert(cf.width == 7 && math.abs(cf.features.sum - 1.0f) < 1e-3f)
+    assert(Multimodal.audioSummary(spark, corrupt).collect().isEmpty)
+  }
+
   test("featureSummary: stable rows-only surface (x05)") {
     val out = Multimodal.featureSummary(spark, media).collect()
     assert(out.length == sfDocs.count())
