@@ -476,15 +476,19 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** IVF top-k search against the MATERIALIZED index: probes are picked
-    * map-side from the broadcast codebook (identical to annIvf), the
-    * probed bucket set — ≤ |queries|·nprobe values, tiny by the ANN
-    * contract — is collected and applied as a literal partition filter,
-    * so the scan reads ONLY the probed directories (PartitionFilters in
-    * the plan; VectorOpsSpec proves it by corrupting an unprobed bucket
-    * and searching anyway). At a query volume where that driver collect
-    * matters, the broadcast-join form with dynamic partition pruning is
-    * the drop-in replacement. Scores/ranks are identical to annIvf over
-    * the same codebook and nprobe (exact within probed buckets). */
+    * map-side from the broadcast codebook (identical to annIvf), and
+    * the probed-bucket predicate reaches the scan as a RUNTIME
+    * partition filter — dynamic partition pruning off the broadcast
+    * probe join, no driver round-trip. The probe side is
+    * ≤ |queries|·nprobe rows with a selective id predicate, so
+    * Catalyst inserts the dynamicpruning subquery (reusing the probe
+    * broadcast) on the bucket partition column, and unprobed
+    * directories are never opened (PartitionFilters +
+    * numPartitions==probed in VectorOpsSpec — pinned WITHOUT any
+    * collected literal in the probe path). At any query volume the
+    * pruning cost stays the one broadcast the join already pays.
+    * Scores/ranks are identical to annIvf over the same codebook and
+    * nprobe (exact within probed buckets). */
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queryDocs: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int, centroids: DataFrame): DataFrame = {
@@ -493,11 +497,7 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
     val probes = probeTable(queries, centroids, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = probes.select(col("bucket")).distinct()
-      .collect().map(_.get(0))
     val idx = spark.read.parquet(indexPath)
-      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
     val scored = idx
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))

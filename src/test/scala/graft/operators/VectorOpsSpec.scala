@@ -392,17 +392,24 @@ class VectorOpsSpec extends SparkSuite
   }
 
   test("materialized IVF index: search scans ONLY the probed bucket " +
-      "partitions (partition pruning, metric-verified) and returns " +
-      "annIvf's exact results") {
+      "partitions via DYNAMIC partition pruning (runtime subquery off " +
+      "the probe broadcast — no collected literal, no driver " +
+      "round-trip) and returns annIvf's exact results") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val centroids = VectorOps.labelCentroids(clustered)
     VectorOps.writeIvfIndex(clustered, centroids, dir)
     val bucketDirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(bucketDirs == Set("bucket=0", "bucket=1", "bucket=2"))
+    // the production shape: queries come from a TABLE (an in-memory
+    // LocalRelation would constant-fold the id filter away, and DPP
+    // keys off that selective predicate surviving on the probe side)
+    val qdir = java.nio.file.Files.createTempDirectory("ivf_q").toString
+    clustered.write.mode("overwrite").parquet(qdir)
+    val queryDocs = spark.read.parquet(qdir)
     // queries 0 and 3 are both label 0; nprobe=1 probes exactly bucket 0
     val qIds = Seq(0L, 3L)
-    val res = VectorOps.annIvfIndexed(spark, dir, clustered, qIds,
+    val res = VectorOps.annIvfIndexed(spark, dir, queryDocs, qIds,
       k = 3, nprobe = 1, centroids)
     val rows = res.collect().map(r => (r.getLong(0), r.getLong(1)))
     val direct = VectorOps.annIvf(clustered, qIds, k = 3, nprobe = 1,
@@ -410,16 +417,17 @@ class VectorOpsSpec extends SparkSuite
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == direct.toSeq,
       "indexed search must rank exactly as the in-memory IVF")
-    // the scan carried a PARTITION filter and read 1 of the 3 buckets
+    // the scan carried a RUNTIME partition filter (dynamicpruning
+    // subquery, not an isin literal) and read 1 of the 3 buckets
     val scans = collectWithSubqueries(res.queryExecution.executedPlan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.metadata.get("Location").exists(_.contains("ivf_idx")) => s
     }
     assert(scans.nonEmpty, "expected the index scan in the plan")
     val scan = scans.head
-    assert(scan.metadata.get("PartitionFilters")
-      .exists(_.contains("bucket")),
-      s"bucket membership must be a partition filter: ${scan.metadata}")
+    val pf = scan.metadata.get("PartitionFilters")
+    assert(pf.exists(f => f.contains("dynamicpruning")),
+      s"bucket membership must arrive as a DPP runtime filter: $pf")
     val partsRead = scan.metrics.get("numPartitions").map(_.value)
     assert(partsRead.contains(1L),
       s"must read exactly the probed bucket partition, read $partsRead")
