@@ -35,7 +35,20 @@ object Bench {
     // iterations across passes decorrelates its measurement from any
     // single neighbor's JVM state. A failed run is recorded as NEGATIVE
     // seconds (never as a fast success).
+    // Local-iteration escape hatches: comma-separated name prefixes.
+    // EXCLUDE skips queries (e.g. =x23 for an A/B run isolating one
+    // query's JVM-neighbor effects); INCLUDE keeps only matches (e.g.
+    // =q29,q47 for a scale-curve run on a replicated corpus). Both
+    // unset for the driver's official run → the full list, unchanged.
+    def prefixes(env: String): Seq[String] = sys.env.get(env)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val exclude = prefixes("SPARK_GRAFT_BENCH_EXCLUDE")
+    val include = prefixes("SPARK_GRAFT_BENCH_INCLUDE")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => exclude.exists(n.startsWith) }
+      .filter { case (n, _) =>
+        include.isEmpty || include.exists(n.startsWith) }
     val passes: Seq[Seq[Double]] = (0 until iters).map { _ =>
       names.map { case (_, fn) =>
         val t0 = System.nanoTime()
@@ -44,8 +57,14 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         // isolate queries: several operators persist intermediate frames
         // (LSH candidate/shingle tables); dropping them keeps each
-        // measurement independent of run order
+        // measurement independent of run order. clearCache only covers
+        // catalog-cached plans — localCheckpoint blocks (the streaming
+        // entries pin micro-batches that way) sit in the block manager
+        // until the ContextCleaner gets around to them, and that heap
+        // debt otherwise lands on whatever query runs next.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) sec else -sec
       }
     }

@@ -458,6 +458,15 @@ object SparkEntry {
     // hashed == exact on the harness corpus pinned in TextOpsSpec.
     "x22_exact_substr_hashed" -> ((s, d) =>
       TextOps.exactSubstrProfileApprox(t(s, d, "documents"))),
+    // Streaming embedding ingestion end-to-end: two AvailableNow
+    // micro-batches over the embeddings table (parity split), each
+    // deduped in-batch then probed against the accumulated corpus via
+    // its persisted band index; returns the deduped corpus. Temp-dir
+    // side effects + engine seed → rows-only; replay idempotence and
+    // batch parity pinned in StreamingSpec.
+    "x23_streaming_embedding_ingest" -> ((s, d) =>
+      graft.streaming.StreamingEmbeddingDedup.ingestStatic(
+        s, t(s, d, "embeddings"), threshold = 0.45)),
   )
 
   // DuckDB-exactness conventions used below:

@@ -309,25 +309,6 @@ object TextOps {
 
   // --------------------------------------------------- BPE tokenizer
 
-  /** Train a byte-pair-encoding merge table on the corpus — the
-    * tokenizer-training stage of an LLM data pipeline.
-    *
-    * Classic word-frequency BPE: the CORPUS is touched exactly once
-    * (one shuffle to build the distinct-word frequency table); every
-    * merge iteration then runs on that table, which is vocabulary-
-    * sized — thousands to low millions of rows at any corpus scale —
-    * so 100 TB of text costs the same per merge as 100 MB. Each round
-    * counts adjacent symbol pairs weighted by word frequency, picks
-    * the most frequent (ties broken lexicographically — fully
-    * deterministic), and rewrites the symbol sequences left-to-right.
-    * The per-word rewrite is an interpreted fold, which is FINE here
-    * precisely because it never touches the corpus — only the word
-    * table (the same sample-not-corpus argument as pqTrain's trainer).
-    *
-    * Base symbols are UTF-16 code units (ASCII-safe; supplementary-
-    * plane text would want a code-point splitter — scope note).
-    * Returns the merge table (rank INT, left STRING, right STRING),
-    * rank in creation order — the artifact bpeSegment consumes. */
   /** A word's base symbol array: one symbol per Unicode code point —
     * the same segmentation `codePointSymbols` and BpeSegment produce.
     * NOT a zero-width `split`: Spark's split happily cuts between the

@@ -152,12 +152,19 @@ private[sources] class UsaJobsTable(props: Map[String, String])
             locationEq = tightenString(locationEq, v)
           case EqualTo("page", v: Int) =>
             pageLo = math.max(pageLo, v); pageHi = math.min(pageHi, v)
+          // Strict bounds in Long then clamp: v-1 / v+1 on raw Int
+          // would wrap at Int.MinValue / Int.MaxValue, and since these
+          // filters are reported fully pushed Spark never re-applies
+          // them — a wrapped bound silently turns "return nothing"
+          // into "return every planned page".
           case LessThan("page", v: Int) =>
-            pageHi = math.min(pageHi, v - 1)
+            pageHi = math.min(pageHi.toLong, v.toLong - 1L)
+              .max(Int.MinValue.toLong).toInt
           case LessThanOrEqual("page", v: Int) =>
             pageHi = math.min(pageHi, v)
           case GreaterThan("page", v: Int) =>
-            pageLo = math.max(pageLo, v + 1)
+            pageLo = math.max(pageLo.toLong, v.toLong + 1L)
+              .min(Int.MaxValue.toLong).toInt
           case GreaterThanOrEqual("page", v: Int) =>
             pageLo = math.max(pageLo, v)
           case _ => () // IsNotNull on non-nullable columns: no-op

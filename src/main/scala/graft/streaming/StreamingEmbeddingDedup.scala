@@ -76,6 +76,34 @@ object StreamingEmbeddingDedup {
     q
   }
 
+  /** End-to-end ingestion surface (the x23 entry): split a static
+    * embeddings table into two landing drops by vec_id parity, run one
+    * AvailableNow pass after each (two real micro-batches through the
+    * checkpointed stream — batch 2 probes the band index batch 1
+    * persisted), and return the accumulated deduped corpus. Fresh temp
+    * dirs per call so bench/verify re-runs are independent. The
+    * replay-idempotence and batch-parity properties of the underlying
+    * runner are pinned in StreamingSpec. */
+  def ingestStatic(spark: SparkSession, emb: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_emb_ingest").toString
+    val landing = base + "/landing"
+    val corpus = base + "/corpus"
+    val bandIdx = base + "/bands"
+    val ckpt = base + "/ckpt"
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("append").parquet(landing)
+    runAvailableNow(spark, landing, corpus, bandIdx, ckpt, emb.schema,
+      threshold)
+    emb.filter(col("vec_id") % 2 =!= 0)
+      .write.mode("append").parquet(landing)
+    runAvailableNow(spark, landing, corpus, bandIdx, ckpt, emb.schema,
+      threshold)
+    spark.read.option("recursiveFileLookup", "true").parquet(corpus)
+      .orderBy(col("vec_id"))
+  }
+
   /** One micro-batch's work — extracted so replay idempotence is
     * directly testable. Accumulated reads EXCLUDE this batchId's own
     * subdirectories (StreamingDedup.readAccumulated's contract). */

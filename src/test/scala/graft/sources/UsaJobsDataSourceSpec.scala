@@ -113,6 +113,13 @@ class UsaJobsDataSourceSpec extends SparkSuite {
     val none = src.filter(col("keyword") === "a")
       .filter(col("keyword") === "b")
     assert(none.collect().isEmpty)
+    // extreme strict bounds must not wrap: page < Int.MinValue is
+    // vacuously false (not "every page"), page > Int.MaxValue likewise.
+    // These are fully pushed, so a wrapped bound would return rows.
+    assert(src.filter(col("page") < Int.MinValue).collect().isEmpty,
+      "page < Int.MinValue wrapped to a permissive bound")
+    assert(src.filter(col("page") > Int.MaxValue).collect().isEmpty,
+      "page > Int.MaxValue wrapped to a permissive bound")
   }
 
   test("limit pushdown: limit(n) clips the PLANNED page range — later " +

@@ -350,6 +350,26 @@ class StreamingSpec extends SparkSuite {
       s"replay of batch 1 changed the corpus: $afterReplay")
   }
 
+  test("ingestStatic (x23 surface): two-pass AvailableNow ingestion " +
+      "over the harness embeddings == direct two-step batch dedup") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = StreamingEmbeddingDedup.ingestStatic(spark, emb,
+        threshold = 0.45)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val d1 = StreamingEmbeddingDedup.novelVectors(even, None, None,
+      0.45, 12, 3)
+    val d2 = StreamingEmbeddingDedup.novelVectors(odd, Some(d1), None,
+      0.45, 12, 3)
+    val expect = (d1.collect() ++ d2.collect())
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(got.nonEmpty && got == expect,
+      s"streamed corpus must equal the two-step batch result; " +
+        s"only-stream=${got -- expect} only-batch=${expect -- got}")
+  }
+
   test("streaming curation (gate -> scrub -> dedup -> pack) across two " +
       "passes == batch Curation.pipeline on the union") {
     val landing = tmp("cl"); val ckpt = tmp("cc")
