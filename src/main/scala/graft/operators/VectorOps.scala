@@ -680,4 +680,76 @@ object VectorOps {
           norm(col("n_emb"))).as("cosine"))
     rankTopK(exact, k)
   }
+
+  /** Per-dimension statistics of the embedding column: count, min, max,
+    * exact mean, and the int8 affine quantization scale ((max-min)/255)
+    * each dimension would use — the calibration table every embedding
+    * quantizer (and drift monitor) reads first.
+    *
+    * Determinism: min/max of floats are exact; the mean sums exact
+    * decimals (order-independent — float→double is value-exact and
+    * double→DECIMAL(28,8) cannot land on a rounding midpoint, because
+    * no binary fraction terminates exactly at an 8-decimal half-ulp),
+    * then divides once in IEEE double.
+    *
+    * Scale shape: posexplode is map-side (×dim row amplification of a
+    * two-column projection); the aggregate partial-combines to ≤ dim
+    * rows per map task, so the shuffle carries #tasks·dim tiny rows no
+    * matter the corpus size. */
+  def embeddingDimStats(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "val")))
+      .select(col("dim").cast("long").as("dim"),
+        col("val").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        (sum(col("v").cast(dec)).cast("double") / count(lit(1)))
+          .as("mean"))
+      .withColumn("q_scale", (col("vmax") - col("vmin")) / 255.0)
+      .orderBy(col("dim"))
+  }
+
+  /** Int8 affine quantization round-trip report: quantize every vector
+    * with the per-dimension (min, scale) table from embeddingDimStats,
+    * reconstruct, and report each vector's reconstruction error — the
+    * accept/reject evidence for shipping a 4× smaller index (the
+    * storage half of the PQ trade, without the codebook).
+    *
+    * Codes are never materialized wider than the report needs: the
+    * per-dim calibration is a broadcast (dim-bounded) array and the
+    * quantize→reconstruct→error chain is one codegen'd map-side
+    * projection per row — zero shuffles touch the vector side. MSE
+    * bound (scale²/4 per dim) pinned in VectorOpsSpec. */
+  def quantizeEmbeddingsReport(emb: DataFrame): DataFrame = {
+    val calib = embeddingDimStats(emb)
+      .select(col("dim"), col("vmin"), col("q_scale"))
+    // dim-bounded: pack the calibration into ONE array row for a
+    // broadcast nested-loop join (sort_array pins dim order)
+    val packed = calib
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("dim"), col("vmin"),
+        col("q_scale")))).as("_cal"))
+    emb
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), col("_cal"), (v, c) => {
+            val lo = c.getField("vmin")
+            val sc = c.getField("q_scale")
+            val code = least(lit(255.0), greatest(lit(0.0),
+              round((v.cast("double") - lo) /
+                when(sc === 0.0, lit(1.0)).otherwise(sc), 0)))
+            val err = v.cast("double") - (lo + code *
+              when(sc === 0.0, lit(1.0)).otherwise(sc))
+            err * err
+          }),
+          lit(0.0).cast("double"), (acc, x) => acc + x)
+          .as("_sse"))
+      .select(col("vec_id"),
+        (col("_sse") / size(col("embedding"))).as("mse"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness-provided parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -19,11 +19,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true Spark
-    // reads it as long — convert to a microsecond timestamp (integer div,
-    // never double: ns-since-epoch exceeds double's 2^53 exact range).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Normalize events.ts to a UTC-instant TIMESTAMP no matter which
+    // physical flavor the harness writer emitted — the generator has
+    // changed flavors across rounds and every event operator does
+    // instant arithmetic (unix_micros rejects TIMESTAMP_NTZ outright):
+    //  - TIMESTAMP(NANOS): with nanosAsLong=true Spark reads it as long;
+    //    convert via integer div (never double: ns-since-epoch exceeds
+    //    double's 2^53 exact range);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    //    TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
+    //    cast reinterprets the same wall-clock micros as the identical
+    //    instant DuckDB's epoch_us sees.
+    if (name == "events")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 

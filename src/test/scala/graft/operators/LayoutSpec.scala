@@ -54,9 +54,10 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
   test("date-partitioned layout: a day filter prunes to one partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bydate")
       .toString + "/events"
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // Tables.load normalizes whichever physical ts flavor the harness
+    // writer emitted (NANOS-as-long or MICROS NTZ) to an instant
+    val events = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
     Layout.writePartitionedByDay(events, "ts", dir)
     val nDays = spark.read.parquet(dir)
       .select(org.apache.spark.sql.functions.countDistinct(col("p_date")))
