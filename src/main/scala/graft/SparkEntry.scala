@@ -401,6 +401,33 @@ object SparkEntry {
     // portable so the oracle computes the identical transform.
     "q78_strip_markup" -> ((s, d) =>
       TextOps.stripMarkup(t(s, d, "documents"))),
+    // Weekly retention cohorts: growth-accounting triangle over first-
+    // event weeks — counts + one exact-int division, engine-portable.
+    "q79_retention_cohorts" -> ((s, d) =>
+      EventOps.retentionCohorts(t(s, d, "events"))),
+    // Zipf fit per source: ln-ln regression slope over the token
+    // frequency ranks, folded in pinned rank order (the q57 trick).
+    "q80_zipf_slope" -> ((s, d) =>
+      TextOps.zipfSlope(t(s, d, "documents"))),
+    // Per-dimension embedding calibration: min/max/exact-decimal mean
+    // + the int8 quantization scale each dimension would use.
+    "q81_embedding_dim_stats" -> ((s, d) =>
+      VectorOps.embeddingDimStats(t(s, d, "embeddings"))),
+    // Edit-distance-verified near-dup pairs over rare-n-gram
+    // candidates — the character-level exact baseline of the family.
+    "q82_edit_distance_pairs" -> ((s, d) =>
+      NearDup.editDistancePairs(t(s, d, "documents"))),
+    // Per-type z-score outliers from exact decimal moments.
+    "q83_value_outliers" -> ((s, d) =>
+      EventOps.valueOutliers(t(s, d, "events"))),
+    // Per-session statistics (q21's gap rule, one row per session).
+    "q84_session_stats" -> ((s, d) =>
+      EventOps.sessionStats(t(s, d, "events"))),
+    // Int8 quantization round-trip report: engine-shaped map-side
+    // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
+    // rows-only (the oracle-checked calibration table is q81).
+    "x24_quantize_embeddings" -> ((s, d) =>
+      VectorOps.quantizeEmbeddingsReport(t(s, d, "embeddings"))),
     // Full PII scrub incl. Luhn-validated payment cards: the checksum
     // is a per-match decision no regex (or SQL oracle) can express —
     // rows-only; planted-card goldens + regex-chain parity in
@@ -1412,5 +1439,131 @@ object SparkEntry {
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              ' +', ' ', 'g')) AS clean_text
          FROM documents ORDER BY doc_id""",
+    // Counts + one division of exact integers; week truncation and the
+    // offset are integer arithmetic on epoch micros (UTC, no DST).
+    "q79_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts))
+             AS cohort_week FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+               FROM events),
+         c AS (SELECT cohort_week,
+                 CAST((epoch_us(week) - epoch_us(cohort_week))
+                   // 604800000000 AS BIGINT) AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+               FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+                 AS cohort_size FROM f GROUP BY 1)
+         SELECT c.cohort_week, week_offset, n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention
+         FROM c JOIN s USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
+    // Regression sums folded in pinned rank order (the q57 list_reduce
+    // trick); round(6) absorbs any last-ulp ln() difference.
+    "q80_zipf_slope" ->
+      """WITH f AS (SELECT source, token, count(*) AS n FROM (
+             SELECT source, unnest(list_filter(string_split(text, ' '),
+               x -> x != '')) AS token FROM documents)
+           GROUP BY source, token),
+         r AS (SELECT source, n, row_number() OVER (PARTITION BY source
+                 ORDER BY n DESC, token) AS rank FROM f),
+         l AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+                 list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+                 list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+                 list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                   ORDER BY rank) AS xys,
+                 list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                   ORDER BY rank) AS xxs
+               FROM r GROUP BY source),
+         m AS (SELECT source, vocab_size,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+                   (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), ys),
+                   (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), xys),
+                   (a, b) -> a + b) AS sxy,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), xxs),
+                   (a, b) -> a + b) AS sxx
+               FROM l)
+         SELECT source, vocab_size,
+           round((vocab_size * sxy - sx * sy) /
+             (vocab_size * sxx - sx * sx), 6) AS zipf_slope
+         FROM m ORDER BY source""",
+    // min/max of floats exact; mean from an order-independent exact
+    // decimal sum (float→double value-exact, double→DECIMAL(28,8)
+    // never lands on a rounding midpoint).
+    "q81_embedding_dim_stats" ->
+      """WITH d AS (SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS v
+           FROM embeddings)
+         SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           min(v) AS vmin, max(v) AS vmax,
+           CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+             AS mean,
+           (max(v) - min(v)) / 255.0 AS q_scale
+         FROM d GROUP BY dim ORDER BY dim""",
+    // Candidate rule on actual n-gram strings (engine-portable);
+    // levenshtein is the standard unit-edit integer in both engines.
+    "q82_edit_distance_pairs" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         s AS (SELECT DISTINCT doc_id,
+                 unnest([concat(lst[i], ' ', lst[i+1], ' ', lst[i+2],
+                   ' ', lst[i+3], ' ', lst[i+4])
+                   for i in range(1, len(lst) - 3)]) AS sh
+               FROM t),
+         rare AS (SELECT sh FROM (SELECT sh, count(*) AS d FROM s
+               GROUP BY sh) WHERE d BETWEEN 2 AND 4),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM s a JOIN rare USING (sh) JOIN s b USING (sh)
+               WHERE a.doc_id < b.doc_id),
+         p AS (SELECT a_id, b_id,
+                 CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+                 CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT)
+                   AS max_len
+               FROM cand JOIN t ta ON ta.doc_id = a_id
+                 JOIN t tb ON tb.doc_id = b_id)
+         SELECT a_id, b_id, lev, max_len FROM p
+         WHERE lev <= 0.4 * max_len ORDER BY a_id, b_id""",
+    // Mean/variance from exact decimal sums; the per-row z is the same
+    // IEEE double chain on identical inputs in both engines.
+    "q83_value_outliers" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s1,
+             sum(CAST(value AS DECIMAL(18,2)) *
+               CAST(value AS DECIMAL(18,2))) AS s2
+           FROM events GROUP BY event_type),
+         m AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean,
+                 sqrt(CAST(s2 AS DOUBLE) / n -
+                   (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                   AS stddev
+               FROM st)
+         SELECT event_id, e.event_type, value, mean,
+           (value - mean) / stddev AS z
+         FROM events e JOIN m ON e.event_type = m.event_type
+         WHERE stddev > 0 AND abs((value - mean) / stddev) > 3.0
+         ORDER BY event_id""",
+    // Session boundaries are exact integer gap compares over the pinned
+    // (ts, event_id) order; durations are integer microseconds.
+    "q84_session_stats" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (SELECT user_id, event_type, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+               FROM s)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+             AS duration_us
+         FROM t GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

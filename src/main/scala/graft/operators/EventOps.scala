@@ -319,6 +319,9 @@ object EventOps {
           (col("s1").cast("double") / col("n")) *
           (col("s1").cast("double") / col("n"))).as("stddev"))
     events.join(broadcast(stats), "event_type")
+      // zero-spread groups have no meaningful z (0/0 → NaN, whose
+      // comparison semantics differ across engines) — excluded
+      .filter(col("stddev") > 0.0)
       .withColumn("z",
         (col("value") - col("mean")) / col("stddev"))
       .filter(abs(col("z")) > zThreshold)

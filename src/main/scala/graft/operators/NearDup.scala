@@ -81,6 +81,65 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Edit-distance-verified near-dup pairs: candidate pairs share at
+    * least one RARE n-gram (document frequency in [2, maxDf]), and a
+    * candidate survives iff levenshtein(a, b) ≤ maxDistFrac of the
+    * longer text — the character-level verifier that catches
+    * small-patch duplicates token-set measures (Jaccard/containment)
+    * can under- or over-score, at the price of an O(len²) distance per
+    * candidate.
+    *
+    * The rare-n-gram candidate rule is deliberately engine-portable
+    * (actual n-gram STRINGS, not the engine's 64-bit shingle hashes) so
+    * the DuckDB oracle reproduces candidate generation verbatim; this
+    * is the exact correctness baseline of the family. Rarity is the
+    * skew guard: an n-gram in > maxDf docs generates no candidates, so
+    * the pair space is ≤ C(maxDf, 2) per admitted n-gram — never a
+    * cartesian product — and the expensive levenshtein runs only on
+    * the (distinct) survivors of that cap.
+    *
+    * Scale shape: shingle explode → df aggregate → self equi-join on
+    * the admitted n-grams → distinct pairs → two hash joins back for
+    * the texts → map-side levenshtein + filter. The n-gram strings ride
+    * one shuffle (the q71 exactness trade; the hashed twin of THIS
+    * operator is the LSH/SimHash family already registered). */
+  def editDistancePairs(docs: DataFrame, n: Int = 5, maxDf: Int = 4,
+      maxDistFrac: Double = 0.4): DataFrame = {
+    require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
+    val toks = TextFunctions.tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(transform(
+          slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+          (_, i) => concat_ws(" ",
+            slice(toks, i + 1, lit(n))))).as("sh"))
+      .distinct()
+    val rare = grams.groupBy(col("sh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("sh"))
+    val admitted = grams.join(rare, "sh")
+    val cand = admitted.as("a")
+      .join(admitted.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("a_id"),
+        col("text").as("_ta")), "a_id")
+      .join(texts.select(col("doc_id").as("b_id"),
+        col("text").as("_tb")), "b_id")
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      .filter(col("lev") <= lit(maxDistFrac) *
+        col("max_len").cast("double"))
+      .select(col("a_id"), col("b_id"), col("lev"), col("max_len"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Overlap-coefficient (Szymkiewicz–Simpson) pairs: common /
     * min(|A|, |B|) ≥ minC — the near-CONTAINMENT detector. Jaccard
     * under-scores a short document copied inside a much longer one

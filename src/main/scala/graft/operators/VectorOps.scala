@@ -747,9 +747,9 @@ object VectorOps {
             err * err
           }),
           lit(0.0).cast("double"), (acc, x) => acc + x)
-          .as("_sse"))
-      .select(col("vec_id"),
-        (col("_sse") / size(col("embedding"))).as("mse"))
+          .as("_sse"),
+        size(col("embedding")).as("_d"))
+      .select(col("vec_id"), (col("_sse") / col("_d")).as("mse"))
       .orderBy(col("vec_id"))
   }
 }

@@ -567,4 +567,32 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 4,
       s"unexpected exchange count ${exchanges.size}")
   }
+
+  test("q82 edit-distance pairs: candidates come from the rare-gram " +
+      "equi-join — never a cartesian or nested-loop product") {
+    val df = q("q82_edit_distance_pairs")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must be the inverted-index equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs fallback")
+  }
+
+  test("q83 outliers: the bounded per-type stats broadcast back over " +
+      "one events scan — no second data-sized shuffle") {
+    val df = q("q83_value_outliers")
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type stats (≤ #event_types rows) must broadcast")
+  }
+
+  test("q79 retention: cohort sizes broadcast; the data-sized " +
+      "exchanges are the user-keyed aggregates") {
+    val df = q("q79_retention_cohorts")
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "cohort-size join must broadcast the bounded weeks table")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

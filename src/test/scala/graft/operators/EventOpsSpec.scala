@@ -146,4 +146,63 @@ class EventOpsSpec extends SparkSuite {
     assert(math.abs(a.getDouble(4) - 36000000.0) < 1e-6)
     assert(a.getLong(5) == 40000000L)                // max 40 s
   }
+
+  test("retentionCohorts: offset-0 cell equals cohort size; later " +
+      "offsets count only returning members") {
+    // weeks start Monday; 2024-01-01 and 2024-01-08 are Mondays
+    val ev = events(
+      (1L, 1L, "2024-01-01 10:00:00"), // u1 first: week Jan 1
+      (2L, 2L, "2024-01-03 10:00:00"), // u2 first: week Jan 1
+      (3L, 1L, "2024-01-08 10:00:00"), // u1 returns: offset 1
+      (4L, 1L, "2024-01-10 09:00:00"), // same week — still one active row
+      (5L, 3L, "2024-01-09 10:00:00")  // u3 first: week Jan 8
+    )
+    val out = EventOps.retentionCohorts(ev).collect().map(r =>
+      (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 0L, 2L, 2L, 1.0),
+      ("2024-01-01 00:00:00.0", 1L, 1L, 2L, 0.5),
+      ("2024-01-08 00:00:00.0", 0L, 1L, 1L, 1.0)),
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("valueOutliers: exact-moment z-scores select only the planted " +
+      "outlier; inliers of another type untouched") {
+    import spark.implicits._
+    // type A: nineteen 0.0 + one 100.0 → mean 5, std ≈ 21.79, z ≈ 4.36
+    // type B: constant values → no outliers (z undefined/0-spread)
+    val rows = (1L to 19L).map(i => (i, "A", 0.0)) :+ (20L, "A", 100.0)
+    val ev = (rows ++ Seq((21L, "B", 7.0), (22L, "B", 7.0)))
+      .map { case (e, t, v) => (e, t, v,
+        Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val out = EventOps.valueOutliers(ev).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(20L))
+    val z = out.head.getAs[Double]("z")
+    assert(math.abs(z - 95.0 / math.sqrt(500.0 - 25.0)) < 1e-12)
+  }
+
+  test("sessionStats: one row per gap-delimited session with exact " +
+      "duration; session count agrees with sessionize") {
+    val ev = events(
+      (1L, 7L, "2024-01-01 00:00:00"),
+      (2L, 7L, "2024-01-01 00:10:00"), // same session (10 min gap)
+      (3L, 7L, "2024-01-01 01:00:00"), // 50 min gap → new session
+      (4L, 9L, "2024-01-01 00:00:00")
+    ).withColumn("event_type",
+      org.apache.spark.sql.functions.lit("click"))
+    val out = EventOps.sessionStats(ev).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_us")))
+    assert(out.toSeq == Seq(
+      (7L, 1L, 2L, 600000000L), // 10 min
+      (7L, 2L, 1L, 0L),
+      (9L, 1L, 1L, 0L)), s"got ${out.mkString(", ")}")
+    // per-user session totals match q21's aggregate view
+    val viaSessionize = EventOps.sessionize(ev).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_sessions")).toMap
+    val viaStats = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(viaSessionize == viaStats)
+  }
 }

@@ -400,4 +400,37 @@ class NearDupSpec extends SparkSuite {
     assert(r(0).getAs[Long]("n_matched") == 18L)
     assert(r(0).getAs[Double]("overlap_frac") == 1.0)
   }
+
+  test("editDistancePairs: rare-gram candidates verified by levenshtein; " +
+      "case-different exact dup shares no grams, disjoint docs never pair") {
+    val out = NearDup.editDistancePairs(planted).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("lev")))
+    // only (1,3) can pair: doc 2 is an UPPERCASE copy (raw grams differ
+    // from doc 1's — this operator is character-exact by design), doc 4
+    // is disjoint vocabulary, doc 5 is too short for a 5-gram.
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 3L)),
+      s"got ${out.mkString(", ")}")
+    // "november" -> "NOVEMBER_EDIT": 8 case substitutions + 5 inserts
+    assert(out.head._3 == 13L)
+  }
+
+  test("editDistancePairs: identical planted copies pair at lev 0; " +
+      "threshold excludes far candidates that share a rare gram") {
+    import spark.implicits._
+    val farA = base // 20 tokens
+    // shares exactly one 5-gram window with base (tokens 1-5), rest
+    // disjoint -> candidate via that rare gram, but edit distance is
+    // nearly the whole string: must be filtered out
+    val farB = "alpha bravo charlie delta echo q1 q2 q3 q4 q5 q6 q7 q8 " +
+      "q9 q10 q11 q12 q13 q14 q15"
+    val docs = Seq((1L, farA), (2L, farA), (3L, farB))
+      .toDF("doc_id", "text")
+    val out = NearDup.editDistancePairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("lev")))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)),
+      s"got ${out.mkString(", ")}")
+    assert(out.head._3 == 0L)
+  }
 }

@@ -1109,4 +1109,31 @@ class TextOpsSpec extends SparkSuite {
     assert(regexOnly.contains("4111 1111 1111 1111"),
       s"premise check: regex chain alone leaves the card: $regexOnly")
   }
+
+  test("zipfSlope: hand-computable least squares on a fixed frequency " +
+      "profile; natural-ish harness sources fit a negative slope") {
+    import spark.implicits._
+    // freqs a:4 b:2 c:1 → ranks 1,2,3; slope of ln(freq) on ln(rank)
+    val docs = Seq((1L, "a a a a b b c", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.zipfSlope(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vocab_size") == 3L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val expected = BigDecimal((3 * sxy - sx * sy) / (3 * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("zipf_slope") == expected)
+    // harness corpus: every source's fitted slope is negative (token
+    // frequencies decay in rank) with a sane magnitude
+    val sf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    TextOps.zipfSlope(sf).collect().foreach { r =>
+      val s = r.getAs[Double]("zipf_slope")
+      assert(s < 0.0 && s > -5.0, s"source ${r.getString(0)}: slope $s")
+    }
+  }
 }

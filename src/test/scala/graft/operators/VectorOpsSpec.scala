@@ -589,4 +589,34 @@ class VectorOpsSpec extends SparkSuite
     assert(wide(0).getAs[Long]("votes") == 4L)
     assert(!wide(0).getAs[Boolean]("correct"))
   }
+
+  test("embeddingDimStats: every dimension counted over every vector; " +
+      "mean bounded by min/max; q_scale from the exact range") {
+    val nVec = sfEmb.count()
+    val stats = VectorOps.embeddingDimStats(sfEmb).collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n") == nVec)
+      val (lo, hi, mean) = (r.getAs[Double]("vmin"),
+        r.getAs[Double]("vmax"), r.getAs[Double]("mean"))
+      assert(lo <= mean && mean <= hi)
+      assert(math.abs(r.getAs[Double]("q_scale") - (hi - lo) / 255.0)
+        < 1e-15)
+    }
+  }
+
+  test("quantizeEmbeddingsReport: int8 round-trip error within the " +
+      "per-dim half-step bound on every vector") {
+    val maxScale = VectorOps.embeddingDimStats(sfEmb)
+      .collect().map(_.getAs[Double]("q_scale")).max
+    // per-dim |err| ≤ scale/2 (codes never clamp: min/max come from
+    // the data) → mse ≤ max_scale²/4
+    val bound = maxScale * maxScale / 4.0 + 1e-12
+    val rep = VectorOps.quantizeEmbeddingsReport(sfEmb).collect()
+    assert(rep.length == sfEmb.count())
+    rep.foreach { r =>
+      val mse = r.getAs[Double]("mse")
+      assert(mse >= 0.0 && mse <= bound, s"mse $mse > bound $bound")
+    }
+  }
 }
