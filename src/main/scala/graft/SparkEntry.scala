@@ -423,6 +423,14 @@ object SparkEntry {
     // Per-session statistics (q21's gap rule, one row per session).
     "q84_session_stats" -> ((s, d) =>
       EventOps.sessionStats(t(s, d, "events"))),
+    // Token-bigram PMI: collocation / tokenizer-merge-candidate
+    // mining; exact counts, one deterministic double chain per row.
+    "q85_token_pmi" -> ((s, d) =>
+      TextOps.tokenPmi(t(s, d, "documents"))),
+    // Bag-of-words dup groups: catches token-reordered copies byte-
+    // exact dedup misses; superset-of-exact-groups pinned in spec.
+    "q86_bow_dup_groups" -> ((s, d) =>
+      NearDup.bagOfWordsDupGroups(t(s, d, "documents"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1544,6 +1552,37 @@ object SparkEntry {
          FROM events e JOIN m ON e.event_type = m.event_type
          WHERE stddev > 0 AND abs((value - mean) / stddev) > 3.0
          ORDER BY event_id""",
+    // Exact counts; the PMI double chain spells the identical division
+    // order; round(6) absorbs ln() last-ulp drift.
+    "q85_token_pmi" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         bi AS (SELECT unnest([lst[i] for i in range(1, len(lst))]) AS w1,
+                  unnest([lst[i+1] for i in range(1, len(lst))]) AS w2
+                FROM t WHERE len(lst) >= 2),
+         uni AS (SELECT unnest(lst) AS w FROM t),
+         uc AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+         bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2),
+         tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS T,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS B)
+         SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln((n_ab / B) /
+             ((ua.n / T) * (ub.n / T))), 6) AS pmi
+         FROM bc, tot
+           JOIN uc ua ON ua.w = w1
+           JOIN uc ub ON ub.w = w2
+         WHERE n_ab >= 5 ORDER BY w1, w2""",
+    // Sorted-token-multiset fingerprint groups (reordered-copy dedup).
+    "q86_bow_dup_groups" ->
+      """SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+         FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(
+               list_filter(string_split(text, ' '), x -> x != '')), ' '))
+               AS bag_fp
+           FROM documents)
+         GROUP BY bag_fp HAVING count(*) > 1 ORDER BY first_doc""",
     // Session boundaries are exact integer gap compares over the pinned
     // (ts, event_id) order; durations are integer microseconds.
     "q84_session_stats" ->

@@ -81,6 +81,26 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Bag-of-words duplicate groups: documents whose SORTED token
+    * multisets are identical — the canonicalization that catches
+    * token-REORDERED copies (scrambled plagiarism, shuffled list
+    * pages, template permutations) that byte-exact dedup (L5) misses
+    * and Jaccard scores 1.0 only by coincidence of sets, not
+    * multisets. A strict superset of exact-dup groups.
+    *
+    * Scale shape: the fingerprint (md5 of the sorted token list) is a
+    * pure map-side projection; the group-by ships 16-byte keys with
+    * map-side partial aggregation — exactly L5's plan, one shuffle. */
+  def bagOfWordsDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          sort_array(TextFunctions.tokens(col("text"))))).as("bag_fp"))
+      .groupBy(col("bag_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("first_doc"))
+
   /** Edit-distance-verified near-dup pairs: candidate pairs share at
     * least one RARE n-gram (document frequency in [2, maxDf]), and a
     * candidate survives iff levenshtein(a, b) ≤ maxDistFrac of the

@@ -1439,6 +1439,49 @@ object TextOps {
       GraftFunctions.rollingHash(spark, col("text")).as("rh"))
       .orderBy(col("doc_id"))
 
+  /** Token-bigram PMI (pointwise mutual information): for every
+    * adjacent token pair seen at least `minCount` times,
+    * ln(p(ab) / (p(a)·p(b))) — the phrase-mining statistic behind
+    * collocation extraction and tokenizer-merge candidates (high PMI =
+    * the pair co-occurs far above chance).
+    *
+    * Determinism: all counts are exact integers; the PMI is a fixed
+    * chain of IEEE double ops on identical inputs (the oracle spells
+    * the same division order), rounded to 6 decimals so a last-ulp
+    * ln() difference cannot surface. Output ordered by (w1, w2) — a
+    * pmi-ordered report would tie-break on float equality.
+    *
+    * Scale shape: bigram and unigram aggregates are the corpus-sized
+    * shuffles (both partial-aggregate map-side, keys are
+    * vocabulary-bounded); the two totals broadcast as one scalar row;
+    * the final joins are vocabulary-sized hash joins, never
+    * data-sized. */
+  def tokenPmi(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val totals = uni.agg(
+      sum(col("n")).cast("double").as("_T"))
+      .crossJoin(bi.agg(sum(col("n_ab")).cast("double").as("_B")))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n").as("_na")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("_nb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("_B")) /
+          ((col("_na").cast("double") / col("_T")) *
+            (col("_nb").cast("double") / col("_T")))), 6).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** Zipf fit per source: least-squares slope of ln(freq) against
     * ln(rank) over the source's token frequency table — the one-number
     * "does this source look like natural language" diagnostic (natural

@@ -401,6 +401,23 @@ class NearDupSpec extends SparkSuite {
     assert(r(0).getAs[Double]("overlap_frac") == 1.0)
   }
 
+  test("bagOfWordsDupGroups: token-REORDERED copies group together; " +
+      "near-dups and distinct docs do not") {
+    import spark.implicits._
+    val reordered = base.split(' ').reverse.mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, reordered),          // same multiset, different order
+      (3L, base),               // raw exact dup — also in the group
+      (4L, oneEdit),            // one token differs: different multiset
+      (5L, "one two three")
+    ).toDF("doc_id", "text")
+    val out = NearDup.bagOfWordsDupGroups(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_docs") == 3L)
+    assert(out.head.getAs[Long]("first_doc") == 1L)
+  }
+
   test("editDistancePairs: rare-gram candidates verified by levenshtein; " +
       "case-different exact dup shares no grams, disjoint docs never pair") {
     val out = NearDup.editDistancePairs(planted).collect()

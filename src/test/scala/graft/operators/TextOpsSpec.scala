@@ -1110,6 +1110,21 @@ class TextOpsSpec extends SparkSuite {
       s"premise check: regex chain alone leaves the card: $regexOnly")
   }
 
+  test("tokenPmi: hand-computable PMI on a fixed bigram profile") {
+    import spark.implicits._
+    // "a b a b a b": bigrams ab×3, ba×2 (B=5); unigrams a×3, b×3 (T=6)
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextOps.tokenPmi(docs, minCount = 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("pmi")))).toMap
+    def pmi(nab: Double): Double =
+      BigDecimal(math.log((nab / 5.0) / ((3.0 / 6.0) * (3.0 / 6.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b")) == ((3L, pmi(3.0))))
+    assert(out(("b", "a")) == ((2L, pmi(2.0))))
+    assert(out.size == 2)
+  }
+
   test("zipfSlope: hand-computable least squares on a fixed frequency " +
       "profile; natural-ish harness sources fit a negative slope") {
     import spark.implicits._
