@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.functions.ExactNum
-import graft.operators.{Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
+import graft.operators.{Analytics, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -431,6 +431,16 @@ object SparkEntry {
     // exact dedup misses; superset-of-exact-groups pinned in spec.
     "q86_bow_dup_groups" -> ((s, d) =>
       NearDup.bagOfWordsDupGroups(t(s, d, "documents"))),
+    // Key-skew profile for a prospective shuffle key: the
+    // plain/salted/AQE-skew decision diagnostic.
+    "q87_user_skew_profile" -> ((s, d) =>
+      Analytics.keySkewProfile(t(s, d, "events"), "user_id")),
+    // Length-3 event paths: the funnel-discovery trigram counts.
+    "q88_event_trigrams" -> ((s, d) =>
+      EventOps.eventTrigrams(t(s, d, "events"))),
+    // First-signup → first-subsequent-purchase exact lag per user.
+    "q89_conversion_lag" -> ((s, d) =>
+      EventOps.conversionLag(t(s, d, "events"), "signup", "purchase")),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1573,6 +1583,39 @@ object SparkEntry {
            JOIN uc ua ON ua.w = w1
            JOIN uc ub ON ub.w = w2
          WHERE n_ab >= 5 ORDER BY w1, w2""",
+    // Exact integers + single divisions; percentiles follow the
+    // q75 percentile/quantile_cont pairing.
+    "q87_user_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+           GROUP BY user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_n,
+           quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50_n,
+           quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99_n,
+           CAST(max(n) AS DOUBLE) / sum(n) AS top1_share,
+           CAST(max(n) AS DOUBLE) /
+             quantile_cont(CAST(n AS DOUBLE), 0.5) AS skew_ratio
+         FROM c""",
+    "q88_event_trigrams" ->
+      """WITH t AS (SELECT event_type AS t3,
+             lag(event_type, 1) OVER w AS t2,
+             lag(event_type, 2) OVER w AS t1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM t
+         WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
+         ORDER BY t1, t2, t3""",
+    "q89_conversion_lag" ->
+      """WITH f AS (SELECT user_id, min(ts) AS from_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT e.user_id, min(ts) AS to_ts FROM events e
+               JOIN f USING (user_id)
+               WHERE event_type = 'purchase' AND ts >= from_ts
+               GROUP BY e.user_id)
+         SELECT user_id, from_ts, to_ts,
+           CAST(epoch_us(to_ts) - epoch_us(from_ts) AS BIGINT) AS lag_us
+         FROM f JOIN p USING (user_id) ORDER BY user_id""",
     // Sorted-token-multiset fingerprint groups (reordered-copy dedup).
     "q86_bow_dup_groups" ->
       """SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,

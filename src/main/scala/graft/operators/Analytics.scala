@@ -67,4 +67,33 @@ object Analytics {
       df.agg(count(lit(1)).as("value")).select(lit(name).as("metric"),
         col("value"))
     }.reduce(_ unionByName _).orderBy(col("metric"))
+
+  /** Key-skew profile: the distribution of per-key row counts for a
+    * prospective shuffle/join key — the diagnostic that decides
+    * between a plain shuffle join, salting, and AQE skew handling
+    * BEFORE the 100 TB job runs. One row: key cardinality, total rows,
+    * the heaviest key's share, exact count percentiles, and the
+    * max/median ratio (the salting trigger).
+    *
+    * Determinism: every statistic is an exact integer or one division
+    * of exact integers/percentile values.
+    *
+    * Scale shape: per-key counts partial-aggregate map-side; the
+    * second aggregate runs over key-cardinality-sized data. The exact
+    * percentile is the correctness baseline (same q32/x07 trade —
+    * swap percentile_approx at a 10^9-key cardinality). */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("long").as("n_rows"),
+        max(col("n")).as("max_n"),
+        percentile(col("n"), lit(0.5)).as("p50_n"),
+        percentile(col("n"), lit(0.99)).as("p99_n"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("p50_n"), col("p99_n"),
+        (col("max_n").cast("double") / col("n_rows"))
+          .as("top1_share"),
+        (col("max_n").cast("double") / col("p50_n")).as("skew_ratio"))
 }

@@ -362,6 +362,51 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Length-3 event paths (the trigram extension of q74's transition
+    * matrix): counts of consecutive (a → b → c) type sequences per
+    * user order — the funnel-DISCOVERY statistic (q50 verifies a
+    * hypothesized funnel; this surfaces the paths worth hypothesizing).
+    *
+    * Scale shape: one user_id window pass (two lags share the single
+    * sort), then a hash aggregate bounded by #event_types³. */
+  def eventTrigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  /** Conversion lag: for each user with a `to` event at-or-after their
+    * first `from` event, the exact microsecond lag between the first
+    * `from` and the first subsequent `to` — the time-to-convert table
+    * cohort and funnel dashboards aggregate.
+    *
+    * Scale shape: two type-filtered min-aggregates on user_id (each
+    * scan prunes to one event type) + one user-keyed join — the q50
+    * funnel shape at k=2, one row per user per side. */
+  def conversionLag(events: DataFrame, from: String, to: String)
+      : DataFrame = {
+    val firstFrom = events.filter(col("event_type") === from)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("from_ts"))
+    val firstTo = events.filter(col("event_type") === to)
+      .join(firstFrom, "user_id")
+      .filter(col("ts") >= col("from_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("to_ts"))
+    firstFrom.join(firstTo, "user_id")
+      .select(col("user_id"), col("from_ts"), col("to_ts"),
+        (unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+          .as("lag_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-type inter-arrival profile: for each event type, the
     * distribution of the gap (microseconds, exact integers) between a
     * user's consecutive events of THAT type — purchase frequency, error

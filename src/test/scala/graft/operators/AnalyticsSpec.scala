@@ -70,4 +70,20 @@ class AnalyticsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rpt.toSeq == Seq(("org_a_jobs", 2L), ("total_jobs", 4L)))
   }
+
+  test("keySkewProfile: hand-computable statistics over a known " +
+      "key-count histogram") {
+    import spark.implicits._
+    // counts per key: A×4, B×2, C×1, D×1
+    val df = (Seq.fill(4)("A") ++ Seq.fill(2)("B") ++ Seq("C", "D"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val r = Analytics.keySkewProfile(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("max_n") == 4L)
+    assert(r.getAs[Double]("p50_n") == 1.5)   // {1,1,2,4} interpolated
+    assert(r.getAs[Double]("top1_share") == 0.5)
+    assert(r.getAs[Double]("skew_ratio") == 4.0 / 1.5)
+  }
 }

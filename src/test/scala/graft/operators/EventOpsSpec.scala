@@ -147,6 +147,45 @@ class EventOpsSpec extends SparkSuite {
     assert(a.getLong(5) == 40000000L)                // max 40 s
   }
 
+  test("eventTrigrams: sliding length-3 windows per user in (ts, id) " +
+      "order; sequences never cross users") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "a", "2024-01-01 00:00:01"),
+      (2L, 7L, "b", "2024-01-01 00:00:02"),
+      (3L, 7L, "c", "2024-01-01 00:00:03"),
+      (4L, 7L, "d", "2024-01-01 00:00:04"),
+      (5L, 9L, "x", "2024-01-01 00:00:01"), // 2-event user: no trigram
+      (6L, 9L, "y", "2024-01-01 00:00:02")
+    ).map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.eventTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", "c", 1L), ("b", "c", "d", 1L)),
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("conversionLag: first signup to first AT-OR-AFTER purchase; " +
+      "pre-signup purchases never count, unconverted users drop") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: purchase BEFORE signup (ignored), then one after → 30 s lag
+      (1L, 1L, "purchase", "2024-01-01 00:00:00"),
+      (2L, 1L, "signup", "2024-01-01 00:01:00"),
+      (3L, 1L, "purchase", "2024-01-01 00:01:30"),
+      (4L, 1L, "purchase", "2024-01-01 00:02:00"), // later: not first
+      // u2: signup, never purchases → dropped
+      (5L, 2L, "signup", "2024-01-01 00:00:00"),
+      // u3: purchase only, never signs up → dropped
+      (6L, 3L, "purchase", "2024-01-01 00:00:00")
+    ).map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.conversionLag(ev, "signup", "purchase").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("lag_us")))
+    assert(out.toSeq == Seq((1L, 30000000L)), s"got ${out.mkString(", ")}")
+  }
+
   test("retentionCohorts: offset-0 cell equals cohort size; later " +
       "offsets count only returning members") {
     // weeks start Monday; 2024-01-01 and 2024-01-08 are Mondays
