@@ -55,6 +55,9 @@ object Bench {
     // every failure (query, pass, stack) to stderr and a log file.
     val errLog = java.nio.file.Paths.get("target/bench_errors.log")
     java.nio.file.Files.createDirectories(errLog.getParent)
+    // truncate per run: the log is append-mode within a run, and stale
+    // failures from a previous (since-fixed) run must not outlive it
+    java.nio.file.Files.deleteIfExists(errLog)
     def logFailure(name: String, pass: Int, e: Throwable): Unit = {
       val sw = new java.io.StringWriter()
       e.printStackTrace(new java.io.PrintWriter(sw))
