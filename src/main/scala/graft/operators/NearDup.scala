@@ -101,6 +101,18 @@ object NearDup {
       .filter(col("n_docs") > 1)
       .orderBy(col("first_doc"))
 
+  /** Conservative global band for the thresholded levenshtein: the
+    * largest per-pair cutoff any candidate can need. One scalar
+    * collect over a length-only scan. */
+  private def globalThreshold(docs: DataFrame,
+      maxDistFrac: Double): Int = {
+    val maxLen = docs.agg(max(length(col("text")))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    math.max(1, math.ceil(maxDistFrac * maxLen).toInt)
+  }
+
   /** Edit-distance-verified near-dup pairs: candidate pairs share at
     * least one RARE n-gram (document frequency in [2, maxDf]), and a
     * candidate survives iff levenshtein(a, b) ≤ maxDistFrac of the
@@ -170,11 +182,19 @@ object NearDup {
         greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
       // length-band prefilter: |len(a) - len(b)| is a LOWER BOUND on
       // levenshtein, so this cheap cut never changes the result — it
-      // just spares the O(len²) DP on pairs that cannot survive
+      // just spares the DP on pairs that cannot survive
       .filter(abs(length(col("_ta")) - length(col("_tb")))
         .cast("double") <= lit(maxDistFrac) * col("max_len").cast("double"))
-      .withColumn("lev", levenshtein(col("_ta"), col("_tb")).cast("long"))
-      .filter(col("lev") <= lit(maxDistFrac) *
+      // banded DP: any surviving pair needs lev ≤ maxDistFrac·max_len
+      // ≤ maxDistFrac·(corpus max length), so Spark's thresholded
+      // levenshtein (O(len·threshold), early abandon, -1 past the
+      // band) returns the EXACT distance for every pair the filter
+      // keeps. The corpus max length is one collected scalar — the
+      // same bounded-metadata allowance as the IVF probe set.
+      .withColumn("lev",
+        levenshtein(col("_ta"), col("_tb"), globalThreshold(docs,
+          maxDistFrac)).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= lit(maxDistFrac) *
         col("max_len").cast("double"))
       .select(col("a_id"), col("b_id"), col("lev"), col("max_len"))
       .orderBy(col("a_id"), col("b_id"))
