@@ -441,11 +441,24 @@ object SparkEntry {
     // First-signup → first-subsequent-purchase exact lag per user.
     "q89_conversion_lag" -> ((s, d) =>
       EventOps.conversionLag(t(s, d, "events"), "signup", "purchase")),
+    // Exact join cardinality from per-key counts — the pre-flight that
+    // never materializes the join.
+    "q90_join_cardinality" -> ((s, d) =>
+      RelationalOps.joinCardinality(t(s, d, "orders"),
+        t(s, d, "lineitem"), "o_orderkey", "l_orderkey")),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
     "x24_quantize_embeddings" -> ((s, d) =>
       VectorOps.quantizeEmbeddingsReport(t(s, d, "embeddings"))),
+    // Bloom-filtered semi-join report: the runtime-filter pattern with
+    // its false-positive overhead measured against the exact
+    // semi-join. Bloom is seeded/engine-internal → rows-only; the
+    // superset + zero-miss properties are pinned in spec.
+    "x25_bloom_semijoin" -> ((s, d) =>
+      RelationalOps.bloomSemiJoinReport(t(s, d, "lineitem"),
+        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey")),
     // Full PII scrub incl. Luhn-validated payment cards: the checksum
     // is a per-match decision no regex (or SQL oracle) can express —
     // rows-only; planted-card goldens + regex-chain parity in
@@ -1616,6 +1629,14 @@ object SparkEntry {
          SELECT user_id, from_ts, to_ts,
            CAST(epoch_us(to_ts) - epoch_us(from_ts) AS BIGINT) AS lag_us
          FROM f JOIN p USING (user_id) ORDER BY user_id""",
+    "q90_join_cardinality" ->
+      """WITH a AS (SELECT o_orderkey AS k, count(*) AS n_a FROM orders
+           GROUP BY 1),
+         b AS (SELECT l_orderkey AS k, count(*) AS n_b FROM lineitem
+           GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(sum(n_a * n_b) AS BIGINT) AS join_rows
+         FROM a JOIN b USING (k)""",
     // Sorted-token-multiset fingerprint groups (reordered-copy dedup).
     "q86_bow_dup_groups" ->
       """SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,

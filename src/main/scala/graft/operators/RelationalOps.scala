@@ -322,6 +322,59 @@ object RelationalOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Exact join-cardinality report WITHOUT materializing the join:
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k) over per-key counts — the planner
+    * pre-flight that decides whether a 100 TB join is even runnable
+    * (and whether its output needs repartitioning) before any
+    * fact-sized shuffle of payload columns happens.
+    *
+    * Scale shape: two key-only scans partial-aggregate to
+    * key-cardinality-sized count tables; the join and final sum run
+    * over counts, never rows. Exact integers throughout. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, "k")
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("n_a") * col("n_b")).cast("long").as("join_rows"))
+  }
+
+  /** Bloom-filtered semi-join report: the runtime-filter pattern that
+    * makes selective fact⋈dim joins survive 100 TB — build a bloom
+    * over the (filtered) dim keys as a scalar subquery, probe it
+    * MAP-SIDE on the fact scan, and never shuffle fact rows that
+    * cannot match. Reports kept-row counts for the bloom probe vs the
+    * exact semi-join, so the false-positive overhead is measured, not
+    * assumed (one-sided error: bloom_kept ⊇ exact_kept always).
+    *
+    * The report is the x-entry; the PATTERN (probe-then-exact-join)
+    * is what a user lifts: `fact.filter(might_contain(bloom, key))`
+    * composes in front of any join in this library. */
+  def bloomSemiJoinReport(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)
+      : DataFrame = {
+    val bloom = dim
+      .agg(graft.functions.GraftFunctions.bloomAgg(col(dimKey),
+        expectedItems, numBits).as("_bf"))
+      .scalar()
+    val kept = fact.filter(
+      graft.functions.GraftFunctions.bloomMightContain(bloom,
+        col(factKey)))
+    val exact = fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_semi")
+    kept.agg(count(lit(1)).as("bloom_kept"))
+      .crossJoin(exact.agg(count(lit(1)).as("exact_kept")))
+      .crossJoin(fact.agg(count(lit(1)).as("fact_rows")))
+      .select(col("fact_rows"), col("exact_kept"), col("bloom_kept"),
+        ((col("bloom_kept") - col("exact_kept")).cast("double") /
+          greatest(col("fact_rows") - col("exact_kept"), lit(1L)))
+          .as("false_pos_rate"))
+  }
+
   /** String-function kitchen sink (SURVEY §2.8 extended): pad/translate/
     * regexp/reverse — all codegen'd built-ins, map-side. */
   def partLabels(part: DataFrame): DataFrame =

@@ -71,6 +71,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(rpt.toSeq == Seq(("org_a_jobs", 2L), ("total_jobs", 4L)))
   }
 
+  test("joinCardinality: per-key count products equal the materialized " +
+      "join size; unmatched keys contribute nothing") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w"))
+      .toDF("k", "pa")
+    val b = Seq((1L, "p"), (1L, "q"), (1L, "r"), (2L, "s"), (9L, "t"))
+      .toDF("k", "pb")
+    val r = RelationalOps.joinCardinality(a, b, "k", "k").collect().head
+    assert(r.getAs[Long]("n_matching_keys") == 2L) // keys 1 and 2
+    assert(r.getAs[Long]("join_rows") == 2L * 3L + 1L * 1L)
+    assert(r.getAs[Long]("join_rows") == a.join(b, "k").count())
+  }
+
+  test("bloomSemiJoinReport: bloom keeps a superset of the exact " +
+      "semi-join (no false negatives); ample bits give zero overhead") {
+    import spark.implicits._
+    val fact = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val r = RelationalOps.bloomSemiJoinReport(fact, dim, "k", "dk")
+      .collect().head
+    assert(r.getAs[Long]("fact_rows") == 1000L)
+    assert(r.getAs[Long]("exact_kept") == 30L)
+    assert(r.getAs[Long]("bloom_kept") >= r.getAs[Long]("exact_kept"))
+    // 2^23 bits over 3 items: the false-positive rate is ~0
+    assert(r.getAs[Long]("bloom_kept") == 30L)
+    assert(r.getAs[Double]("false_pos_rate") == 0.0)
+  }
+
   test("keySkewProfile: hand-computable statistics over a known " +
       "key-count histogram") {
     import spark.implicits._
