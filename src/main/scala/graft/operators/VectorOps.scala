@@ -475,6 +475,21 @@ object VectorOps {
     ivfAssign(emb, centroids)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** INCREMENTAL index maintenance: assign only the NEW vectors against
+    * the existing codebook and append their rows into the same
+    * bucket-partitioned layout — ingestion cost ∝ batch, never a
+    * corpus re-index, and searches over the appended index are
+    * IDENTICAL to a from-scratch rebuild over the union (same
+    * centroids → same bucket assignment → same partition directories;
+    * equality pinned in VectorOpsSpec). Centroid drift is the
+    * documented trade: after enough appends, retrain + rebuild (the
+    * standard IVF re-index cadence); the bucket-size report from the
+    * index itself is the drift monitor. */
+  def appendToIvfIndex(newEmb: DataFrame, centroids: DataFrame,
+      path: String): Unit =
+    ivfAssign(newEmb, centroids)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** IVF top-k search against the MATERIALIZED index: probes are picked
     * map-side from the broadcast codebook (identical to annIvf), and
     * the probed-bucket predicate reaches the scan as a RUNTIME

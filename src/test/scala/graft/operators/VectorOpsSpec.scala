@@ -391,6 +391,34 @@ class VectorOpsSpec extends SparkSuite
     assert(viaIndex == incr)
   }
 
+  test("appendToIvfIndex: incremental append == from-scratch rebuild " +
+      "over the union (same centroids, same buckets, same search)") {
+    val centroids = VectorOps.labelCentroids(clustered)
+    val half1 = clustered.filter(col("vec_id") % 2 === 0)
+    val half2 = clustered.filter(col("vec_id") % 2 =!= 0)
+    val incDir = java.nio.file.Files
+      .createTempDirectory("ivf_inc").toString
+    VectorOps.writeIvfIndex(half1, centroids, incDir)
+    VectorOps.appendToIvfIndex(half2, centroids, incDir)
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("ivf_full").toString
+    VectorOps.writeIvfIndex(clustered, centroids, fullDir)
+    val qdir = java.nio.file.Files.createTempDirectory("ivf_q2").toString
+    clustered.write.mode("overwrite").parquet(qdir)
+    val queryDocs = spark.read.parquet(qdir)
+    val qIds = Seq(0L, 3L)
+    def run(dir: String) =
+      VectorOps.annIvfIndexed(spark, dir, queryDocs, qIds,
+        k = 3, nprobe = 2, centroids)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(incDir) == run(fullDir),
+      "appended index must search identically to a rebuilt one")
+    // the appended rows landed in the SAME bucket directories
+    val dirsOf = (d: String) => new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirsOf(incDir) == dirsOf(fullDir))
+  }
+
   test("materialized IVF index: search scans ONLY the probed bucket " +
       "partitions via DYNAMIC partition pruning (runtime subquery off " +
       "the probe broadcast — no collected literal, no driver " +
