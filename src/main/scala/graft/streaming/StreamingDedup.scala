@@ -58,12 +58,67 @@ object StreamingDedup {
         .filter(_.isDirectory)
         .map(_.getPath)
         .filter(_.getName != s"batch=$excludeBatchId")
+        // Hadoop hidden-path convention: compaction stages its
+        // consolidated output under a _-prefixed dir; readers must
+        // never see an in-flight staging copy
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith("."))
         .map(_.toString)
       if (parts.isEmpty) None
       else Some(spark.read
         .option("recursiveFileLookup", "true")
         .parquet(parts: _*))
     }
+  }
+
+  /** Compact the accumulated `batch=<id>` layout: fold every CLOSED
+    * batch directory except the newest into a single consolidated
+    * directory under the smallest folded id — the small-file answer
+    * for long-running ingestion (thousands of tiny per-batch files
+    * otherwise dominate listing + scan setup at 100 TB).
+    *
+    * Correctness under the exactly-once layout:
+    *  - the newest batch dir is NEVER folded — it is the only one a
+    *    checkpoint retry can replay, and replay overwrites its own
+    *    `batch=<id>` dir, which must still exist as written;
+    *  - folded data keeps a real `batch=<minId>` name, and
+    *    readAccumulated excludes only the CURRENT batch id (always
+    *    newer than every folded id), so compacted rows are never
+    *    accidentally excluded;
+    *  - the consolidated copy is staged under a _-prefixed dir
+    *    (hidden from readAccumulated) and swapped in by delete+rename;
+    *    a crash before the rename loses no source dirs, a crash after
+    *    the deletes but before the rename leaves the data recoverable
+    *    in the staging dir (the narrow non-atomic window object
+    *    stores impose without a manifest — same trade as Upsert's
+    *    snapshot swap).
+    *
+    * Returns the number of directories folded (0 = nothing to do). */
+  def compactAccumulated(spark: SparkSession, root: String,
+      targetPartitions: Int = 1): Int = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return 0
+    val batchIds = fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .sorted
+    if (batchIds.length <= 2) return 0
+    val fold = batchIds.dropRight(1)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
+    fs.delete(staging, true)
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(fold.map(id => subdir(root, id)): _*)
+      .coalesce(targetPartitions)
+      .write.mode("overwrite").parquet(staging.toString)
+    fold.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(subdir(root, id)), true))
+    fs.rename(staging,
+      new org.apache.hadoop.fs.Path(subdir(root, fold.min)))
+    fold.length
   }
 
   /** Dedup one closed batch against itself and (if present) the

@@ -265,6 +265,34 @@ class StreamingSpec extends SparkSuite {
       .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(afterReplay == after2,
       s"replay of batch 1 changed the corpus: $afterReplay")
+
+    // COMPACTION: land a third batch (so two CLOSED batches exist),
+    // fold them, and verify the data, the exclusion contract and a
+    // subsequent probe are all unchanged
+    Seq((30L, "only a completely fresh document sails through " +
+      "untouched with many novel words here")).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    StreamingDedup.runAvailableNow(spark, landing, corpus, bandIdx, ckpt,
+      b1.schema, bands = 32)
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    val dirCount = (d: String) => new java.io.File(d).listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(dirCount(corpus) == 3)
+    val folded = StreamingDedup.compactAccumulated(spark, corpus)
+    assert(folded == 2, s"expected 2 dirs folded, got $folded")
+    assert(dirCount(corpus) == 2) // consolidated + newest
+    val afterCompact = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(afterCompact == before,
+      s"compaction changed the corpus: $afterCompact vs $before")
+    // nothing to fold at <= 2 dirs: a second call is a no-op
+    assert(StreamingDedup.compactAccumulated(spark, corpus) == 0)
+    // readAccumulated still sees every compacted row when excluding a
+    // NEW batch id (the only exclusion a live stream performs)
+    val acc = StreamingDedup.readAccumulated(spark, corpus, 99L)
+    assert(acc.map(_.collect().map(_.getAs[Long]("doc_id")).toSet)
+      .contains(before))
   }
 
   test("streaming ingestion with quality pre-filter: rejected docs " +
