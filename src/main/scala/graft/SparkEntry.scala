@@ -446,6 +446,10 @@ object SparkEntry {
     "q90_join_cardinality" -> ((s, d) =>
       RelationalOps.joinCardinality(t(s, d, "orders"),
         t(s, d, "lineitem"), "o_orderkey", "l_orderkey")),
+    // Per-source duplication rate: the q29→q47 pipeline composed into
+    // the per-crawl accounting report.
+    "q91_dup_rate_by_source" -> ((s, d) =>
+      NearDup.dupRateBySource(t(s, d, "documents"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1637,6 +1641,34 @@ object SparkEntry {
          SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
            CAST(sum(n_a * n_b) AS BIGINT) AS join_rows
          FROM a JOIN b USING (k)""",
+    // q47's recursive-CTE connected components + min-id survivor,
+    // accounted per source; one division of exact counts.
+    "q91_dup_rate_by_source" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         dropped AS (
+           SELECT id AS doc_id FROM (
+             SELECT id, min(lbl) AS cl FROM r GROUP BY id)
+           WHERE cl <> id)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(dr.doc_id) AS DOUBLE) / count(*) AS dup_rate
+         FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     // Sorted-token-multiset fingerprint groups (reordered-copy dedup).
     "q86_bow_dup_groups" ->
       """SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,

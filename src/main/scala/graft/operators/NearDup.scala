@@ -81,6 +81,33 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Per-source duplication-rate report: the q29→q47 pipeline composed
+    * into the accounting table a corpus owner actually reads — for
+    * each source, how many documents the min-id survivor policy would
+    * drop at the given Jaccard threshold, and the resulting dup rate.
+    * The "which crawls are worth re-fetching" number.
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join and
+    * duplicateClusters' pointer-jumping (nothing new shuffles at data
+    * size); the final accounting is one broadcast-joinable
+    * cluster-membership table against a per-source count aggregate. */
+  def dupRateBySource(docs: DataFrame, n: Int = 3, minJ: Double = 0.7)
+      : DataFrame = {
+    val clusters = duplicateClusters(
+      jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
+    val dropped = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("_drop"))
+    docs.select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("_drop")).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Bag-of-words duplicate groups: documents whose SORTED token
     * multisets are identical — the canonicalization that catches
     * token-REORDERED copies (scrambled plagiarism, shuffled list
