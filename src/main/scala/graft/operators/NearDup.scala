@@ -165,23 +165,23 @@ object NearDup {
   def editDistancePairs(docs: DataFrame, n: Int = 5, maxDf: Int = 4,
       maxDistFrac: Double = 0.4): DataFrame = {
     require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
-    val toks = TextFunctions.tokens(col("text"))
     // The n-gram is DEFINED on strings (the oracle reproduces it
     // verbatim), but it rides the shuffles as a 64-bit hash — the q29
     // trade: df counts, the rarity filter and the self-join only need
-    // gram IDENTITY, and 8-byte keys cut the three gram-table shuffles
-    // ~4× vs ~30-char strings (measured 9.2→3 s at sf0.1). A hash
-    // collision could only ever ADD a candidate, which the levenshtein
-    // verifier then rejects — exactness is unaffected unless two
-    // colliding grams ALSO sit in edit-near docs (vanishing, and the
-    // oracle gate at two SFs would surface it).
-    val grams = docs
-      .select(col("doc_id"),
-        explode(transform(
-          slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          (_, i) => xxhash64(concat_ws(" ",
-            slice(toks, i + 1, lit(n)))))).as("sh"))
-      .distinct()
+    // gram IDENTITY, and 8-byte keys cut the gram-table shuffles ~4×
+    // vs ~30-char strings. The hashes come from the native codegen'd
+    // ShingleHashes scan (one pass, no per-gram array slicing — the
+    // HOF-tree form spent ~5 s of single-core time here at sf0.1),
+    // which also DEDUPS within-doc, so no distinct shuffle is needed.
+    // A hash collision could only ever ADD a candidate, which the
+    // levenshtein verifier then rejects — exactness is unaffected
+    // unless two colliding grams ALSO sit in edit-near docs
+    // (vanishing, and the oracle gate at two SFs would surface it).
+    // persisted: the gram table feeds BOTH the df aggregate and the
+    // candidate join (same bounded cache-lifecycle note as q71)
+    val grams = shingleTable(docs, n)
+      .withColumnRenamed("shingle", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy(col("sh"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
