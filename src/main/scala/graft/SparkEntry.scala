@@ -450,6 +450,10 @@ object SparkEntry {
     // the per-crawl accounting report.
     "q91_dup_rate_by_source" -> ((s, d) =>
       NearDup.dupRateBySource(t(s, d, "documents"))),
+    // Ranked multi-term retrieval over the q52 TF-IDF weighting.
+    "q92_ranked_search" -> ((s, d) =>
+      TextOps.rankedSearch(t(s, d, "documents"),
+        Seq("merge", "scan", "window"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1641,6 +1645,26 @@ object SparkEntry {
          SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
            CAST(sum(n_a * n_b) AS BIGINT) AS join_rows
          FROM a JOIN b USING (k)""",
+    // Term weights are exact-integer double chains; the per-doc sum
+    // folds in token order (q57 trick) — bit-identical rank keys.
+    "q92_ranked_search" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('merge', 'scan', 'window')
+           GROUP BY doc_id, token),
+         dfp AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(tf AS DOUBLE) * nd / df ORDER BY token)),
+                    (a, b) -> a + b) AS score
+                FROM tf JOIN dfp USING (token), n
+                GROUP BY doc_id)
+         SELECT doc_id, n_terms, score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 10""",
     // q47's recursive-CTE connected components + min-id survivor,
     // accounted per source; one division of exact counts.
     "q91_dup_rate_by_source" ->

@@ -269,6 +269,47 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Ranked multi-term search: top-k documents by summed TF-IDF weight
+    * over the query terms — the retrieval layer over the q43/q44 FTS
+    * predicates and q52's weighting (same undamped N/df convention,
+    * same rationale: monotone-equivalent ordering from exact-integer
+    * arithmetic, no libm in the score).
+    *
+    * Determinism: each term weight is one double chain over exact
+    * integers; the per-doc sum folds the (≤ |query|-element) term list
+    * in token order — the q57 pinned-fold trick — so scores are
+    * bit-identical across engines and the (score desc, doc_id) rank
+    * has no float ambiguity.
+    *
+    * Scale shape: the explode is filtered to the query terms BEFORE
+    * the (doc, token) aggregate, so the shuffle carries only matching
+    * occurrences (∝ postings of the query, not the corpus); df/N are
+    * query-term-bounded broadcasts; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def rankedSearch(docs: DataFrame, terms: Seq[String], k: Int = 10)
+      : DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val scored = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("token"), col("tf"),
+          col("df"), col("_n")))).as("_ts"))
+      .select(col("doc_id"), col("n_terms"),
+        aggregate(col("_ts"), lit(0.0).cast("double"), (acc, e) =>
+          acc + e.getField("tf").cast("double") * e.getField("_n") /
+            e.getField("df")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Sequence PACKING assignment: per source, documents in doc_id order
     * are concatenated into one token stream which is cut into fixed
     * `packTokens`-token training sequences; each document reports the

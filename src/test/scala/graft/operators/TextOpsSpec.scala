@@ -1110,6 +1110,22 @@ class TextOpsSpec extends SparkSuite {
       s"premise check: regex chain alone leaves the card: $regexOnly")
   }
 
+  test("rankedSearch: summed undamped TF-IDF ranks hand corpus; " +
+      "non-matching docs absent; k truncates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge merge scan"),   // 2·(3/2) + 1·(3/1) = 6.0
+      (2L, "merge"),              // 1·(3/2) = 1.5
+      (3L, "window nothing")      // 1·(3/1) = 3.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.rankedSearch(docs,
+      Seq("merge", "scan", "window"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("score")))
+    assert(out.toSeq == Seq((1L, 2L, 6.0), (3L, 1L, 3.0)),
+      s"got ${out.mkString(", ")}")
+  }
+
   test("tokenPmi: hand-computable PMI on a fixed bigram profile") {
     import spark.implicits._
     // "a b a b a b": bigrams ab×3, ba×2 (B=5); unigrams a×3, b×3 (T=6)
