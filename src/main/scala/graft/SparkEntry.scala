@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.functions.ExactNum
-import graft.operators.{Analytics, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, VectorOps}
+import graft.operators.{Analytics, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, Upsert, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -454,6 +454,28 @@ object SparkEntry {
     "q92_ranked_search" -> ((s, d) =>
       TextOps.rankedSearch(t(s, d, "documents"),
         Seq("merge", "scan", "window"))),
+    // SCD Type-2 dimension history: odd-key customers receive a
+    // balance update at the load timestamp; open rows close, new
+    // versions open, history and untouched keys pass through.
+    "q93_scd2_merge" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val current = cust
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .withColumn("valid_from",
+          lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val updates = cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + lit(10.0)).as("c_acctbal"))
+      Upsert.scd2Merge(current, updates, "c_custkey",
+        lit("2024-06-01 00:00:00").cast("timestamp"))
+    }),
+    // NTILE binning + first/last frame navigation per segment.
+    "q94_segment_quartiles" -> ((s, d) =>
+      RelationalOps.segmentBalanceQuartiles(t(s, d, "customer"))),
+    // Pearson correlation from exact decimal moments.
+    "q95_price_qty_corr" -> ((s, d) =>
+      RelationalOps.priceQuantityCorr(t(s, d, "lineitem"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1645,6 +1667,58 @@ object SparkEntry {
          SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
            CAST(sum(n_a * n_b) AS BIGINT) AS join_rows
          FROM a JOIN b USING (k)""",
+    // Row order is irrelevant to the compare (the driver sorts), so
+    // the UNION ALL formulation mirrors the four merge branches 1:1.
+    "q93_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_name, c_acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+         upd AS (SELECT c_custkey, c_name, c_acctbal + 10.0 AS c_acctbal
+               FROM customer WHERE c_custkey % 2 = 1)
+         SELECT c_custkey, c_name, c_acctbal, valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to
+         FROM cur WHERE c_custkey IN (SELECT c_custkey FROM upd)
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to
+         FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+         FROM upd
+         ORDER BY c_custkey, valid_from NULLS FIRST""",
+    "q94_segment_quartiles" ->
+      """WITH q AS (SELECT c_custkey, c_mktsegment, c_acctbal, c_name,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS quartile
+           FROM customer)
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(quartile AS BIGINT) AS quartile,
+           first_value(c_name) OVER wq AS q_first_name,
+           last_value(c_name) OVER wq AS q_last_name
+         FROM q
+         WINDOW wq AS (PARTITION BY c_mktsegment, quartile
+           ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey""",
+    // Moments are exact decimal sums; the correlation is one fixed
+    // double chain on identical inputs in both engines.
+    "q95_price_qty_corr" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+               CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+               CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) /
+             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
+             AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
     // Term weights are exact-integer double chains; the per-doc sum
     // folds in token order (q57 trick) — bit-identical rank keys.
     "q92_ranked_search" ->

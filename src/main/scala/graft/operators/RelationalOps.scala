@@ -375,6 +375,58 @@ object RelationalOps {
           .as("false_pos_rate"))
   }
 
+  /** NTILE binning + frame navigation (SURVEY §2.10 windows, the
+    * remaining quartet: ntile / first_value / last_value / nth_value):
+    * per market segment, customers binned into balance quartiles with
+    * each quartile's boundary names. Windows are PARTITIONED by
+    * segment, so they parallelize; a GLOBAL ntile would serialize one
+    * reducer — at corpus scale, rank-binning becomes percentile
+    * cutoffs (the x07 sketch) instead. */
+  def segmentBalanceQuartiles(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wq = Window
+      .partitionBy(col("c_mktsegment"), col("quartile"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("quartile"),
+        first(col("c_name")).over(wq).as("q_first_name"),
+        last(col("c_name")).over(wq).as("q_last_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Pearson correlation from EXACT decimal moments (per return flag,
+    * quantity vs extended price): n, Σx, Σy, Σxy, Σx², Σy² are
+    * order-independent decimal sums; the correlation is then one fixed
+    * IEEE double chain on identical inputs — deterministic at any
+    * parallelism, where corr() over doubles is not. One scan, one
+    * bounded-key shuffle. */
+  def priceQuantityCorr(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        // round(12): the exact decimal sums convert to double
+        // correctly-rounded in the JVM but via a two-step int128 +
+        // scale-divide in DuckDB — a last-ulp divergence the rounding
+        // absorbs (corr ∈ [-1,1], noise ~1e-16)
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 12)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** String-function kitchen sink (SURVEY §2.8 extended): pad/translate/
     * regexp/reverse — all codegen'd built-ins, map-side. */
   def partLabels(part: DataFrame): DataFrame =

@@ -339,6 +339,47 @@ object Upsert {
     * narrows the common races, it cannot eliminate them. For genuinely
     * concurrent readers use the bucketed layout (per-partition swaps) or
     * a table format with snapshot isolation. */
+  /** SCD Type-2 merge: dimension history with [valid_from, valid_to)
+    * row versioning — the warehouse-standard answer to "what did this
+    * customer's record say LAST quarter", which the plain L-D2 upsert
+    * (latest-wins) deliberately forgets.
+    *
+    * Semantics per key in `updates`: the currently-open row (valid_to
+    * IS NULL) closes at `loadTs`, and a new open row starts at
+    * `loadTs`. Keys absent from `updates` keep their open row; already-
+    * closed history is untouched; keys new to the dimension simply
+    * open. `current` must carry valid_from/valid_to; `updates` carries
+    * the attribute columns only (same schema minus validity columns).
+    *
+    * Scale shape: one key-shuffled semi/anti join pair over only the
+    * OPEN slice (history rows pass through untouched — at 100 TB,
+    * partition the table by an is_open flag or valid_to date so the
+    * closed majority is never rewritten), plus a union. Deterministic:
+    * no generated timestamps — `loadTs` is caller-supplied. */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+      loadTs: org.apache.spark.sql.Column): DataFrame = {
+    val attrCols = updates.columns.toSeq
+    require(attrCols.contains(key), s"updates must carry the key '$key'")
+    require(!attrCols.contains("valid_from") &&
+      !attrCols.contains("valid_to"),
+      "updates must not carry validity columns")
+    val outCols = (attrCols ++ Seq("valid_from", "valid_to")).map(col)
+    val updKeys = updates.select(col(key))
+    val open = current.filter(col("valid_to").isNull)
+    val closedNow = open
+      .join(updKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", loadTs)
+    val stillOpen = open.join(updKeys, Seq(key), "left_anti")
+    val history = current.filter(col("valid_to").isNotNull)
+    val opened = updates
+      .withColumn("valid_from", loadTs)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    Seq(history, closedNow, stillOpen, opened)
+      .map(_.select(outCols: _*))
+      .reduce(_ unionByName _)
+      .orderBy(col(key), col("valid_from"), col("valid_to"))
+  }
+
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val target = Paths.get(path)
     val backup = Paths.get(path.stripSuffix("/") + "._backup")

@@ -323,4 +323,36 @@ class UpsertSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(path + "._backup")))
     assert(!Files.exists(java.nio.file.Paths.get(path + "._staging")))
   }
+
+  test("scd2Merge: two rounds build a correct version history — open " +
+      "rows close at load ts, untouched keys stay open, closed " +
+      "history is never rewritten") {
+    import org.apache.spark.sql.functions.lit
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-03-01 00:00:00").cast("timestamp")
+    val dim0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn("valid_from", t0)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    // round 1: k=1 changes; round 2: k=1 changes again, k=3 appears
+    val r1 = Upsert.scd2Merge(dim0,
+      Seq((1L, "a2")).toDF("k", "v"), "k", t1)
+    val r2 = Upsert.scd2Merge(r1,
+      Seq((1L, "a3"), (3L, "c")).toDF("k", "v"), "k", t2)
+    val rows = r2.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toSet
+    assert(rows == Set(
+      (1L, "a", Some(ts("2024-01-01 00:00:00")),
+        Some(ts("2024-02-01 00:00:00"))),
+      (1L, "a2", Some(ts("2024-02-01 00:00:00")),
+        Some(ts("2024-03-01 00:00:00"))),
+      (1L, "a3", Some(ts("2024-03-01 00:00:00")), None),
+      (2L, "b", Some(ts("2024-01-01 00:00:00")), None),
+      (3L, "c", Some(ts("2024-03-01 00:00:00")), None)),
+      s"got ${rows.mkString("\n")}")
+    // exactly one open row per live key, always
+    val open = rows.filter(_._4.isEmpty).map(_._1)
+    assert(open == Set(1L, 2L, 3L))
+  }
 }
