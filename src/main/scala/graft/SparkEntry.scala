@@ -476,6 +476,15 @@ object SparkEntry {
     // Pearson correlation from exact decimal moments.
     "q95_price_qty_corr" -> ((s, d) =>
       RelationalOps.priceQuantityCorr(t(s, d, "lineitem"))),
+    // Moving-window average (bounded ROWS frame, exact decimal sums).
+    "q96_moving_avg" -> ((s, d) =>
+      EventOps.movingAverage(t(s, d, "events"))),
+    // Data-quality expectation report: one scan, unpivoted long form.
+    "q97_dq_report" -> ((s, d) =>
+      RelationalOps.dataQualityReport(t(s, d, "orders"))),
+    // Unpivot (wide → long) of the q23 matrix; zero cells explicit.
+    "q98_event_matrix_long" -> ((s, d) =>
+      EventOps.eventMatrixLong(t(s, d, "events"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1700,6 +1709,56 @@ object SparkEntry {
            ORDER BY c_acctbal, c_custkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY c_custkey""",
+    "q96_moving_avg" ->
+      """SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w AS moving_avg,
+           CAST(count(*) OVER w AS BIGINT) AS frame_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q97_dq_report" ->
+      """WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+               AS BIGINT) AS null_custkey,
+             CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END)
+               AS BIGINT) AS null_orderdate,
+             CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END)
+               AS BIGINT) AS null_totalprice,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_orderkey,
+             CAST(count(CASE WHEN o_totalprice <= 0.0 THEN 1 END)
+               AS BIGINT) AS nonpositive_price,
+             CAST(count(CASE WHEN o_orderdate > DATE '1998-12-31'
+               THEN 1 END) AS BIGINT) AS date_after_horizon
+           FROM orders)
+         SELECT 'n_rows' AS "check", n_rows AS value FROM w
+         UNION ALL SELECT 'null_custkey', null_custkey FROM w
+         UNION ALL SELECT 'null_orderdate', null_orderdate FROM w
+         UNION ALL SELECT 'null_totalprice', null_totalprice FROM w
+         UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM w
+         UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM w
+         UNION ALL SELECT 'date_after_horizon', date_after_horizon FROM w
+         ORDER BY "check"""",
+    "q98_event_matrix_long" ->
+      """WITH m AS (SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS purchases,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+           FROM events GROUP BY user_id)
+         SELECT user_id, 'clicks' AS event_kind, CAST(clicks AS BIGINT)
+           AS n FROM m
+         UNION ALL SELECT user_id, 'views', CAST(views AS BIGINT) FROM m
+         UNION ALL SELECT user_id, 'purchases', CAST(purchases AS BIGINT)
+           FROM m
+         UNION ALL SELECT user_id, 'signups', CAST(signups AS BIGINT)
+           FROM m
+         UNION ALL SELECT user_id, 'errors', CAST(errors AS BIGINT) FROM m
+         ORDER BY user_id, event_kind""",
     // Moments are exact decimal sums; the correlation is one fixed
     // double chain on identical inputs in both engines.
     "q95_price_qty_corr" ->

@@ -362,6 +362,39 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Moving-window average (last `nRows` events per user, inclusive):
+    * the smoothing pass behind rate dashboards — a bounded ROWS frame,
+    * not the cumulative frame of runningUserTotals. Exact-decimal
+    * frame sums divided once per row keep every value reproducible at
+    * any parallelism. One user_id window pass. */
+  def movingAverage(events: DataFrame, nRows: Int = 4): DataFrame = {
+    require(nRows > 0, "window must cover at least the current row")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        (sum(dec2(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Unpivot (wide → long): the inverse of the q23 per-user event-type
+    * matrix, via Spark's native melt — one map-side row expansion, no
+    * shuffle beyond the matrix's own. Zero cells survive as explicit
+    * (user, type, 0) rows — the contract that distinguishes unpivot
+    * from a plain re-aggregation. */
+  def eventMatrixLong(events: DataFrame): DataFrame = {
+    val wide = userEventTypeMatrix(events)
+    wide.unpivot(
+      Array(col("user_id")),
+      Array(col("clicks"), col("views"), col("purchases"),
+        col("signups"), col("errors")),
+      "event_kind", "n")
+      .orderBy(col("user_id"), col("event_kind"))
+  }
+
   /** Length-3 event paths (the trigram extension of q74's transition
     * matrix): counts of consecutive (a → b → c) type sequences per
     * user order — the funnel-DISCOVERY statistic (q50 verifies a

@@ -375,6 +375,29 @@ object RelationalOps {
           .as("false_pos_rate"))
   }
 
+  /** Data-quality expectation report over the orders table: row count,
+    * per-column null counts, duplicate-key count, and domain-violation
+    * counts — the dbt-test / Deequ-style gate a pipeline runs before
+    * publishing a snapshot. ONE scan computes every check (conditional
+    * counts share the aggregate; the distinct adds its partial/final
+    * expand), then the single wide row unpivots to the (check, value)
+    * long form monitors ingest. */
+  def dataQualityReport(orders: DataFrame): DataFrame = {
+    val wide = orders.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+      count(when(col("o_orderdate").isNull, 1)).as("null_orderdate"),
+      count(when(col("o_totalprice").isNull, 1)).as("null_totalprice"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("dup_orderkey"),
+      count(when(col("o_totalprice") <= 0.0, 1)).as("nonpositive_price"),
+      count(when(col("o_orderdate") > lit("1998-12-31").cast("date"), 1))
+        .as("date_after_horizon"))
+    wide.unpivot(Array.empty[org.apache.spark.sql.Column],
+      wide.columns.map(col).toArray, "check", "value")
+      .orderBy(col("check"))
+  }
+
   /** NTILE binning + frame navigation (SURVEY §2.10 windows, the
     * remaining quartet: ntile / first_value / last_value / nth_value):
     * per market segment, customers binned into balance quartiles with
