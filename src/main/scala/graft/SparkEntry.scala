@@ -485,6 +485,14 @@ object SparkEntry {
     // Unpivot (wide → long) of the q23 matrix; zero cells explicit.
     "q98_event_matrix_long" -> ((s, d) =>
       EventOps.eventMatrixLong(t(s, d, "events"))),
+    // Ratio-to-report: revenue share per nation (window over the
+    // 25-row aggregate, never the fact table).
+    "q99_revenue_share" -> ((s, d) =>
+      RelationalOps.revenueShareByNation(t(s, d, "lineitem"),
+        t(s, d, "supplier"), t(s, d, "nation"))),
+    // FETCH FIRST k WITH TIES via a broadcast kth-price pre-cut.
+    "q100_top_orders_with_ties" -> ((s, d) =>
+      RelationalOps.topOrdersWithTies(t(s, d, "orders"), 10)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1709,6 +1717,26 @@ object SparkEntry {
            ORDER BY c_acctbal, c_custkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY c_custkey""",
+    // Share denominator window-sums the exact DECIMAL (order-free);
+    // round(12) absorbs decimal→double conversion-path ulps.
+    "q99_revenue_share" ->
+      """WITH pn AS (SELECT n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rd
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, CAST(rd AS DOUBLE) AS revenue,
+           round(CAST(rd AS DOUBLE) / CAST(sum(rd) OVER () AS DOUBLE),
+             12) AS share
+         FROM pn ORDER BY n_name""",
+    "q100_top_orders_with_ties" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             rank() OVER (ORDER BY o_totalprice DESC) AS price_rank
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(price_rank AS BIGINT) AS price_rank
+         FROM r WHERE price_rank <= 10 ORDER BY price_rank, o_orderkey""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

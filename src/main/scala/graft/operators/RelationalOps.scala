@@ -375,6 +375,54 @@ object RelationalOps {
           .as("false_pos_rate"))
   }
 
+  /** Ratio-to-report (contribution analysis): each nation's revenue
+    * share of the total — the share denominator is an unpartitioned
+    * window SUM over the ALREADY-AGGREGATED per-nation table (25
+    * rows), so the "global window" anti-pattern never touches
+    * data-sized input. Exact decimal sums; one share division each. */
+  def revenueShareByNation(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perNation = lineitem
+      .join(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey")), "l_suppkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"))), "s_nationkey")
+      .groupBy(col("n_name"))
+      // keep the DECIMAL: the share denominator window-sums it
+      // exactly (a double window-sum would be order-dependent)
+      .agg(sum(dec2(col("l_extendedprice"))).as("_rd"))
+    val w = Window.partitionBy()
+    perNation
+      .select(col("n_name"), col("_rd").cast("double").as("revenue"),
+        round(col("_rd").cast("double") /
+          sum(col("_rd")).over(w).cast("double"), 12).as("share"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k WITH TIES: every order whose price RANK is within k — the
+    * "show all tied rows" semantics a plain LIMIT cannot express
+    * (FETCH FIRST k ROWS WITH TIES). A global rank window over the
+    * fact table would serialize one reducer, so the kth price comes
+    * from a TakeOrdered (k tiny rows), broadcasts back as a
+    * pre-filter, and the rank window runs only over the ≥-threshold
+    * survivors (k + ties rows). */
+  def topOrdersWithTies(orders: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val kth = orders.select(col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc).limit(k)
+      .agg(min(col("o_totalprice")).as("_kth"))
+    val w = Window.orderBy(col("o_totalprice").desc)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .crossJoin(broadcast(kth))
+      .filter(col("o_totalprice") >= col("_kth"))
+      .withColumn("price_rank", rank().over(w).cast("long"))
+      .filter(col("price_rank") <= k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("price_rank"))
+      .orderBy(col("price_rank"), col("o_orderkey"))
+  }
+
   /** Data-quality expectation report over the orders table: row count,
     * per-column null counts, duplicate-key count, and domain-violation
     * counts — the dbt-test / Deequ-style gate a pipeline runs before

@@ -595,4 +595,31 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q100 top-k with ties: the kth price is a TakeOrdered broadcast " +
+      "pre-cut — the rank window never sees the full fact table") {
+    val df = q("q100_top_orders_with_ties")
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "kth-price threshold must come from a bounded top-k")
+    // the rank window's input is the ≥-threshold survivors (k + ties),
+    // not the orders scan: every window operator in the plan sits
+    // above the broadcast threshold join
+    val windows = collect(exec) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(collect(w.child) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.nonEmpty, "window input must be the post-threshold join")
+    }
+    // bonus defense Spark 4 adds on its own: rank ≤ k plans a
+    // partial+final WindowGroupLimit, so each map task ships at most
+    // k rows to the single-partition sort even WITHOUT the pre-cut
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit pushdown must appear in the executed plan")
+  }
 }
