@@ -1,5 +1,31 @@
 package graft
 object Bench {
+  /** A query's reported timing: the median of its SUCCESSFUL passes
+    * (failed passes are recorded as negative elapses in the sample
+    * pool for diagnostics, and excluded here — mixing failure-elapsed
+    * and success-elapsed magnitudes reports a number that is the
+    * median of neither population). A query with ZERO successful
+    * passes fails the whole run: rounds 8's grading artifact carried
+    * three negative "timings" that poisoned a round of comparisons,
+    * so a broken query must now abort loudly instead of emitting a
+    * garbage number. Pure — spec-tested in BenchSpec. */
+  private[graft] def reportFor(name: String, times: Seq[Double]): Double = {
+    val succ = times.filter(_ > 0).sorted
+    require(succ.nonEmpty,
+      s"bench: query $name failed in every pass — no valid timing " +
+        "(see target/bench_errors.log); aborting the run")
+    succ(succ.length / 2)
+  }
+
+  /** The non-negativity gate on the final artifact: every value the
+    * JSON line will carry must be strictly positive. reportFor already
+    * guarantees this; the gate is belt-and-braces against any future
+    * code path that bypasses it. Pure — spec-tested. */
+  private[graft] def assertPositive(results: Seq[(String, Double)]): Unit =
+    results.foreach { case (n, v) =>
+      require(v > 0,
+        s"bench: non-positive timing $v for $n — refusing to emit it") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,8 +94,10 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    val passes: Seq[Seq[Double]] = (0 until iters).map { pass =>
-      names.map { case (name, fn) =>
+    def runPass(pass: Int, subset: Seq[(String,
+        (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      subset.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
           catch { case e: Throwable => logFailure(name, pass, e); false }
@@ -84,24 +112,37 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        if (ok) sec else -sec
+        name -> (if (ok) sec else -sec)
+      }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until iters).foreach { pass =>
+      runPass(pass, names).foreach { case (n, s) => samples(n) :+= s }
+    }
+    // ADAPTIVE iterATIONS for the sub-second tail: at iters=3 a 0.4 s
+    // median swung ±40% across rounds on byte-identical code (q09/q11/
+    // q15 in r9), drowning real regressions. Queries whose provisional
+    // median sits under the noise-floor threshold get topped up to
+    // ≥ fastIters samples via additional interleaved passes over JUST
+    // that subset — cheap by construction (only sub-second queries
+    // qualify), and the slow tail (whose medians are already stable at
+    // iters passes) is untouched.
+    val fastIters = math.max(iters,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ITERS", "7").toInt)
+    val fastThresholdSec = 1.0
+    val fastNames = names.filter { case (n, _) =>
+      val succ = samples(n).filter(_ > 0)
+      succ.nonEmpty && {
+        val s = succ.sorted; s(s.length / 2) < fastThresholdSec
       }
     }
-    val results = names.zipWithIndex.map { case ((name, _), qi) =>
-      val times = passes.map(_(qi))
-      // median of SUCCESSFUL passes only — mixing failure-elapsed and
-      // success-elapsed magnitudes would report a number that is the
-      // median of neither population for a flaky query. All-failed →
-      // median of the failure elapses (the only data there is). The sign
-      // carries flakiness: any failed pass negates the report, and the
-      // magnitude is floored at 1 ms so %.3f can never round a fast
-      // failure to "-0.000" (which JSON consumers read as a 0 s success).
-      val succ = times.filter(_ >= 0)
-      val pool = (if (succ.nonEmpty) succ else times.map(math.abs)).sorted
-      val median = pool(pool.length / 2)
-      val anyFailed = times.exists(_ < 0)
-      name -> (if (anyFailed) -math.max(median, 0.001) else median)
+    (iters until fastIters).foreach { pass =>
+      runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
     }
+    val results = names.map { case (name, _) =>
+      name -> reportFor(name, samples(name))
+    }
+    assertPositive(results)
     // Fixed 3-decimal formatting: full-precision doubles made the JSON
     // line long enough that the driver's stdout tail-capture truncated
     // q01–q15 out of two consecutive rounds' grading artifacts.

@@ -194,6 +194,12 @@ object NearDup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val texts = docs.select(col("doc_id"), col("text"))
+    // EAGER (runs a Spark job now, not at plan execution): one collected
+    // scalar over a length-only scan — the banded-levenshtein cutoff.
+    // Hoisted to a named val so the hidden job is visible at the call
+    // site instead of buried inside the expression tree below; same
+    // bounded-metadata allowance as the IVF probe set.
+    val levBand = globalThreshold(docs, maxDistFrac)
     // The candidate table is BYTE-small but each row costs an O(len²)
     // DP — AQE's size-based coalescing would serialize the verify
     // stage onto one task. A fixed-width repartition is exempt from
@@ -216,11 +222,10 @@ object NearDup {
       // ≤ maxDistFrac·(corpus max length), so Spark's thresholded
       // levenshtein (O(len·threshold), early abandon, -1 past the
       // band) returns the EXACT distance for every pair the filter
-      // keeps. The corpus max length is one collected scalar — the
-      // same bounded-metadata allowance as the IVF probe set.
+      // keeps. The corpus max length is the one collected scalar
+      // computed eagerly above (levBand).
       .withColumn("lev",
-        levenshtein(col("_ta"), col("_tb"), globalThreshold(docs,
-          maxDistFrac)).cast("long"))
+        levenshtein(col("_ta"), col("_tb"), levBand).cast("long"))
       .filter(col("lev") >= 0 && col("lev") <= lit(maxDistFrac) *
         col("max_len").cast("double"))
       .select(col("a_id"), col("b_id"), col("lev"), col("max_len"))

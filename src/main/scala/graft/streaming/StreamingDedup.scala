@@ -86,12 +86,17 @@ object StreamingDedup {
     *    newer than every folded id), so compacted rows are never
     *    accidentally excluded;
     *  - the consolidated copy is staged under a _-prefixed dir
-    *    (hidden from readAccumulated) and swapped in by delete+rename;
-    *    a crash before the rename loses no source dirs, a crash after
-    *    the deletes but before the rename leaves the data recoverable
-    *    in the staging dir (the narrow non-atomic window object
-    *    stores impose without a manifest — same trade as Upsert's
-    *    snapshot swap).
+    *    (hidden from readAccumulated) and swapped in by delete+rename.
+    *    The swap is crash-safe via a fold MANIFEST written into the
+    *    staging dir after the parquet write: on entry, a staging dir
+    *    carrying both _SUCCESS and the manifest whose source batch
+    *    dirs are (even partly) already deleted is the ONLY complete
+    *    copy of the folded data, so the interrupted swap is COMPLETED
+    *    (remaining sources deleted, staging renamed into place)
+    *    instead of the staging copy being discarded; a staging dir
+    *    whose sources are all intact — or with no _SUCCESS/manifest —
+    *    is redundant (possibly stale or partial) and is the only case
+    *    that gets deleted.
     *
     * Returns the number of directories folded (0 = nothing to do). */
   def compactAccumulated(spark: SparkSession, root: String,
@@ -99,6 +104,27 @@ object StreamingDedup {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return 0
+    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
+    // Crash recovery BEFORE anything else: never delete the staging
+    // dir while it may be the only copy of previously-folded data.
+    if (fs.exists(staging)) {
+      readFoldManifest(fs, staging) match {
+        case Some(ids) if fs.exists(
+            new org.apache.hadoop.fs.Path(staging, "_SUCCESS")) &&
+            ids.exists(id => !fs.exists(
+              new org.apache.hadoop.fs.Path(subdir(root, id)))) =>
+          // prior run crashed mid-swap (some sources already gone):
+          // the staging copy is the only complete one — finish the
+          // swap, then fall through to (maybe) fold newer batches
+          completeSwap(fs, root, staging, ids)
+        case _ =>
+          // sources all intact (crash before any delete) or staging
+          // incomplete (no _SUCCESS / no manifest): the staging copy
+          // is redundant or partial — safe to discard
+          fs.delete(staging, true)
+      }
+    }
+    // list AFTER recovery so a just-recovered batch=<minId> is seen
     val batchIds = fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -107,18 +133,75 @@ object StreamingDedup {
       .sorted
     if (batchIds.length <= 2) return 0
     val fold = batchIds.dropRight(1)
-    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
-    fs.delete(staging, true)
     spark.read
       .option("recursiveFileLookup", "true")
       .parquet(fold.map(id => subdir(root, id)): _*)
       .coalesce(targetPartitions)
       .write.mode("overwrite").parquet(staging.toString)
-    fold.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(subdir(root, id)), true))
-    fs.rename(staging,
-      new org.apache.hadoop.fs.Path(subdir(root, fold.min)))
+    writeFoldManifest(fs, staging, fold)
+    completeSwap(fs, root, staging, fold)
     fold.length
+  }
+
+  /** Fold manifest: the batch ids a staging copy was built from, one
+    * per line, under a _-prefixed name (invisible to parquet readers).
+    * Written AFTER the parquet write — its presence together with
+    * _SUCCESS means "staging holds a complete copy of exactly these
+    * batch dirs", which is what recovery keys on. */
+  private val FoldManifestName = "_GRAFT_FOLD"
+
+  private[streaming] def writeFoldManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, ids: Seq[Long]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, FoldManifestName), true)
+    try out.write(ids.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[streaming] def readFoldManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): Option[Seq[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(staging, FoldManifestName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(buf)
+        val txt = new String(buf, "UTF-8")
+        Some(txt.split("\n").toSeq.filter(_.nonEmpty).map(_.trim.toLong))
+      } finally in.close()
+    }
+  }
+
+  /** Second half of the compaction swap — delete the folded source
+    * dirs, then rename staging into place as batch=<minId>. Idempotent
+    * (already-deleted sources are skipped), so it serves both the
+    * normal path and crash recovery. The rename RESULT is checked:
+    * HDFS-style filesystems report some failures as `false` rather
+    * than an exception, and ignoring that would leave the folded rows
+    * invisible to readAccumulated (hidden _-dir) after their sources
+    * were already deleted — silent data loss. On a false return the
+    * manifest is still in the staging dir, so a retry re-enters
+    * recovery and tries the swap again. */
+  private[streaming] def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, staging: org.apache.hadoop.fs.Path,
+      ids: Seq[Long]): Unit = {
+    ids.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(subdir(root, id)), true))
+    val dest = new org.apache.hadoop.fs.Path(subdir(root, ids.min))
+    if (!fs.rename(staging, dest))
+      sys.error(s"compactAccumulated: rename $staging -> $dest returned " +
+        "false; folded data preserved in the staging dir — re-run to retry")
+    // the manifest rides THROUGH the rename (deleting it earlier would
+    // reopen the loss window: a crash between manifest-delete and
+    // rename leaves an unidentifiable staging dir that recovery would
+    // discard) and is removed from the destination afterwards — purely
+    // cosmetic there (recovery only ever looks under _compacting, and
+    // parquet readers ignore _-prefixed files), so best-effort
+    fs.delete(new org.apache.hadoop.fs.Path(dest, FoldManifestName),
+      false)
   }
 
   /** Dedup one closed batch against itself and (if present) the

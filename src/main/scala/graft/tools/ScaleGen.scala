@@ -1,19 +1,26 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-curve corpus generator: replicate a documents table k× with a
-  * per-copy alphabet ROTATION (translate over [a-z]), so that
+  * per-copy alphabet SUBSTITUTION (translate over [a-z][A-Z][0-9]), so
+  * that
   *
   *  - within each copy, token identity — and therefore every
   *    shingle/Jaccard/cluster relation the dedup family mines — is
   *    exactly preserved (the planted near-dup structure replicates
   *    with the copy);
-  *  - across copies, every alphabetic token differs, so no cross-copy
-  *    candidate pairs exist and the TRUE pair/cluster output grows
-  *    LINEARLY in k — which is what makes the k× wall-time curve
-  *    interpretable (superlinear output would confound the
-  *    measurement of the plan's own scaling).
+  *  - across copies, every token containing a letter OR digit differs
+  *    (lower/upper case rotate by the copy index — 26 distinct maps —
+  *    and digits apply one of 26 precomputed pairwise-distinct
+  *    permutations, so even all-digit or all-uppercase tokens are
+  *    never byte-identical across copies), so no cross-copy candidate
+  *    pairs exist and the TRUE pair/cluster output grows LINEARLY in
+  *    k — which is what makes the k× wall-time curve interpretable
+  *    (superlinear output would confound the measurement of the
+  *    plan's own scaling). ScaleGenSpec asserts the
+  *    zero-cross-copy-pair property directly.
   *
   * Both the 1× and k× outputs are written as multi-file parquet
   * (repartition 32) — the harness fixtures are single-row-group files
@@ -23,38 +30,56 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <k>
   */
 object ScaleGen {
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val Lower  = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper  = Lower.toUpperCase
+  private val Digits = "0123456789"
 
-  def main(args: Array[String]): Unit = {
-    val Array(src, out, kStr) = args
-    val k = kStr.toInt
-    require(k >= 1 && k <= Alpha.length, s"k must be in [1, 26], got $k")
-    val spark = graft.GraftSession.local()
-    val idStride = 10000000L
+  /** 26 pairwise-distinct digit permutations, index 0 = identity —
+    * rotation alone cycles with period 10, which would make all-digit
+    * tokens byte-identical between copies i and i+10. Deterministic
+    * (fixed seed), distinct by construction (LinkedHashSet). */
+  private val DigitPerms: Vector[String] = {
+    val rnd = new scala.util.Random(42)
+    val seen = scala.collection.mutable.LinkedHashSet[String](Digits)
+    while (seen.size < 26)
+      seen += rnd.shuffle(Digits.toVector).mkString
+    seen.toVector
+  }
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docCopies = (0 until k).map { i =>
-      val rot = Alpha.drop(i) + Alpha.take(i)
+  private val FromAlphabet = Lower + Upper + Digits
+
+  private[tools] def toAlphabet(i: Int): String = {
+    val rotL = Lower.drop(i) + Lower.take(i)
+    rotL + rotL.toUpperCase + DigitPerms(i)
+  }
+
+  val IdStride = 10000000L
+
+  /** The k× replicated documents frame (pure plan — shared by the CLI
+    * below and ScaleGenSpec's cross-copy-pair assertion). */
+  private[graft] def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= Lower.length, s"k must be in [1, 26], got $k")
+    (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i * idStride)).as("doc_id"),
+        (col("doc_id") + lit(i * IdStride)).as("doc_id"),
         (if (i == 0) col("text")
-         else translate(col("text"), Alpha, rot)).as("text"),
+         else translate(col("text"), FromAlphabet, toAlphabet(i)))
+          .as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }
-    docCopies.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"wrote ${k}x corpus to $out/documents.parquet")
+    }.reduce(_ unionAll _)
+  }
 
-    // Embeddings: each copy applies a fixed per-copy ORTHOGONAL
-    // transform (dimension permutation + sign flips, seeded by the
-    // copy index) — norms and every within-copy cosine are preserved
-    // EXACTLY (the planted near-dup structure replicates), while
-    // cross-copy directions decorrelate, so true pair output again
-    // grows linearly in k.
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+  /** The k× replicated embeddings frame: each copy applies a fixed
+    * per-copy ORTHOGONAL transform (dimension permutation + sign
+    * flips, seeded by the copy index) — norms and every within-copy
+    * cosine are preserved EXACTLY (the planted near-dup structure
+    * replicates), while cross-copy directions decorrelate, so true
+    * pair output again grows linearly in k. */
+  private[graft] def replicateEmbeddings(emb: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1 && k <= Lower.length, s"k must be in [1, 26], got $k")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val embCopies = (0 until k).map { i =>
+    (0 until k).map { i =>
       if (i == 0)
         emb.select(col("vec_id"), col("embedding"), col("label"))
       else {
@@ -64,12 +89,26 @@ object ScaleGen {
         val transformed = array(perm.indices.map(j =>
           element_at(col("embedding"), perm(j) + 1) * lit(sign(j))): _*)
         emb.select(
-          (col("vec_id") + lit(i * idStride)).as("vec_id"),
+          (col("vec_id") + lit(i * IdStride)).as("vec_id"),
           transformed.cast("array<float>").as("embedding"),
           col("label"))
       }
-    }
-    embCopies.reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, kStr) = args
+    val k = kStr.toInt
+    val spark = graft.GraftSession.local()
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    replicateDocs(docs, k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"wrote ${k}x corpus to $out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    replicateEmbeddings(emb, k)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"wrote ${k}x embeddings to $out/embeddings.parquet")

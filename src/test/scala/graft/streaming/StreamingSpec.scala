@@ -465,4 +465,122 @@ class StreamingSpec extends SparkSuite {
     // collapsed (incl. the PII-only-difference pair), packs assigned
     assert(s.map(_._1) == Set(1L, 10L, 21L, 30L))
   }
+
+  // ---- compaction crash recovery (ADVICE r9) -------------------------
+  // The swap is: write staging parquet → write fold manifest → delete
+  // source dirs → rename staging into place. A crash can land between
+  // any two steps; recovery on the next compactAccumulated call must
+  // never lose rows — in particular it must NOT delete the staging dir
+  // when that dir is the only remaining copy of folded data.
+
+  private def hadoopFs(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeBatches(root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.foreach { id =>
+      Seq((id, s"document number $id body")).toDF("doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(StreamingDedup.subdir(root, id))
+    }
+  }
+
+  private def corpusIds(root: String): Set[Long] =
+    StreamingDedup.readAccumulated(spark, root, excludeBatchId = -1L)
+      .map(_.collect().map(_.getAs[Long]("doc_id")).toSet)
+      .getOrElse(Set.empty)
+
+  /** Simulate a compaction run that crashed AFTER the staging write
+    * (+ manifest) and after deleting `deleted` of its source dirs. */
+  private def stageCrash(root: String, fold: Seq[Long],
+      deleted: Seq[Long]): org.apache.hadoop.fs.Path = {
+    val fs = hadoopFs(root)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
+    spark.read
+      .parquet(fold.map(StreamingDedup.subdir(root, _)): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    StreamingDedup.writeFoldManifest(fs, staging, fold)
+    deleted.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(StreamingDedup.subdir(root, id)), true))
+    staging
+  }
+
+  test("compaction recovery: crash after ALL source deletes, before " +
+      "rename — staging is the only copy and must be swapped in, " +
+      "never deleted") {
+    val root = tmp("ccr1") + "/c"
+    writeBatches(root, Seq(0L, 1L, 2L, 3L))
+    val staging = stageCrash(root, fold = Seq(0L, 1L, 2L),
+      deleted = Seq(0L, 1L, 2L))
+    assert(corpusIds(root) == Set(3L), "pre-recovery: folded rows are " +
+      "invisible (staging is a hidden _-dir)")
+    val folded = StreamingDedup.compactAccumulated(spark, root)
+    // recovery completed the interrupted swap; only 2 dirs remain so
+    // no NEW fold happens this call
+    assert(folded == 0)
+    assert(corpusIds(root) == Set(0L, 1L, 2L, 3L),
+      "all folded rows must be recovered")
+    val fs = hadoopFs(root)
+    assert(!fs.exists(staging), "staging must be renamed away")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      StreamingDedup.subdir(root, 0L))), "folded data lands at batch=min")
+  }
+
+  test("compaction recovery: crash after a PARTIAL source delete — " +
+      "remaining sources are deleted and staging swapped in, no " +
+      "duplicates and no loss") {
+    val root = tmp("ccr2") + "/c"
+    writeBatches(root, Seq(0L, 1L, 2L, 3L))
+    stageCrash(root, fold = Seq(0L, 1L, 2L), deleted = Seq(1L))
+    assert(StreamingDedup.compactAccumulated(spark, root) == 0)
+    val ids = StreamingDedup.readAccumulated(spark, root, -1L)
+      .get.collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.sorted == Seq(0L, 1L, 2L, 3L),
+      s"exactly-once across recovery, got $ids")
+  }
+
+  test("compaction recovery: crash BEFORE any source delete — staging " +
+      "is redundant, gets discarded, and a fresh fold proceeds") {
+    val root = tmp("ccr3") + "/c"
+    writeBatches(root, Seq(0L, 1L, 2L, 3L))
+    stageCrash(root, fold = Seq(0L, 1L, 2L), deleted = Seq.empty)
+    val folded = StreamingDedup.compactAccumulated(spark, root)
+    assert(folded == 3, "all sources intact -> normal fold of 0..2")
+    assert(corpusIds(root) == Set(0L, 1L, 2L, 3L))
+    assert(!hadoopFs(root).exists(
+      new org.apache.hadoop.fs.Path(root, "_compacting")))
+  }
+
+  test("compaction recovery: INCOMPLETE staging (no _SUCCESS/manifest) " +
+      "is discarded — sources are by construction still intact") {
+    val root = tmp("ccr4") + "/c"
+    writeBatches(root, Seq(0L, 1L, 2L, 3L))
+    val fs = hadoopFs(root)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
+    fs.mkdirs(staging)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "part-00000.parquet"), true)
+    out.write("not a parquet file".getBytes("UTF-8")); out.close()
+    val folded = StreamingDedup.compactAccumulated(spark, root)
+    assert(folded == 3)
+    assert(corpusIds(root) == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("fold manifest round-trips and is removed from the swapped-in " +
+      "directory") {
+    val root = tmp("ccr5") + "/c"
+    writeBatches(root, Seq(0L, 1L, 2L, 3L))
+    val fs = hadoopFs(root)
+    assert(StreamingDedup.compactAccumulated(spark, root) == 3)
+    // the live batch=0 dir must NOT look like a staging dir to any
+    // later run (manifest deleted after the rename)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      StreamingDedup.subdir(root, 0L) + "/_GRAFT_FOLD")))
+    val staging = new org.apache.hadoop.fs.Path(root, "_x")
+    StreamingDedup.writeFoldManifest(fs, staging, Seq(7L, 8L, 42L))
+    assert(StreamingDedup.readFoldManifest(fs, staging)
+      .contains(Seq(7L, 8L, 42L)))
+  }
 }
