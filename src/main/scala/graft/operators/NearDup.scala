@@ -624,14 +624,24 @@ object NearDup {
     * depth per round, so total rounds are O(log diameter) (a chain of
     * 200 resolves in ~8 rounds — tested), comparable to the
     * large-star/small-star contraction of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond". The loop is a driver
-    * FIXPOINT check (one count per round), not a driver computation:
-    * all data stays distributed; localCheckpoint truncates the growing
-    * lineage so round N does not re-plan rounds 1..N-1. Durability
-    * trade: localCheckpoint blocks are executor-local and unreplicated —
-    * on a cluster with preemptible executors, losing one mid-loop fails
-    * the job (restart from scratch); swap in reliable checkpoint() to a
-    * checkpoint dir when running on spot nodes.
+    * Components in MapReduce and Beyond".
+    *
+    * Per-round cost is ONE Spark job (the r9 bench audit found the
+    * family round-overhead-bound at small SF, each round paying full
+    * job setup twice): every checkpoint is LAZY, so the round's single
+    * materializing action is the convergence probe itself — an exact
+    * decimal SUM of the labels. Labels can only decrease (min-fold),
+    * so the sum strictly decreases iff any label changed; sum equality
+    * across rounds is therefore exactly the old changed-count==0 test,
+    * without the extra count job or the per-node _old comparison join.
+    * The loop is a driver FIXPOINT check (one collected scalar per
+    * round), not a driver computation: all data stays distributed;
+    * localCheckpoint truncates the growing lineage so round N does not
+    * re-plan rounds 1..N-1. Durability trade: localCheckpoint blocks
+    * are executor-local and unreplicated — on a cluster with
+    * preemptible executors, losing one mid-loop fails the job (restart
+    * from scratch); swap in reliable checkpoint() to a checkpoint dir
+    * when running on spot nodes.
     *
     * The reference dedups only on exact natural-key equality
     * (etl/etl.py:441-458, first-wins); this is that semantic lifted to
@@ -640,47 +650,65 @@ object NearDup {
     // both edge orientations from ONE pass over the pair subtree (a
     // union of two projections would evaluate the — possibly expensive,
     // e.g. exact-Jaccard — pair plan twice)
+    // LAZY checkpoints throughout: nothing here runs a job — round 1's
+    // convergence probe materializes edges, the initial labels and the
+    // first propagation all in one job (the eager form paid a separate
+    // job for each). Within-plan reuse of edges/labels/propagated is
+    // covered by exchange reuse (the repeated subtrees sit under
+    // identical shuffles) plus the checkpoint's block-manager persist.
     val edges = pairs
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val neighborMin = edges
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // min over self ∪ neighbors in ONE aggregate: the propagated
+      // copies and the current labels union before a single min-fold —
+      // one equi-join + one (map-side partial) aggregate, where the
+      // join-then-left-join-back form spent two joins
+      val propagated = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("_old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("_l1"))
+        .select(col("src").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
       // pointer jump (Shiloach-Vishkin shortcut): label(u) ← label(
       // label(u)). Every label value is itself a node id (closed by
       // induction: initials are ids, min of ids is an id), and labels
-      // only decrease, so the parent's label is ≤ ours — the jump halves
-      // chain depth each round, turning O(diameter) propagation into
-      // O(log diameter) total rounds. One extra equi-join per round.
-      val jumped = stepped
-        .join(stepped.select(col("id").as("_pid"), col("_l1").as("_pl")),
-          col("_l1") === col("_pid"), "left")
-        .select(col("id"),
-          coalesce(col("_pl"), col("_l1")).as("label"),
-          (coalesce(col("_pl"), col("_l1")) =!= col("_old")).as("_chg"))
-      val next = jumped.localCheckpoint()
-      changed = next.filter(col("_chg")).count()
-      labels = next.select(col("id"), col("label"))
+      // only decrease, so the parent's label is ≤ ours — the jump
+      // halves chain depth each round, turning O(diameter) propagation
+      // into O(log diameter) total rounds. One equi-join per round.
+      val jumped = propagated
+        .join(propagated
+            .select(col("id").as("_pid"), col("label").as("_pl")),
+          col("label") === col("_pid"), "left")
+        .select(col("id"), coalesce(col("_pl"), col("label")).as("label"))
+      val next = jumped.localCheckpoint(false)
+      // convergence probe = the round's ONLY job: exact decimal sum of
+      // the labels (decimal(38,0) cannot overflow any realistic id
+      // space, unlike a long sum at 100 TB). Sum unchanged ⟺ no label
+      // changed (labels are monotonically non-increasing per node).
+      val s = Option(next
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0))
+      converged = (s, prevSum) match {
+        case (None, None) => true // empty input: nothing to propagate
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case _ => false
+      }
+      prevSum = s
+      labels = next
       round += 1
     }
-    require(changed == 0,
+    require(converged,
       s"label propagation did not converge in $maxRounds rounds — " +
         "with pointer jumping that needs a component of diameter " +
         "~2^$maxRounds; check the pair input for pathology")
