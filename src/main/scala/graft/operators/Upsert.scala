@@ -380,6 +380,108 @@ object Upsert {
       .orderBy(col(key), col("valid_from"), col("valid_to"))
   }
 
+  /** scd2Merge against an `is_open`-PARTITIONED parquet table — the
+    * 100 TB layout the in-memory operator's Scaladoc promises: the
+    * closed majority of a dimension's history is never rewritten (its
+    * files stay byte-identical across merges — UpsertSpec pins this),
+    * only the open slice is.
+    *
+    * Layout: `path/is_open=true|false` via partitionBy. Per merge:
+    *
+    *   1. newly-closed versions APPEND to the closed partition (append
+    *      adds files; existing history files are untouched);
+    *   2. the open partition is REWRITTEN (still-open rows + the new
+    *      open versions) through dynamic partition overwrite — the
+    *      same per-partition swap mergeParquetBucketed uses.
+    *
+    * Work per merge ∝ open-slice size + batch size, independent of
+    * history size: the only reads are the open partition (partition-
+    * pruned) and the closed partition FILTERED to valid_to == loadTs
+    * (the crash-retry guard below; parquet min/max stats prune it to
+    * ~nothing on a healthy table).
+    *
+    * Crash contract (two writes, same per-partition atomicity trade as
+    * mergeParquetBucketed): a crash between the append and the
+    * overwrite leaves the newly-closed versions recorded while their
+    * keys are still open — re-running the SAME merge (same updates,
+    * same loadTs) heals exactly: the retry guard anti-joins the
+    * to-close rows against closed rows already recorded at this
+    * loadTs on (key, valid_from), so nothing duplicates, and the open
+    * overwrite then completes the swap. Deterministic: `loadTs` is
+    * caller-supplied, never generated. */
+  def scd2MergeParquet(spark: SparkSession, path: String,
+      updates: DataFrame, key: String,
+      loadTs: org.apache.spark.sql.Column): Unit = {
+    val attrCols = updates.columns.toSeq
+    require(attrCols.contains(key), s"updates must carry the key '$key'")
+    require(!attrCols.contains("valid_from") &&
+      !attrCols.contains("valid_to") && !attrCols.contains("is_open"),
+      "updates must not carry validity/partition columns")
+    val outCols = (attrCols ++ Seq("valid_from", "valid_to")).map(col)
+    val opened = updates
+      .withColumn("valid_from", loadTs)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+
+    val target = Paths.get(path)
+    val exists = Files.exists(target) && {
+      val s = Files.list(target)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("is_open="))
+      finally s.close()
+    }
+    if (!exists) {
+      opened.select(outCols: _*)
+        .withColumn("is_open", lit(true))
+        .write.partitionBy("is_open").mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+
+    // pin the open slice BEFORE the overwrite below: Spark refuses a
+    // write whose plan still reads the destination, and the pin also
+    // guards against reading a half-swapped partition mid-job (same
+    // reasoning as compactBucketed)
+    // partition-column values are not type-inferred as booleans by
+    // Spark's partition discovery — compare as string
+    val isOpen = col("is_open").cast("string") === "true"
+    val open = spark.read.parquet(path)
+      .filter(isOpen).drop("is_open")
+      .select(outCols: _*)
+      .localCheckpoint()
+    val updKeys = updates.select(col(key))
+    val closedNow = open
+      .join(updKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", loadTs)
+    // crash-retry guard: versions already closed AT THIS loadTs (only
+    // a replayed merge produces any) must not append twice
+    val alreadyClosed = spark.read.parquet(path)
+      .filter(!isOpen)
+      .filter(col("valid_to") === loadTs)
+      .select(col(key), col("valid_from"))
+    val toAppend = closedNow
+      .join(alreadyClosed, Seq(key, "valid_from"), "left_anti")
+      .select(outCols: _*)
+      .withColumn("is_open", lit(false))
+      .localCheckpoint() // the append's plan also reads `path`
+    toAppend.write.partitionBy("is_open").mode(SaveMode.Append)
+      .parquet(path)
+
+    val stillOpen = open.join(updKeys, Seq(key), "left_anti")
+    val newOpen = stillOpen.select(outCols: _*)
+      .unionByName(opened.select(outCols: _*))
+      .withColumn("is_open", lit(true))
+    val prevMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try newOpen.write.partitionBy("is_open").mode(SaveMode.Overwrite)
+      .parquet(path)
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  /** Read back an scd2MergeParquet table as the plain
+    * (attrs, valid_from, valid_to) frame scd2Merge returns. */
+  def readScd2(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("is_open")
+
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val target = Paths.get(path)
     val backup = Paths.get(path.stripSuffix("/") + "._backup")

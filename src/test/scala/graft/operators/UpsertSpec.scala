@@ -355,4 +355,98 @@ class UpsertSpec extends SparkSuite {
     val open = rows.filter(_._4.isEmpty).map(_._1)
     assert(open == Set(1L, 2L, 3L))
   }
+
+  // ---- scd2MergeParquet: the is_open-partitioned writer ------------
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def lts(s: String) =
+    org.apache.spark.sql.functions.lit(s).cast("timestamp")
+
+  private def scd2Rows(path: String): Set[(Long, String,
+      Option[Timestamp], Option[Timestamp])] =
+    Upsert.readScd2(spark, path)
+      .select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toSet
+
+  /** (relative file name → md5) of every parquet file in the closed
+    * partition. */
+  private def closedFiles(path: String): Map[String, String] = {
+    val dir = java.nio.file.Paths.get(path, "is_open=false")
+    if (!Files.exists(dir)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          dir.relativize(p).toString ->
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+  }
+
+  test("scd2MergeParquet: merges equal the in-memory scd2Merge, and " +
+      "closed-history files are byte-identical across later merges") {
+    val path = freshDir()
+    val t0 = lts("2024-01-01 00:00:00"); val t1 = lts("2024-02-01 00:00:00")
+    val t2 = lts("2024-03-01 00:00:00")
+    import spark.implicits._
+    // initial load, then two update rounds (same fixture as the
+    // in-memory test above)
+    Upsert.scd2MergeParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", t0)
+    Upsert.scd2MergeParquet(spark, path,
+      Seq((1L, "a2")).toDF("k", "v"), "k", t1)
+    // snapshot the closed partition BEFORE the next merge
+    val before = closedFiles(path)
+    assert(before.nonEmpty, "round 1 must have closed (1,a)")
+    Upsert.scd2MergeParquet(spark, path,
+      Seq((1L, "a3"), (3L, "c")).toDF("k", "v"), "k", t2)
+    // every pre-existing history file survived the merge byte-identical
+    val after = closedFiles(path)
+    before.foreach { case (name, hash) =>
+      assert(after.get(name).contains(hash),
+        s"history file $name was rewritten by the merge")
+    }
+    assert(after.size > before.size, "the newly closed version appends")
+    // final content equals the in-memory operator on the same rounds
+    assert(scd2Rows(path) == Set(
+      (1L, "a", Some(ts("2024-01-01 00:00:00")),
+        Some(ts("2024-02-01 00:00:00"))),
+      (1L, "a2", Some(ts("2024-02-01 00:00:00")),
+        Some(ts("2024-03-01 00:00:00"))),
+      (1L, "a3", Some(ts("2024-03-01 00:00:00")), None),
+      (2L, "b", Some(ts("2024-01-01 00:00:00")), None),
+      (3L, "c", Some(ts("2024-03-01 00:00:00")), None)))
+  }
+
+  test("scd2MergeParquet: a crashed merge (closed rows appended, open " +
+      "partition not yet swapped) heals exactly on retry — no " +
+      "duplicate closed versions") {
+    val path = freshDir()
+    val t0 = lts("2024-01-01 00:00:00"); val t1 = lts("2024-02-01 00:00:00")
+    import spark.implicits._
+    Upsert.scd2MergeParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", t0)
+    // simulate the crash window: the to-close version of k=1 is already
+    // in the closed partition, but k=1 is STILL open at t0 (the open
+    // overwrite never ran)
+    Seq((1L, "a")).toDF("k", "v")
+      .withColumn("valid_from", t0)
+      .withColumn("valid_to", t1)
+      .withColumn("is_open", org.apache.spark.sql.functions.lit(false))
+      .write.partitionBy("is_open")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    // retry of the same merge
+    Upsert.scd2MergeParquet(spark, path,
+      Seq((1L, "a2")).toDF("k", "v"), "k", t1)
+    assert(scd2Rows(path) == Set(
+      (1L, "a", Some(ts("2024-01-01 00:00:00")),
+        Some(ts("2024-02-01 00:00:00"))),
+      (1L, "a2", Some(ts("2024-02-01 00:00:00")), None),
+      (2L, "b", Some(ts("2024-01-01 00:00:00")), None)),
+      "retry must not duplicate the closed version")
+  }
 }
