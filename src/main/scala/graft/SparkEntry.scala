@@ -575,6 +575,14 @@ object SparkEntry {
       graft.streaming.StreamingEmbeddingDedup.ingestStatic(
         s, t(s, d, "embeddings"), threshold = 0.45)
         .select(col("vec_id"), col("label"))),
+    // Vector-store MAINTENANCE lifecycle end-to-end: streaming ingest
+    // (3 micro-batches) -> incremental IVF append against a fixed
+    // codebook -> corpus layout compaction -> partition-pruned index
+    // search. Rows-only (temp-dir side effects + engine seed);
+    // StreamingSpec pins append+compact == from-scratch rebuild.
+    "x26_vector_store_maintenance" -> ((s, d) =>
+      graft.streaming.StreamingEmbeddingDedup.maintainStatic(
+        s, t(s, d, "embeddings"), threshold = 0.45)),
   )
 
   // DuckDB-exactness conventions used below:

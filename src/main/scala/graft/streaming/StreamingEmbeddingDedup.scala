@@ -104,6 +104,70 @@ object StreamingEmbeddingDedup {
       .orderBy(col("vec_id"))
   }
 
+  /** End-to-end MAINTENANCE surface (the x26 entry): the full
+    * lifecycle a long-running vector store actually exercises, in
+    * order —
+    *
+    *  1. ingest three micro-batches (vec_id mod 3 splits) through the
+    *     checkpointed dedup stream;
+    *  2. after batch 1, train the IVF codebook on the accumulated
+    *     corpus and build the materialized bucket-partitioned index
+    *     (writeIvfIndex);
+    *  3. after each later batch, append ONLY that batch's novel
+    *     vectors to the index against the FIXED codebook
+    *     (appendToIvfIndex — ingestion ∝ batch, never a re-index);
+    *  4. compact the corpus's accumulated `batch=<id>` layout
+    *     (StreamingDedup.compactAccumulated — the small-file answer;
+    *     with three closed batch dirs it folds the two oldest);
+    *  5. search the appended index (annIvfIndexed — dynamic partition
+    *     pruning over the probed buckets) for the corpus's five
+    *     smallest vec_ids.
+    *
+    * Returns the search result (q_id, n_id, cosine, rank) — the
+    * driver's rows-only gate proves the maintained index still
+    * answers; StreamingSpec pins the sharp property (search over
+    * append+compact == search over a from-scratch rebuild of the same
+    * corpus). Engine-seeded layout + temp dirs → no SQL oracle. */
+  def maintainStatic(spark: SparkSession, emb: DataFrame,
+      threshold: Double = 0.9, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_emb_maint").toString
+    val landing = base + "/landing"
+    val corpus = base + "/corpus"
+    val bandIdx = base + "/bands"
+    val ckpt = base + "/ckpt"
+    val index = base + "/ivf"
+    def drop(mod: Int): Unit = {
+      emb.filter(col("vec_id") % 3 === mod)
+        .write.mode("append").parquet(landing)
+      runAvailableNow(spark, landing, corpus, bandIdx, ckpt, emb.schema,
+        threshold)
+    }
+    def batchDir(id: Long): DataFrame =
+      spark.read.parquet(StreamingDedup.subdir(corpus, id))
+    drop(0)
+    // codebook trained ONCE on the initial corpus, then held fixed —
+    // the append==rebuild identity requires a shared codebook (the
+    // standard IVF maintenance contract; retrain+rebuild is the
+    // documented drift cadence, not part of the steady-state path)
+    val centroids = VectorOps.labelCentroids(batchDir(0L)).localCheckpoint()
+    VectorOps.writeIvfIndex(batchDir(0L), centroids, index)
+    drop(1)
+    VectorOps.appendToIvfIndex(batchDir(1L), centroids, index)
+    drop(2)
+    VectorOps.appendToIvfIndex(batchDir(2L), centroids, index)
+    StreamingDedup.compactAccumulated(spark, corpus)
+    val corpusAll = spark.read
+      .option("recursiveFileLookup", "true").parquet(corpus)
+    // bounded metadata: five query ids off the corpus head (the same
+    // allowance as the IVF probe set)
+    val queryIds = corpusAll.select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    VectorOps.annIvfIndexed(spark, index, corpusAll, queryIds, k,
+      nprobe, centroids)
+  }
+
   /** One micro-batch's work — extracted so replay idempotence is
     * directly testable. Accumulated reads EXCLUDE this batchId's own
     * subdirectories (StreamingDedup.readAccumulated's contract). */

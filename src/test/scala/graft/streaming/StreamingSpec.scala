@@ -568,6 +568,53 @@ class StreamingSpec extends SparkSuite {
     assert(corpusIds(root) == Set(0L, 1L, 2L, 3L))
   }
 
+  test("maintainStatic (x26): ingest -> IVF append -> compact -> " +
+      "search answers identically to a from-scratch index rebuild " +
+      "over the same corpus") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    def vec(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a(3) = eps; a.toSeq
+    }
+    // 9 vectors over 3 mod-3 batches; 4 and 8 duplicate 1 and 2
+    // (cross-batch near-dups), labels give 3 coarse centroids
+    val emb = Seq(
+      (0L, vec(0, 0f), 0), (1L, vec(1, 0f), 1), (2L, vec(2, 0f), 2),
+      (3L, vec(0, 0.3f), 0), (4L, vec(1, 0.005f), 1),
+      (5L, vec(2, 0.3f), 2), (6L, vec(0, 0.6f), 0),
+      (7L, vec(1, 0.6f), 1), (8L, vec(2, 0.004f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val result = StreamingEmbeddingDedup.maintainStatic(spark, emb,
+      threshold = 0.98, k = 3)
+    val rows = result.collect()
+    assert(rows.nonEmpty, "the maintained index must answer")
+    // near-dups 4 and 8 must have been dropped at ingest (cos > 0.98
+    // against 1 and 2), so they can never be neighbors
+    val ids = rows.flatMap(r =>
+      Seq(r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(!ids.contains(4L) && !ids.contains(8L),
+      s"deduped vectors resurfaced in the index: $ids")
+    // sharp property: the appended+compacted index answers exactly as
+    // a from-scratch rebuild over the same deduped corpus with the
+    // same codebook. Rebuild = dedup the full table in one batch
+    // (same threshold), index it fresh, search the same queries.
+    val corpus = VectorOps.dedupEmbeddings(emb, 0.98)
+    val centroids = VectorOps.labelCentroids(
+      corpus.filter(col("vec_id") % 3 === 0)).localCheckpoint()
+    val freshIdx = java.nio.file.Files
+      .createTempDirectory("x26_rebuild").toString + "/ivf"
+    VectorOps.writeIvfIndex(corpus, centroids, freshIdx)
+    val queryIds = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val rebuilt = VectorOps.annIvfIndexed(spark, freshIdx, corpus,
+      queryIds, 3, 2, centroids)
+    val asSet = (d: org.apache.spark.sql.DataFrame) => d.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        math.round(r.getAs[Double]("cosine") * 1e9))).toSet
+    assert(asSet(result) == asSet(rebuilt),
+      "maintained and rebuilt indexes must answer identically")
+  }
+
   test("fold manifest round-trips and is removed from the swapped-in " +
       "directory") {
     val root = tmp("ccr5") + "/c"
