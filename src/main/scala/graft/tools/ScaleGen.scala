@@ -96,16 +96,52 @@ object ScaleGen {
     }.reduce(_ unionAll _)
   }
 
+  /** One fixed 24-token boilerplate block — long enough that its
+    * interior 3-grams are shared shingles across every planted doc. */
+  val Boilerplate: String =
+    (1 to 24).map(i => s"graftboiler$i").mkString(" ")
+
+  /** Planted-SKEW mode: prepend the shared boilerplate block to `frac`
+    * of the documents (by doc_id mod 100 — deterministic, survives
+    * replication because replicateDocs shifts ids by a multiple of
+    * 100). This makes every interior boilerplate shingle occur in
+    * ~frac·N documents — the hot-key pathology for the inverted-index
+    * dedup family: uncapped pair generation over one such shingle is
+    * C(frac·N, 2) candidates on a single reducer key. On short
+    * documents (spec fixtures) the block also dominates the minhash
+    * signature, concentrating planted docs into one hot (band, bh)
+    * bucket per band — the LSH-side pathology. The skew GUARDS
+    * (jaccardPairs' maxShingleFreq, lshCandidates' maxBandFreq) must
+    * keep candidate output bounded on this input; NearDupSpec pins
+    * exactly that.
+    *
+    * Note: the boilerplate is NOT alphabet-rotated, so in a skewed k×
+    * run the planted shingles DO span copies — deliberately: that is
+    * the worst case the guards must absorb, and it means the skewed
+    * corpus is a stress input, not a scale-curve input (the linearity
+    * premise above applies only to the unskewed mode). */
+  private[graft] def plantSkew(docs: DataFrame,
+      frac: Double = 0.3): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(100L)) < lit((frac * 100).toLong),
+        concat(lit(Boilerplate + " "), col("text")))
+        .otherwise(col("text")))
+
   def main(args: Array[String]): Unit = {
-    val Array(src, out, kStr) = args
+    require(args.length >= 3,
+      "usage: ScaleGen <srcSfDir> <outDir> <k> [skew]")
+    val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = graft.GraftSession.local()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    replicateDocs(docs, k)
+    val rep = replicateDocs(docs, k)
+    (if (skew) plantSkew(rep) else rep)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"wrote ${k}x corpus to $out/documents.parquet")
+    println(s"wrote ${k}x${if (skew) " skewed" else ""} corpus " +
+      s"to $out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     replicateEmbeddings(emb, k)

@@ -450,4 +450,91 @@ class NearDupSpec extends SparkSuite {
       s"got ${out.mkString(", ")}")
     assert(out.head._3 == 0L)
   }
+
+  // ---- planted-skew stress (VERDICT r9 next-round #3) ---------------
+  // A boilerplate-heavy corpus is the dedup family's hot-key pathology:
+  // one shared shingle in 30% of docs makes uncapped inverted-index
+  // pair generation C(0.3N, 2) on a single reducer key, and on short
+  // docs the block dominates the minhash signature, concentrating the
+  // planted docs into one hot (band, bh) bucket per band. The guards
+  // (maxShingleFreq / maxBandFreq) must bound candidate output AND
+  // keep wall-time comparable to an unskewed corpus of the same size.
+
+  /** `n` docs with unique token streams; ids >= dupBase come in
+    * byte-identical pairs (the true near-dups the guarded run must
+    * still find). `skewed` prepends ScaleGen's boilerplate to 30%. */
+  private def skewCorpus(n: Int, skewed: Boolean): DataFrame = {
+    import spark.implicits._
+    val nDup = 6
+    val rows = (0 until n).map { i =>
+      // SHORT unique tails: with the 24-token boilerplate prepended,
+      // the block dominates the minhash signature (planted-pair true
+      // Jaccard ~0.5 — well under the 0.7 threshold, but far above
+      // the banding noise floor), which is what concentrates planted
+      // docs into hot buckets
+      val tail = (0 until 10).map(j => s"tok${i}w$j").mkString(" ")
+      (i.toLong, tail)
+    } ++ (0 until nDup).flatMap { p =>
+      val text = (0 until 30).map(j => s"dup${p}w$j").mkString(" ")
+      // ids chosen ≡ 99 (mod 100): never planted with boilerplate
+      Seq((100000L + p * 100 + 99, text), (200000L + p * 100 + 99, text))
+    }
+    val df = rows.toDF("doc_id", "text")
+    if (skewed) graft.tools.ScaleGen.plantSkew(df) else df
+  }
+
+  private val trueDupPairs = (0 until 6)
+    .map(p => (100000L + p * 100 + 99, 200000L + p * 100 + 99)).toSet
+
+  test("planted skew: uncapped candidate generation explodes, " +
+      "maxBandFreq bounds it, and both guarded paths still find every " +
+      "true pair") {
+    val docs = skewCorpus(600, skewed = true).localCheckpoint()
+    // the planted boilerplate really is hot: uncapped LSH candidates
+    // include a quadratic blowup from the hot buckets...
+    val sigs = NearDup.minHashSignatures(docs, 3, 64)
+      .localCheckpoint()
+    val uncapped = NearDup.lshCandidates(sigs, 64, 16).count()
+    val capped = NearDup.lshCandidates(sigs, 64, 16, maxBandFreq = 10)
+      .count()
+    assert(uncapped > 2000,
+      s"fixture must actually be skewed (uncapped candidates=$uncapped)")
+    assert(capped < uncapped / 10,
+      s"maxBandFreq must collapse the hot buckets " +
+        s"($capped vs $uncapped)")
+    // ...and the guarded pipelines still find exactly the true pairs
+    // (their docs are never planted, so no guard can drop them)
+    val lshPairs = NearDup.minHashLshPairs(docs, 3, 64, 16, 0.7,
+      maxBandFreq = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs == trueDupPairs, s"got $lshPairs")
+    val exactPairs = NearDup.jaccardPairs(docs, 3, 0.7,
+      maxShingleFreq = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs == trueDupPairs, s"got $exactPairs")
+  }
+
+  test("planted skew: guarded hot-key run completes within 2x of the " +
+      "unskewed run of the same size") {
+    val n = 600
+    val unskewed = skewCorpus(n, skewed = false).localCheckpoint()
+    val skewed = skewCorpus(n, skewed = true).localCheckpoint()
+    def run(d: DataFrame): Unit = {
+      NearDup.jaccardPairs(d, 3, 0.7, maxShingleFreq = 20)
+        .write.format("noop").mode("overwrite").save()
+      NearDup.minHashLshPairs(d, 3, 64, 16, 0.7, maxBandFreq = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def timeMedian(d: DataFrame): Double = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); run(d); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    run(unskewed); run(skewed) // JIT/codegen warm-up, both shapes
+    val tU = timeMedian(unskewed)
+    val tS = timeMedian(skewed)
+    assert(tS <= 2.0 * tU,
+      f"guarded skewed run $tS%.2f s exceeds 2x unskewed $tU%.2f s")
+  }
 }
