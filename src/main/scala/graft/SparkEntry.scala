@@ -493,6 +493,21 @@ object SparkEntry {
     // FETCH FIRST k WITH TIES via a broadcast kth-price pre-cut.
     "q100_top_orders_with_ties" -> ((s, d) =>
       RelationalOps.topOrdersWithTies(t(s, d, "orders"), 10)),
+    // Training-mix construction (L99-L101): deterministic per-source
+    // downsampling, per-source token-budget allocation, and the
+    // train/validation/test data-card report — all pure functions of
+    // the rows (mod-based membership), so the same recipe reproduces
+    // on every engine/partitioning and the DuckDB oracle checks them
+    // exactly.
+    "q101_source_mix_sample" -> ((s, d) =>
+      Curation.sampleBySourceRate(t(s, d, "documents"),
+        Seq("src0" -> 80, "src1" -> 80, "src2" -> 40, "src3" -> 40),
+        defaultRate = 10)),
+    "q102_token_budget_mix" -> ((s, d) =>
+      Curation.allocateTokenBudget(t(s, d, "documents"),
+        Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 800L)),
+    "q103_split_assignment" -> ((s, d) =>
+      Curation.splitAssignment(t(s, d, "documents"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1745,6 +1760,39 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_totalprice,
            CAST(price_rank AS BIGINT) AS price_rank
          FROM r WHERE price_rank <= 10 ORDER BY price_rank, o_orderkey""",
+    "q101_source_mix_sample" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE doc_id % 100 <
+           CASE WHEN source IN ('src0', 'src1') THEN 80
+                WHEN source IN ('src2', 'src3') THEN 40
+                ELSE 10 END
+         ORDER BY doc_id""",
+    "q102_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 4000
+                                  WHEN source = 'src1' THEN 2000
+                                  ELSE 800 END
+         ORDER BY source, doc_id""",
+    "q103_split_assignment" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens,
+           CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'validation'
+                ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM t GROUP BY split, source ORDER BY split, source""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -622,4 +622,30 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("WindowGroupLimit"),
       "rank-limit pushdown must appear in the executed plan")
   }
+
+  test("q101 mix sample: pure map-side filter — the only exchange is " +
+      "the presentation sort, no join, no aggregate") {
+    val df = q("q101_source_mix_sample")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 1,
+      s"sampling must run at scan speed; got ${exchanges.size} " +
+        "exchanges (1 expected for the output ORDER BY)")
+    assert(!plan.toString.contains("Join"),
+      "the rate lookup must fold to a literal CASE, never a join")
+  }
+
+  test("q103 split report: map-side tag + one aggregate shuffle + " +
+      "output sort, nothing else") {
+    val df = q("q103_split_assignment")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (group-by + order), got ${exchanges.size}")
+  }
 }

@@ -73,4 +73,79 @@ class CurationSpec extends SparkSuite {
     assert(NearDup.minHashLshPairs(gated).count() == 0L,
       "premise: un-normalized NFC twins must NOT pair")
   }
+
+  // ---- training-mix construction (q101-q103) ------------------------
+
+  private def mixDocs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val src = s"src${i % 4}"
+      val text = (0 to i % 7).map(j => s"t${i}w$j").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("sampleBySourceRate: membership is doc_id mod 100 < rate, " +
+      "stable under corpus growth") {
+    val d1 = mixDocs(200)
+    val s1 = Curation.sampleBySourceRate(d1,
+      Seq("src0" -> 50, "src1" -> 0), defaultRate = 100)
+      .collect().map(_.getLong(0)).toSet
+    // src0 docs (id % 4 == 0): kept iff id % 100 < 50; src1 never;
+    // src2/src3 always
+    assert(s1.forall(id => id % 4 != 1))
+    assert((0 until 200).filter(_ % 4 == 0)
+      .forall(id => s1.contains(id.toLong) == (id % 100 < 50)))
+    assert((0 until 200).filter(i => i % 4 >= 2)
+      .forall(id => s1.contains(id.toLong)))
+    // growth stability: the same ids survive in a doubled corpus
+    val s2 = Curation.sampleBySourceRate(mixDocs(400),
+      Seq("src0" -> 50, "src1" -> 0), defaultRate = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s2) && s2.forall(id => id >= 200 || s1(id)),
+      "membership of existing docs must not change when the corpus grows")
+  }
+
+  test("allocateTokenBudget: per-source running sum in doc_id order " +
+      "never exceeds the source's budget; a later doc never changes " +
+      "an earlier selection") {
+    val d = mixDocs(120)
+    val out = Curation.allocateTokenBudget(d,
+      Seq("src0" -> 10L, "src1" -> 3L), defaultBudget = 6L).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val budget = src match {
+        case "src0" => 10L; case "src1" => 3L; case _ => 6L }
+      assert(rows.map(_.getLong(3)).max <= budget,
+        s"$src cum_tokens exceeded $budget")
+      // selected ids are a PREFIX of the source's doc_id order
+      val ids = rows.map(_.getLong(0)).sorted
+      val allIds = d.filter(col("source") === src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(allIds.take(ids.length)),
+        s"$src selection must be an arrival-order prefix")
+    }
+    // stability: appending later docs never changes the earlier picks
+    val out2 = Curation.allocateTokenBudget(mixDocs(240),
+      Seq("src0" -> 10L, "src1" -> 3L), defaultBudget = 6L)
+      .filter(col("doc_id") < 120).collect()
+    assert(out2.map(_.getLong(0)).sorted
+      .sameElements(out.map(_.getLong(0)).sorted))
+  }
+
+  test("splitAssignment: 80/10/10 by doc_id mod 10, counts partition " +
+      "the corpus exactly") {
+    val d = mixDocs(200)
+    val rows = Curation.splitAssignment(d).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == 200L, "every doc lands in exactly one split")
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit == Map("train" -> 160L, "validation" -> 20L,
+      "test" -> 20L), s"got $bySplit")
+    // token accounting matches the corpus total
+    val tokTotal = rows.map(_.getLong(3)).sum
+    val expected = (0 until 200).map(i => (i % 7) + 1).sum
+    assert(tokTotal == expected.toLong)
+  }
 }
