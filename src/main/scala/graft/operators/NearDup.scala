@@ -646,7 +646,15 @@ object NearDup {
     * The reference dedups only on exact natural-key equality
     * (etl/etl.py:441-458, first-wins); this is that semantic lifted to
     * transitive content similarity. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  // Round bound: typical pair graphs converge in 2-5 rounds and a
+  // 200-link chain in ~8, but the label(label(u)) shortcut is a
+  // HEURISTIC, not full Shiloach-Vishkin star contraction — measured on
+  // a 10x replicated SemDeDup graph (15.6 k pairs), one slow tail took
+  // 22 rounds (a structure where the shortcut gains only a constant
+  // per round). 64 absorbs any such tail with margin while still
+  // crashing loudly on a genuinely pathological input; converged loops
+  // exit early, so the headroom costs nothing.
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     // both edge orientations from ONE pass over the pair subtree (a
     // union of two projections would evaluate the — possibly expensive,
     // e.g. exact-Jaccard — pair plan twice)
