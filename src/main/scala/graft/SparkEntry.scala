@@ -508,6 +508,28 @@ object SparkEntry {
         Seq("src0" -> 4000L, "src1" -> 2000L), defaultBudget = 800L)),
     "q103_split_assignment" -> ((s, d) =>
       Curation.splitAssignment(t(s, d, "documents"))),
+    // Retrieval / serving prep + robust monitoring (L102-L107): RAG
+    // chunking, adaptive per-source curation, RRF hybrid search,
+    // median/MAD outliers, contrastive hard negatives, the dataset
+    // card, and the deterministic training-shard shuffle.
+    "q104_chunk_documents" -> ((s, d) =>
+      Curation.chunkDocuments(t(s, d, "documents"),
+        chunkSize = 32, stride = 24)),
+    "q105_adaptive_quality_gate" -> ((s, d) =>
+      Curation.adaptiveQualityGate(t(s, d, "documents"),
+        keepFrac = 0.25)),
+    "q106_rank_fusion" -> ((s, d) =>
+      TextOps.rankFusion(t(s, d, "documents"),
+        Seq("merge", "scan", "window"), poolK = 50, k = 10)),
+    "q107_mad_outliers" -> ((s, d) =>
+      EventOps.madOutliers(t(s, d, "events"))),
+    "q108_hard_negatives" -> ((s, d) =>
+      VectorOps.hardNegatives(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+    "q109_dataset_card" -> ((s, d) =>
+      Curation.datasetCard(t(s, d, "documents"))),
+    "q110_interleave_shards" -> ((s, d) =>
+      Curation.interleaveShards(t(s, d, "documents"), nShards = 8)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1793,6 +1815,142 @@ object SparkEntry {
          SELECT split, source, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM t GROUP BY split, source ORDER BY split, source""",
+    // Chunk grid: starts at stride steps, trailing already-covered
+    // windows dropped (start + chunkSize - stride >= n), text joined
+    // with single spaces — all exact integer/list ops.
+    "q104_chunk_documents" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         c AS (SELECT doc_id, lst,
+           unnest([i for i in range(0, len(lst), 24)
+                   if i = 0 or i + 8 < len(lst)]) AS chunk_start
+           FROM t WHERE len(lst) > 0)
+         SELECT doc_id, CAST(chunk_start // 24 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least(32, len(lst) - chunk_start) AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(lst, chunk_start + 1,
+             chunk_start + 32), ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
+    // Diversity is the q70 exact-integer division; 0.25 is a binary
+    // fraction so the ceil cutoff is engine-independent.
+    "q105_adaptive_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         s AS (SELECT doc_id, source,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(lst)) AS DOUBLE) / len(lst)
+           END AS diversity FROM t),
+         r AS (SELECT doc_id, source, diversity,
+           row_number() OVER (PARTITION BY source
+             ORDER BY diversity DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n_source
+           FROM s)
+         SELECT doc_id, source, round(diversity, 12) AS diversity,
+           CAST(rn AS BIGINT) AS quality_rank,
+           CAST(n_source AS BIGINT) AS n_source
+         FROM r WHERE rn <= ceil(n_source * 0.25) ORDER BY doc_id""",
+    // Ranker 1 is q92's exact score (token-order fold); ranker 2 is raw
+    // tf; RRF terms are integer reciprocals summed in fixed order.
+    "q106_rank_fusion" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('merge', 'scan', 'window')
+           GROUP BY doc_id, token),
+         dfp AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         s1 AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(tf AS DOUBLE) * nd / df ORDER BY token)),
+                    (a, b) -> a + b) AS sc1
+                FROM tf JOIN dfp USING (token), n GROUP BY doc_id),
+         p1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY sc1 DESC, doc_id)
+                    AS rank_tfidf
+                FROM s1 ORDER BY sc1 DESC, doc_id LIMIT 50),
+         s2 AS (SELECT doc_id, sum(tf) AS tft FROM tf GROUP BY doc_id),
+         p2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY tft DESC, doc_id) AS rank_tf
+                FROM s2 ORDER BY tft DESC, doc_id LIMIT 50),
+         f AS (SELECT coalesce(p1.doc_id, p2.doc_id) AS doc_id,
+                 p1.rank_tfidf, p2.rank_tf
+               FROM p1 FULL OUTER JOIN p2 ON p1.doc_id = p2.doc_id)
+         SELECT doc_id, CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+           CAST(rank_tf AS BIGINT) AS rank_tf,
+           round(coalesce(1.0 / (60.0 + rank_tfidf), 0.0) +
+                 coalesce(1.0 / (60.0 + rank_tf), 0.0), 12) AS rrf
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // Exact grouped medians (quantile_cont == Spark percentile on the
+    // same doubles); the Hampel comparison runs on unrounded values in
+    // both engines, round(12) only on the published estimates.
+    "q107_mad_outliers" ->
+      """WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL),
+         m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM v GROUP BY event_type),
+         a AS (SELECT v.event_type, m.med,
+             quantile_cont(abs(v.value - m.med), 0.5) AS mad
+           FROM v JOIN m USING (event_type) GROUP BY v.event_type, m.med)
+         SELECT v.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN abs(v.value - a.med) > a.mad * 3.0
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+           round(a.med, 12) AS median_value, round(a.mad, 12) AS mad
+         FROM v JOIN a USING (event_type)
+         GROUP BY v.event_type, a.med, a.mad
+         ORDER BY v.event_type""",
+    // q30's exact scoring with the label-inequality candidate filter.
+    "q108_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (x, y) -> x + y)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+               FROM n WHERE vec_id < 5),
+         s AS (SELECT q.q_id, c.vec_id AS n_id,
+                 list_reduce(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * c.v[i]), (x, y) -> x + y)
+                   / (q.qn * c.nrm) AS cosine
+               FROM q, n c WHERE c.label != q.q_label),
+         r AS (SELECT q_id, n_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, n_id) AS rank
+               FROM s)
+         SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 10
+         ORDER BY q_id, rank""",
+    // Shares divide exact integer sums (q99's trick on the per-source
+    // aggregate).
+    "q109_dataset_card" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+           FROM t GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 12)
+             AS avg_tokens,
+           n_langs, max_chars,
+           round(CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE), 12) AS token_share
+         FROM g ORDER BY source""",
+    // Knuth multiplicative mix — pure integer arithmetic, no seed.
+    "q110_interleave_shards" ->
+      """WITH m AS (SELECT doc_id,
+           (doc_id * 2654435761) % 4294967296 AS mix FROM documents)
+         SELECT doc_id, CAST(mix % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY mix % 8
+             ORDER BY mix, doc_id) AS BIGINT) AS pos
+         FROM m ORDER BY shard, pos""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
 
 /** The end-to-end curation pipeline a training-data run actually
   * executes, composed from the operators this engine exposes — in the
@@ -149,5 +152,142 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"), col("source"))
+  }
+
+  // ------------------------- retrieval / serving preparation (L102-L105)
+
+  /** Overlapping token-window chunking — the RAG/serving prep step that
+    * cuts each document into fixed `chunkSize`-token windows advancing
+    * by `stride` tokens (chunkSize − stride tokens of overlap, so no
+    * answer span is ever split across a boundary without also appearing
+    * whole in one chunk). Chunk starts run 0, stride, 2·stride, …; a
+    * trailing start whose window would add no NEW tokens (the previous
+    * window already reached end-of-document) is not emitted, so every
+    * chunk contributes at least one fresh token and the cover is exact.
+    * Zero-token documents produce no chunks.
+    *
+    * Deterministic: chunk_id = start / stride — a pure function of the
+    * row, stable across engines, partitionings, and corpus growth
+    * (downstream embedding caches key on (doc_id, chunk_id)).
+    *
+    * Scale shape: map-side explode — output rows ≈ n_tokens / stride
+    * per document, no shuffle except the presentation sort; at 100 TB
+    * this runs at scan speed and the fan-out is bounded by the
+    * documents' own token mass (≤ chunkSize/stride × corpus tokens). */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be positive")
+    require(stride >= 1 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_t"), col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as("chunk_start"))
+      // drop redundant trailing windows: previous window (start−stride)
+      // already covered to end-of-doc iff start + (chunkSize − stride) ≥ n
+      .filter(col("chunk_start") === 0 ||
+        col("chunk_start") + lit(chunkSize - stride) < col("_n"))
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkSize), col("_n") - col("chunk_start"))
+          .cast("long").as("chunk_len"),
+        array_join(
+          slice(col("_t"), col("chunk_start") + 1, lit(chunkSize)),
+          " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Adaptive per-source quality gate: keep the top `keepFrac` fraction
+    * of each source's documents by distinct-token diversity (q70's
+    * score) — the data-curation policy "keep the best quarter of every
+    * source" (a fixed global score threshold would empty a noisy crawl
+    * and keep all of a clean one; a fixed per-source COUNT (q70) ignores
+    * source size). Cutoff = ceil(|source| · keepFrac), so every source
+    * keeps at least one document.
+    *
+    * keepFrac should be an exactly-representable binary fraction (0.25,
+    * 0.5, …) so the ceil boundary is engine-independent.
+    *
+    * Scale shape: one shuffle on source; the rank window within a
+    * source is the usual single-partition caveat — at 100 TB switch to
+    * the threshold form (approx quantile of the score per source →
+    * map-side filter; x12's sketch trade) and accept the ±ε boundary. */
+  def adaptiveQualityGate(docs: DataFrame, keepFrac: Double = 0.25)
+      : DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0,1]")
+    val toks = TextFunctions.tokens(col("text"))
+    val diversity = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    docs
+      .select(col("doc_id"), col("source"), diversity.as("diversity"))
+      .withColumn("quality_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("quality_rank") <=
+        ceil(col("n_source").cast("double") * keepFrac))
+      .select(col("doc_id"), col("source"),
+        round(col("diversity"), 12).as("diversity"),
+        col("quality_rank"), col("n_source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source dataset card — the summary table a corpus release ships
+    * (HuggingFace dataset-card / Datasheets-for-Datasets shape): doc and
+    * token counts, mean document length, language breadth, and each
+    * source's share of total corpus tokens.
+    *
+    * Scale shape: one partial+final aggregate on source (|sources|
+    * output rows); the share denominator window-sums over the
+    * post-aggregate rows only — the q99 ratio-to-report trick, never a
+    * second pass over the corpus. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 12).as("avg_tokens"),
+        col("n_langs"), col("max_chars"),
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy())
+            .cast("double"), 12).as("token_share"))
+      .orderBy(col("source"))
+
+  /** Deterministic pseudo-shuffled shard assignment — the training-order
+    * materialization: each train-split document gets a shard (which
+    * output file it lands in) and a position within that shard, ordered
+    * by a Knuth multiplicative-hash mix of doc_id (2654435761 = ⌊2³²/φ⌋)
+    * so consecutive doc_ids scatter across shards and within-shard order
+    * is decorrelated from ingestion order — the "global shuffle" a
+    * training run needs, but reproducible: pure integer arithmetic, no
+    * seed state, same layout on every run and engine.
+    *
+    * Scale shape: one shuffle on shard + a per-shard order window. The
+    * per-shard sort is not overhead — it IS the output contract (a
+    * training shard is consumed sequentially, so it must be written
+    * totally ordered); size nShards to the cluster so each shard's sort
+    * fits an executor. */
+  def interleaveShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val mixed = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_mix"), col("doc_id"))
+    docs
+      .select(col("doc_id"), mixed.as("_mix"))
+      .withColumn("shard", pmod(col("_mix"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
   }
 }

@@ -469,4 +469,40 @@ object EventOps {
         max(col("gap_us")).as("max_gap_us"))
       .orderBy(col("event_type"))
   }
+
+  /** Robust (median/MAD) outlier report per event type — the q83 z-score
+    * detector's heavy-tail-safe twin: mean and stddev are themselves
+    * dragged by the outliers they hunt, while the median absolute
+    * deviation has a 50% breakdown point (Hampel's rule: flag
+    * |v − median| > `madK` · MAD). The report returns per-type counts
+    * plus the location/scale estimates a monitoring pipeline alerts on.
+    *
+    * Three bounded passes over a |event_type|-keyed aggregate: exact
+    * median per type, exact MAD per type (each a grouped percentile —
+    * the q60 correctness-baseline trade, percentile_approx being the
+    * documented 100 TB swap), then one conditional-count aggregate; the
+    * per-type medians ride broadcast joins (|event_types| rows), so the
+    * fact table is scanned, never shuffled wide. */
+  def madOutliers(events: DataFrame, madK: Double = 3.0): DataFrame = {
+    val med = events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = events
+      .filter(col("value").isNotNull)
+      .join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    events
+      .filter(col("value").isNotNull)
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * madK, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        round(col("med"), 12).as("median_value"),
+        round(col("mad"), 12).as("mad"))
+      .orderBy(col("event_type"))
+  }
 }

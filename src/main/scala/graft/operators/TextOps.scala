@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -308,6 +309,67 @@ object TextOps {
           acc + e.getField("tf").cast("double") * e.getField("_n") /
             e.getField("df")).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two retrieval rankers over the same query
+    * terms — the standard ensemble for hybrid search (Cormack et al.,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+    * Learning Methods", SIGIR 2009): each ranker contributes
+    * 1/(60 + rank) for the documents in its top-`poolK` pool, fused
+    * score is the sum, missing-from-a-pool contributes 0. Ranker 1 is
+    * the q92 TF-IDF scorer; ranker 2 is raw term-frequency (the
+    * BM25-less lexical baseline) — deliberately different biases (rare-
+    * term selectivity vs. bulk term mass), which is where fusion earns
+    * its keep.
+    *
+    * Determinism: both pools rank by (score desc, doc_id); RRF terms
+    * are exact integer reciprocals summed in fixed (r1, r2) order —
+    * bit-identical across engines.
+    *
+    * Scale shape: both rankers share the one exploded tf aggregate
+    * (shuffle ∝ query-term postings, q92's bound); each pool is ≤poolK
+    * rows after a TakeOrdered, so the rank windows and the full-outer
+    * fusion join run on driver-trivial row counts. */
+  def rankFusion(docs: DataFrame, terms: Seq[String], poolK: Int = 50,
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(poolK >= k && k >= 1, "need poolK >= k >= 1")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val tfidfPool = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("token"), col("tf"),
+        col("df"), col("_n")))).as("_ts"))
+      .select(col("doc_id"),
+        aggregate(col("_ts"), lit(0.0).cast("double"), (acc, e) =>
+          acc + e.getField("tf").cast("double") * e.getField("_n") /
+            e.getField("df")).as("_s1"))
+      .orderBy(col("_s1").desc, col("doc_id")).limit(poolK)
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("_s1").desc, col("doc_id"))).cast("long"))
+    val tfPool = tf
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("_s2"))
+      .orderBy(col("_s2").desc, col("doc_id")).limit(poolK)
+      .withColumn("rank_tf", row_number().over(
+        Window.orderBy(col("_s2").desc, col("doc_id"))).cast("long"))
+    tfidfPool.select(col("doc_id"), col("rank_tfidf"))
+      .join(tfPool.select(col("doc_id"), col("rank_tf")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_tfidf"), col("rank_tf"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_tfidf")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_tf")), lit(0.0)),
+          12).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
   }
 
   /** Sequence PACKING assignment: per source, documents in doc_id order

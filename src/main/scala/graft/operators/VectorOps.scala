@@ -73,6 +73,36 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most cosine-similar vectors whose LABEL
+    * differs from the query's — the "near but wrong" examples a
+    * contrastive loss learns most from (the in-batch-negatives
+    * alternative wastes most of the batch on easy negatives).
+    *
+    * Same scale shape as [[annBruteForce]]: the tiny query side
+    * broadcasts, scoring is map-side over one corpus scan, and the
+    * label inequality is a pre-rank filter on that scan (cheaper than
+    * ranking then discarding — the heap only ever sees admissible
+    * candidates), with ranking via the bounded-heap aggregate (≤k rows
+    * per query reach the shuffle). For corpus-sized query sets, mine
+    * through the IVF index (annIvfIndexed) with the same label filter
+    * applied per probed cell. */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int)
+      : DataFrame = {
+    val queries = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("label").as("_ql"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("_qn"))
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("_nrm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("_ql"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"), col("_nrm"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Exact all-pairs cosine similarity join at a threshold (the
     * embedding-space near-dup detector). Quadratic baseline — see class
     * doc; LSH/IVF bucketing is the scale path. Norms are computed n times

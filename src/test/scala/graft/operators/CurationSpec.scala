@@ -148,4 +148,117 @@ class CurationSpec extends SparkSuite {
     val expected = (0 until 200).map(i => (i % 7) + 1).sum
     assert(tokTotal == expected.toLong)
   }
+
+  test("chunkDocuments: stride grid with exact cover, overlap = " +
+      "chunkSize - stride, redundant trailing window dropped, empty " +
+      "doc chunk-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "s1", (1 to 8).map(i => s"u$i").mkString(" ")), // == one window
+      (3L, "s1", "only three tokens"),
+      (4L, "s1", "   ") // zero tokens → no chunks
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.chunkDocuments(docs, chunkSize = 8, stride = 6)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // doc 1 (10 tokens): windows at 0 (len 8) and 6 (len 4, adds 9-10)
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(r => (r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"))).toSeq ==
+      Seq((0L, 0L, 8L), (1L, 6L, 4L)))
+    assert(d1(0).getAs[String]("chunk_text") ==
+      (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1(1).getAs[String]("chunk_text") ==
+      (7 to 10).map(i => s"t$i").mkString(" "))
+    // doc 2 (exactly 8 tokens): the start-6 window adds nothing → dropped
+    assert(byDoc(2L).length == 1 &&
+      byDoc(2L).head.getAs[Long]("chunk_len") == 8L)
+    // doc 3 shorter than one window: single chunk of its full length
+    assert(byDoc(3L).length == 1 &&
+      byDoc(3L).head.getAs[Long]("chunk_len") == 3L)
+    assert(!byDoc.contains(4L))
+    // cover property: every token index [0, n) is inside some window
+    d1.foreach { r =>
+      assert(r.getAs[Long]("chunk_start") + r.getAs[Long]("chunk_len")
+        <= 10L)
+    }
+    val covered = d1.flatMap(r => r.getAs[Long]("chunk_start") until
+      (r.getAs[Long]("chunk_start") + r.getAs[Long]("chunk_len"))).toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("adaptiveQualityGate: each source keeps ceil(n * frac) of its " +
+      "own best — a tiny source keeps its one doc, ranks are " +
+      "diversity-descending") {
+    import spark.implicits._
+    // s1: 8 docs, 8 tokens each, diversity (8-i+min(i,1))/8 — docs 0
+    // and 1 tie at 1.0 (tie-break by doc_id), the rest strictly lower;
+    // keepFrac 0.25 → ceil(2) = top 2. s2: one mediocre doc →
+    // ceil(0.25) = 1, kept despite a score the s1 cutoff would drop.
+    val s1 = (0 until 8).map { i =>
+      val distinct = (0 until 8 - i).map(j => s"d$j")
+      val text = (distinct ++ Seq.fill(i)("pad")).mkString(" ")
+      (i.toLong, "s1", text)
+    }
+    val docs = (s1 :+ (100L, "s2", "x x x x x x x x"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.adaptiveQualityGate(docs, keepFrac = 0.25)
+      .collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("s1").map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Seq(0L, 1L), s"top-2 most diverse of s1")
+    assert(bySrc("s1").forall(_.getAs[Long]("n_source") == 8L))
+    assert(bySrc("s2").map(_.getAs[Long]("doc_id")).toSeq == Seq(100L))
+    assert(bySrc("s2").head.getAs[Double]("diversity") == 0.125)
+    out.foreach(r => assert(r.getAs[Long]("quality_rank") <=
+      math.ceil(r.getAs[Long]("n_source") * 0.25).toLong))
+  }
+
+  test("datasetCard: per-source accounting exact, token shares sum " +
+      "to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "en", 10L, "a b c"),
+      (2L, "s1", "de", 24L, "d e"),
+      (3L, "s2", "en", 7L, "f g h i j")
+    ).toDF("doc_id", "source", "lang", "n_chars", "text")
+    val rows = Curation.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = rows("s1")
+    assert(s1.getAs[Long]("n_docs") == 2L)
+    assert(s1.getAs[Long]("n_tokens") == 5L)
+    assert(s1.getAs[Double]("avg_tokens") == 2.5)
+    assert(s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[Long]("max_chars") == 24L)
+    assert(s1.getAs[Double]("token_share") == 0.5)
+    assert(rows("s2").getAs[Double]("token_share") == 0.5)
+  }
+
+  test("interleaveShards: a permutation (every doc exactly once), " +
+      "contiguous positions per shard, deterministic across runs, " +
+      "order decorrelated from doc_id") {
+    val d = mixDocs(200)
+    val out = Curation.interleaveShards(d, nShards = 8).collect()
+    assert(out.length == 200)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == (0L until 200L).toSet)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (1L to rows.length).toSeq, "contiguous 1..n per shard")
+    }
+    assert(out.map(_.getAs[Long]("shard")).distinct.length > 1,
+      "the mix actually spreads docs across shards")
+    // reproducible: a second run yields the identical layout
+    val again = Curation.interleaveShards(d, nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // matches the hand-computed Knuth mix for a spot-checked shard
+    val mix = (id: Long) => java.lang.Math.floorMod(
+      id * 2654435761L, 4294967296L)
+    val expected0 = (0L until 200L).filter(mix(_) % 8 == 0)
+      .sortBy(id => (mix(id), id))
+    val got0 = out.filter(_.getAs[Long]("shard") == 0L)
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(got0 == expected0)
+  }
 }

@@ -222,6 +222,29 @@ class EventOpsSpec extends SparkSuite {
     assert(math.abs(z - 95.0 / math.sqrt(500.0 - 25.0)) < 1e-12)
   }
 
+  test("madOutliers: Hampel rule flags the planted spike the median " +
+      "resists; zero-MAD type flags nothing; nulls ignored") {
+    import spark.implicits._
+    // type A: {1,2,3,4,100} → median 3, |v−3| = {2,1,0,1,97} → MAD 1;
+    //         only 100 exceeds 3·MAD (q83's z-score would be dragged by
+    //         the spike itself — here the estimates ignore it entirely)
+    // type B: constant 5s → MAD 0, strict > means nothing flagged
+    val ev = (Seq((1L, "A", Some(1.0)), (2L, "A", Some(2.0)),
+      (3L, "A", Some(3.0)), (4L, "A", Some(4.0)), (5L, "A", Some(100.0)),
+      (6L, "B", Some(5.0)), (7L, "B", Some(5.0)), (8L, "B", Some(5.0)),
+      (9L, "A", Option.empty[Double])))
+      .map { case (e, t, v) =>
+        (e, t, v, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val out = EventOps.madOutliers(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers"),
+          r.getAs[Double]("median_value"), r.getAs[Double]("mad"))))
+      .toMap
+    assert(out("A") == ((5L, 1L, 3.0, 1.0)), s"got ${out("A")}")
+    assert(out("B") == ((3L, 0L, 5.0, 0.0)), s"got ${out("B")}")
+  }
+
   test("sessionStats: one row per gap-delimited session with exact " +
       "duration; session count agrees with sessionize") {
     val ev = events(

@@ -1126,6 +1126,37 @@ class TextOpsSpec extends SparkSuite {
       s"got ${out.mkString(", ")}")
   }
 
+  test("rankFusion: RRF fuses the TF-IDF and raw-tf pools — rankers " +
+      "disagree, reciprocal sums decide, ties break by doc_id, " +
+      "no-term docs absent") {
+    import spark.implicits._
+    // df: merge 1 (rare), scan 3 (common). TF-IDF ranks d1 first
+    // (2·5/1 = 10 vs d2's 4·5/3 ≈ 6.67); raw tf ranks d2 first (4 vs
+    // 2) — so the two rankers invert, d1/d2 get mirrored (1,2)/(2,1)
+    // ranks, identical RRF sums, and doc_id breaks the tie.
+    val docs = Seq(
+      (1L, "merge merge"),
+      (2L, "scan scan scan scan"),
+      (3L, "scan"),
+      (4L, "scan"),
+      (5L, "the")
+    ).toDF("doc_id", "text")
+    val out = TextOps.rankFusion(docs, Seq("merge", "scan", "window"),
+      poolK = 50, k = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    val rrf = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf")).toMap
+    assert(rrf(1L) == rrf(2L), "mirrored ranks, identical fusion score")
+    def exp(r1: Int, r2: Int): Double =
+      BigDecimal(1.0 / (60 + r1) + 1.0 / (60 + r2))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rrf(1L) == exp(1, 2))
+    assert(rrf(3L) == exp(3, 3))
+    assert(out.map(r => (r.getAs[Long]("rank_tfidf"),
+      r.getAs[Long]("rank_tf"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+  }
+
   test("tokenPmi: hand-computable PMI on a fixed bigram profile") {
     import spark.implicits._
     // "a b a b a b": bigrams ab×3, ba×2 (B=5); unigrams a×3, b×3 (T=6)

@@ -109,6 +109,27 @@ class VectorOpsSpec extends SparkSuite
     }
   }
 
+  test("hardNegatives: every mined negative has a different label; " +
+      "ties rank by n_id; cluster-mates never appear") {
+    val labels = clustered.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = VectorOps.hardNegatives(clustered, Seq(0L, 1L, 2L), k = 3)
+      .collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("n_id")) !=
+        labels(r.getAs[Long]("q_id")),
+        s"negative shares the query label: $r")
+    }
+    // query 0 = (1,0,0,0): dot with every other-label vector is exactly
+    // 0 (orthogonal axes; its own 4th component is 0), so all negatives
+    // tie at cosine 0 and rank resolves by n_id: 1, 2, 4
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    assert(q0.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 2L, 4L))
+    assert(q0.forall(_.getAs[Double]("cosine") == 0.0))
+  }
+
   test("cosineSimilarityJoin finds exactly the same-cluster pairs") {
     val pairs = VectorOps.cosineSimilarityJoin(clustered, 0.9).collect()
     // 3 clusters x C(4,2)=6 same-cluster pairs = 18; cross-cluster cosines
