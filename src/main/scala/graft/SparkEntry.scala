@@ -530,6 +530,9 @@ object SparkEntry {
       Curation.datasetCard(t(s, d, "documents"))),
     "q110_interleave_shards" -> ((s, d) =>
       Curation.interleaveShards(t(s, d, "documents"), nShards = 8)),
+    "q111_jaro_winkler_pairs" -> ((s, d) =>
+      NearDup.jaroWinklerPairs(t(s, d, "documents"),
+        n = 5, maxDf = 4, minSim = 0.8)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1951,6 +1954,30 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY mix % 8
              ORDER BY mix, doc_id) AS BIGINT) AS pos
          FROM m ORDER BY shard, pos""",
+    // q82's candidate rule with DuckDB's own jaro_winkler verifier —
+    // the engine's native expression is pinned bit-for-bit to it
+    // (bytes, boost > 0.7, prefix cap 4); threshold compares the
+    // unrounded double in both engines.
+    "q111_jaro_winkler_pairs" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         s AS (SELECT DISTINCT doc_id,
+                 unnest([concat(lst[i], ' ', lst[i+1], ' ', lst[i+2],
+                   ' ', lst[i+3], ' ', lst[i+4])
+                   for i in range(1, len(lst) - 3)]) AS sh
+               FROM t),
+         rare AS (SELECT sh FROM (SELECT sh, count(*) AS d FROM s
+               GROUP BY sh) WHERE d BETWEEN 2 AND 4),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM s a JOIN rare USING (sh) JOIN s b USING (sh)
+               WHERE a.doc_id < b.doc_id),
+         p AS (SELECT a_id, b_id,
+                 jaro_winkler_similarity(ta.text, tb.text) AS jwr
+               FROM cand JOIN t ta ON ta.doc_id = a_id
+                 JOIN t tb ON tb.doc_id = b_id)
+         SELECT a_id, b_id, round(jwr, 12) AS jw FROM p
+         WHERE jwr >= 0.8 ORDER BY a_id, b_id""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -91,6 +91,7 @@ object GraftFunctions {
   val TOP_CENTROIDS = "graft_top_centroids"
   val NORMALIZE_TEXT = "graft_normalize_text"
   val LUHN_SCRUB = "graft_luhn_scrub"
+  val JARO_WINKLER = "graft_jaro_winkler"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -213,6 +214,10 @@ object GraftFunctions {
       LUHN_SCRUB,
       exprs => arity(LUHN_SCRUB, 1, exprs)(e => LuhnScrub(e.head)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      JARO_WINKLER,
+      exprs => arity(JARO_WINKLER, 2, exprs)(e => JaroWinkler(e(0), e(1))),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -286,6 +291,11 @@ object GraftFunctions {
   /** Luhn-validated payment-card redaction in one native pass:
     * struct<clean, n_cards> (see LuhnScrub). */
   def luhnScrub(text: Column): Column = registered(LUHN_SCRUB, text)
+
+  /** Jaro-Winkler similarity over UTF-8 bytes, DuckDB-parity semantics
+    * (see JaroWinkler). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    registered(JARO_WINKLER, a, b)
 
   /** Repetition counters in one native pass: struct<n_bigrams,
     * max_bigram_count, n_trigrams, n_distinct_trigrams, max_run> (see

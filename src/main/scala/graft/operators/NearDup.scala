@@ -162,21 +162,26 @@ object NearDup {
     * the texts → map-side levenshtein + filter. The n-gram strings ride
     * one shuffle (the q71 exactness trade; the hashed twin of THIS
     * operator is the LSH/SimHash family already registered). */
-  def editDistancePairs(docs: DataFrame, n: Int = 5, maxDf: Int = 4,
-      maxDistFrac: Double = 0.4): DataFrame = {
-    require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
-    // The n-gram is DEFINED on strings (the oracle reproduces it
-    // verbatim), but it rides the shuffles as a 64-bit hash — the q29
-    // trade: df counts, the rarity filter and the self-join only need
-    // gram IDENTITY, and 8-byte keys cut the gram-table shuffles ~4×
-    // vs ~30-char strings. The hashes come from the native codegen'd
-    // ShingleHashes scan (one pass, no per-gram array slicing — the
-    // HOF-tree form spent ~5 s of single-core time here at sf0.1),
-    // which also DEDUPS within-doc, so no distinct shuffle is needed.
-    // A hash collision could only ever ADD a candidate, which the
-    // levenshtein verifier then rejects — exactness is unaffected
-    // unless two colliding grams ALSO sit in edit-near docs
-    // (vanishing, and the oracle gate at two SFs would surface it).
+  /** Shared rare-n-gram candidate miner for the string-verify family
+    * (editDistancePairs, jaroWinklerPairs): distinct (a_id, b_id) pairs
+    * sharing ≥1 n-gram whose document frequency is in [2, maxDf]. The
+    * n-gram is DEFINED on strings (the oracle reproduces the rule
+    * verbatim), but it rides the shuffles as a 64-bit hash — the q29
+    * trade: df counts, the rarity filter and the self-join only need
+    * gram IDENTITY, and 8-byte keys cut the gram-table shuffles ~4×
+    * vs ~30-char strings. The hashes come from the native codegen'd
+    * ShingleHashes scan (one pass, no per-gram array slicing — the
+    * HOF-tree form spent ~5 s of single-core time here at sf0.1),
+    * which also DEDUPS within-doc, so no distinct shuffle is needed.
+    * A hash collision could only ever ADD a candidate, which the
+    * downstream verifier then rejects — exactness is unaffected
+    * unless two colliding grams ALSO sit in verify-near docs
+    * (vanishing, and the oracle gate at two SFs would surface it).
+    * Rarity is the skew guard: an n-gram in > maxDf docs generates no
+    * candidates, so the pair space is ≤ C(maxDf, 2) per admitted gram
+    * — never a cartesian product. */
+  private def rareGramCandidates(docs: DataFrame, n: Int,
+      maxDf: Int): DataFrame = {
     // persisted: the gram table feeds BOTH the df aggregate and the
     // candidate join (same bounded cache-lifecycle note as q71)
     val grams = shingleTable(docs, n)
@@ -187,12 +192,18 @@ object NearDup {
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
       .select(col("sh"))
     val admitted = grams.join(rare, "sh")
-    val cand = admitted.as("a")
+    admitted.as("a")
       .join(admitted.as("b"),
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def editDistancePairs(docs: DataFrame, n: Int = 5, maxDf: Int = 4,
+      maxDistFrac: Double = 0.4): DataFrame = {
+    require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
+    val cand = rareGramCandidates(docs, n, maxDf)
     val texts = docs.select(col("doc_id"), col("text"))
     // EAGER (runs a Spark job now, not at plan execution): one collected
     // scalar over a length-only scan — the banded-levenshtein cutoff.
@@ -229,6 +240,43 @@ object NearDup {
       .filter(col("lev") >= 0 && col("lev") <= lit(maxDistFrac) *
         col("max_len").cast("double"))
       .select(col("a_id"), col("b_id"), col("lev"), col("max_len"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Jaro-Winkler near-dup pairs — editDistancePairs' sibling with a
+    * SIMILARITY verifier instead of an edit-distance one: same rare-
+    * n-gram candidate rule (engine-portable, oracle-reproducible; the
+    * skew cap bounds the pair space), then the native codegen'd
+    * JaroWinkler expression scores each surviving pair and the
+    * threshold keeps jw ≥ minSim. Jaro-Winkler weighs shared-prefix
+    * agreement and tolerates transpositions — the right verifier for
+    * titles/names/short near-identical records, where levenshtein's
+    * absolute edit budget over- or under-shoots with length. O(len·
+    * window) per pair (no DP table), so the verify stage is ~len×
+    * cheaper than the levenshtein one and the same fixed-width
+    * repartition spreads it across the cluster (the candidate table is
+    * byte-small but CPU-heavy — AQE's size-based coalescing would
+    * serialize it). Scored similarity is rounded to 12 for publication
+    * AFTER the unrounded threshold comparison (both engines compare the
+    * same full-precision double — bit-parity verified, see
+    * functions.JaroWinkler). */
+  def jaroWinklerPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 4,
+      minSim: Double = 0.8): DataFrame = {
+    require(n > 0 && maxDf >= 2, "need n > 0 and maxDf >= 2")
+    require(minSim > 0.0 && minSim <= 1.0, "minSim must be in (0,1]")
+    val cand = rareGramCandidates(docs, n, maxDf)
+    val texts = docs.select(col("doc_id"), col("text"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    cand
+      .join(texts.select(col("doc_id").as("a_id"),
+        col("text").as("_ta")), "a_id")
+      .join(texts.select(col("doc_id").as("b_id"),
+        col("text").as("_tb")), "b_id")
+      .repartition(nPart)
+      .withColumn("_jw",
+        graft.functions.GraftFunctions.jaroWinkler(col("_ta"), col("_tb")))
+      .filter(col("_jw") >= minSim)
+      .select(col("a_id"), col("b_id"), round(col("_jw"), 12).as("jw"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -451,6 +451,66 @@ class NearDupSpec extends SparkSuite {
     assert(out.head._3 == 0L)
   }
 
+  test("native JaroWinkler: textbook goldens, DuckDB edge conventions " +
+      "(empty → 0, byte semantics, boost only above 0.7)") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = JaroWinkler.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    // martha/marhta: m=6, t=1 → jaro = (1+1+5/6)/3, prefix 3
+    val jm = (1.0 + 1.0 + 5.0 / 6.0) / 3.0
+    assert(jw("martha", "marhta") == jm + 3 * 0.1 * (1.0 - jm))
+    // dixon/dicksonx: m=4, t=0 → jaro = (4/5+4/8+1)/3, prefix 2
+    val jd = (4.0 / 5.0 + 4.0 / 8.0 + 1.0) / 3.0
+    assert(jw("dixon", "dicksonx") == jd + 2 * 0.1 * (1.0 - jd))
+    // below the 0.7 boost threshold the shared prefix must NOT boost
+    assert(jw("abxxxxx", "abyyyyy") == 11.0 / 21.0)
+    // DuckDB conventions: either side empty → 0, INCLUDING both-empty
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // window 0 on 2-char strings: ab/ba has NO matches
+    assert(jw("ab", "ba") == 0.0)
+    // byte (not codepoint) semantics: 'é' is 2 bytes, so ééé (6b) vs
+    // ééx (5b) matches m=4 bytes with a 4-byte common prefix
+    val je = (4.0 / 6.0 + 4.0 / 5.0 + 1.0) / 3.0
+    assert(jw("ééé", "ééx") ==
+      je + 4 * 0.1 * (1.0 - je))
+    // codegen path (DataFrame select) agrees with the companion compute
+    import spark.implicits._
+    val df = Seq(("martha", "marhta"), ("abxxxxx", "abyyyyy"), ("", ""))
+      .toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaroWinkler(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("jw"))
+    assert(df.collect().map(_.getAs[Double]("jw")).toSeq ==
+      Seq(jw("martha", "marhta"), 11.0 / 21.0, 0.0))
+  }
+
+  test("jaroWinklerPairs: rare-gram candidates verified by similarity — " +
+      "near-identical planted pair kept, shared-gram-but-dissimilar " +
+      "candidate filtered, disjoint docs never pair") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = base // 20 tokens
+    val b = base.replace("november", "novembre") // one transposed token
+    // shares exactly one 5-gram window with base, rest disjoint →
+    // candidate via the rare gram, but similarity is far below 0.8
+    val farB = "alpha bravo charlie delta echo q1 q2 q3 q4 q5 q6 q7 q8 " +
+      "q9 q10 q11 q12 q13 q14 q15"
+    def jw(x: String, y: String): Double = JaroWinkler.compute(
+      UTF8String.fromString(x), UTF8String.fromString(y))
+    assert(jw(a, b) >= 0.8 && jw(a, farB) < 0.8, "fixture premise")
+    val docs = Seq((1L, a), (2L, b), (3L, farB), (4L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val out = NearDup.jaroWinklerPairs(docs, minSim = 0.8).collect()
+    assert(out.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet == Set((1L, 2L)), s"got ${out.mkString(", ")}")
+    val expected = BigDecimal(jw(a, b))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("jw") == expected)
+  }
+
   // ---- planted-skew stress (VERDICT r9 next-round #3) ---------------
   // A boilerplate-heavy corpus is the dedup family's hot-key pathology:
   // one shared shingle in 30% of docs makes uncapped inverted-index
