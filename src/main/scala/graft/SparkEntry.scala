@@ -533,6 +533,14 @@ object SparkEntry {
     "q111_jaro_winkler_pairs" -> ((s, d) =>
       NearDup.jaroWinklerPairs(t(s, d, "documents"),
         n = 5, maxDf = 4, minSim = 0.8)),
+    "q112_label_balance" -> ((s, d) =>
+      VectorOps.labelBalance(t(s, d, "embeddings"))),
+    "q113_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(t(s, d, "documents"))),
+    "q114_split_contamination" -> ((s, d) =>
+      Curation.splitContamination(t(s, d, "documents"), n = 8)),
+    "q115_dup_cluster_sizes" -> ((s, d) =>
+      NearDup.dupClusterSizes(t(s, d, "documents"), n = 3, minJ = 0.7)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -1978,6 +1986,98 @@ object SparkEntry {
                  JOIN t tb ON tb.doc_id = b_id)
          SELECT a_id, b_id, round(jwr, 12) AS jw FROM p
          WHERE jwr >= 0.8 ORDER BY a_id, b_id""",
+    // Exact ratios everywhere except the entropy terms, which both
+    // engines round to 9 decimals BEFORE the decimal sum (libm log2
+    // differs by ~1 ulp across engines); n² rides DECIMAL(38,0).
+    "q112_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+               GROUP BY label),
+         t AS (SELECT sum(n) AS tot, count(*) AS nl FROM c)
+         SELECT CAST(max(tot) AS BIGINT) AS n_vecs,
+           CAST(max(nl) AS BIGINT) AS n_labels,
+           max(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS max_share,
+           min(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS min_share,
+           1.0 - CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+               AS DOUBLE)
+             / CAST(max(tot) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+             AS gini_impurity,
+           CAST(-sum(CAST(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS entropy_bits
+         FROM c, t""",
+    // Per-token log10 rounded to 6 decimals into DECIMAL(18,6) before
+    // the (order-free, exact) sum — see TextOps.unigramLogProb.
+    "q113_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token FROM documents),
+         f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         t AS (SELECT sum(c) AS N, count(*) AS V FROM f),
+         s AS (SELECT doc_id,
+                 CAST(round(log10(CAST(c + 1 AS DOUBLE)
+                     / CAST(N + V AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+               FROM tok JOIN f USING (token), t)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_logp10,
+           CAST(min(lp) AS DOUBLE) AS min_logp10
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+    // splitAssignment's mod-10 rule: train = 0-7, test = 9. Grams join
+    // as strings (counts are the OUTPUT — a hash collision would
+    // corrupt them, not add a verifiable candidate).
+    "q114_split_contamination" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS m,
+             list_distinct([concat(lst[i], ' ', lst[i+1], ' ', lst[i+2],
+               ' ', lst[i+3], ' ', lst[i+4], ' ', lst[i+5], ' ',
+               lst[i+6], ' ', lst[i+7])
+               for i in range(1, len(lst) - 6)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         train AS (SELECT DISTINCT unnest(g) AS gr FROM d WHERE m <= 7),
+         test AS (SELECT doc_id, len(g) AS n_grams FROM d WHERE m = 9),
+         tg AS (SELECT doc_id, unnest(g) AS gr FROM d WHERE m = 9),
+         c AS (SELECT doc_id, count(*) AS nc FROM tg
+               WHERE gr IN (SELECT gr FROM train) GROUP BY doc_id)
+         SELECT test.doc_id, CAST(test.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN test.n_grams = 0 THEN 0.0
+             ELSE CAST(coalesce(c.nc, 0) AS DOUBLE)
+               / CAST(test.n_grams AS DOUBLE) END AS contamination_rate
+         FROM test LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
+    // q47's component CTE folded to a size histogram, plus the
+    // singleton accounting row (docs in no near-dup pair).
+    "q115_dup_cluster_sizes" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS cid FROM r GROUP BY id),
+         cs AS (SELECT cid, count(*) AS cluster_size FROM comp
+                GROUP BY cid),
+         h AS (SELECT cluster_size, count(*) AS n_clusters FROM cs
+               GROUP BY cluster_size),
+         sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                    count(*) AS n_clusters
+                  FROM documents
+                  WHERE doc_id NOT IN (SELECT id FROM comp)),
+         u AS (SELECT * FROM h UNION ALL SELECT * FROM sing)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+         FROM u ORDER BY cluster_size""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -154,6 +154,51 @@ object Curation {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Train→test n-gram contamination audit — the decontamination pass
+    * every held-out split needs before its numbers mean anything: for
+    * each TEST document (splitAssignment's rule, doc_id mod 10 == 9),
+    * the fraction of its distinct n-token shingles that also occur
+    * anywhere in the TRAIN split (mod ≤ 7). A high rate means the
+    * "held-out" document leaks through the model's training set and
+    * its eval loss is memorization, not generalization (the GPT-3
+    * 13-gram overlap check; n = 8 here over whitespace tokens).
+    *
+    * Exactness trade (q71's): grams join as STRINGS so the oracle can
+    * reproduce the statistic verbatim — counts are the output, so a
+    * hash collision would CORRUPT them rather than add a verifiable
+    * candidate; the 64-bit-hashed swap (x22's trade) is the documented
+    * 100 TB variant, where a collision perturbs a rate by ~1/n_grams.
+    *
+    * Scale shape: the train gram table dedups with one map-side-
+    * combined distinct (vocabulary-shaped, far sub-corpus); the test
+    * side explodes only the 10% test slice; one semi join on gram
+    * shuffles each stream once; per-doc accounting is a bounded
+    * aggregate. Nothing all-pairs, nothing data-sized on the driver. */
+  def splitContamination(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val withSplit = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), n).as("_g"),
+      pmod(col("doc_id"), lit(10L)).as("_m"))
+    val trainGrams = withSplit.filter(col("_m") <= 7)
+      .select(explode(col("_g")).as("_gr")).distinct()
+    val testDocs = withSplit.filter(col("_m") === 9)
+    val contaminated = testDocs
+      .select(col("doc_id"), explode(col("_g")).as("_gr"))
+      .join(trainGrams, Seq("_gr"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_cont"))
+    testDocs
+      .select(col("doc_id"), size(col("_g")).cast("long").as("n_grams"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("_n_cont"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("_n_cont"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .as("contamination_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------- retrieval / serving preparation (L102-L105)
 
   /** Overlapping token-window chunking — the RAG/serving prep step that

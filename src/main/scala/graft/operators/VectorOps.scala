@@ -757,6 +757,47 @@ object VectorOps {
       .orderBy(col("dim"))
   }
 
+  /** Class-balance audit of the label column — the report a training
+    * run reads before trusting a classifier head or mining hard
+    * negatives (L106): per-corpus label count, share extremes, Gini
+    * impurity and Shannon entropy in one row. A skewed label
+    * distribution silently biases contrastive sampling and makes
+    * accuracy a misleading metric; this is the pre-flight check.
+    *
+    * Determinism discipline (oracle is hash-compared): shares and Gini
+    * are exact count ratios (sum of n² rides DECIMAL(38,0) — a BIGINT
+    * product would overflow at web scale, ~1e12 rows → n² ~ 1e24);
+    * the entropy terms p·log2(p) are the only transcendentals, rounded
+    * to 9 decimals per label BEFORE the decimal sum so engine libm
+    * differences (~1 ulp, measured) can never reach the published
+    * value. Scale shape: one partial+final aggregate on label (bounded
+    * cardinality), then arithmetic over the label-count rows with the
+    * one-row total broadcast — nothing data-sized past the first
+    * aggregate. */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_N"),
+      count(lit(1)).as("_n_labels"))
+    val nDec = col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val p = col("n").cast("double") / col("_N").cast("double")
+    // round the DOUBLE first (both engines: half-away-from-zero), THEN
+    // cast to decimal — a double→fine-decimal cast rounds under each
+    // engine's own mode and would reintroduce the libm sensitivity
+    val term = round(p * log2(p), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    counts
+      .crossJoin(broadcast(tot))
+      .agg(max(col("_N")).as("n_vecs"),
+        max(col("_n_labels")).as("n_labels"),
+        max(p).as("max_share"),
+        min(p).as("min_share"),
+        (lit(1.0) - sum(nDec * nDec).cast("double") /
+          max(col("_N")).cast("double") /
+          max(col("_N")).cast("double")).as("gini_impurity"),
+        (-sum(term)).cast("double").as("entropy_bits"))
+  }
+
   /** Int8 affine quantization round-trip report: quantize every vector
     * with the per-dimension (min, scale) table from embeddingDimStats,
     * reconstruct, and report each vector's reconstruction error — the

@@ -261,4 +261,28 @@ class CurationSpec extends SparkSuite {
       .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq
     assert(got0 == expected0)
   }
+
+  test("splitContamination: leaked 8-gram flagged, validation split " +
+      "contributes nothing, test-test overlap does not count, short " +
+      "test docs report rate 0") {
+    import spark.implicits._
+    val eightTok = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (0L, eightTok + " x9 x10"),        // train: 3 grams incl. the leak
+      (8L, "v1 v2 v3 v4 v5 v6 v7 v8"),   // validation: NOT train
+      (9L, eightTok),                     // test: 1 gram, leaked
+      (19L, "u1 u2 u3 u4 u5 u6 u7 u8"),  // test: clean
+      (29L, "too short"),                 // test: no 8-gram at all
+      (39L, "v1 v2 v3 v4 v5 v6 v7 v8")   // test: matches VAL only
+    ).toDF("doc_id", "text")
+    val out = Curation.splitContamination(docs, n = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_contaminated"),
+        r.getAs[Double]("contamination_rate"))).toSeq
+    assert(out == Seq(
+      (9L, 1L, 1L, 1.0),
+      (19L, 1L, 0L, 0.0),
+      (29L, 0L, 0L, 0.0),
+      (39L, 1L, 0L, 0.0)))
+  }
 }

@@ -1198,4 +1198,28 @@ class TextOpsSpec extends SparkSuite {
       assert(s < 0.0 && s > -5.0, s"source ${r.getString(0)}: slope $s")
     }
   }
+
+  test("unigramLogProb: hand-computed add-one-smoothed scores on a " +
+      "3-token corpus; rare-token doc scores strictly lower") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=1; N=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def lp(num: Long, den: Long): BigDecimal =
+      BigDecimal(math.log10(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lpA = lp(3, 8); val lpC = lp(2, 8)
+    val out = TextOps.unigramLogProb(docs).collect()
+    assert(out.length == 2)
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getAs[Long]("doc_id") == 1L && d1.getAs[Long]("n_tokens") == 3L)
+    // expected values follow the engine's exact fp sequence:
+    // decimal sum → cast double → IEEE divide by the double count
+    assert(d1.getAs[Double]("avg_logp10") == (lpA * 3).toDouble / 3.0)
+    assert(d1.getAs[Double]("min_logp10") == lpA.toDouble)
+    assert(d2.getAs[Long]("n_tokens") == 2L)
+    assert(d2.getAs[Double]("avg_logp10") == (lpA + lpC).toDouble / 2.0)
+    assert(d2.getAs[Double]("min_logp10") == lpC.toDouble)
+    // the rare-token doc is the lower-quality one under the LM proxy
+    assert(d2.getAs[Double]("avg_logp10") < d1.getAs[Double]("avg_logp10"))
+  }
 }

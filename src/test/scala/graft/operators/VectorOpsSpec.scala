@@ -668,4 +668,29 @@ class VectorOpsSpec extends SparkSuite
       assert(mse >= 0.0 && mse <= bound, s"mse $mse > bound $bound")
     }
   }
+
+  test("labelBalance: hand-computed shares, Gini impurity and entropy " +
+      "on a 3:1 two-label corpus; uniform labels maximize entropy") {
+    val df = vecDf(Seq(
+      (0L, Seq(1.0f), 0), (1L, Seq(1.0f), 0), (2L, Seq(1.0f), 0),
+      (3L, Seq(1.0f), 1)))
+    val r = VectorOps.labelBalance(df).collect().head
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_labels") == 2L)
+    assert(r.getAs[Double]("max_share") == 0.75)
+    assert(r.getAs[Double]("min_share") == 0.25)
+    // gini = 1 - (9 + 1) / 16
+    assert(r.getAs[Double]("gini_impurity") == 1.0 - 10.0 / 16.0)
+    def term(p: Double): BigDecimal =
+      BigDecimal(p * (math.log(p) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = -(term(0.75) + term(0.25)).toDouble
+    assert(r.getAs[Double]("entropy_bits") == expected)
+    // 4 uniform labels → entropy exactly 2 bits, gini 0.75
+    val u = vecDf((0 until 8).map(i => (i.toLong, Seq(1.0f), i % 4)))
+    val ru = VectorOps.labelBalance(u).collect().head
+    assert(ru.getAs[Double]("entropy_bits") == 2.0)
+    assert(ru.getAs[Double]("gini_impurity") == 0.75)
+    assert(ru.getAs[Double]("max_share") == ru.getAs[Double]("min_share"))
+  }
 }
