@@ -541,6 +541,14 @@ object SparkEntry {
       Curation.splitContamination(t(s, d, "documents"), n = 8)),
     "q115_dup_cluster_sizes" -> ((s, d) =>
       NearDup.dupClusterSizes(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    "q116_cross_source_dups" -> ((s, d) =>
+      NearDup.crossSourceDupMatrix(t(s, d, "documents"),
+        n = 3, minJ = 0.7)),
+    "q117_token_burstiness" -> ((s, d) =>
+      TextOps.tokenBurstiness(t(s, d, "documents"), minDf = 5)),
+    "q118_canonical_by_quality" -> ((s, d) =>
+      NearDup.canonicalByQuality(t(s, d, "documents"),
+        n = 3, minJ = 0.7)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -2078,6 +2086,76 @@ object SparkEntry {
            CAST(n_clusters AS BIGINT) AS n_clusters,
            CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
          FROM u ORDER BY cluster_size""",
+    // q29's pair rule + two source lookups, folded to the unordered
+    // matrix with least/greatest.
+    "q116_cross_source_dups" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7)
+         SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+         FROM p JOIN documents da ON da.doc_id = p.a_id
+           JOIN documents db ON db.doc_id = p.b_id
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // VMR as one exact integer rational; products on DECIMAL(38,0).
+    "q117_token_burstiness" ->
+      """WITH pd AS (SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                       x -> x != '')) AS token FROM documents)
+             GROUP BY doc_id, token),
+         t AS (SELECT token, count(*) AS df, sum(c) AS s,
+                 sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+               FROM pd GROUP BY token)
+         SELECT token, CAST(df AS BIGINT) AS df,
+           CAST(s AS BIGINT) AS n_occurrences,
+           CAST(CAST(df AS DECIMAL(38,0)) * ss
+               - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+               AS DOUBLE)
+             / CAST(CAST(df AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+               AS DOUBLE) AS burstiness
+         FROM t WHERE df >= 5 ORDER BY token""",
+    // q47's component CTE; survivor = longest member, ties to min id.
+    "q118_canonical_by_quality" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS cid FROM r GROUP BY id),
+         j AS (SELECT comp.cid, comp.id AS doc_id, length(d.text) AS len
+               FROM comp JOIN documents d ON d.doc_id = comp.id),
+         w AS (SELECT cid, doc_id, len,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY len DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cid) AS cs,
+                 max(len) OVER (PARTITION BY cid) AS ml
+               FROM j)
+         SELECT CAST(cid AS BIGINT) AS cluster_id,
+           doc_id AS kept_doc_id, CAST(ml AS BIGINT) AS kept_len,
+           CAST(cs AS BIGINT) AS cluster_size,
+           CAST(cs - 1 AS BIGINT) AS n_dropped
+         FROM w WHERE rn = 1 ORDER BY cluster_id""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

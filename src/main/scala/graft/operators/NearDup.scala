@@ -108,6 +108,62 @@ object NearDup {
       .orderBy(col("source"))
   }
 
+  /** Cross-source duplication matrix: near-dup PAIR counts per
+    * unordered source pair — the provenance audit behind "which crawls
+    * mirror each other". A heavy off-diagonal cell means two
+    * acquisition pipelines ingest the same upstream (dedup one of
+    * them, or down-weight both in the mix); the diagonal is
+    * within-source duplication (q91's number, per source). Pair rule
+    * is q29's (n-gram Jaccard ≥ minJ); the unordered fold uses
+    * least/greatest on the source names so (A,B) and (B,A) land in
+    * one cell.
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join; the two
+    * metadata joins attach one small column to the (far sub-corpus)
+    * pair table, and the final aggregate is |sources|²-bounded. */
+  def crossSourceDupMatrix(docs: DataFrame, n: Int = 3,
+      minJ: Double = 0.7): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("source"))
+    jaccardPairs(docs, n, minJ)
+      .select(col("a_id"), col("b_id"))
+      .join(meta.select(col("doc_id").as("a_id"),
+        col("source").as("_sa")), "a_id")
+      .join(meta.select(col("doc_id").as("b_id"),
+        col("source").as("_sb")), "b_id")
+      .groupBy(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Quality-argmax canonical selection: for every near-dup cluster
+    * (q29 pairs + q47 components), keep the LONGEST member — the
+    * survivor policy real pipelines want (the min-id rule of q49 keeps
+    * whichever copy crawled first; the longest copy is usually the
+    * un-truncated one). Tie on length breaks to min doc_id so the
+    * choice is deterministic on every engine. One row per multi-doc
+    * cluster: the survivor, the cluster size, and how many drop.
+    *
+    * Scale shape: CC membership (far sub-corpus) joins doc lengths,
+    * then ONE per-cluster aggregate via max_by on a (len, -id) pair —
+    * no window over the corpus, no sort beyond presentation. */
+  def canonicalByQuality(docs: DataFrame, n: Int = 3,
+      minJ: Double = 0.7): DataFrame = {
+    val clusters = duplicateClusters(
+      jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
+    clusters
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("_len")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"), struct(col("_len"), -col("doc_id")))
+          .as("kept_doc_id"),
+        max(col("_len")).as("kept_len"))
+      .select(col("cluster_id"), col("kept_doc_id"), col("kept_len"),
+        col("cluster_size"), (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Duplicate-cluster size histogram: how much of the corpus is
     * duplicated, and how — one row per cluster SIZE with the number of
     * clusters and documents at that size. The shape of this histogram

@@ -1046,6 +1046,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token burstiness (index of dispersion): for every token with
+    * document frequency ≥ minDf, the variance-to-mean ratio of its
+    * per-document occurrence counts among the documents that contain
+    * it. Function words spread evenly (VMR ≈ small); template/
+    * boilerplate tokens BURST — a handful of documents repeat them
+    * heavily (VMR large) — so the ranking separates topical vocabulary
+    * from the repeated-scaffolding signal the repetition filters (L22)
+    * see only per-document.
+    *
+    * Exact arithmetic: VMR = (df·Σc² − (Σc)²) / (df·Σc) — an integer
+    * rational evaluated as one double division; products ride
+    * DECIMAL(38,0) (Σc² and (Σc)² overflow BIGINT at web scale), and
+    * the exact-integer→double casts are identical on every engine.
+    *
+    * Scale shape: two map-side-combined aggregates — (doc, token)
+    * then token — both standard partial+final plans; the second is
+    * vocabulary-bounded. No windows, no joins, no skew sensitivity
+    * beyond the ordinary hot-token keys whose state is 3 numbers. */
+  def tokenBurstiness(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("_c")).as("n_occurrences"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_ss"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("n_occurrences"),
+        ((col("df").cast(dec) * col("_ss") -
+          col("n_occurrences").cast(dec) * col("n_occurrences").cast(dec))
+          .cast("double") /
+          (col("df").cast(dec) * col("n_occurrences").cast(dec))
+            .cast("double")).as("burstiness"))
+      .orderBy(col("token"))
+  }
+
   /** Corpus length histogram per source: documents bucketed by token
     * count into fixed-width bins — the length-distribution profile a
     * curation pass reads before choosing truncation/packing budgets

@@ -1222,4 +1222,19 @@ class TextOpsSpec extends SparkSuite {
     // the rare-token doc is the lower-quality one under the LM proxy
     assert(d2.getAs[Double]("avg_logp10") < d1.getAs[Double]("avg_logp10"))
   }
+
+  test("tokenBurstiness: bursty token scores VMR 0.5, evenly spread " +
+      "token scores 0, sub-minDf tokens are excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x rare"), (2L, "x"), (3L, "y y"), (4L, "y y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenBurstiness(docs, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("df"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Double]("burstiness")))
+      .toSeq
+    // x: counts (3,1) → VMR = (2·10 − 16)/(2·4) = 0.5
+    // y: counts (2,2) → VMR = (2·8 − 16)/(2·4) = 0
+    assert(out == Seq(("x", 2L, 4L, 0.5), ("y", 2L, 4L, 0.0)))
+  }
 }
