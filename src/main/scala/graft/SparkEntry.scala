@@ -245,6 +245,15 @@ object SparkEntry {
     "x05_media_features" -> ((s, d) =>
       Multimodal.featureSummary(s,
         Multimodal.fromDocuments(t(s, d, "documents")))),
+    // REAL MJPEG video decode end-to-end: synthesize per-doc MJPEG
+    // payloads (actual JPEG encode), then container-parse + per-frame
+    // ImageIO decode into luma summaries. JPEG encode bytes are
+    // JVM-specific → rows-only; decode exactness pinned in
+    // MultimodalSpec (known-frame goldens).
+    "x27_mjpeg_video_summary" -> ((s, d) =>
+      Multimodal.videoSummary(s,
+        Multimodal.mjpegFromDocuments(s, t(s, d, "documents")).toDF())
+        .toDF().orderBy("doc_id")),
     // Bloom-filter contamination (q51's 100 TB shape): train vocabulary
     // broadcast as a bitset, one-sided error — bitset hashing is
     // engine-specific → rows-only; the no-false-negative superset
@@ -549,6 +558,11 @@ object SparkEntry {
     "q118_canonical_by_quality" -> ((s, d) =>
       NearDup.canonicalByQuality(t(s, d, "documents"),
         n = 3, minJ = 0.7)),
+    "q119_rebalance_labels" -> ((s, d) =>
+      VectorOps.rebalanceLabels(t(s, d, "embeddings"))),
+    "q120_modality_coverage" -> ((s, d) =>
+      Analytics.modalityCoverage(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -2156,6 +2170,33 @@ object SparkEntry {
            CAST(cs AS BIGINT) AS cluster_size,
            CAST(cs - 1 AS BIGINT) AS n_dropped
          FROM w WHERE rn = 1 ORDER BY cluster_id""",
+    // Undersample every label to the minority count, first-by-id.
+    "q119_rebalance_labels" ->
+      """WITH t AS (SELECT min(n) AS tgt FROM
+             (SELECT count(*) AS n FROM embeddings GROUP BY label)),
+         r AS (SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY vec_id) AS rn
+               FROM embeddings)
+         SELECT vec_id, label FROM r, t WHERE rn <= tgt
+         ORDER BY vec_id""",
+    // Full-outer id join folded to the one-row coverage report.
+    "q120_modality_coverage" ->
+      """WITH j AS (SELECT d.doc_id AS did, e.vec_id AS eid
+           FROM documents d FULL OUTER JOIN embeddings e
+             ON d.doc_id = e.vec_id)
+         SELECT CAST(count(did) AS BIGINT) AS n_docs,
+           CAST(count(eid) AS BIGINT) AS n_vecs,
+           CAST(count(CASE WHEN did IS NOT NULL AND eid IS NOT NULL
+             THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(count(CASE WHEN eid IS NULL THEN did END) AS BIGINT)
+             AS n_docs_only,
+           CAST(count(CASE WHEN did IS NULL THEN eid END) AS BIGINT)
+             AS n_vecs_only,
+           CAST(count(CASE WHEN did IS NOT NULL AND eid IS NOT NULL
+               THEN 1 END) AS DOUBLE)
+             / CAST(count(did) AS DOUBLE) AS doc_coverage
+         FROM j""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

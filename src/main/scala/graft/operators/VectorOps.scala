@@ -798,6 +798,36 @@ object VectorOps {
         (-sum(term)).cast("double").as("entropy_bits"))
   }
 
+  /** Deterministic class rebalancing: downsample every label to the
+    * minority class's count by keeping each label's FIRST vectors in
+    * vec_id order — the undersampling step a contrastive/classifier
+    * training set needs after labelBalance flags skew. Id-order
+    * selection (not sample()) makes membership reproducible across
+    * engines, partitionings and reruns, and appending new vectors
+    * never evicts an already-selected one (ids are monotone).
+    *
+    * Scale shape: one bounded label-count aggregate, the one-row
+    * minimum broadcast, and a per-label rank window. The majority
+    * label's stream lands in one window partition — at corpus scale
+    * swap in the documented two-phase variant: per-label keep-rate
+    * from the same count table applied as a map-side `vec_id mod`
+    * filter (approximate to ±rate rounding), or range-partition
+    * within label and offset ranks by per-range prefix counts (the
+    * q53 sharded trade). The exact-rank form IS the oracle anchor. */
+  def rebalanceLabels(emb: DataFrame): DataFrame = {
+    val target = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n")).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    emb.select(col("vec_id"), col("label"))
+      .withColumn("_rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("_rn") <= col("_t"))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Int8 affine quantization round-trip report: quantize every vector
     * with the per-dimension (min, scale) table from embeddingDimStats,
     * reconstruct, and report each vector's reconstruction error — the

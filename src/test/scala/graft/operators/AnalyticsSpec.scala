@@ -114,4 +114,18 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("top1_share") == 0.5)
     assert(r.getAs[Double]("skew_ratio") == 4.0 / 1.5)
   }
+
+  test("modalityCoverage: matched / docs-only / vecs-only partition the " +
+      "id space and the coverage ratio is exact") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val emb = Seq(3L, 4L, 5L).toDF("vec_id")
+    val r = Analytics.modalityCoverage(docs, emb).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("n_docs_only") == 2L)
+    assert(r.getAs[Long]("n_vecs_only") == 1L)
+    assert(r.getAs[Double]("doc_coverage") == 0.5)
+  }
 }

@@ -195,4 +195,65 @@ class MultimodalSpec extends SparkSuite {
       assert(b >= 0 && b < 16)
     }
   }
+
+  private def solidJpeg(gray: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MjpegCodec: marker scan recovers exactly the concatenated " +
+      "frames and each decodes to its true content") {
+    val f1 = solidJpeg(40)
+    val f2 = solidJpeg(200)
+    val stream = f1 ++ f2
+    val frames = Multimodal.MjpegCodec.splitFrames(stream)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == f1.toSeq && frames(1).toSeq == f2.toSeq)
+    val decoded = frames.flatMap(Multimodal.ImageIoCodec.decode)
+    assert(decoded.length == 2)
+    // solid-gray JPEG decodes near-exact (lossy but flat content)
+    val lum = decoded.map(img => (img.getRGB(3, 3) >> 16) & 0xff)
+    assert(math.abs(lum(0) - 40) <= 3 && math.abs(lum(1) - 200) <= 3)
+  }
+
+  test("videoSummary + extractFeatures on REAL MJPEG: frame accounting, " +
+      "decoded dims, mean luma of known frames") {
+    import spark.implicits._
+    val stream = solidJpeg(40) ++ solidJpeg(200)
+    val df = Seq(Multimodal.MediaRecord(7L, stream, "video/x-motion-jpeg",
+      stream.length.toLong, 8, 8)).toDF()
+    val s = Multimodal.videoSummary(spark, df).collect().head
+    assert(s.doc_id == 7L && s.n_frames == 2L && s.n_decoded == 2L)
+    assert(s.width == 8 && s.height == 8)
+    assert(math.abs(s.mean_luma - 120.0 / 255.0) < 0.02)
+    // the feature path takes the video branch: decoded dims, mass ~1,
+    // and the histogram splits between the two frames' luma buckets
+    val f = Multimodal.extractFeatures(spark, df, dim = 16).collect().head
+    assert(f.width == 8 && f.height == 8)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3f)
+    assert(f.features(40 * 16 / 256) > 0.4f &&
+      f.features(200 * 16 / 256) > 0.4f)
+  }
+
+  test("mjpegFromDocuments: every doc yields a decodable nFrames MJPEG " +
+      "payload, deterministic across partitionings (x27 surface)") {
+    val m = Multimodal.mjpegFromDocuments(spark, sfDocs.limit(20)).toDF()
+    val out = Multimodal.videoSummary(spark, m).collect()
+    assert(out.length == 20)
+    out.foreach { s =>
+      assert(s.n_frames == 3L && s.n_decoded == 3L)
+      assert(s.width == 16 && s.height == 16)
+      assert(s.mean_luma >= 0.0 && s.mean_luma <= 1.0)
+    }
+    val a = Multimodal.videoSummary(spark,
+        Multimodal.mjpegFromDocuments(spark, sfDocs.limit(20)).toDF()
+          .repartition(5))
+      .collect().map(s => s.doc_id -> s.mean_luma).toMap
+    assert(a == out.map(s => s.doc_id -> s.mean_luma).toMap)
+  }
 }

@@ -693,4 +693,18 @@ class VectorOpsSpec extends SparkSuite
     assert(ru.getAs[Double]("gini_impurity") == 0.75)
     assert(ru.getAs[Double]("max_share") == ru.getAs[Double]("min_share"))
   }
+
+  test("rebalanceLabels: every label capped at the minority count, " +
+      "first-by-id selection, already-balanced corpus unchanged") {
+    // label 0: ids 0,2,4,6,8 (5 vecs); label 1: ids 1,3 (2 vecs)
+    val df = vecDf((0 until 10).map(i =>
+      (i.toLong, Seq(1.0f), i % 2)).filter(t => t._3 == 0 || t._1 < 4))
+    val out = VectorOps.rebalanceLabels(df).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq
+    // minority count 2 → keep first 2 of each label in id order
+    assert(out == Seq((0L, 0), (1L, 1), (2L, 0), (3L, 1)))
+    // balanced input passes through whole
+    val bal = vecDf((0 until 6).map(i => (i.toLong, Seq(1.0f), i % 3)))
+    assert(VectorOps.rebalanceLabels(bal).count() == 6L)
+  }
 }
