@@ -648,4 +648,55 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 2,
       s"expected ≤2 shuffles (group-by + order), got ${exchanges.size}")
   }
+
+  test("q114 contamination: train grams reach the semi join with NO " +
+      "distinct pre-aggregate (semi has exists-semantics already)") {
+    val plan = finalPlan(q("q114_split_contamination"))
+    assert(plan.contains("LeftSemi"), "train membership must be a semi join")
+    // a .distinct() would surface as an aggregate keyed on the gram
+    // alone — the wasted extra shuffle of the dominant stream
+    assert(!plan.contains("keys=[_gr"),
+      s"no gram-keyed aggregate may precede the semi join")
+  }
+
+  test("q113 unigram logprob: the one-row corpus totals broadcast — " +
+      "the token stream shuffles once for freq and once per doc") {
+    val plan = finalPlan(q("q113_unigram_logprob"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "N+V totals must reach rows via a one-row broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "nothing data-sized may cross-join")
+  }
+
+  test("q118 canonical-by-quality: survivor via ONE max_by aggregate — " +
+      "no window over the corpus, no product join") {
+    val plan = finalPlan(q("q118_canonical_by_quality"))
+    assert(!plan.contains("Window"),
+      "survivor selection must not sort cluster members in a window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q116 cross-source matrix: pair mining and metadata attachment " +
+      "are equi-joins only") {
+    val plan = finalPlan(q("q116_cross_source_dups"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "every join must be an equi-join")
+  }
+
+  test("q119 rebalance: the minority-count row broadcasts; exactly one " +
+      "rank window partitioned by label") {
+    val df = q("q119_rebalance_labels")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+      "the one-row target must broadcast")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.toString.contains("label")),
+      "the only window runs per label")
+  }
 }
