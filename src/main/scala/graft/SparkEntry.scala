@@ -563,6 +563,12 @@ object SparkEntry {
     "q120_modality_coverage" -> ((s, d) =>
       Analytics.modalityCoverage(t(s, d, "documents"),
         t(s, d, "embeddings"))),
+    "q121_lang_mismatch" -> ((s, d) =>
+      TextOps.langMismatchAudit(t(s, d, "documents"))),
+    "q122_jaccard_histogram" -> ((s, d) =>
+      NearDup.jaccardHistogram(t(s, d, "documents"), n = 3, minJ = 0.1)),
+    "q123_oov_rate" -> ((s, d) =>
+      TextOps.oovRateBySource(t(s, d, "documents"), vocabK = 100)),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -2197,6 +2203,54 @@ object SparkEntry {
                THEN 1 END) AS DOUBLE)
              / CAST(count(did) AS DOUBLE) AS doc_coverage
          FROM j""",
+    // The marker heuristic verbatim: 'en' iff any lowercase token is a
+    // marker word, 'und' otherwise (and for token-less docs).
+    "q121_lang_mismatch" ->
+      """WITH p AS (SELECT lang,
+             CASE WHEN len(toks) = 0 THEN 'und'
+               WHEN len(list_filter(toks,
+                 t -> t IN ('the', 'a', 'of', 'and'))) > 0 THEN 'en'
+               ELSE 'und' END AS pred
+           FROM (SELECT lang,
+                   list_filter(string_split(lower(text), ' '),
+                     x -> x != '') AS toks
+                 FROM documents))
+         SELECT lang, count(*) AS n_docs,
+           CAST(count(CASE WHEN pred = lang THEN 1 END) AS BIGINT)
+             AS n_agree,
+           1.0 - CAST(count(CASE WHEN pred = lang THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mismatch_rate
+         FROM p GROUP BY lang ORDER BY lang""",
+    // q29's pair rule at minJ 0.1 folded to floor(j*10) buckets.
+    "q122_jaccard_histogram" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS j
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT CAST(floor(j * 10) AS BIGINT) AS bucket,
+           count(*) AS n_pairs
+         FROM p WHERE j >= 0.1 GROUP BY 1 ORDER BY bucket""",
+    // Corpus top-100 vocabulary (count desc, token asc), per-source
+    // OOV mass against it.
+    "q123_oov_rate" ->
+      """WITH tok AS (SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token FROM documents),
+         f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         v AS (SELECT token FROM f ORDER BY c DESC, token LIMIT 100)
+         SELECT source, count(*) AS n_tokens,
+           CAST(count(CASE WHEN token NOT IN (SELECT token FROM v)
+             THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN token NOT IN (SELECT token FROM v)
+               THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM tok GROUP BY source ORDER BY source""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -108,6 +108,28 @@ object NearDup {
       .orderBy(col("source"))
   }
 
+  /** Jaccard similarity histogram: near-dup pair counts per 0.1-wide
+    * similarity bucket above `minJ` — the threshold-tuning input read
+    * BEFORE committing a dedup run: a bimodal histogram (noise floor
+    * vs true-dup spike) tells you where to set minJ; a fat middle
+    * means the corpus needs a different measure (containment, L-sims).
+    * Bucket = floor(j·10) (so 1.0 lands in bucket 10); j is the same
+    * exact count ratio both engines compute, so bucketing is
+    * deterministic.
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join — note a
+    * LOW minJ widens only the published output, not the candidate
+    * space (candidates are all shingle-sharing pairs either way; the
+    * maxShingleFreq cap is the guard at corpus scale); the histogram
+    * fold is an 11-key aggregate. */
+  def jaccardHistogram(docs: DataFrame, n: Int = 3,
+      minJ: Double = 0.1): DataFrame =
+    jaccardPairs(docs, n, minJ)
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+
   /** Cross-source duplication matrix: near-dup PAIR counts per
     * unordered source pair — the provenance audit behind "which crawls
     * mirror each other". A heavy off-diagonal cell means two

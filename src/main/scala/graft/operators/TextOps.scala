@@ -1046,6 +1046,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-label noise audit: per declared `lang`, how often the
+    * content-based marker heuristic (L16's langIdHeuristic) agrees —
+    * the label-quality check a multilingual mix needs before trusting
+    * per-language token budgets (a crawl's lang metadata is routinely
+    * wrong; CCNet re-derives it from content for exactly this reason).
+    * mismatch_rate is 1 − agree/n, an exact ratio.
+    *
+    * Scale shape: map-side heuristic projection + one bounded
+    * (|langs|) aggregate — scan speed. */
+  def langMismatchAudit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        TextFunctions.langIdHeuristic(col("text")).as("_pred"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_pred") === col("lang"), lit(1))).as("n_agree"))
+      .select(col("lang"), col("n_docs"), col("n_agree"),
+        (lit(1.0) - col("n_agree").cast("double") /
+          col("n_docs").cast("double")).as("mismatch_rate"))
+      .orderBy(col("lang"))
+
+  /** Out-of-vocabulary rate per source against the corpus's own top-K
+    * token vocabulary — the tokenizer-sizing input: a source whose OOV
+    * mass stays high at the candidate vocab size will fragment into
+    * subwords (or <unk>) at training time. Deterministic vocabulary:
+    * top K by occurrence count, ties broken by token text.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered over the (vocab-
+    * bounded) frequency aggregate and BROADCASTS back — the token
+    * stream never shuffles for membership; the only data-sized
+    * exchange is the per-source partial+final aggregate on a
+    * |sources|-bounded key. */
+  def oovRateBySource(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("token"))
+      .limit(vocabK)
+      .select(col("token"), lit(1L).as("_in"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, lit(1))).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Token burstiness (index of dispersion): for every token with
     * document frequency ≥ minDf, the variance-to-mean ratio of its
     * per-document occurrence counts among the documents that contain

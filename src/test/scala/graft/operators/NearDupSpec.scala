@@ -530,6 +530,21 @@ class NearDupSpec extends SparkSuite {
     assert(out.map(_._3).sum == 6L)
   }
 
+  test("jaccardHistogram: exact-dup pair lands in bucket 10, 1/3-similar " +
+      "pairs in bucket 3, below-minJ pairs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"),   // shingles {w1w2w3, w2w3w4}
+      (2L, "w1 w2 w3 x4"),   // shares 1 of 3 with doc 1 → j = 1/3
+      (3L, "w1 w2 w3 w4"),   // identical to doc 1 → j = 1
+      (4L, "z1 z2 z3 z4")    // disjoint
+    ).toDF("doc_id", "text")
+    val out = NearDup.jaccardHistogram(docs, n = 3, minJ = 0.1).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"))).toSeq
+    // pairs: (1,2) and (2,3) at 1/3 → bucket 3; (1,3) at 1.0 → bucket 10
+    assert(out == Seq((3L, 2L), (10L, 1L)))
+  }
+
   test("crossSourceDupMatrix: within- and cross-source pairs land in " +
       "the right cells; unordered fold via least/greatest") {
     import spark.implicits._

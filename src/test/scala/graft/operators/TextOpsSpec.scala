@@ -1237,4 +1237,31 @@ class TextOpsSpec extends SparkSuite {
     // y: counts (2,2) → VMR = (2·8 − 16)/(2·4) = 0
     assert(out == Seq(("x", 2L, 4L, 0.5), ("y", 2L, 4L, 0.0)))
   }
+
+  test("langMismatchAudit: marker docs agree with 'en', markerless 'en' " +
+      "docs mismatch, non-en labels always mismatch under the heuristic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox", "en"),   // marker → pred en, agree
+      (2L, "quick brown fox", "en"), // no marker → pred und, mismatch
+      (3L, "der schnelle fuchs", "de") // pred und ≠ de → mismatch
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.langMismatchAudit(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_agree"), r.getAs[Double]("mismatch_rate"))).toSeq
+    assert(out == Seq(("de", 1L, 0L, 1.0), ("en", 2L, 1L, 0.5)))
+  }
+
+  test("oovRateBySource: top-K vocabulary by count with token " +
+      "tie-break; per-source OOV mass exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b c", "s1"),  // a:3 b:1 c:1 here
+      (2L, "a a b b", "s2")     // corpus: a:5 b:3 c:1 → vocab {a,b}
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.oovRateBySource(docs, vocabK = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toSeq
+    assert(out == Seq(("s1", 5L, 1L, 0.2), ("s2", 4L, 0L, 0.0)))
+  }
 }
