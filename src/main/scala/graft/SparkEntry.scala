@@ -569,6 +569,16 @@ object SparkEntry {
       NearDup.jaccardHistogram(t(s, d, "documents"), n = 3, minJ = 0.1)),
     "q123_oov_rate" -> ((s, d) =>
       TextOps.oovRateBySource(t(s, d, "documents"), vocabK = 100)),
+    "q124_fk_orphans" -> ((s, d) =>
+      RelationalOps.fkOrphanAudit(Seq(
+        ("customer->nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey"),
+        ("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"),
+        ("lineitem->part", t(s, d, "lineitem"), "l_partkey",
+          t(s, d, "part"), "p_partkey"),
+        ("orders->customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey")))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -2251,6 +2261,37 @@ object SparkEntry {
                THEN 1 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS oov_rate
          FROM tok GROUP BY source ORDER BY source""",
+    // One accounting row per FK relation; parent keys DISTINCTed.
+    "q124_fk_orphans" ->
+      """WITH u AS (
+           SELECT 'customer->nation' AS relation, count(*) AS n_child,
+             CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphans
+           FROM customer c LEFT JOIN
+             (SELECT DISTINCT n_nationkey AS k FROM nation) p
+             ON c.c_nationkey = p.k
+           UNION ALL
+           SELECT 'lineitem->orders', count(*),
+             CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+           FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT o_orderkey AS k FROM orders) p
+             ON l.l_orderkey = p.k
+           UNION ALL
+           SELECT 'lineitem->part', count(*),
+             CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+           FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT p_partkey AS k FROM part) p
+             ON l.l_partkey = p.k
+           UNION ALL
+           SELECT 'orders->customer', count(*),
+             CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+           FROM orders o LEFT JOIN
+             (SELECT DISTINCT c_custkey AS k FROM customer) p
+             ON o.o_custkey = p.k)
+         SELECT relation, n_child, n_orphans,
+           CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+             AS orphan_rate
+         FROM u ORDER BY relation""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

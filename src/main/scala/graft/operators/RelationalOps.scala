@@ -342,6 +342,37 @@ object RelationalOps {
         sum(col("n_a") * col("n_b")).cast("long").as("join_rows"))
   }
 
+  /** Foreign-key orphan audit: for each (child, fk) → (parent, pk)
+    * relation, the child rows whose key has no parent — the
+    * referential-integrity report an ingest runs before anything joins
+    * (an orphaned fact row silently vanishes from every inner join
+    * downstream; better to count them once here). Parent keys are
+    * DISTINCTed before the probe: dirty data is this audit's premise,
+    * and a duplicated "primary" key must not double-count child rows.
+    *
+    * Scale shape: per relation, one left join keyed on the fk (both
+    * sides key-only — nothing wider than the key shuffles) folded
+    * into a single accounting row; relations union to a bounded
+    * report. The bloom pre-probe (bloomSemiJoinReport's pattern)
+    * composes in front when the parent is far smaller than the
+    * child. */
+  def fkOrphanAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { case (name, child, fk, parent, pk) =>
+      child.select(col(fk).as("_k"))
+        .join(parent.select(col(pk).as("_k")).distinct()
+          .withColumn("_p", lit(1L)), Seq("_k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("_p").isNull, lit(1))).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"),
+          col("n_orphans"),
+          (col("n_orphans").cast("double") /
+            col("n_child").cast("double")).as("orphan_rate"))
+    }.reduce(_.unionByName(_)).orderBy(col("relation"))
+  }
+
   /** Bloom-filtered semi-join report: the runtime-filter pattern that
     * makes selective fact⋈dim joins survive 100 TB — build a bloom
     * over the (filtered) dim keys as a scalar subquery, probe it

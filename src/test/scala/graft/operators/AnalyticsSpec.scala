@@ -115,6 +115,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("skew_ratio") == 4.0 / 1.5)
   }
 
+  test("fkOrphanAudit: planted orphan counted once, duplicated parent " +
+      "key never double-counts child rows") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    // parent key 10 appears TWICE (dirty data) — distinct must guard
+    val parent = Seq(10L, 10L, 20L).toDF("pk")
+    val out = RelationalOps.fkOrphanAudit(
+      Seq(("child->parent", child, "fk", parent, "pk"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "child->parent")
+    assert(r.getAs[Long]("n_child") == 3L)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+    assert(r.getAs[Double]("orphan_rate") == 1.0 / 3.0)
+  }
+
   test("modalityCoverage: matched / docs-only / vecs-only partition the " +
       "id space and the coverage ratio is exact") {
     import spark.implicits._
