@@ -579,6 +579,18 @@ object SparkEntry {
           t(s, d, "part"), "p_partkey"),
         ("orders->customer", t(s, d, "orders"), "o_custkey",
           t(s, d, "customer"), "c_custkey")))),
+    "q125_source_divergence" -> ((s, d) =>
+      TextOps.sourceDivergence(t(s, d, "documents"), vocabK = 100)),
+    "q126_weighted_sample" -> ((s, d) =>
+      Curation.systematicWeightedSample(t(s, d, "documents"),
+        sampleN = 100)),
+    "q127_dup_triangles" -> ((s, d) =>
+      NearDup.dupGraphTriangles(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    // DEFLATE-compression redundancy profile: compressed byte counts
+    // are a zlib-implementation property (not SQL-expressible) →
+    // rows-only; expression behavior pinned in TextOpsSpec.
+    "x28_compression_profile" -> ((s, d) =>
+      TextOps.compressionProfile(t(s, d, "documents"))),
     // Int8 quantization round-trip report: engine-shaped map-side
     // quantize/reconstruct chain; MSE bound pinned in VectorOpsSpec →
     // rows-only (the oracle-checked calibration table is q81).
@@ -2292,6 +2304,81 @@ object SparkEntry {
            CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
              AS orphan_rate
          FROM u ORDER BY relation""",
+    // Smoothed per-source KL over the top-100 corpus vocabulary; each
+    // p·log10(p/q) term rounded to 6 decimals into DECIMAL pre-sum
+    // (libm parity — the q113 trick).
+    "q125_source_divergence" ->
+      """WITH tok AS (SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token FROM documents),
+         f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         v AS (SELECT token, c FROM f ORDER BY c DESC, token LIMIT 100),
+         nc AS (SELECT CAST(sum(c) AS BIGINT) AS Nc,
+                  CAST(count(*) AS BIGINT) AS V FROM v),
+         sc AS (SELECT source, token, count(*) AS cs
+                FROM tok JOIN v USING (token) GROUP BY source, token),
+         grid AS (SELECT src.source, v.token, v.c,
+                    coalesce(sc.cs, 0) AS cs
+                  FROM (SELECT DISTINCT source FROM documents) src
+                  CROSS JOIN v
+                  LEFT JOIN sc ON sc.source = src.source
+                    AND sc.token = v.token),
+         ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS Ns
+                FROM grid GROUP BY source),
+         t AS (SELECT g.source, ns.Ns,
+                 CAST(round(
+                   (CAST(g.cs + 1 AS DOUBLE)
+                      / CAST(ns.Ns + nc.V AS DOUBLE))
+                   * log10((CAST(g.cs + 1 AS DOUBLE)
+                       / CAST(ns.Ns + nc.V AS DOUBLE))
+                     / (CAST(g.c AS DOUBLE) / CAST(nc.Nc AS DOUBLE))), 6)
+                   AS DECIMAL(18,6)) AS term
+               FROM grid g JOIN ns USING (source), nc)
+         SELECT source, CAST(max(Ns) AS BIGINT) AS n_vocab_tokens,
+           CAST(sum(term) AS DOUBLE) AS kl_from_corpus
+         FROM t GROUP BY source ORDER BY source""",
+    // Integer-arithmetic systematic sampling: select where the scaled
+    // cumulative weight crosses an integer boundary ((cum·n) // W).
+    "q126_weighted_sample" ->
+      """WITH c AS (SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM documents),
+         t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
+         SELECT doc_id, source, n_chars FROM c, t
+         WHERE (cum * 100) // W > ((cum - n_chars) * 100) // W
+         ORDER BY doc_id""",
+    // q29's pair CTE → ordered a<b<c triangle enumeration + degree
+    // wedges; 3.0·T/W is exact (small-int product, one IEEE division).
+    "q127_dup_triangles" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             >= 0.7),
+         deg AS (SELECT id, count(*) AS d
+                 FROM (SELECT a_id AS id FROM p
+                       UNION ALL SELECT b_id FROM p) GROUP BY id),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+                    AS n_wedges FROM deg),
+         ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM p),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM p e1
+                JOIN p e2 ON e1.b_id = e2.a_id
+                JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+         SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(3 AS DOUBLE) * n_triangles / n_wedges
+           END AS clustering_coeff
+         FROM na, ea, ta""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -92,6 +92,7 @@ object GraftFunctions {
   val NORMALIZE_TEXT = "graft_normalize_text"
   val LUHN_SCRUB = "graft_luhn_scrub"
   val JARO_WINKLER = "graft_jaro_winkler"
+  val DEFLATE_SIZE = "graft_deflate_size"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -218,6 +219,10 @@ object GraftFunctions {
       JARO_WINKLER,
       exprs => arity(JARO_WINKLER, 2, exprs)(e => JaroWinkler(e(0), e(1))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      DEFLATE_SIZE,
+      exprs => arity(DEFLATE_SIZE, 1, exprs)(e => DeflateSize(e.head)),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -296,6 +301,10 @@ object GraftFunctions {
     * (see JaroWinkler). */
   def jaroWinkler(a: Column, b: Column): Column =
     registered(JARO_WINKLER, a, b)
+
+  /** DEFLATE-compressed UTF-8 byte count, codegen'd (see DeflateSize). */
+  def deflateSize(text: Column): Column =
+    registered(DEFLATE_SIZE, text)
 
   /** Repetition counters in one native pass: struct<n_bigrams,
     * max_bigram_count, n_trigrams, n_distinct_trigrams, max_run> (see

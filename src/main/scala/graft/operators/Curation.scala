@@ -327,6 +327,42 @@ object Curation {
     * training shard is consumed sequentially, so it must be written
     * totally ordered); size nShards to the cluster so each shard's sort
     * fits an executor. */
+  /** Systematic weight-proportional sampling: order documents by
+    * doc_id, accumulate weight (`n_chars` — the training-cost proxy),
+    * and keep every document whose cumulative weight crosses a
+    * multiple of totalWeight/sampleN. Inclusion probability is
+    * proportional to weight — the quality/cost-weighted downsample a
+    * mixture recipe wants — with NONE of the RNG the u^(1/w)
+    * exponential-key reservoir needs: pure integer arithmetic
+    * (`(cum·n) div W` strictly increasing at a selected row), so
+    * membership is bit-reproducible on every engine, partitioning and
+    * run. A document heavier than the step is selected exactly once
+    * (never duplicated), so the sample size is ≤ sampleN.
+    *
+    * Scale shape: one global cumulative-weight window (doc_id order)
+    * plus a broadcast scalar total — the q46 trade: at 100 TB swap
+    * the single-partition window for the two-phase prefix sum
+    * (range-partition on doc_id, per-range totals to the driver,
+    * per-range offset broadcast back); the selection predicate itself
+    * is map-side either way. Weight products stay in LONG here;
+    * cum·n overflows past ~9e18 — the DECIMAL(38,0) swap is
+    * mechanical. */
+  def systematicWeightedSample(docs: DataFrame, sampleN: Int = 100)
+      : DataFrame = {
+    require(sampleN > 0, "sampleN must be positive")
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = docs.agg(sum(col("n_chars")).as("_W"))
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("_cum", sum(col("n_chars")).over(w))
+      .crossJoin(broadcast(total))
+      .filter(expr(s"(_cum * $sampleN) div _W") >
+        expr(s"((_cum - n_chars) * $sampleN) div _W"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def interleaveShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
     val mixed = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))

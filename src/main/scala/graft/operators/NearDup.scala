@@ -918,4 +918,49 @@ object NearDup {
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Graph-cohesion statistics of an undirected edge list (`a_id` <
+    * `b_id` per row): node/edge counts, triangle count (ordered
+    * a<b<c enumeration — each triangle counted once), wedge count
+    * (Σ d(d−1)/2 over node degrees), and the global clustering
+    * coefficient 3·triangles/wedges. High clustering says the pair
+    * graph is made of dense template families (safe to collapse whole
+    * components, q47's policy); clustering near zero says components
+    * are CHAINS of borderline pairs — transitive closure would merge
+    * documents that never directly matched, and the threshold needs
+    * raising before dedup commits. The tuning diagnostic between
+    * q122's histogram and q47's closure.
+    *
+    * Scale shape: the classic ordered-adjacency triangle plan — two
+    * equi-joins on node ids over the (far sub-corpus) edge table, no
+    * cartesian; wedges fold from one degree aggregate. At 100 TB-scale
+    * graphs the skew guard is degree-capping the hub nodes first
+    * (same bound capBandGroups applies to LSH buckets). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a_id").as("id"))
+      .unionAll(e.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
+    val triAgg = e.as("e1")
+      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .join(e.as("e3"), col("e1.a_id") === col("e3.a_id") &&
+        col("e2.b_id") === col("e3.b_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(triAgg))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("clustering_coeff"))
+  }
+
+  /** triangleStats over the q29 near-dup pair graph — the composed
+    * entry (see triangleStats for the reading). */
+  def dupGraphTriangles(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    triangleStats(jaccardPairs(docs, n, minJ, maxShingleFreq))
 }

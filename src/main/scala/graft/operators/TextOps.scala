@@ -1099,6 +1099,95 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source distribution drift: add-one-smoothed KL divergence of
+    * each source's unigram distribution from the corpus distribution,
+    * both restricted to the corpus top-`vocabK` vocabulary (count
+    * desc, token tie-break — q123's deterministic vocab cut). The
+    * domain-shift audit read before trusting per-source mixing
+    * weights: a source whose KL is an outlier is NOT drawn from the
+    * mixture the budget allocation assumes (CCNet ranks crawl content
+    * against a reference LM the same way). Smoothing keeps every
+    * log defined when a source lacks a vocab token; each p·log(p/q)
+    * term is rounded to 6 decimals into DECIMAL(18,6) BEFORE the sum
+    * (engines' libm log10 differ ~1 ulp; the count ratios themselves
+    * are correctly-rounded IEEE divisions, identical everywhere), so
+    * the statistic is defined as the rounded-term sum — order-free and
+    * engine-exact, same trick as q113.
+    *
+    * Scale shape: one token-stream aggregate for corpus counts, a
+    * TakeOrdered vocab that BROADCASTS back, one per-(source, token)
+    * aggregate filtered to vocab membership (shuffle key bounded by
+    * |sources|·vocabK), and a |sources|×vocabK grid for the smoothed
+    * zeros — everything past the two token aggregates is metadata-
+    * sized. */
+  def sourceDivergence(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    require(vocabK > 0, "vocabK must be positive")
+    val toks = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("token"))
+      .limit(vocabK)
+    // realized vocab size (≤ vocabK on a small corpus) — the add-one
+    // smoothing denominator, so each smoothed p_s sums to 1 over the
+    // vocabulary actually in play
+    val corpusTotal = vocab.agg(sum(col("_c")).as("_Nc"),
+      count(lit(1)).as("_V"))
+    val srcCounts = toks
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("_cs"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(broadcast(vocab))
+      .join(srcCounts, Seq("source", "token"), "left")
+      .withColumn("_cs", coalesce(col("_cs"), lit(0L)))
+    val srcTotal = grid.groupBy(col("source"))
+      .agg(sum(col("_cs")).as("_Ns"))
+    val ps = (col("_cs") + 1).cast("double") /
+      (col("_Ns") + col("_V")).cast("double")
+    val pc = col("_c").cast("double") / col("_Nc").cast("double")
+    val term = round(ps * log10(ps / pc), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    grid
+      .join(srcTotal, Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"), col("_Ns"), term.as("_term"))
+      .groupBy(col("source"))
+      .agg(max(col("_Ns")).as("n_vocab_tokens"),
+        sum(col("_term")).cast("double").as("kl_from_corpus"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source compression-ratio profile: DEFLATE(text)/raw UTF-8
+    * bytes per document (native DeflateSize expression), aggregated to
+    * per-source mean/min/max and the count of documents under
+    * `flagBelow` — the Gopher-style "compresses too well" redundancy
+    * flag DEFLATE's 32 KiB window catches where fixed-n repetition
+    * counters (q62) cannot (long-period template loops). Compressed
+    * byte counts are a zlib property, not SQL — consumers are
+    * rows-only (x28) with the expression's behavior pinned in
+    * ScalaTest (ordering, determinism, bounds).
+    *
+    * Scale shape: map-side codegen'd scan (the zlib loop is the cost,
+    * not the plan) + one |sources|-bounded aggregate. */
+  def compressionProfile(docs: DataFrame, flagBelow: Double = 0.35)
+      : DataFrame = {
+    val ratio = GraftFunctions.deflateSize(col("text")).cast("double") /
+      octet_length(col("text")).cast("double")
+    docs
+      .filter(octet_length(col("text")) > 0)
+      .select(col("source"), ratio.as("_r"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("_r")).as("avg_ratio"),
+        min(col("_r")).as("min_ratio"),
+        max(col("_r")).as("max_ratio"),
+        count(when(col("_r") < flagBelow, lit(1))).as("n_high_redundancy"))
+      .orderBy(col("source"))
+  }
+
   /** Token burstiness (index of dispersion): for every token with
     * document frequency ≥ minDf, the variance-to-mean ratio of its
     * per-document occurrence counts among the documents that contain

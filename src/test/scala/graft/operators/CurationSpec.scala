@@ -285,4 +285,30 @@ class CurationSpec extends SparkSuite {
       (29L, 0L, 0L, 0.0),
       (39L, 1L, 0L, 0.0)))
   }
+
+  test("systematicWeightedSample: equal weights select every W/n-th " +
+      "crossing; a heavy doc spanning two steps is kept exactly once") {
+    import spark.implicits._
+    // equal weights: W=40, n=2 → step 20; cum 10,20,30,40 crosses at
+    // docs 2 and 4
+    val eq = Seq((1L, "s", 10L), (2L, "s", 10L),
+      (3L, "s", 10L), (4L, "s", 10L)).toDF("doc_id", "source", "n_chars")
+    val got = Curation.systematicWeightedSample(eq, sampleN = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 4L), s"got $got")
+    // heavy middle doc: W=40, n=3; cum 5,35,40 → scaled 0,2,3 with
+    // prefixes 0,0,2 — doc 2 crosses TWO boundaries but appears once,
+    // so the sample is 2 < n docs
+    val heavy = Seq((1L, "s", 5L), (2L, "s", 30L), (3L, "s", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val got2 = Curation.systematicWeightedSample(heavy, sampleN = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L, 3L), s"got $got2")
+    // zero-weight docs can never be selected
+    val zero = Seq((1L, "s", 0L), (2L, "s", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val got3 = Curation.systematicWeightedSample(zero, sampleN = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == Seq(2L), s"got $got3")
+  }
 }

@@ -669,4 +669,27 @@ class NearDupSpec extends SparkSuite {
     assert(tS <= 2.0 * tU,
       f"guarded skewed run $tS%.2f s exceeds 2x unskewed $tU%.2f s")
   }
+
+  test("triangleStats: triangle + dangling edge → hand-counted nodes, " +
+      "wedges, triangles and coefficient; empty graph all zeros") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant edge (3,4): degrees 2,2,3,1 →
+    // wedges 1+1+3+0 = 5, one triangle, coeff 3/5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val r = NearDup.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Double]("clustering_coeff") == 3.0 / 5.0)
+
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val z = NearDup.triangleStats(empty).collect().head
+    assert(z.getAs[Long]("n_nodes") == 0L &&
+      z.getAs[Long]("n_edges") == 0L &&
+      z.getAs[Long]("n_triangles") == 0L &&
+      z.getAs[Long]("n_wedges") == 0L &&
+      z.getAs[Double]("clustering_coeff") == 0.0)
+  }
 }

@@ -1264,4 +1264,57 @@ class TextOpsSpec extends SparkSuite {
         r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toSeq
     assert(out == Seq(("s1", 5L, 1L, 0.2), ("s2", 4L, 0L, 0.0)))
   }
+
+  test("sourceDivergence: hand-computed smoothed-KL goldens over a " +
+      "two-token vocabulary, realized vocab size in the smoothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "s1"),   // s1 counts: a=2 b=1
+      (2L, "a b b b", "s2")  // s2 counts: a=1 b=3 → corpus a=3 b=4
+    ).toDF("doc_id", "text", "source")
+    // vocabK = 10 but only 2 realized tokens → V = 2 in the smoothing
+    def term(cs: Long, ns: Long, c: Long): Double = {
+      val psV = (cs + 1).toDouble / (ns + 2).toDouble
+      val pcV = c.toDouble / 7.0
+      BigDecimal(psV * math.log10(psV / pcV))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expS1 = term(2, 3, 3) + term(1, 3, 4)
+    val expS2 = term(1, 4, 3) + term(3, 4, 4)
+    val out = TextOps.sourceDivergence(docs, vocabK = 10).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_vocab_tokens"),
+        r.getAs[Double]("kl_from_corpus"))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(("s1", 3L), ("s2", 4L)))
+    assert(math.abs(out(0)._3 - expS1) < 1e-12, s"${out(0)._3} vs $expS1")
+    assert(math.abs(out(1)._3 - expS2) < 1e-12, s"${out(1)._3} vs $expS2")
+    // a source mirroring the corpus mix diverges less than a skewed one
+    assert(expS1 > 0 || expS2 > 0)
+  }
+
+  test("compressionProfile: repetitive source compresses far below the " +
+      "high-entropy source, flag counts exact, ratios deterministic") {
+    import spark.implicits._
+    val rep = Array.fill(300)("spamspam").mkString(" ")
+    val varied = (1 to 300)
+      .map(i => java.lang.Long.toHexString(i * 2654435761L)).mkString(" ")
+    val docs = Seq(
+      (1L, rep, "rep"), (2L, varied, "var"), (3L, "", "var")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.compressionProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // empty doc filtered: var still has exactly one measured doc
+    assert(out("rep").getAs[Long]("n_docs") == 1L)
+    assert(out("var").getAs[Long]("n_docs") == 1L)
+    val repRatio = out("rep").getAs[Double]("avg_ratio")
+    val varRatio = out("var").getAs[Double]("avg_ratio")
+    assert(repRatio < 0.1, s"repetitive ratio $repRatio")
+    assert(varRatio > 0.3, s"high-entropy ratio $varRatio")
+    assert(repRatio > 0 && varRatio < 1.5)
+    assert(out("rep").getAs[Long]("n_high_redundancy") == 1L)
+    assert(out("var").getAs[Long]("n_high_redundancy") == 0L)
+    // zlib output is deterministic for fixed input/level: re-run equal
+    val again = TextOps.compressionProfile(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("avg_ratio")).toMap
+    assert(again("rep") == repRatio && again("var") == varRatio)
+  }
 }
