@@ -586,6 +586,15 @@ object SparkEntry {
         sampleN = 100)),
     "q127_dup_triangles" -> ((s, d) =>
       NearDup.dupGraphTriangles(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    "q128_quota_apportionment" -> ((s, d) =>
+      Curation.apportionQuota(t(s, d, "documents"), budget = 137)),
+    // day surfaces as TIMESTAMP (UTC midnight): the driver's comparator
+    // normalizes timestamps across engines but not DATE encodings.
+    "q129_rolling_active_users" -> ((s, d) =>
+      EventOps.rollingDistinctUsers(t(s, d, "events"), windowDays = 7)
+        .withColumn("day", col("day").cast("timestamp"))),
+    "q130_enumerate_corpus" -> ((s, d) =>
+      Curation.enumerateCorpus(t(s, d, "documents"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -2379,6 +2388,44 @@ object SparkEntry {
                 ELSE CAST(3 AS DOUBLE) * n_triangles / n_wedges
            END AS clustering_coeff
          FROM na, ea, ta""",
+    // Largest-remainder apportionment: integer base + top-remainder
+    // bonus seats; quotas sum to exactly the budget.
+    "q128_quota_apportionment" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs
+                    FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+         b AS (SELECT source, n_docs,
+                 (137 * n_docs) // N AS base,
+                 (137 * n_docs) % N AS rem
+               FROM c, t),
+         l AS (SELECT CAST(137 - sum(base) AS BIGINT) AS L FROM b),
+         r AS (SELECT source, n_docs, base,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM b)
+         SELECT source, n_docs,
+           CAST(base + CASE WHEN rk <= l.L THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+         FROM r, l ORDER BY source""",
+    // Coverage fan-out: each distinct (day, user) claims the 7 report
+    // days it keeps the user active on; report restricted to days
+    // that have events.
+    "q129_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         cov AS (SELECT DISTINCT ud.day + CAST(i AS INTEGER) AS day,
+                   user_id
+                 FROM ud, range(0, 7) t(i)),
+         act AS (SELECT DISTINCT day FROM ud)
+         SELECT CAST(c.day AS TIMESTAMP) AS day, count(*) AS active_users
+         FROM cov c JOIN act USING (day)
+         GROUP BY c.day ORDER BY day""",
+    // Global contiguous enumeration == row_number over the total
+    // (source, doc_id) order (the engine computes it two-phase).
+    "q130_enumerate_corpus" ->
+      """SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+             AS BIGINT) AS gid
+         FROM documents ORDER BY gid""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

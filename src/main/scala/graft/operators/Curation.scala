@@ -363,6 +363,79 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Largest-remainder apportionment of a global document budget
+    * across sources: each source's exact share B·n_s/N splits into an
+    * integer base `(B·n_s) div N` plus a remainder; the leftover
+    * `B − Σ base` seats go to the largest remainders (source
+    * tie-break). The quota table a mixture recipe computes BEFORE
+    * selecting documents (q70 takes a quota as given; this derives
+    * one): quotas sum to EXACTLY the budget — the property
+    * independent per-source rounding cannot give — and every step is
+    * integer arithmetic, so the allocation is engine- and
+    * partitioning-exact.
+    *
+    * Scale shape: one |sources|-bounded count aggregate; the ranking
+    * window runs over |sources| rows — metadata, whatever the corpus
+    * size. Products stay in LONG (B·n_s overflows past ~9e18; the
+    * DECIMAL(38,0) swap is mechanical). */
+  def apportionQuota(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    // |sources| rows, but derived from a full corpus scan — persist so
+    // the total/leftover re-reads hit the tiny aggregate, not the scan
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withTotal = counts.crossJoin(broadcast(
+      counts.agg(sum(col("n_docs")).as("_N"))))
+      .withColumn("_base", expr(s"($budget * n_docs) div _N"))
+      .withColumn("_rem", expr(s"($budget * n_docs) % _N"))
+    withTotal
+      .crossJoin(broadcast(withTotal.agg(
+        (lit(budget) - sum(col("_base"))).as("_L"))))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"),
+        (col("_base") + when(col("_rk") <= col("_L"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Contiguous global enumeration (gid = 0,1,2,… in (source, doc_id)
+    * order) WITHOUT a global single-partition window — the two-phase
+    * prefix-sum pattern: per-source row numbers run in parallel
+    * (window partitioned by source), per-source counts fold to
+    * cumulative offsets over |sources| rows (metadata), and the offset
+    * broadcasts back. Exactly row_number() over the global order, at
+    * scale a global window cannot run. Training pipelines need this
+    * for stable example ids / shard manifests (monotonically
+    * increasing ids are neither contiguous nor reproducible across
+    * partitionings).
+    *
+    * Scale shape: one shuffle on source + a broadcast offset join. A
+    * single mega-source serializes its own window partition — the
+    * documented swap is the same trick one level down: range-split
+    * the source on doc_id, enumerate per range, offset per range. */
+  def enumerateCorpus(docs: DataFrame): DataFrame = {
+    val perSource = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+    val numbered = docs.select(col("doc_id"), col("source"))
+      .withColumn("_rn", row_number().over(perSource).cast("long"))
+    // counts come from the raw scan (column-pruned to `source`), not
+    // from `numbered` — don't make the offset pass pay for the window
+    val offsets = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("_offset"))
+    numbered
+      .join(broadcast(offsets), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("_offset") + col("_rn") - 1).as("gid"))
+      .orderBy(col("gid"))
+  }
+
   def interleaveShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
     val mixed = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))

@@ -505,4 +505,39 @@ object EventOps {
         round(col("mad"), 12).as("mad"))
       .orderBy(col("event_type"))
   }
+
+  /** Trailing-`windowDays` distinct active users per calendar day (the
+    * rolling WAU/MAU report): for every day that has events, how many
+    * distinct users appeared in [day − windowDays + 1, day]. EXACT
+    * distinct over a sliding window — which no frame-based window
+    * aggregate can express (count(distinct) isn't frameable) — via
+    * coverage fan-out: each distinct (day, user) pair claims the
+    * `windowDays` report days it keeps the user active on, then one
+    * distinct + one count per day. Report days are restricted to days
+    * that actually have events (no phantom trailing days).
+    *
+    * Scale shape: the fan-out is a bounded ×windowDays map-side
+    * explode of the (day, user) DISTINCT pairs — already ≪ the event
+    * log — and both aggregates partial map-side; shuffle keys are
+    * (day, user) then day. At 100 TB the HLL swap (x01's sketch,
+    * mergeable per day-bucket) answers the same report
+    * approximately with no second distinct. */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7)
+      : DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val userDays = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val activeDays = userDays.select(col("day")).distinct()
+    userDays
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("_i"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("_i")).as("day"), col("user_id"))
+      .distinct()
+      .join(activeDays, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("day"))
+  }
 }

@@ -311,4 +311,36 @@ class CurationSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got3 == Seq(2L), s"got $got3")
   }
+
+  test("apportionQuota: largest-remainder seats, quotas sum to the " +
+      "budget exactly, remainder ties break by source name") {
+    import spark.implicits._
+    // counts 5/3/2, budget 7: shares 3.5/2.1/1.4 → bases 3/2/1,
+    // remainders 5/1/4 → the one leftover seat goes to s1
+    val docs = ((1 to 5).map(i => (i.toLong, "s1")) ++
+      (6 to 8).map(i => (i.toLong, "s2")) ++
+      (9 to 10).map(i => (i.toLong, "s3"))).toDF("doc_id", "source")
+    val out = Curation.apportionQuota(docs, budget = 7).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("quota"))).toSeq
+    assert(out == Seq(("s1", 5L, 4L), ("s2", 3L, 2L), ("s3", 2L, 1L)))
+    assert(out.map(_._3).sum == 7L)
+    // equal remainders: seat goes to the lexicographically first source
+    val tie = Seq((1L, "sa"), (2L, "sb")).toDF("doc_id", "source")
+    val out2 = Curation.apportionQuota(tie, budget = 1).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("quota"))).toSeq
+    assert(out2 == Seq(("sa", 1L), ("sb", 0L)))
+  }
+
+  test("enumerateCorpus: gid equals global row_number over " +
+      "(source, doc_id) — contiguous from zero, no gaps") {
+    import spark.implicits._
+    val docs = Seq((10L, "b"), (5L, "a"), (7L, "a"), (1L, "b"))
+      .toDF("doc_id", "source").repartition(3)
+    val out = Curation.enumerateCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("gid")))
+      .toSeq
+    assert(out == Seq((5L, "a", 0L), (7L, "a", 1L),
+      (1L, "b", 2L), (10L, "b", 3L)))
+  }
 }

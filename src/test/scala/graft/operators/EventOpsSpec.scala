@@ -267,4 +267,24 @@ class EventOpsSpec extends SparkSuite {
     val viaStats = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(viaSessionize == viaStats)
   }
+
+  test("rollingDistinctUsers: trailing-7-day distinct counts, repeat " +
+      "user counted once per window, stale days age out, no phantom " +
+      "report days") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // day 1: users 1, 2
+      (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), // day 2: user 1 again
+      (3L, ts("2024-01-09 12:00:00"))  // day 9: outside day-1/2 windows
+    ).toDF("user_id", "ts")
+    val out = EventOps.rollingDistinctUsers(ev, windowDays = 7).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("active_users")))
+      .toSeq
+    // day 1 window {1,2}; day 2 window {1,2} (user 1 NOT double-
+    // counted); day 9 window reaches back to day 3 → only user 3;
+    // days 3-8 have no events → absent
+    assert(out == Seq(("2024-01-01", 2L), ("2024-01-02", 2L),
+      ("2024-01-09", 1L)), s"got $out")
+  }
 }
