@@ -250,10 +250,18 @@ object SparkEntry {
     // ImageIO decode into luma summaries. JPEG encode bytes are
     // JVM-specific → rows-only; decode exactness pinned in
     // MultimodalSpec (known-frame goldens).
-    "x27_mjpeg_video_summary" -> ((s, d) =>
+    // Both codec stages are CPU-per-row-heavy on BYTE-tiny rows (16x16
+    // JPEGs) — the q82 precedent: byte-based partitioning (a one-row-
+    // group scan, or AQE coalescing) serializes them onto one task, so
+    // each stage gets a fixed-width repartition before the hot loop.
+    "x27_mjpeg_video_summary" -> ((s, d) => {
+      val nPart = s.sessionState.conf.numShufflePartitions
       Multimodal.videoSummary(s,
-        Multimodal.mjpegFromDocuments(s, t(s, d, "documents")).toDF())
-        .toDF().orderBy("doc_id")),
+        Multimodal.mjpegFromDocuments(s,
+          t(s, d, "documents").repartition(nPart)).toDF()
+          .repartition(nPart))
+        .toDF().orderBy("doc_id")
+    }),
     // Bloom-filter contamination (q51's 100 TB shape): train vocabulary
     // broadcast as a bitset, one-sided error — bitset hashing is
     // engine-specific → rows-only; the no-false-negative superset
@@ -595,6 +603,13 @@ object SparkEntry {
         .withColumn("day", col("day").cast("timestamp"))),
     "q130_enumerate_corpus" -> ((s, d) =>
       Curation.enumerateCorpus(t(s, d, "documents"))),
+    "q131_user_paths" -> ((s, d) =>
+      EventOps.orderedEventPaths(t(s, d, "events"), k = 8)),
+    "q132_revenue_share_hierarchy" -> ((s, d) =>
+      RelationalOps.revenueShareHierarchy(t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "q133_negative_funnel" -> ((s, d) =>
+      EventOps.negativeFunnel(t(s, d, "events"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -2426,6 +2441,54 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY source, doc_id) - 1
              AS BIGINT) AS gid
          FROM documents ORDER BY gid""",
+    // Ordered string_agg over the rank-filtered prefix; total count
+    // from the unfiltered window.
+    "q131_user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+         SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM e WHERE rn <= 8 GROUP BY user_id ORDER BY user_id""",
+    // Two-level percent-of-parent: exact DECIMAL sums window-summed
+    // over the 25-row aggregate, one double division per share.
+    "q132_revenue_share_hierarchy" ->
+      """WITH per AS (
+           SELECT r_name, n_name,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, CAST(rd AS DOUBLE) AS revenue,
+           round(CAST(rd AS DOUBLE) /
+             CAST(sum(rd) OVER (PARTITION BY r_name) AS DOUBLE), 12)
+             AS share_of_region,
+           round(CAST(rd AS DOUBLE) /
+             CAST(sum(rd) OVER () AS DOUBLE), 12) AS share_of_total
+         FROM per ORDER BY r_name, n_name""",
+    // First signup, first purchase strictly after it, error count
+    // strictly between: the no-blocker conversion match.
+    "q133_negative_funnel" ->
+      """WITH fa AS (SELECT user_id, min(ts) AS a_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         fb AS (SELECT e.user_id, fa.a_ts, min(e.ts) AS b_ts
+                FROM events e JOIN fa ON e.user_id = fa.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > fa.a_ts
+                GROUP BY e.user_id, fa.a_ts),
+         bl AS (SELECT user_id, ts FROM events
+                WHERE event_type = 'error')
+         SELECT fb.user_id, fb.a_ts, fb.b_ts,
+           CAST(count(CASE WHEN bl.ts > fb.a_ts AND bl.ts < fb.b_ts
+             THEN 1 END) AS BIGINT) AS n_blockers,
+           count(CASE WHEN bl.ts > fb.a_ts AND bl.ts < fb.b_ts
+             THEN 1 END) = 0 AS clean
+         FROM fb LEFT JOIN bl ON bl.user_id = fb.user_id
+         GROUP BY fb.user_id, fb.a_ts, fb.b_ts
+         ORDER BY fb.user_id""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

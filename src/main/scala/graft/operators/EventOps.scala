@@ -522,6 +522,74 @@ object EventOps {
     * (day, user) then day. At 100 TB the HLL swap (x01's sketch,
     * mergeable per day-bucket) answers the same report
     * approximately with no second distinct. */
+  /** Ordered event-path strings: each user's first `k` event types in
+    * (ts, event_id) order joined with '>', plus the user's TOTAL event
+    * count — the per-user journey table behind funnel/path mining
+    * (q88 counts fixed-length windows; this materializes the actual
+    * prefix). Spark has no ordered string_agg — the order is carried
+    * explicitly: collect_list of (rank, type) structs, array_sort on
+    * the rank (struct ordering is field-order), then project + join.
+    * Deterministic under ts ties via the event_id tie-break.
+    *
+    * Scale shape: one shuffle on user_id shared by both windows and
+    * the aggregate; the collect_list is k-bounded per user (the rank
+    * filter runs BEFORE the aggregate), so state never exceeds k
+    * types per user. */
+  def orderedEventPaths(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(max(col("_n")).as("n_events"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("_rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Negative-condition funnel (MATCH_RECOGNIZE's "A then B with no C
+    * between"): per user, the first `start` event, the first `finish`
+    * strictly after it, and the count of `blocker` events strictly
+    * between the two — `clean` marks conversions no blocker
+    * interrupted. The question q50's positive funnel cannot ask: q50
+    * says B followed A; this says NOTHING bad happened in between
+    * (e.g. signup → purchase with no error). Strict inequalities +
+    * min-of-type anchors make the match unique and deterministic.
+    *
+    * Scale shape: two filtered-by-type pruned aggregates (shuffle ∝
+    * that type's events, never the log), one user-keyed join between
+    * them, then a user-keyed left join against only the blocker-type
+    * slice with a conditional count — each stage's key is user_id, so
+    * AQE's skew split applies if one user dominates. */
+  def negativeFunnel(events: DataFrame, start: String = "signup",
+      finish: String = "purchase", blocker: String = "error")
+      : DataFrame = {
+    val firstA = events.filter(col("event_type") === start)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("a_ts"))
+    val firstBAfter = events.filter(col("event_type") === finish)
+      .select(col("user_id"), col("ts"))
+      .join(firstA, Seq("user_id"))
+      .filter(col("ts") > col("a_ts"))
+      .groupBy(col("user_id"), col("a_ts"))
+      .agg(min(col("ts")).as("b_ts"))
+    val blockers = events.filter(col("event_type") === blocker)
+      .select(col("user_id"), col("ts"))
+    firstBAfter
+      .join(blockers, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("a_ts"), col("b_ts"))
+      .agg(count(when(col("ts") > col("a_ts") &&
+        col("ts") < col("b_ts"), lit(1))).as("n_blockers"))
+      .withColumn("clean", col("n_blockers") === 0)
+      .orderBy(col("user_id"))
+  }
+
   def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7)
       : DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")

@@ -430,6 +430,44 @@ object RelationalOps {
       .orderBy(col("n_name"))
   }
 
+  /** Percent-of-parent hierarchical shares: customer revenue per
+    * (region, nation) with each nation's share of its region AND of
+    * the grand total — the two-level contribution drill-down (q99 is
+    * the single-level form). Both share denominators window-sum the
+    * exact DECIMAL over the 25-row aggregate (never the fact table,
+    * never order-dependent doubles); division to double happens once
+    * per row at the end.
+    *
+    * Scale shape: one fact-table aggregate on a 25-key bounded group;
+    * dims broadcast; both share windows touch only post-aggregate
+    * rows. */
+  def revenueShareHierarchy(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val per = orders
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"),
+        col("n_regionkey"))), "c_nationkey")
+      .join(broadcast(region.select(
+        col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        "n_regionkey")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("o_totalprice"))).as("_rd"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val wTotal = Window.partitionBy()
+    per.select(col("r_name"), col("n_name"),
+      col("_rd").cast("double").as("revenue"),
+      round(col("_rd").cast("double") /
+        sum(col("_rd")).over(wRegion).cast("double"), 12)
+        .as("share_of_region"),
+      round(col("_rd").cast("double") /
+        sum(col("_rd")).over(wTotal).cast("double"), 12)
+        .as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Top-k WITH TIES: every order whose price RANK is within k — the
     * "show all tied rows" semantics a plain LIMIT cannot express
     * (FETCH FIRST k ROWS WITH TIES). A global rank window over the

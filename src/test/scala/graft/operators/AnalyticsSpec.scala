@@ -131,6 +131,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("orphan_rate") == 1.0 / 3.0)
   }
 
+  test("revenueShareHierarchy: per-nation shares of region and total " +
+      "are exact; regional shares sum to 1 within each region") {
+    import spark.implicits._
+    val orders = Seq((1L, 101L, "10.00"), (2L, 102L, "30.00"),
+      (3L, 103L, "60.00"))
+      .toDF("o_orderkey", "o_custkey", "_p")
+      .withColumn("o_totalprice", col("_p").cast("double"))
+    val customer = Seq((101L, 1L), (102L, 2L), (103L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((1L, "n1", 10L), (2L, "n2", 10L), (3L, "n3", 20L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((10L, "r1"), (20L, "r2"))
+      .toDF("r_regionkey", "r_name")
+    val out = RelationalOps.revenueShareHierarchy(
+      orders, customer, nation, region).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("revenue"), r.getAs[Double]("share_of_region"),
+        r.getAs[Double]("share_of_total"))).toSeq
+    assert(out == Seq(
+      ("r1", "n1", 10.0, 0.25, 0.1),
+      ("r1", "n2", 30.0, 0.75, 0.3),
+      ("r2", "n3", 60.0, 1.0, 0.6)), s"got $out")
+  }
+
   test("modalityCoverage: matched / docs-only / vecs-only partition the " +
       "id space and the coverage ratio is exact") {
     import spark.implicits._

@@ -287,4 +287,55 @@ class EventOpsSpec extends SparkSuite {
     assert(out == Seq(("2024-01-01", 2L), ("2024-01-02", 2L),
       ("2024-01-09", 1L)), s"got $out")
   }
+
+  test("orderedEventPaths: k-prefix in (ts, event_id) order with " +
+      "same-timestamp tie-break, total count unaffected by the cut") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 7: signup and click share a timestamp — event_id orders them
+      (1L, 7L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "click", ts("2024-01-01 10:00:00")),
+      (3L, 7L, "purchase", ts("2024-01-01 11:00:00")),
+      (4L, 9L, "view", ts("2024-01-02 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.orderedEventPaths(ev, k = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+        r.getAs[String]("path"))).toSeq
+    assert(out == Seq((7L, 3L, "signup>click"), (9L, 1L, "view")),
+      s"got $out")
+  }
+
+  test("negativeFunnel: blocker between first A and first-B-after " +
+      "breaks clean; blockers after B or at exactly b_ts do not; " +
+      "users without an A→B sequence are absent") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: error strictly between → dirty
+      (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "error", ts("2024-01-01 10:30:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 2: error only AFTER the conversion → clean
+      (4L, 2L, "signup", ts("2024-01-01 10:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-01 11:00:00")),
+      (6L, 2L, "error", ts("2024-01-01 12:00:00")),
+      // user 3: purchase precedes signup, nothing after → no row
+      (7L, 3L, "purchase", ts("2024-01-01 10:00:00")),
+      (8L, 3L, "signup", ts("2024-01-01 11:00:00")),
+      // user 4: b anchors to the FIRST purchase after signup; the
+      // error sits between the two purchases, not inside the match
+      (9L, 4L, "signup", ts("2024-01-01 10:00:00")),
+      (10L, 4L, "purchase", ts("2024-01-01 10:30:00")),
+      (11L, 4L, "error", ts("2024-01-01 10:45:00")),
+      (12L, 4L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 5: error at EXACTLY b_ts — strict < keeps it out
+      (13L, 5L, "signup", ts("2024-01-01 10:00:00")),
+      (14L, 5L, "error", ts("2024-01-01 11:00:00")),
+      (15L, 5L, "purchase", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.negativeFunnel(ev).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_blockers"),
+        r.getAs[Boolean]("clean"))).toSeq
+    assert(out == Seq((1L, 1L, false), (2L, 0L, true),
+      (4L, 0L, true), (5L, 0L, true)), s"got $out")
+  }
 }
