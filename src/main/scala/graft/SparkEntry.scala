@@ -610,6 +610,19 @@ object SparkEntry {
         t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q133_negative_funnel" -> ((s, d) =>
       EventOps.negativeFunnel(t(s, d, "events"))),
+    "q134_revenue_gini" -> ((s, d) =>
+      RelationalOps.revenueGiniBySegment(t(s, d, "orders"),
+        t(s, d, "customer"))),
+    "q135_order_streaks" -> ((s, d) =>
+      RelationalOps.orderStreaks(t(s, d, "orders"))),
+    "q136_yoy_growth" -> ((s, d) =>
+      RelationalOps.yoyRevenueGrowth(t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "nation"))),
+    "q137_chi_square" -> ((s, d) =>
+      RelationalOps.chiSquareIndependence(t(s, d, "orders"),
+        t(s, d, "customer"))),
+    "q138_benford" -> ((s, d) =>
+      RelationalOps.benfordProfile(t(s, d, "orders"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -2489,6 +2502,104 @@ object SparkEntry {
          FROM fb LEFT JOIN bl ON bl.user_id = fb.user_id
          GROUP BY fb.user_id, fb.a_ts, fb.b_ts
          ORDER BY fb.user_id""",
+    // Gini by the rank formula: exact DECIMAL sums (incl. Σ i·rev),
+    // one double division per segment, round(12) absorbs last-ulp
+    // divide divergence. Tie rank order is value-invariant.
+    "q134_revenue_gini" ->
+      """WITH rev AS (
+           SELECT c_mktsegment, o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, o_custkey),
+         r AS (SELECT c_mktsegment, rev,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY rev, o_custkey) AS i
+               FROM rev)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(sum(i * rev) AS DOUBLE)
+               / (CAST(max(i) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+             - CAST(max(i) + 1 AS DOUBLE) / CAST(max(i) AS DOUBLE), 12)
+             AS gini
+         FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // Gaps-and-islands: island id = month index − rank; runs of
+    // consecutive months share one id.
+    "q135_order_streaks" ->
+      """WITH m AS (SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS m
+           FROM orders),
+         g AS (SELECT o_custkey, m,
+                 m - row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY m) AS grp
+               FROM m),
+         r AS (SELECT o_custkey, grp, count(*) AS len
+               FROM g GROUP BY o_custkey, grp)
+         SELECT o_custkey, CAST(sum(len) AS BIGINT) AS n_active_months,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+         FROM r GROUP BY o_custkey ORDER BY o_custkey""",
+    // Exact DECIMAL yearly sums; lag window over the tiny aggregate;
+    // first year NULL.
+    "q136_yoy_growth" ->
+      """WITH per AS (
+           SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, yr)
+         SELECT n_name, yr, CAST(rd AS DOUBLE) AS revenue,
+           CAST(lag(rd, 1) OVER w AS DOUBLE) AS prev_revenue,
+           round(CAST(rd - lag(rd, 1) OVER w AS DOUBLE)
+             / CAST(lag(rd, 1) OVER w AS DOUBLE), 12) AS yoy_growth
+         FROM per
+         WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+         ORDER BY n_name, yr""",
+    // Full contingency table (absent combos = observed 0 via the
+    // category cross join); Σ(O−E)²/E over ≤25 cells, round(6)
+    // absorbs double summation-order noise.
+    "q137_chi_square" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+         obs AS (SELECT seg, pri, count(*) AS o FROM j
+                 GROUP BY seg, pri),
+         f AS (SELECT s.seg, p.pri, COALESCE(o.o, 0) AS o
+               FROM (SELECT DISTINCT seg FROM j) s
+               CROSS JOIN (SELECT DISTINCT pri FROM j) p
+               LEFT JOIN obs o ON o.seg = s.seg AND o.pri = p.pri),
+         e AS (SELECT seg, pri, o,
+                 sum(o) OVER () AS n,
+                 CAST(sum(o) OVER (PARTITION BY seg) AS DOUBLE)
+                   * CAST(sum(o) OVER (PARTITION BY pri) AS DOUBLE)
+                   / CAST(sum(o) OVER () AS DOUBLE) AS ex
+               FROM f)
+         SELECT CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+             AS BIGINT) AS dof,
+           round(sum((CAST(o AS DOUBLE) - ex) * (CAST(o AS DOUBLE) - ex)
+             / ex), 6) AS chi2,
+           round(sqrt(sum((CAST(o AS DOUBLE) - ex)
+               * (CAST(o AS DOUBLE) - ex) / ex)
+             / (CAST(max(n) AS DOUBLE)
+               * (least(count(DISTINCT seg), count(DISTINCT pri)) - 1))),
+             6) AS cramers_v
+         FROM e""",
+    // First digit extracted exactly (DECIMAL ×100 → BIGINT → leading
+    // char), never via log10 of a double; expected = log10(1+1/d).
+    "q138_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(
+             CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 12)
+             AS observed,
+           round(log10(1.0 + 1.0 / digit), 12) AS expected,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+             - log10(1.0 + 1.0 / digit), 12) AS deviation
+         FROM c ORDER BY digit""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

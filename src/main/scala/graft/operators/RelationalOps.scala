@@ -579,4 +579,187 @@ object RelationalOps {
       reverse(col("p_name")).as("name_rev"),
       length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
+
+  /** Gini coefficient of per-customer revenue within each market
+    * segment — the concentration audit a data-mix planner runs before
+    * trusting a per-source quota (a segment where 1% of customers carry
+    * 90% of revenue needs different treatment than a flat one).
+    *
+    * Formula: with per-key values x sorted ascending and 1-based rank i,
+    * G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n. Ties in x make Σ(i·x_i)
+    * invariant to tie order, so the statistic is deterministic; the
+    * rank window still tie-breaks on the key for a stable plan.
+    *
+    * Scale shape: one join + partial-aggregated groupBy to per-customer
+    * revenue (the only full-data shuffle), then a rank window and final
+    * aggregate over key-cardinality data — at 100 TB the window runs
+    * per-segment on the already-reduced per-customer frame, never the
+    * fact table. All sums are exact DECIMAL; one double division per
+    * segment at the end. */
+  def revenueGiniBySegment(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val rev = orders
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), "o_custkey")
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("_rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("_rev"), col("o_custkey"))
+    rev
+      .select(col("c_mktsegment"), col("_rev"),
+        row_number().over(w).cast(LongType).as("_i"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("_rev")).cast(DoubleType).as("total_revenue"),
+        sum(col("_i") * col("_rev")).as("_iwx"),
+        sum(col("_rev")).as("_sx"),
+        max(col("_i")).as("_n"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("total_revenue"),
+        round(
+          lit(2.0) * col("_iwx").cast(DoubleType) /
+            (col("_n").cast(DoubleType) * col("_sx").cast(DoubleType)) -
+            (col("_n") + 1).cast(DoubleType) / col("_n").cast(DoubleType),
+          12).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Longest streak of consecutive active months per customer — the
+    * gaps-and-islands pattern (island id = month index − rank; runs of
+    * consecutive months share one id). The engagement-continuity signal
+    * behind churn features.
+    *
+    * Scale shape: DISTINCT (customer, month) partial-aggregates
+    * map-side to ≤ #customers·#months rows; the rank window and both
+    * follow-up aggregates run on that reduced frame, partitioned by
+    * customer — no global window, no fact-table shuffle beyond the
+    * first distinct. */
+  def orderStreaks(orders: DataFrame): DataFrame = {
+    val months = orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("_m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("_m"))
+    months
+      .withColumn("_grp", col("_m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("_grp"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("_len")).cast(LongType).as("n_active_months"),
+        max(col("_len")).cast(LongType).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Year-over-year revenue growth per nation: exact DECIMAL yearly
+    * sums, a per-nation lag window over the ≤ #nations·#years aggregate
+    * (never the fact table), one double division per row. First year's
+    * growth is NULL by construction. */
+  def yoyRevenueGrowth(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val per = orders
+      .select(col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy(col("n_name"), col("yr"))
+      .agg(sum(dec2(col("o_totalprice"))).as("_rd"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    val prev = lag(col("_rd"), 1).over(w)
+    per.select(col("n_name"), col("yr"),
+      col("_rd").cast(DoubleType).as("revenue"),
+      prev.cast(DoubleType).as("prev_revenue"),
+      round((col("_rd") - prev).cast(DoubleType) /
+        prev.cast(DoubleType), 12).as("yoy_growth"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  /** Chi-square test of independence between market segment and order
+    * priority — the "is this attribute informative or noise"
+    * pre-flight for any stratified sampling plan. Builds the FULL
+    * contingency table (absent combinations count as observed 0 via a
+    * cross join of the two tiny category lists), computes expected
+    * counts from row/column marginals, and folds Σ(O−E)²/E plus
+    * Cramér's V into one row.
+    *
+    * Determinism: counts are exact; the double fold runs over
+    * ≤ |segments|·|priorities| cells (round(6) absorbs the ~1e-13
+    * summation-order noise between engines).
+    *
+    * Scale shape: the only full-data work is the join + groupBy count;
+    * everything after operates on the category-cardinality-sized
+    * contingency frame (windows included). */
+  def chiSquareIndependence(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val joined = orders
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("seg"), col("pri"))
+    val obs = joined.groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("_o"))
+    // Tiny frames from here: the full category cross, zero-filled.
+    val cells = obs.select(col("seg")).distinct()
+      .crossJoin(broadcast(obs.select(col("pri")).distinct()))
+      .join(obs, Seq("seg", "pri"), "left")
+      .select(col("seg"), col("pri"),
+        coalesce(col("_o"), lit(0L)).as("_o"))
+    val rt = sum(col("_o")).over(Window.partitionBy(col("seg")))
+    val ct = sum(col("_o")).over(Window.partitionBy(col("pri")))
+    val n = sum(col("_o")).over(Window.partitionBy())
+    val withE = cells.select(col("seg"), col("pri"), col("_o"), n.as("_n"),
+      (rt.cast(DoubleType) * ct.cast(DoubleType) / n.cast(DoubleType))
+        .as("_e"))
+    val term = (col("_o").cast(DoubleType) - col("_e")) *
+      (col("_o").cast(DoubleType) - col("_e")) / col("_e")
+    withE
+      .agg(
+        max(col("_n")).cast(LongType).as("n_obs"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("seg")) - 1) *
+          (countDistinct(col("pri")) - 1)).cast(LongType).as("dof"),
+        sum(term).as("_chi2"),
+        least(countDistinct(col("seg")),
+          countDistinct(col("pri"))).as("_minrc"))
+      .select(col("n_obs"), col("n_cells"), col("dof"),
+        round(col("_chi2"), 6).as("chi2"),
+        round(sqrt(col("_chi2") / (col("n_obs").cast(DoubleType) *
+          (col("_minrc") - 1).cast(DoubleType))), 6).as("cramers_v"))
+  }
+
+  /** Benford first-significant-digit profile of order totals — the
+    * classic fabricated-data / corrupted-ingest detector. The first
+    * digit is extracted EXACTLY (price → DECIMAL(18,2) → ×100 → BIGINT
+    * → leading char), never via log10 of a double, so boundary values
+    * (999.995…) can't flip digits between engines.
+    *
+    * Scale shape: map-side digit extraction, a 9-group aggregate, and
+    * share/expected-frequency arithmetic over the 9-row result. */
+  def benfordProfile(orders: DataFrame): DataFrame = {
+    val digit = substring(
+      (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast(LongType).cast("string"), 1, 1).cast("int")
+    val total = Window.partitionBy()
+    orders
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast(DoubleType) /
+          sum(col("n")).over(total).cast(DoubleType), 12).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) /
+          col("digit").cast(DoubleType)), 12).as("expected"),
+        round(col("n").cast(DoubleType) /
+          sum(col("n")).over(total).cast(DoubleType) -
+          log10(lit(1.0) + lit(1.0) /
+            col("digit").cast(DoubleType)), 12).as("deviation"))
+      .orderBy(col("digit"))
+  }
 }

@@ -168,4 +168,96 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("n_vecs_only") == 1L)
     assert(r.getAs[Double]("doc_coverage") == 0.5)
   }
+
+  test("revenueGiniBySegment: flat segment gini 0; [10,30] gini 0.25 " +
+      "(matches the mean-absolute-difference definition)") {
+    import spark.implicits._
+    // seg A: two customers, 10 each (one via two 5.0 orders) -> G = 0
+    // seg B: 10 vs 30 -> mean-diff gini = 40/(2*4*20) = 0.25
+    val orders = Seq((1L, 5.0), (1L, 5.0), (2L, 10.0),
+      (3L, 10.0), (4L, 30.0)).toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = RelationalOps.revenueGiniBySegment(orders, customer)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("total_revenue"), r.getAs[Double]("gini"))).toSeq
+    assert(out == Seq(("A", 2L, 20.0, 0.0), ("B", 2L, 40.0, 0.25)),
+      s"got $out")
+  }
+
+  test("orderStreaks: islands of consecutive months; same-month orders " +
+      "collapse; year boundary Dec->Jan is consecutive") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "1996-01-05"), (1L, "1996-01-20"), // same month, one island
+      (1L, "1996-02-11"), (1L, "1996-03-02"), // Jan-Mar streak of 3
+      (1L, "1996-06-01"), // isolated month
+      (2L, "1995-12-30"), (2L, "1996-01-02") // Dec->Jan consecutive
+    ).toDF("o_custkey", "_d")
+      .withColumn("o_orderdate", to_date(col("_d")))
+    val out = RelationalOps.orderStreaks(orders).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_active_months"),
+        r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks")))
+      .toSeq
+    assert(out == Seq((1L, 4L, 3L, 2L), (2L, 2L, 2L, 1L)), s"got $out")
+  }
+
+  test("yoyRevenueGrowth: first year NULL, then exact (rev-prev)/prev") {
+    import spark.implicits._
+    val orders = Seq((1L, "1995-03-01", 100.0), (1L, "1996-07-01", 150.0),
+      (1L, "1997-02-01", 75.0))
+      .toDF("o_custkey", "_d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("_d")))
+    val customer = Seq((1L, 7L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((7L, "n1")).toDF("n_nationkey", "n_name")
+    val out = RelationalOps.yoyRevenueGrowth(orders, customer, nation)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Double]("revenue"),
+        Option(r.getAs[java.lang.Double]("yoy_growth")).map(_.toDouble)))
+      .toSeq
+    assert(out == Seq(("n1", 1995, 100.0, None),
+      ("n1", 1996, 150.0, Some(0.5)),
+      ("n1", 1997, 75.0, Some(-0.5))), s"got $out")
+  }
+
+  test("chiSquareIndependence: uniform table chi2 0; disjoint 2x2 " +
+      "chi2 = n and Cramer's V = 1 (zero cells included)") {
+    import spark.implicits._
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey",
+      "c_mktsegment")
+    // independent: both segments see both priorities equally
+    val uniform = Seq((1L, "P1"), (1L, "P2"), (2L, "P1"), (2L, "P2"))
+      .toDF("o_custkey", "o_orderpriority")
+    val u = RelationalOps.chiSquareIndependence(uniform, customer)
+      .collect().head
+    assert(u.getAs[Long]("n_obs") == 4L)
+    assert(u.getAs[Long]("n_cells") == 4L)
+    assert(u.getAs[Long]("dof") == 1L)
+    assert(u.getAs[Double]("chi2") == 0.0)
+    assert(u.getAs[Double]("cramers_v") == 0.0)
+    // perfectly associated: A only ever P1, B only ever P2 -> the two
+    // absent combos MUST enter as observed-0 cells for chi2 = n
+    val disjoint = Seq.fill(5)((1L, "P1")) ++ Seq.fill(5)((2L, "P2"))
+    val d = RelationalOps.chiSquareIndependence(
+      disjoint.toDF("o_custkey", "o_orderpriority"), customer)
+      .collect().head
+    assert(d.getAs[Long]("n_cells") == 4L)
+    assert(d.getAs[Double]("chi2") == 10.0)
+    assert(d.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("benfordProfile: exact first-digit extraction incl. the " +
+      "999.99/1000.00 boundary; expected = log10(1+1/d)") {
+    import spark.implicits._
+    val orders = Seq(123.45, 234.00, 999.99, 1000.00)
+      .toDF("o_totalprice")
+    val out = RelationalOps.benfordProfile(orders).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n"),
+        r.getAs[Double]("observed"))).toSeq
+    assert(out == Seq((1, 2L, 0.5), (2, 1L, 0.25), (9, 1L, 0.25)),
+      s"got $out")
+    val exp1 = RelationalOps.benfordProfile(orders).collect()
+      .head.getAs[Double]("expected")
+    assert(math.abs(exp1 - math.log10(2.0)) < 1e-12)
+  }
 }
