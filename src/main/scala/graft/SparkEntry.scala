@@ -623,6 +623,8 @@ object SparkEntry {
         t(s, d, "customer"))),
     "q138_benford" -> ((s, d) =>
       RelationalOps.benfordProfile(t(s, d, "orders"))),
+    "q139_ks_drift" -> ((s, d) =>
+      TextOps.ksDriftBySource(t(s, d, "documents"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -2600,6 +2602,41 @@ object SparkEntry {
            round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
              - log10(1.0 + 1.0 / digit), 12) AS deviation
          FROM c ORDER BY digit""",
+    // Two-sample KS: both step CDFs evaluated on the corpus length
+    // support; exact cumulative counts, one division per CDF value, so
+    // the argmax equality and at_len tie-break are bit-stable.
+    "q139_ks_drift" ->
+      """WITH l AS (SELECT source, CAST(length(text) AS BIGINT) AS len
+                    FROM documents),
+         sl AS (SELECT source, len, count(*) AS c FROM l
+                GROUP BY source, len),
+         cells AS (SELECT s.source, g.len, COALESCE(sl.c, 0) AS c
+                   FROM (SELECT DISTINCT source FROM l) s
+                   CROSS JOIN (SELECT DISTINCT len FROM l) g
+                   LEFT JOIN sl ON sl.source = s.source
+                     AND sl.len = g.len),
+         cum AS (SELECT source, len,
+                   sum(c) OVER (PARTITION BY source ORDER BY len)
+                     AS cums
+                 FROM cells),
+         corp AS (SELECT len, sum(c) OVER (ORDER BY len) AS cumall
+                  FROM (SELECT len, sum(c) AS c FROM sl
+                        GROUP BY len) t),
+         f AS (SELECT c.source, c.len, c.cums, p.cumall,
+                 max(c.cums) OVER (PARTITION BY c.source) AS ns,
+                 max(p.cumall) OVER () AS na
+               FROM cum c JOIN corp p USING (len)),
+         d AS (SELECT source, len, ns,
+                 abs(CAST(cums AS DOUBLE) / CAST(ns AS DOUBLE)
+                   - CAST(cumall AS DOUBLE) / CAST(na AS DOUBLE)) AS dv
+               FROM f),
+         m AS (SELECT source, len, ns, dv,
+                 max(dv) OVER (PARTITION BY source) AS md
+               FROM d)
+         SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           round(max(md), 12) AS ks_stat,
+           CAST(min(len) AS BIGINT) AS at_len
+         FROM m WHERE dv = md GROUP BY source ORDER BY source""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -1860,4 +1860,66 @@ object TextOps {
           .as("zipf_slope"))
       .orderBy(col("source"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift audit: per source, the KS
+    * statistic D = max |F_source(x) − F_corpus(x)| over document
+    * character length, plus the smallest length where the max is
+    * attained — the continuous-distribution complement to the
+    * categorical chi-square test (a source whose length CDF has
+    * drifted from the corpus needs re-weighting before mixing).
+    *
+    * Both step CDFs are evaluated on the full corpus length support
+    * (a source's CDF only jumps at its own lengths, and |F_s − F|
+    * attains its max at a jump of either function, so the union
+    * support — here the corpus support, a superset — suffices).
+    *
+    * Determinism: cumulative counts are exact longs; each CDF value is
+    * ONE correctly-rounded double division, the difference one
+    * subtraction — bit-identical across engines, so the argmax
+    * equality filter and at_len tie-break are stable. round(12) on the
+    * reported statistic.
+    *
+    * Scale shape: the only full-data work is the (source, len) count
+    * aggregate (partial map-side). Everything after — the zero-filled
+    * source×support grid, both cumulative windows, the argmax — runs
+    * on ≤ |sources|·|distinct lengths| metadata rows. The corpus
+    * cumulative window is a deliberate single-partition pass over
+    * |distinct lengths| rows (bounded: lengths, not documents); the
+    * two-phase range prefix-sum is the documented swap if support
+    * cardinality ever grows with corpus size. */
+  def ksDriftBySource(docs: DataFrame): DataFrame = {
+    val bySrcLen = docs
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("_c"))
+    val grid = bySrcLen.select(col("len")).distinct()
+    val sources = bySrcLen.select(col("source")).distinct()
+    val cells = broadcast(sources).crossJoin(grid)
+      .join(bySrcLen, Seq("source", "len"), "left")
+      .select(col("source"), col("len"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val cum = cells.select(col("source"), col("len"),
+      sum(col("_c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("len"))).as("_cums"))
+    val corp = bySrcLen.groupBy(col("len")).agg(sum(col("_c")).as("_ca"))
+      .select(col("len"),
+        sum(col("_ca")).over(Window.orderBy(col("len"))).as("_cumall"))
+    val d = cum.join(corp, "len")
+      .select(col("source"), col("len"), col("_cums"), col("_cumall"),
+        max(col("_cums")).over(Window.partitionBy(col("source")))
+          .as("_ns"),
+        max(col("_cumall")).over(Window.partitionBy()).as("_na"))
+      .select(col("source"), col("len"), col("_ns"),
+        abs(col("_cums").cast("double") / col("_ns").cast("double") -
+          col("_cumall").cast("double") / col("_na").cast("double"))
+          .as("_d"))
+    d.select(col("source"), col("len"), col("_ns"), col("_d"),
+        max(col("_d")).over(Window.partitionBy(col("source"))).as("_md"))
+      .filter(col("_d") === col("_md"))
+      .groupBy(col("source"))
+      .agg(max(col("_ns")).as("n_docs"),
+        round(max(col("_md")), 12).as("ks_stat"),
+        min(col("len")).as("at_len"))
+      .orderBy(col("source"))
+  }
 }

@@ -1317,4 +1317,28 @@ class TextOpsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getAs[Double]("avg_ratio")).toMap
     assert(again("rep") == repRatio && again("var") == varRatio)
   }
+
+  test("ksDriftBySource: hand-computed two-sample KS statistic and " +
+      "smallest-length argmax") {
+    import spark.implicits._
+    // A lengths [1,1,3], B [5]; corpus CDF 1->.5, 3->.75, 5->1
+    // F_A: 2/3, 1, 1 -> diffs 1/6, .25, 0 -> KS .25 at len 3
+    // F_B: 0, 0, 1  -> diffs .5, .75, 0 -> KS .75 at len 3
+    val docs = Seq(("A", "a"), ("A", "a"), ("A", "abc"), ("B", "abcde"))
+      .toDF("source", "text")
+    val out = TextOps.ksDriftBySource(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("ks_stat"), r.getAs[Long]("at_len"))).toSeq
+    assert(out == Seq(("A", 3L, 0.25, 3L), ("B", 1L, 0.75, 3L)),
+      s"got $out")
+  }
+
+  test("ksDriftBySource: identical distributions give KS 0 per source") {
+    import spark.implicits._
+    val docs = Seq(("A", "ab"), ("A", "abcd"), ("B", "xy"), ("B", "wxyz"))
+      .toDF("source", "text")
+    val ks = TextOps.ksDriftBySource(docs).collect()
+      .map(_.getAs[Double]("ks_stat")).toSeq
+    assert(ks == Seq(0.0, 0.0), s"got $ks")
+  }
 }
