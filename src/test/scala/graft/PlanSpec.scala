@@ -699,4 +699,57 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       _.toString.contains("label")),
       "the only window runs per label")
   }
+
+  test("q134 gini: the rank window runs on the per-customer aggregate " +
+      "(never the fact table) and partitions by segment") {
+    val df = q("q134_revenue_gini")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the rank window")
+    windows.foreach { w =>
+      assert(w.toString.contains("c_mktsegment"),
+        "rank window must partition by segment")
+      assert(w.child.toString.contains("HashAggregate"),
+        "window input must be the per-customer aggregate, not raw orders")
+    }
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
+  test("q135 streaks: every window partitions by customer — no global " +
+      "single-partition window anywhere") {
+    val df = q("q135_order_streaks")
+    df.collect()
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.toString.contains("o_custkey")),
+      "all windows must be per-customer")
+  }
+
+  test("q137 chi-square / q139 KS: the only non-equi join is the " +
+      "broadcast cross of the bounded category/support lists") {
+    for (name <- Seq("q137_chi_square", "q139_ks_drift")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must broadcast its bounded cross join")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grid construction should be a broadcast cross")
+    }
+  }
+
+  test("q138 benford: share window sees only the 9-row digit " +
+      "aggregate") {
+    val df = q("q138_benford")
+    df.collect()
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.child.toString.contains("HashAggregate")),
+      "window input must be the digit aggregate, not raw orders")
+  }
 }
