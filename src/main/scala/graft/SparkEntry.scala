@@ -625,6 +625,8 @@ object SparkEntry {
       RelationalOps.benfordProfile(t(s, d, "orders"))),
     "q139_ks_drift" -> ((s, d) =>
       TextOps.ksDriftBySource(t(s, d, "documents"))),
+    "q140_psi_drift" -> ((s, d) =>
+      TextOps.psiDriftBySource(t(s, d, "documents"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -2637,6 +2639,53 @@ object SparkEntry {
            round(max(md), 12) AS ks_stat,
            CAST(min(len) AS BIGINT) AS at_len
          FROM m WHERE dv = md GROUP BY source ORDER BY source""",
+    // PSI over exact integer decile cuts (cum*10 >= k*n, no
+    // interpolation); add-half smoothed shares; each (p-q)*ln(p/q)
+    // term rounded to 6 decimals into DECIMAL pre-sum (libm parity).
+    "q140_psi_drift" ->
+      """WITH l AS (SELECT source, CAST(length(text) AS BIGINT) AS len
+                    FROM documents),
+         sl AS (SELECT source, len, count(*) AS c FROM l
+                GROUP BY source, len),
+         corp AS (SELECT len,
+                    sum(c) OVER (ORDER BY len) AS cum,
+                    sum(c) OVER () AS n
+                  FROM (SELECT len, sum(c) AS c FROM sl
+                        GROUP BY len) t),
+         cuts AS (SELECT k, min(len) AS b
+                  FROM corp CROSS JOIN range(1, 10) r(k)
+                  WHERE cum * 10 >= k * n GROUP BY k),
+         bol AS (SELECT len,
+                   1 + sum(CASE WHEN b < len THEN 1 ELSE 0 END)
+                     AS bucket
+                 FROM corp CROSS JOIN cuts GROUP BY len),
+         sb AS (SELECT source, bucket, sum(c) AS cs
+                FROM sl JOIN bol USING (len)
+                GROUP BY source, bucket),
+         grid AS (SELECT s.source, CAST(g.k AS INTEGER) AS bucket,
+                    COALESCE(sb.cs, 0) AS cs
+                  FROM (SELECT DISTINCT source FROM l) s
+                  CROSS JOIN range(1, 11) g(k)
+                  LEFT JOIN sb ON sb.source = s.source
+                    AND sb.bucket = g.k),
+         tot AS (SELECT source, bucket, cs,
+                   sum(cs) OVER (PARTITION BY source) AS ns,
+                   sum(cs) OVER (PARTITION BY bucket) AS cb,
+                   sum(cs) OVER () AS n
+                 FROM grid),
+         terms AS (SELECT source, ns,
+             CAST(round(
+               ((CAST(cs AS DOUBLE) + 0.5) / (CAST(ns AS DOUBLE) + 5.0)
+                 - (CAST(cb AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 5.0))
+               * ln(((CAST(cs AS DOUBLE) + 0.5)
+                      / (CAST(ns AS DOUBLE) + 5.0))
+                    / ((CAST(cb AS DOUBLE) + 0.5)
+                      / (CAST(n AS DOUBLE) + 5.0))), 6)
+               AS DECIMAL(18,6)) AS term
+           FROM tot)
+         SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           CAST(sum(term) AS DOUBLE) AS psi
+         FROM terms GROUP BY source ORDER BY source""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{GraftFunctions, TextFunctions}
 
@@ -1920,6 +1921,73 @@ object TextOps {
       .agg(max(col("_ns")).as("n_docs"),
         round(max(col("_md")), 12).as("ks_stat"),
         min(col("len")).as("at_len"))
+      .orderBy(col("source"))
+  }
+
+  /** Population Stability Index per source over corpus length deciles —
+    * the production drift metric (PSI < 0.1 stable, > 0.25 drifted)
+    * that complements the chi-square (categorical) and KS (max CDF
+    * gap) audits with the bucketed-share form monitoring systems
+    * alert on.
+    *
+    * Decile cut points are EXACT integer order statistics, no
+    * interpolation: b_k = min{len : cum(len)·10 ≥ k·n} (the integer
+    * form of cum ≥ ⌈k·n/10⌉), so cuts are bit-identical across
+    * engines. Bucket of a length = 1 + #{cuts strictly below it}.
+    * Duplicate-heavy lengths can collapse buckets, so shares are
+    * add-half smoothed ((c+0.5)/(n+5)) — PSI stays finite on empty
+    * buckets. Each (p−q)·ln(p/q) term is rounded to 6 decimals INTO
+    * DECIMAL pre-sum (the q113/q125 libm-parity trick), making the
+    * fold order-independent and engine-exact.
+    *
+    * Scale shape: one (source, len) count aggregate is the only
+    * full-data work; the cumulative window, cut derivation, bucket
+    * mapping and the PSI fold all run on |distinct lens| / 10·|sources|
+    * metadata rows. */
+  def psiDriftBySource(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bySrcLen = docs
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("_c"))
+    val corp = bySrcLen.groupBy(col("len")).agg(sum(col("_c")).as("_ca"))
+      .select(col("len"),
+        sum(col("_ca")).over(Window.orderBy(col("len"))).as("_cum"))
+      .withColumn("_n", max(col("_cum")).over(Window.partitionBy()))
+    val kdf = spark.range(1, 10).select(col("id").as("k"))
+    val cuts = corp.crossJoin(broadcast(kdf))
+      .filter(col("_cum") * 10 >= col("k") * col("_n"))
+      .groupBy(col("k")).agg(min(col("len")).as("b"))
+    val bucketOfLen = corp.select(col("len")).crossJoin(broadcast(cuts))
+      .groupBy(col("len"))
+      .agg((lit(1) +
+        sum(when(col("b") < col("len"), 1).otherwise(0))).as("bucket"))
+    val srcBuckets = bySrcLen.join(bucketOfLen, "len")
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("_c")).as("_cs"))
+    val grid = srcBuckets.select(col("source")).distinct()
+      .crossJoin(broadcast(
+        spark.range(1, 11).select(col("id").cast("int").as("bucket"))))
+      .join(srcBuckets
+        .withColumn("bucket", col("bucket").cast("int")),
+        Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("_cs"), lit(0L)).as("_cs"))
+    val withTotals = grid.select(col("source"), col("bucket"), col("_cs"),
+      sum(col("_cs")).over(Window.partitionBy(col("source"))).as("_ns"),
+      sum(col("_cs")).over(Window.partitionBy(col("bucket"))).as("_cb"),
+      sum(col("_cs")).over(Window.partitionBy()).as("_n"))
+    val p = (col("_cs").cast("double") + lit(0.5)) /
+      (col("_ns").cast("double") + lit(5.0))
+    val q = (col("_cb").cast("double") + lit(0.5)) /
+      (col("_n").cast("double") + lit(5.0))
+    withTotals
+      .select(col("source"), col("_ns"),
+        round((p - q) * log(p / q), 6)
+          .cast(DecimalType(18, 6)).as("_term"))
+      .groupBy(col("source"))
+      .agg(max(col("_ns")).as("n_docs"),
+        sum(col("_term")).cast("double").as("psi"))
       .orderBy(col("source"))
   }
 }

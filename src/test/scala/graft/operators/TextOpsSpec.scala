@@ -1341,4 +1341,22 @@ class TextOpsSpec extends SparkSuite {
       .map(_.getAs[Double]("ks_stat")).toSeq
     assert(ks == Seq(0.0, 0.0), s"got $ks")
   }
+
+  test("psiDriftBySource: single source IS the corpus -> psi exactly 0; " +
+      "two disjoint length populations -> symmetric, drifted psi") {
+    import spark.implicits._
+    val solo = Seq(("A", "a"), ("A", "abc"), ("A", "abcde"))
+      .toDF("source", "text")
+    val s = TextOps.psiDriftBySource(solo).collect()
+    assert(s.length == 1 && s.head.getAs[Double]("psi") == 0.0 &&
+      s.head.getAs[Long]("n_docs") == 3L)
+    // A all len 1, B all len 2: by symmetry psi_A == psi_B, and the
+    // total separation must land far past the 0.25 "drifted" alarm
+    val split = (Seq.fill(5)(("A", "a")) ++ Seq.fill(5)(("B", "ab")))
+      .toDF("source", "text")
+    val out = TextOps.psiDriftBySource(split).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(out("A") == out("B"), s"symmetry: $out")
+    assert(out("A") > 0.25, s"disjoint populations must alarm: $out")
+  }
 }
