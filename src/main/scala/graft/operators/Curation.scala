@@ -203,6 +203,52 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** splitContamination's 100 TB twin — the x10/x22 trades composed at
+    * the split level: train grams never cross a shuffle as strings (or
+    * at all). Each train gram hashes to 64 bits MAP-SIDE (xxhash64)
+    * and folds into a mergeable BLOOM partial aggregate whose only
+    * shuffled bytes are the per-partition bitsets; the reduced filter
+    * broadcasts back as a scalar subquery and the 10% test slice
+    * probes it map-side — so the 90%-of-corpus train stream, q114's
+    * dominant cost, contributes ZERO shuffle rows. Error is ONE-SIDED
+    * on top of the 2⁻⁶⁴-scale hash-collision risk: blooms have no
+    * false negatives, so per-doc n_contaminated (and the rate) can
+    * only be OVERSTATED — every doc q114 flags at a given rate is
+    * flagged here too (CurationSpec pins the per-doc superset
+    * property). Reach for this when the decision is "drop if
+    * contaminated" and a small over-drop is acceptable; q114 stays the
+    * exact oracle baseline. */
+  def splitContaminationApprox(docs: DataFrame, n: Int = 8,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)
+      : DataFrame = {
+    require(n >= 1, "n must be positive")
+    val withSplit = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), n).as("_g"),
+      pmod(col("doc_id"), lit(10L)).as("_m"))
+    val bloom = withSplit.filter(col("_m") <= 7)
+      .select(explode(col("_g")).as("_gr"))
+      .select(xxhash64(col("_gr")).as("_h"))
+      .agg(graft.functions.GraftFunctions.bloomAgg(col("_h"),
+        expectedItems, numBits).as("_bf"))
+      .scalar()
+    withSplit.filter(col("_m") === 9)
+      // explode_outer keeps zero-gram docs (q114 reports them with
+      // rate 0.0); the probe runs map-side on the exploded rows and
+      // the groupBy's PARTIAL aggregate collapses them before the
+      // shuffle — per-doc partial counts, not gram rows, cross it
+      .select(col("doc_id"), explode_outer(col("_g")).as("_gr"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("_gr")).as("n_grams"),
+        count(when(graft.functions.GraftFunctions.bloomMightContain(
+          bloom, xxhash64(col("_gr"))), lit(1))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_grams").cast("double"))
+          .as("contamination_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------- retrieval / serving preparation (L102-L105)
 
   /** Overlapping token-window chunking — the RAG/serving prep step that
@@ -339,23 +385,43 @@ object Curation {
     * run. A document heavier than the step is selected exactly once
     * (never duplicated), so the sample size is ≤ sampleN.
     *
-    * Scale shape: one global cumulative-weight window (doc_id order)
-    * plus a broadcast scalar total — the q46 trade: at 100 TB swap
-    * the single-partition window for the two-phase prefix sum
-    * (range-partition on doc_id, per-range totals to the driver,
-    * per-range offset broadcast back); the selection predicate itself
-    * is map-side either way. Weight products stay in LONG here;
+    * Scale shape: the TWO-PHASE PREFIX SUM (enumerateCorpus' pattern,
+    * one level up): doc_ids split into contiguous `shardWidth` ranges,
+    * the cumulative-weight window runs PER SHARD (parallel, bounded
+    * partitions), per-shard totals fold to cumulative offsets over
+    * |shards| rows (metadata: n_docs/shardWidth), and the offset
+    * broadcasts back — the global cumulative sum is offset + local
+    * cum, bit-identical to a single global window at ANY shard width,
+    * without ever serializing the corpus through one reducer. The
+    * selection predicate itself is map-side. At corpus sizes where
+    * even |shards| outgrows one window partition, recurse: shard the
+    * shard table the same way. Weight products stay in LONG here;
     * cum·n overflows past ~9e18 — the DECIMAL(38,0) swap is
     * mechanical. */
-  def systematicWeightedSample(docs: DataFrame, sampleN: Int = 100)
-      : DataFrame = {
+  def systematicWeightedSample(docs: DataFrame, sampleN: Int = 100,
+      shardWidth: Long = 1L << 16): DataFrame = {
     require(sampleN > 0, "sampleN must be positive")
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = docs.agg(sum(col("n_chars")).as("_W"))
-    docs
+    require(shardWidth > 0, "shardWidth must be positive")
+    val base = docs
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("_cum", sum(col("n_chars")).over(w))
+      .withColumn("_shard", expr(s"doc_id div $shardWidth"))
+    val perShard = Window.partitionBy(col("_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-shard totals → exclusive cumulative offsets; the window here
+    // runs over |shards| rows only (metadata, whatever the corpus size)
+    val offsets = base.groupBy(col("_shard"))
+      .agg(sum(col("n_chars")).as("_w"))
+      .withColumn("_offset",
+        coalesce(sum(col("_w")).over(
+          Window.orderBy(col("_shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_shard"), col("_offset"))
+    val total = docs.agg(sum(col("n_chars")).as("_W"))
+    base
+      .withColumn("_lcum", sum(col("n_chars")).over(perShard))
+      .join(broadcast(offsets), Seq("_shard"))
+      .withColumn("_cum", col("_offset") + col("_lcum"))
       .crossJoin(broadcast(total))
       .filter(expr(s"(_cum * $sampleN) div _W") >
         expr(s"((_cum - n_chars) * $sampleN) div _W"))

@@ -806,14 +806,23 @@ object NearDup {
     * (etl/etl.py:441-458, first-wins); this is that semantic lifted to
     * transitive content similarity. */
   // Round bound: typical pair graphs converge in 2-5 rounds and a
-  // 200-link chain in ~8, but the label(label(u)) shortcut is a
+  // 200-link chain in ≤6 (double jump; the single-jump form took ~8 —
+  // NearDupSpec pins the bound), but the pointer-jump shortcut is a
   // HEURISTIC, not full Shiloach-Vishkin star contraction — measured on
   // a 10x replicated SemDeDup graph (15.6 k pairs), one slow tail took
-  // 22 rounds (a structure where the shortcut gains only a constant
-  // per round). 64 absorbs any such tail with margin while still
-  // crashing loudly on a genuinely pathological input; converged loops
-  // exit early, so the headroom costs nothing.
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  // 22 single-jump rounds (a structure where the shortcut gains only a
+  // constant per round; the second jump per round cuts such tails
+  // ~⅓). 64 absorbs any such tail with margin while still crashing
+  // loudly on a genuinely pathological input; converged loops exit
+  // early, so the headroom costs nothing.
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame =
+    duplicateClustersWithRounds(pairs, maxRounds)._1
+
+  /** duplicateClusters plus the number of propagation rounds the
+    * fixpoint took — exposed so NearDupSpec can pin the convergence
+    * speed of the double pointer jump on known-diameter fixtures. */
+  private[graft] def duplicateClustersWithRounds(pairs: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     // both edge orientations from ONE pass over the pair subtree (a
     // union of two projections would evaluate the — possibly expensive,
     // e.g. exact-Jaccard — pair plan twice)
@@ -850,14 +859,18 @@ object NearDup {
       // pointer jump (Shiloach-Vishkin shortcut): label(u) ← label(
       // label(u)). Every label value is itself a node id (closed by
       // induction: initials are ids, min of ids is an id), and labels
-      // only decrease, so the parent's label is ≤ ours — the jump
-      // halves chain depth each round, turning O(diameter) propagation
-      // into O(log diameter) total rounds. One equi-join per round.
-      val jumped = propagated
-        .join(propagated
-            .select(col("id").as("_pid"), col("label").as("_pl")),
+      // only decrease, so the parent's label is ≤ ours — each jump
+      // halves chain depth, so TWO jumps per round (label³) cut depth
+      // ~3× per round on chain-shaped components — the r10 10×-scale
+      // audit found a 22-round tail where the single jump gained only
+      // a constant per round. Each jump is one equi-join on ids; the
+      // repeated subtrees sit under identical shuffles, so exchange
+      // reuse keeps the round at ONE materialization of `propagated`.
+      def jump(l: DataFrame): DataFrame = l
+        .join(l.select(col("id").as("_pid"), col("label").as("_pl")),
           col("label") === col("_pid"), "left")
         .select(col("id"), coalesce(col("_pl"), col("label")).as("label"))
+      val jumped = jump(jump(propagated))
       val next = jumped.localCheckpoint(false)
       // convergence probe = the round's ONLY job: exact decimal sum of
       // the labels (decimal(38,0) cannot overflow any realistic id
@@ -879,8 +892,8 @@ object NearDup {
       s"label propagation did not converge in $maxRounds rounds — " +
         "with pointer jumping that needs a component of diameter " +
         "~2^$maxRounds; check the pair input for pathology")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id")), round)
   }
 
   /** End-to-end near-dup dedup: drop every non-canonical member of every

@@ -658,7 +658,10 @@ object RelationalOps {
   /** Year-over-year revenue growth per nation: exact DECIMAL yearly
     * sums, a per-nation lag window over the ≤ #nations·#years aggregate
     * (never the fact table), one double division per row. First year's
-    * growth is NULL by construction. */
+    * growth is NULL by construction — and so is any year whose
+    * PREDECESSOR year is absent from the data (the lag is gated on
+    * yr − lag(yr) = 1): without the gate a gap year would silently
+    * report "YoY" growth against a year 2+ earlier. */
   def yoyRevenueGrowth(orders: DataFrame, customer: DataFrame,
       nation: DataFrame): DataFrame = {
     val per = orders
@@ -672,7 +675,8 @@ object RelationalOps {
       .groupBy(col("n_name"), col("yr"))
       .agg(sum(dec2(col("o_totalprice"))).as("_rd"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
-    val prev = lag(col("_rd"), 1).over(w)
+    val adjacent = (col("yr") - lag(col("yr"), 1).over(w)) === 1
+    val prev = when(adjacent, lag(col("_rd"), 1).over(w))
     per.select(col("n_name"), col("yr"),
       col("_rd").cast(DoubleType).as("revenue"),
       prev.cast(DoubleType).as("prev_revenue"),
@@ -730,8 +734,13 @@ object RelationalOps {
           countDistinct(col("pri"))).as("_minrc"))
       .select(col("n_obs"), col("n_cells"), col("dof"),
         round(col("_chi2"), 6).as("chi2"),
-        round(sqrt(col("_chi2") / (col("n_obs").cast(DoubleType) *
-          (col("_minrc") - 1).cast(DoubleType))), 6).as("cramers_v"))
+        // min(r,c)=1 ⟹ V's denominator is 0 (a single-category
+        // attribute has no association to measure) — NULL, not the
+        // engine-dependent NULL/Inf a 0-division would give
+        when(col("_minrc") > 1,
+          round(sqrt(col("_chi2") / (col("n_obs").cast(DoubleType) *
+            (col("_minrc") - 1).cast(DoubleType))), 6))
+          .as("cramers_v"))
   }
 
   /** Benford first-significant-digit profile of order totals — the
@@ -740,14 +749,21 @@ object RelationalOps {
     * → leading char), never via log10 of a double, so boundary values
     * (999.995…) can't flip digits between engines.
     *
-    * Scale shape: map-side digit extraction, a 9-group aggregate, and
-    * share/expected-frequency arithmetic over the 9-row result. */
+    * Domain: strictly POSITIVE totals only (filtered up front) — a
+    * negative value's leading '-' fails the digit cast and a zero
+    * would hit log10(1+1/0), both engine-dependent degeneracies;
+    * Benford's law is only defined over positive magnitudes anyway.
+    *
+    * Scale shape: map-side filter + digit extraction, a 9-group
+    * aggregate, and share/expected-frequency arithmetic over the
+    * 9-row result. */
   def benfordProfile(orders: DataFrame): DataFrame = {
     val digit = substring(
       (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
         .cast(LongType).cast("string"), 1, 1).cast("int")
     val total = Window.partitionBy()
     orders
+      .filter(col("o_totalprice") > 0)
       .select(digit.as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
@@ -761,5 +777,102 @@ object RelationalOps {
           log10(lit(1.0) + lit(1.0) /
             col("digit").cast(DoubleType)), 12).as("deviation"))
       .orderBy(col("digit"))
+  }
+  /** Herfindahl-Hirschman revenue concentration per nation: each
+    * customer's revenue share within their nation, squared and summed
+    * — HHI near 1/n_customers means revenue is spread evenly, near 1
+    * means one whale dominates (the "is this segment's revenue
+    * durable" pre-flight, and for a data pipeline: the skew warning
+    * before partitioning by customer).
+    *
+    * Determinism: per-customer revenue is an exact DECIMAL(18,2) sum;
+    * its square rides DECIMAL exactly; the nation totals are exact;
+    * the single division per nation runs in double, round(12).
+    *
+    * Scale shape: one groupBy customer (shuffle on the natural key),
+    * a broadcast nation join, and a bounded per-nation fold. No
+    * windows, nothing driver-side. */
+  def revenueHhi(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("_r"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+    // re-narrow the per-customer sum to DECIMAL(18,2) before squaring:
+    // both engines widen a decimal SUM to precision 38, and a
+    // (38,2)×(38,2) product overflows DuckDB's decimal width — the
+    // narrow cast keeps the square exact and the types identical
+    val r18 = col("_r").cast(DecimalType(18, 2))
+    perCust
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("_r")).as("_rev"),
+        sum((r18 * r18).cast(DecimalType(38, 4))).as("_r2"))
+      .select(col("n_name"), col("n_customers"),
+        col("_rev").cast(DoubleType).as("revenue"),
+        round(col("_r2").cast(DoubleType) /
+          (col("_rev").cast(DoubleType) * col("_rev").cast(DoubleType)),
+          12).as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Order-priority mix drift by month: each month's priority
+    * distribution against the all-time distribution, reported as the
+    * month's L1 (total-variation·2) distance plus the single most
+    * over-represented priority — the composition-drift audit a
+    * training-mix pipeline runs per ingestion batch (swap month →
+    * batch, priority → source): a month whose mix diverges is the one
+    * to investigate before it skews the blend.
+    *
+    * Determinism: counts are exact; shares are single divisions of
+    * exact longs (round 12 pre-diff like the KS family); the argmax
+    * tie-breaks on priority name.
+    *
+    * Scale shape: ONE (month, priority) count aggregate touches the
+    * fact table; the global mix, the L1 fold and the argmax window
+    * all run on the ≤ |months|·|priorities| metadata frame. */
+  def priorityMixDrift(orders: DataFrame): DataFrame = {
+    // month stays TIMESTAMP (UTC midnight): the driver's comparator
+    // normalizes timestamps across engines but not DATE encodings
+    val cell = orders
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority").as("pri"))
+      .groupBy(col("month"), col("pri"))
+      .agg(count(lit(1)).as("_c"))
+    // metadata frames from here: zero-fill the month × priority grid
+    // so an absent priority counts as share 0, not a missing row
+    val grid = cell.select(col("month")).distinct()
+      .crossJoin(broadcast(cell.select(col("pri")).distinct()))
+      .join(cell, Seq("month", "pri"), "left")
+      .select(col("month"), col("pri"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val wm = Window.partitionBy(col("month"))
+    val wp = Window.partitionBy(col("pri"))
+    val wAll = Window.partitionBy()
+    val scored = grid.select(col("month"), col("pri"), col("_c"),
+      sum(col("_c")).over(wm).as("_nm"),
+      sum(col("_c")).over(wp).as("_np"),
+      sum(col("_c")).over(wAll).as("_n"))
+      .select(col("month"), col("pri"), col("_nm"),
+        round(col("_c").cast(DoubleType) /
+          col("_nm").cast(DoubleType), 12).as("_pm"),
+        round(col("_np").cast(DoubleType) /
+          col("_n").cast(DoubleType), 12).as("_pg"))
+      .withColumn("_dev", col("_pm") - col("_pg"))
+    val rk = Window.partitionBy(col("month"))
+      .orderBy(col("_dev").desc, col("pri"))
+    scored
+      .withColumn("_rk", row_number().over(rk))
+      .groupBy(col("month"))
+      .agg(max(col("_nm")).as("n_orders"),
+        round(sum(abs(col("_dev"))), 12).as("l1_drift"),
+        max(when(col("_rk") === 1, col("pri"))).as("top_over_priority"),
+        round(max(when(col("_rk") === 1, col("_dev"))), 12)
+          .as("top_over_dev"))
+      .orderBy(col("month"))
   }
 }

@@ -1990,4 +1990,185 @@ object TextOps {
         sum(col("_term")).cast("double").as("psi"))
       .orderBy(col("source"))
   }
+  // ------------------- round-11 corpus-profile family (L141-L146)
+
+  /** Lexical-richness profile per source: token total, vocabulary,
+    * type-token ratio, and the hapax fraction (share of vocabulary
+    * occurring exactly once). Rising hapax share across crawls is the
+    * classic OCR-noise / encoding-corruption smell; a falling TTR
+    * flags template flooding — the cheap per-batch audit BEFORE any
+    * expensive dedup runs.
+    *
+    * Scale shape: one (source, token) count with map-side partial
+    * aggregation (vocabulary-shaped, far sub-corpus), then a
+    * per-source fold over the vocab table. Ratios are exact integer
+    * divisions into double, round(12). */
+  def lexicalRichness(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("_n") === 1, lit(1))).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab").cast("double") /
+          col("n_tokens").cast("double"), 12).as("ttr"),
+        round(col("hapax").cast("double") /
+          col("vocab").cast("double"), 12).as("hapax_frac"))
+      .orderBy(col("source"))
+
+  /** Character-class densities per source: punctuation / digit /
+    * uppercase / whitespace counts as fractions of total characters —
+    * the quality signals a fastText-style filter keys on (markup
+    * residue shows as punctuation spikes, tables as digit spikes,
+    * shouting boilerplate as uppercase spikes).
+    *
+    * Scale shape: pure map-side counting (each class count is
+    * length(text) − length(text with the class removed) — no explode,
+    * no per-char rows) folded by one bounded per-source aggregate.
+    * The class regexes are shared verbatim with the oracle. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def classCount(pattern: String) =
+      sum((length(col("text")) -
+        length(regexp_replace(col("text"), pattern, "")))
+        .cast("long"))
+    docs
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("n_chars"),
+        classCount("[.,;:!?]").as("n_punct"),
+        classCount("[0-9]").as("n_digit"),
+        classCount("[A-Z]").as("n_upper"),
+        classCount(" ").as("n_space"))
+      .select(col("source"), col("n_chars"), col("n_punct"),
+        col("n_digit"), col("n_upper"), col("n_space"),
+        round(col("n_punct").cast("double") /
+          col("n_chars").cast("double"), 12).as("punct_density"),
+        round(col("n_digit").cast("double") /
+          col("n_chars").cast("double"), 12).as("digit_density"),
+        round(col("n_upper").cast("double") /
+          col("n_chars").cast("double"), 12).as("upper_density"))
+      .orderBy(col("source"))
+  }
+
+  /** Default stopword inventory for the profile-cosine audit: the
+    * EnMarkers plus the next most frequent English function words —
+    * FIXED list, shared with the oracle SQL. */
+  val ProfileStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by")
+
+  /** Stopword-profile cosine per source: each source's frequency
+    * vector over a fixed stopword list, scored by cosine against the
+    * corpus-wide vector. Function-word distributions are stable
+    * within a language/register and cheap to compute — a source whose
+    * profile cosine drops is drifting in language, register or
+    * boilerplate long before a vocabulary diff can say so.
+    *
+    * Scale shape: tokens filter map-side against the broadcast-tiny
+    * stoplist, fold to a (source, token) count (≤ |sources|·16 rows),
+    * and every downstream step runs on that metadata frame. Products
+    * ride DECIMAL(38,0) (counts² overflow BIGINT near 3e9 rows);
+    * the one double division per source rounds to 12. */
+  def stopwordProfileCosine(docs: DataFrame,
+      stopwords: Seq[String] = ProfileStopwords): DataFrame = {
+    require(stopwords.nonEmpty, "stopword list must not be empty")
+    val dec = DecimalType(38, 0)
+    val bySrc = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(stopwords: _*))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("_sn"))
+    val corpus = bySrc.groupBy(col("token"))
+      .agg(sum(col("_sn")).as("_cn"))
+    val cnorm = corpus.agg(
+      sum(col("_cn").cast(dec) * col("_cn").cast(dec)).as("_cc"))
+    bySrc.join(broadcast(corpus), "token")
+      .groupBy(col("source"))
+      .agg(sum(col("_sn")).as("n_stop_tokens"),
+        sum(col("_sn").cast(dec) * col("_cn").cast(dec)).as("_dot"),
+        sum(col("_sn").cast(dec) * col("_sn").cast(dec)).as("_ss"))
+      .crossJoin(broadcast(cnorm))
+      .select(col("source"), col("n_stop_tokens"),
+        round(col("_dot").cast("double") /
+          (sqrt(col("_ss").cast("double")) *
+            sqrt(col("_cc").cast("double"))), 12).as("stopword_cosine"))
+      .orderBy(col("source"))
+  }
+
+  /** Letter-distribution Shannon entropy per source over [a-z] of the
+    * lowercased text — the language/corruption fingerprint one level
+    * below tokens: natural English sits near 4.1 bits, base64 blobs
+    * and mojibake push toward uniform (log2 26 ≈ 4.7), template
+    * flooding pulls low. Complements q117/q62 (token-level) with a
+    * tokenizer-independent signal.
+    *
+    * Scale shape: 26 map-side length-difference counters folded in
+    * ONE per-source aggregate (no per-char explode — the counter for
+    * letter c is length(lower) − length(lower with c removed)); the
+    * entropy fold runs over the |sources|·26 metadata frame. Engine
+    * parity: each −p·log2 p term rounds to 6 decimals into DECIMAL
+    * pre-sum (the q140 libm discipline). */
+  def letterEntropyBySource(docs: DataFrame): DataFrame = {
+    val letters = ('a' to 'z').map(_.toString)
+    val lowered = lower(col("text"))
+    val counters = letters.map { c =>
+      sum((length(lowered) - length(replace(lowered, lit(c), lit(""))))
+        .cast("long")).as(s"_c_$c")
+    }
+    val wide = docs.groupBy(col("source"))
+      .agg(counters.head, counters.tail: _*)
+    val stacked = wide.select(col("source"),
+      explode(array(letters.map(c =>
+        struct(lit(c).as("letter"), col(s"_c_$c").as("n"))): _*)).as("_lc"))
+      .select(col("source"), col("_lc.letter").as("letter"),
+        col("_lc.n").as("n"))
+      .filter(col("n") > 0)
+    val tot = Window.partitionBy(col("source"))
+    val p = col("n").cast("double") / col("_tot").cast("double")
+    stacked
+      .withColumn("_tot", sum(col("n")).over(tot))
+      .select(col("source"), col("_tot"),
+        round(-p * log(2.0, p), 6).cast(DecimalType(18, 6)).as("_term"))
+      .groupBy(col("source"))
+      .agg(max(col("_tot")).as("n_letters"),
+        sum(col("_term")).cast("double").as("letter_entropy_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** PII-pattern density per source: counts of email-shaped, URL-
+    * shaped and long-digit-run (≥9, phone/card/ID-shaped) matches,
+    * absolute and per million characters — the pre-scrub audit that
+    * sizes q65/x20's work and flags a source whose PII rate jumps
+    * (a crawler that started ingesting contact pages). The patterns
+    * are deliberately simple enough to mean the same thing in Java
+    * regex and RE2, and are shared verbatim with the oracle.
+    *
+    * Scale shape: map-side regexp_count per row, one bounded
+    * per-source aggregate. */
+  def piiDensityBySource(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val url = "https?://[^ ]+"
+    val digitRun = "[0-9]{9,}"
+    def cnt(pattern: String) =
+      sum(regexp_count(col("text"), lit(pattern)).cast("long"))
+    val perMillion = (c: Column, chars: Column) =>
+      round(c.cast("double") * lit(1000000.0) / chars.cast("double"), 12)
+    docs
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("n_chars"),
+        cnt(email).as("n_email"),
+        cnt(url).as("n_url"),
+        cnt(digitRun).as("n_digit_run"))
+      .select(col("source"), col("n_chars"), col("n_email"),
+        col("n_url"), col("n_digit_run"),
+        perMillion(col("n_email"), col("n_chars")).as("email_per_mchar"),
+        perMillion(col("n_url"), col("n_chars")).as("url_per_mchar"),
+        perMillion(col("n_digit_run"), col("n_chars"))
+          .as("digit_run_per_mchar"))
+      .orderBy(col("source"))
+  }
 }

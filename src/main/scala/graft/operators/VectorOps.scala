@@ -271,11 +271,20 @@ object VectorOps {
     * indexing): a boundary pair still meets in one endpoint's
     * second-choice cell, at candidate cost (probes·|cell|)² per cell
     * instead of |cell|². Cluster-size skew is the |cluster|² hazard;
-    * `trainCentroids`' Lloyd steps level cells, and AQE skew-join
-    * splits what remains. */
+    * `trainCentroids`' Lloyd steps level cells, AQE skew-join splits
+    * what remains — and `maxCellFreq` (NearDup.capBandGroups
+    * semantics) BOUNDS it: a (cell) group larger than the cap is
+    * dropped before the self-join, so a degenerate cell of
+    * near-identical vectors (template embeddings, a collapsed
+    * encoder) cannot emit |cell|² candidates. AQE balances work but
+    * cannot bound candidate OUTPUT; the cap does — an explicit recall
+    * trade on pathological cells only (normal cells are untouched,
+    * and precision stays exact). */
   def semDedupPairs(emb: DataFrame, threshold: Double,
-      centroids: DataFrame, probes: Int = 2): DataFrame = {
+      centroids: DataFrame, probes: Int = 2,
+      maxCellFreq: Int = Int.MaxValue): DataFrame = {
     require(probes >= 1, "probes must be at least 1")
+    require(maxCellFreq >= 2, "maxCellFreq < 2 would drop every pair")
     // multi-assignment runs in the native TopCentroidIdxs expression —
     // one two-level loop per row inside codegen, like ivfAssign's
     // argmax (an array_sort over a transform'd struct array here would
@@ -291,9 +300,11 @@ object VectorOps {
           .as("_bi"))
       .select(col("vec_id"), col("embedding"), col("_en"),
         element_at(col("_cids"), col("_bi") + 1).as("bucket"))
-    val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+    val capped = NearDup.capBandGroups(assigned, Seq("bucket"),
+      maxCellFreq)
+    val a = capped.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("e_a"), col("_en").as("_na"))
-    val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
+    val b = capped.select(col("bucket"), col("vec_id").as("b_id"),
       col("embedding").as("e_b"), col("_en").as("_nb"))
     a.join(b, "bucket")
       .filter(col("a_id") < col("b_id"))
@@ -312,10 +323,11 @@ object VectorOps {
     * unpaired rows pass through). `centroids` defaults to the
     * Lloyd-trained codebook. */
   def semDedup(emb: DataFrame, threshold: Double,
-      centroids: Option[DataFrame] = None, probes: Int = 2): DataFrame = {
+      centroids: Option[DataFrame] = None, probes: Int = 2,
+      maxCellFreq: Int = Int.MaxValue): DataFrame = {
     val c = centroids.getOrElse(trainCentroids(emb))
     dedupEmbeddings(emb, threshold,
-      pairs = Some(semDedupPairs(emb, threshold, c, probes)))
+      pairs = Some(semDedupPairs(emb, threshold, c, probes, maxCellFreq)))
   }
 
   /** kNN label vote — the embedding-quality eval primitive: for each
@@ -867,5 +879,50 @@ object VectorOps {
         size(col("embedding")).as("_d"))
       .select(col("vec_id"), (col("_sse") / col("_d")).as("mse"))
       .orderBy(col("vec_id"))
+  }
+  /** Embedding-centroid drift per label: the cosine between each
+    * label's mean embedding and the corpus mean — the encoder-health
+    * audit a training pipeline runs per batch (swap label → source or
+    * ingestion day): a label whose centroid cosine drops is drifting
+    * away from the corpus distribution (domain shift, a re-encoded
+    * shard, a collapsed encoder), caught from sums alone before any
+    * pairwise work.
+    *
+    * Determinism: per-(label, dim) sums ride DECIMAL(28,8) (the q81
+    * discipline — float→double is exact, double→decimal rounds
+    * identically on every engine and is then order-independent);
+    * the corpus sums derive from the SAME per-label decimals, so both
+    * sides are bit-identical inputs to one rounded double fold.
+    * Cosine is scale-invariant, so sums stand in for means exactly.
+    *
+    * Scale shape: one (label, dim) partial-aggregated fold touches
+    * the vectors (≤ |labels|·dim rows out); the corpus roll-up, the
+    * broadcast join-back and the cosine fold all run on that metadata
+    * frame. */
+  def labelCentroidDrift(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val per = emb
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("dim", "val")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("val").cast("double").cast(dec)).as("_s"),
+        count(lit(1)).as("_n"))
+    val corpus = per.groupBy(col("dim"))
+      .agg(sum(col("_s")).as("_g"))
+    val gnorm = corpus.agg(
+      sum(col("_g").cast("double") * col("_g").cast("double")).as("_gg"))
+    per
+      .join(broadcast(corpus), "dim")
+      .groupBy(col("label"))
+      .agg((max(col("_n"))).as("n_vecs"),
+        sum(col("_s").cast("double") * col("_g").cast("double"))
+          .as("_dot"),
+        sum(col("_s").cast("double") * col("_s").cast("double"))
+          .as("_ss"))
+      .crossJoin(broadcast(gnorm))
+      .select(col("label"), col("n_vecs"),
+        round(col("_dot") / (sqrt(col("_ss")) * sqrt(col("_gg"))), 6)
+          .as("centroid_cosine"))
+      .orderBy(col("label"))
   }
 }

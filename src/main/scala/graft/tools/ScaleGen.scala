@@ -127,6 +127,24 @@ object ScaleGen {
         concat(lit(Boilerplate + " "), col("text")))
         .otherwise(col("text")))
 
+  /** Planted VECTOR skew — the embedding-side twin of plantSkew:
+    * replace `frac` of the vectors (vec_id mod 100, deterministic,
+    * replication-stable) with near-identical directions (a shared
+    * all-ones base plus a small multiple of the row's own embedding,
+    * so planted-planted cosines sit near 1 while planted-normal
+    * cosines stay unremarkable). Every planted vector then lands in
+    * ONE dominant SemDeDup k-means cell and one hot hyperplane-LSH
+    * (band, bits) bucket per band — the |cell|²/|bucket|² candidate
+    * pathology the maxCellFreq/maxBandFreq guards must bound
+    * (VectorOpsSpec pins exactly that). A stress input, not a
+    * scale-curve input. */
+  private[graft] def plantVectorSkew(emb: DataFrame,
+      frac: Double = 0.3): DataFrame =
+    emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(100L)) < lit((frac * 100).toLong),
+        expr("transform(embedding, x -> cast(1.0d + 0.05d * x AS float))"))
+        .otherwise(col("embedding")))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: ScaleGen <srcSfDir> <outDir> <k> [skew]")

@@ -752,4 +752,32 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       _.child.toString.contains("HashAggregate")),
       "window input must be the digit aggregate, not raw orders")
   }
+
+  test("q126 weighted sample: no data-sized window is unpartitioned — " +
+      "the corpus cumsum runs per shard; the only global window sits " +
+      "on the |shards| aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val df = q("q126_weighted_sample")
+    df.collect()
+    val lp = df.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the two-phase prefix sum needs windows")
+    val unpartitionedOverData = windows.filter(w =>
+      w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case _: Aggregate => () }.isEmpty)
+    assert(unpartitionedOverData.isEmpty,
+      "an unpartitioned window over non-aggregated input serializes " +
+        s"the corpus through one reducer: $unpartitionedOverData")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the corpus-sized cumulative window must be shard-partitioned")
+  }
+
+  test("x29 split-contamination bloom: train grams reach the probe as " +
+      "a scalar-subquery bitset — no join on the probe side, no " +
+      "train-gram shuffle") {
+    val plan = finalPlan(q("x29_split_contamination_bloom"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"probe must be map-side (bloom in a scalar subquery), got:\n$plan")
+  }
 }

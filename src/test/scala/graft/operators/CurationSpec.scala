@@ -343,4 +343,58 @@ class CurationSpec extends SparkSuite {
     assert(out == Seq((5L, "a", 0L), (7L, "a", 1L),
       (1L, "b", 2L), (10L, "b", 3L)))
   }
+
+  test("systematicWeightedSample: two-phase prefix sum is shard-width-" +
+      "invariant — widths 1/3/64/degenerate give byte-identical " +
+      "selections on gappy doc_ids crossing every boundary") {
+    import spark.implicits._
+    // deterministic pseudo-random weights, ids with gaps so shard
+    // populations are uneven and several shards are empty
+    val docs = (0 until 60).map { i =>
+      val id = i.toLong * 7 % 191 // gappy, non-monotone insert order
+      (id, s"s${id % 3}", (id * 13 % 29) + 1)
+    }.distinct.toDF("doc_id", "source", "n_chars")
+    val ref = Curation.systematicWeightedSample(docs, sampleN = 11,
+      shardWidth = Long.MaxValue) // degenerate: the single global window
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(ref.nonEmpty, "fixture must select something")
+    for (w <- Seq(1L, 3L, 64L)) {
+      val got = Curation.systematicWeightedSample(docs, sampleN = 11,
+        shardWidth = w)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      assert(got == ref, s"shardWidth=$w diverged: $got vs $ref")
+    }
+  }
+
+  test("splitContaminationApprox: per-doc superset of the exact q114 " +
+      "(no false negatives), identical doc set and n_grams") {
+    import spark.implicits._
+    val eightTok = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = (Seq(
+      (0L, eightTok + " x9 x10"),
+      (8L, "v1 v2 v3 v4 v5 v6 v7 v8"),
+      (9L, eightTok),
+      (19L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (29L, "too short"),
+      (39L, "v1 v2 v3 v4 v5 v6 v7 v8")) ++
+      // widen the gram population so the bloom is non-trivially loaded
+      (0 until 40).map(i => (40L + i,
+        (0 until 12).map(j => s"g${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val exact = Curation.splitContamination(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = Curation.splitContaminationApprox(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.map(_._1) == bloom.map(_._1),
+      "identical test-doc set in identical order")
+    assert(exact.map(_._2) == bloom.map(_._2), "n_grams must agree")
+    exact.zip(bloom).foreach { case ((id, _, e), (_, _, b)) =>
+      assert(b >= e, s"doc $id: bloom count $b under exact $e — " +
+        "a bloom filter must never produce a false negative")
+    }
+    // the known-leaked doc is flagged by both
+    assert(bloom.find(_._1 == 9L).exists(_._3 >= 1L))
+  }
 }

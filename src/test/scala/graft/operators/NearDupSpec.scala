@@ -311,16 +311,23 @@ class NearDupSpec extends SparkSuite {
   }
 
   test("duplicateClusters: a 200-node chain converges within maxRounds " +
-      "(pointer jumping gives O(log diameter), not O(diameter))") {
+      "(pointer jumping gives O(log diameter), not O(diameter)) — and " +
+      "the DOUBLE jump (label³) lands it in ≤6 rounds") {
     import spark.implicits._
     // pure neighbor-min propagation would need 199 rounds — far over
-    // the default 20; the jump must collapse it
+    // the bound; the jump must collapse it. The single label(label(u))
+    // jump took ~8 rounds on this fixture; two jumps per round cut
+    // chain depth ~3× per round and must land within 6 (incl. the
+    // final no-change confirmation round).
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val clusters = NearDup.duplicateClusters(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+    val (df, rounds) = NearDup.duplicateClustersWithRounds(chain)
+    val clusters = df.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(clusters.length == 200)
     assert(clusters.forall(_._2 == 0L),
       s"all chain nodes must resolve to 0, got ${clusters.take(5).toSeq}")
+    assert(rounds <= 6,
+      s"double pointer jump must resolve a 200-chain in ≤6 rounds, " +
+        s"took $rounds")
   }
 
   test("duplicateClusters: empty pair set yields empty output") {

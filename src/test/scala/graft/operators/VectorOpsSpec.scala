@@ -707,4 +707,114 @@ class VectorOpsSpec extends SparkSuite
     val bal = vecDf((0 until 6).map(i => (i.toLong, Seq(1.0f), i % 3)))
     assert(VectorOps.rebalanceLabels(bal).count() == 6L)
   }
+
+  // ---- planted VECTOR skew stress (VERDICT r10 next-round #4) -------
+  // plantVectorSkew drops 30% of the corpus into ONE near-identical
+  // direction — a collapsed-encoder/template-embedding pathology: all
+  // planted vectors share one dominant SemDeDup cell and one hot
+  // hyperplane-LSH bucket per band, so uncapped pair mining is
+  // C(0.3N, 2) candidates inside single groups. The guards
+  // (maxCellFreq / maxBandFreq) must bound the candidate OUTPUT and
+  // keep wall-time comparable to an unskewed corpus of the same size,
+  // while true dup pairs in NORMAL cells survive.
+
+  /** `n` decorrelated deterministic vectors (dim 8); ids ≡ 99 (mod
+    * 100) come in byte-identical sentinel pairs — true dups in normal
+    * cells the guarded run must still find. `skewed` plants the
+    * dominant direction on vec_id mod 100 < 30. */
+  private def skewEmb(n: Int, skewed: Boolean): DataFrame = {
+    val nSent = 4
+    val rows = (0 until n).map { i =>
+      // deterministic well-mixed direction per id (a linear map
+      // without mixing makes consecutive ids near-TRANSLATES of each
+      // other — spurious high-cosine pairs that polluted the first
+      // cut of this fixture)
+      val rnd = new scala.util.Random(7919L * i)
+      val v = (0 until 8).map(_ => rnd.nextFloat() * 2.0f - 1.0f)
+      // 8 labels → 8 k-means seed centroids for the normal mass (the
+      // centroid count shapes cell sizes; one label would put the
+      // whole corpus in one "cell" and make the cap test vacuous)
+      (i.toLong, v, i % 8)
+    } ++ (0 until nSent).flatMap { p =>
+      val v = (0 until 8).map(d => -1.0f - 0.1f * ((p + d) % 3))
+      Seq((100000L + p * 100 + 99, v, 8), (200000L + p * 100 + 99, v, 8))
+    }
+    val df = vecDf(rows)
+    if (skewed) graft.tools.ScaleGen.plantVectorSkew(df) else df
+  }
+
+  private val sentinelPairs = (0 until 4)
+    .map(p => (100000L + p * 100 + 99, 200000L + p * 100 + 99)).toSet
+
+  test("planted vector skew: uncapped SemDeDup/LSH pair output explodes " +
+      "quadratically, maxCellFreq/maxBandFreq bound it, and every " +
+      "sentinel dup pair in a normal cell survives the guards") {
+    val emb = skewEmb(600, skewed = true).localCheckpoint()
+    // SemDeDup with a STALE codebook — trained before the corrupted
+    // batch arrived (the incremental-index reality): the planted
+    // direction has exactly ONE nearest stale centroid, so the whole
+    // planted mass lands in one dominant cell. (A codebook re-trained
+    // ON the skewed corpus fragments the planted ball across several
+    // converged centroids — Lloyd "levels" the pathology into
+    // cap-sized cells, which is the first line of defense the
+    // scaladoc describes; the cap is the backstop for exactly this
+    // stale/degenerate case.) probes=1 keeps each vector in its one
+    // dominant cell; multi-probe dispersal is a recall feature with
+    // per-cell work still bounded by cap².
+    val cents = VectorOps.trainCentroids(
+      skewEmb(600, skewed = false).localCheckpoint())
+    val uncapped = VectorOps.semDedupPairs(emb, 0.95, cents,
+      probes = 1).count()
+    assert(uncapped > 10000,
+      s"fixture must be skewed (uncapped SemDeDup pairs=$uncapped)")
+    val capped = VectorOps.semDedupPairs(emb, 0.95, cents,
+      probes = 1, maxCellFreq = 150)
+    val cappedPairs = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.size < uncapped / 10,
+      s"maxCellFreq must collapse the dominant cell " +
+        s"(${cappedPairs.size} vs $uncapped)")
+    assert(sentinelPairs.subsetOf(cappedPairs),
+      s"sentinel dups in normal cells must survive: " +
+        s"missing ${sentinelPairs -- cappedPairs}")
+    // hyperplane LSH: same pathology, same bound
+    val lshUncapped = VectorOps.cosineLshJoin(emb, 0.95).count()
+    assert(lshUncapped > 10000,
+      s"fixture must be skewed (uncapped LSH pairs=$lshUncapped)")
+    val lshCapped = VectorOps.cosineLshJoin(emb, 0.95, maxBandFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshCapped.size < lshUncapped / 10,
+      s"maxBandFreq must collapse the hot buckets " +
+        s"(${lshCapped.size} vs $lshUncapped)")
+    assert(sentinelPairs.subsetOf(lshCapped),
+      s"sentinel dups must survive the band cap: " +
+        s"missing ${sentinelPairs -- lshCapped}")
+  }
+
+  test("planted vector skew: guarded hot-cell run completes within 2x " +
+      "of the unskewed run of the same size") {
+    val n = 600
+    val unskewed = skewEmb(n, skewed = false).localCheckpoint()
+    val skewed = skewEmb(n, skewed = true).localCheckpoint()
+    def run(d: DataFrame): Unit = {
+      val cents = VectorOps.trainCentroids(d)
+      VectorOps.semDedupPairs(d, 0.95, cents, probes = 1,
+        maxCellFreq = 150)
+        .write.format("noop").mode("overwrite").save()
+      VectorOps.cosineLshJoin(d, 0.95, maxBandFreq = 100)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def timeMedian(d: DataFrame): Double = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); run(d); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    timeMedian(unskewed) // JIT warm-up pass
+    val base = timeMedian(unskewed)
+    val hot = timeMedian(skewed)
+    assert(hot <= base * 2.0 + 1.0,
+      s"guarded skewed run ${hot}s vs unskewed ${base}s — the caps " +
+        "must keep the hot cell from dominating wall-time")
+  }
 }
