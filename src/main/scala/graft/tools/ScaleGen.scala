@@ -145,6 +145,25 @@ object ScaleGen {
         expr("transform(embedding, x -> cast(1.0d + 0.05d * x AS float))"))
         .otherwise(col("embedding")))
 
+  /** k× replication of a relational fact table: the named KEY columns
+    * shift by copy·IdStride (so copies stay disjoint and join keys
+    * stay consistent when parent and child replicate with the same
+    * stride), every other column replicates verbatim. Dimension
+    * tables (nation, region) are NOT replicated — at scale the facts
+    * grow and the dimensions do not, which is exactly the shape the
+    * bounded-aggregate claims (q134/q137: fixed category grids over
+    * growing counts) need the curve to exercise. */
+  private[graft] def replicateKeyed(df: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= Lower.length, s"k must be in [1, 26], got $k")
+    (0 until k).map { i =>
+      df.select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) (col(c) + lit(i * IdStride)).as(c)
+        else col(c)
+      }: _*)
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: ScaleGen <srcSfDir> <outDir> <k> [skew]")
@@ -166,6 +185,21 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"wrote ${k}x embeddings to $out/embeddings.parquet")
+
+    // relational slice for the statistical-audit curve (q134/q137/...):
+    // facts replicate with consistent key shifts, dimensions pass
+    // through 1× (fixed category grids over growing counts)
+    replicateKeyed(spark.read.parquet(s"$src/orders.parquet"),
+      Seq("o_orderkey", "o_custkey"), k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicateKeyed(spark.read.parquet(s"$src/customer.parquet"),
+      Seq("c_custkey"), k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    println(s"wrote ${k}x orders/customer (+1x nation) to $out")
     spark.stop()
   }
 }
