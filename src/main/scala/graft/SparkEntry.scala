@@ -670,6 +670,19 @@ object SparkEntry {
       VectorOps.labelCentroidDrift(t(s, d, "embeddings"))),
     "q148_priority_mix_drift" -> ((s, d) =>
       RelationalOps.priorityMixDrift(t(s, d, "orders"))),
+    "q149_order_consistency" -> ((s, d) =>
+      RelationalOps.orderTotalConsistency(t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+    "q150_doc_length_outliers" -> ((s, d) =>
+      TextOps.docLengthOutliers(t(s, d, "documents"))),
+    "q151_token_novelty" -> ((s, d) =>
+      TextOps.sourceTokenNovelty(t(s, d, "documents"))),
+    "q152_embedding_norms" -> ((s, d) =>
+      VectorOps.embeddingNormProfile(t(s, d, "embeddings"))),
+    "q153_dim_variance" -> ((s, d) =>
+      VectorOps.dimVarianceProfile(t(s, d, "embeddings"))),
+    "q154_label_cohesion" -> ((s, d) =>
+      VectorOps.labelCohesion(t(s, d, "embeddings"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -772,6 +785,14 @@ object SparkEntry {
     "x26_vector_store_maintenance" -> ((s, d) =>
       graft.streaming.StreamingEmbeddingDedup.maintainStatic(
         s, t(s, d, "embeddings"), threshold = 0.45)),
+    // Streaming composition-drift monitor: each micro-batch's
+    // event_type mix audited at the door against the reference mix
+    // (q148/q140 as an ingestion alert). Temp-dir checkpoints +
+    // ledger -> rows-only; ledger==direct-computation parity and the
+    // zero-drift case pinned in StreamingSpec.
+    "x30_streaming_mix_drift" -> ((s, d) =>
+      graft.streaming.StreamingEvents.mixDriftStatic(
+        s, t(s, d, "events"), nBatches = 3)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -2916,6 +2937,144 @@ object SparkEntry {
            max(CASE WHEN rk = 1 THEN pri END) AS top_over_priority,
            round(max(CASE WHEN rk = 1 THEN dev END), 12) AS top_over_dev
          FROM r GROUP BY month ORDER BY month""",
+    // Recomputed line totals ride the ExactNum decimal widths; diffs,
+    // tolerance compare and max stay DECIMAL end to end.
+    "q149_order_consistency" ->
+      """WITH per AS (SELECT l_orderkey AS o_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(3,2))
+                 + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+           FROM lineitem GROUP BY l_orderkey),
+         j AS (SELECT o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS t, computed,
+                 abs(computed - CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS d
+               FROM orders LEFT JOIN per USING (o_orderkey))
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(CASE WHEN computed IS NULL THEN 1 END) AS BIGINT)
+             AS n_no_lineitems,
+           CAST(count(CASE WHEN computed IS NOT NULL
+             AND d > CAST(1 AS DECIMAL(10,0))
+               * CAST(0.01 AS DECIMAL(4,2)) THEN 1 END) AS BIGINT)
+             AS n_mismatch,
+           round(CAST(count(*)
+               - count(CASE WHEN computed IS NULL THEN 1 END)
+               - count(CASE WHEN computed IS NOT NULL
+                 AND d > CAST(1 AS DECIMAL(10,0))
+                   * CAST(0.01 AS DECIMAL(4,2)) THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 12) AS consistent_rate,
+           CAST(max(CASE WHEN computed IS NOT NULL THEN d END)
+             AS DOUBLE) AS max_abs_diff
+         FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Exact DECIMAL(38,0) moment sums; mean/std derive identically on
+    // both engines, so the 3-sigma boundary is bit-stable unrounded.
+    "q150_doc_length_outliers" ->
+      """WITH stats AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(length(text) AS DECIMAL(38,0))) AS DOUBLE)
+               / count(*) AS m,
+             sqrt((CAST(sum(CAST(length(text) AS DECIMAL(38,0))
+                   * CAST(length(text) AS DECIMAL(38,0))) AS DOUBLE)
+                 - CAST(sum(CAST(length(text) AS DECIMAL(38,0)))
+                     AS DOUBLE)
+                   * CAST(sum(CAST(length(text) AS DECIMAL(38,0)))
+                     AS DOUBLE) / count(*)) / count(*)) AS sd
+           FROM documents GROUP BY source)
+         SELECT d.source, max(s.n_docs) AS n_docs,
+           round(max(s.m), 12) AS mean_len,
+           round(max(s.sd), 12) AS std_len,
+           CAST(count(CASE WHEN abs(length(d.text) - s.m) > 3.0 * s.sd
+             THEN 1 END) AS BIGINT) AS n_outliers,
+           round(CAST(count(CASE WHEN abs(length(d.text) - s.m)
+               > 3.0 * s.sd THEN 1 END) AS DOUBLE)
+             / CAST(max(s.n_docs) AS DOUBLE), 12) AS outlier_rate
+         FROM documents d JOIN stats s USING (source)
+         GROUP BY d.source ORDER BY d.source""",
+    // Distinct (source, token) pairs -> token source-counts -> fold.
+    "q151_token_novelty" ->
+      """WITH st AS (SELECT DISTINCT source, t AS token
+           FROM (SELECT source, unnest(list_filter(
+                   string_split(text, ' '), x -> x != '')) AS t
+                 FROM documents)),
+         df AS (SELECT token, count(*) AS nsrc FROM st GROUP BY token)
+         SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(CASE WHEN nsrc = 1 THEN 1 END) AS BIGINT)
+             AS exclusive,
+           round(CAST(count(CASE WHEN nsrc = 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 12) AS exclusive_share
+         FROM st JOIN df USING (token)
+         GROUP BY source ORDER BY source""",
+    // Per-row norms are single doubles (same left-to-right fold the
+    // cosine family uses); the mean rounds each norm to 6 decimals
+    // into DECIMAL pre-sum for an order-independent fold.
+    "q152_embedding_norms" ->
+      """WITH n AS (SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(CASE WHEN nrm = 0.0 THEN 1 END) AS BIGINT)
+             AS n_zero,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           CAST(sum(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS mean_norm
+         FROM n GROUP BY label ORDER BY label""",
+    // Exact decimal first/second moments per dim; variance in one
+    // double expression from identical sums, round(12).
+    "q153_dim_variance" ->
+      """WITH d AS (SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS v
+           FROM embeddings),
+         m AS (SELECT CAST(dim AS BIGINT) AS dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS DECIMAL(18,8))) AS s1,
+                 sum(CAST(CAST(v AS DECIMAL(18,8))
+                   * CAST(v AS DECIMAL(18,8)) AS DECIMAL(38,16)))
+                   AS s2
+               FROM d GROUP BY dim)
+         SELECT dim, n,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             * CAST(s1 AS DOUBLE) / n) / n, 12) AS variance,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             * CAST(s1 AS DOUBLE) / n) / n < 0.0001 AS is_dead
+         FROM m ORDER BY dim""",
+    // |sum-vector|^2 vs sum of self-dots: mean pairwise dot in O(n)
+    // from the same decimal sums as q147; round(6) absorbs the
+    // dim-count double fold's order noise.
+    "q154_label_cohesion" ->
+      """WITH d AS (SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS v
+           FROM embeddings),
+         sums AS (SELECT label,
+                    sum(ds * ds) AS sumsq
+                  FROM (SELECT label, dim,
+                          CAST(sum(CAST(v AS DECIMAL(28,8)))
+                            AS DOUBLE) AS ds
+                        FROM d GROUP BY label, dim)
+                  GROUP BY label),
+         selfs AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                     sum(CAST(round(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+                       AS DECIMAL(38,16))) AS selfsum
+                   FROM embeddings GROUP BY label)
+         SELECT label, n_vecs,
+           round((sumsq - CAST(selfsum AS DOUBLE))
+             / CAST(n_vecs * (n_vecs - 1) AS DOUBLE), 6)
+             AS mean_pair_dot,
+           round(CAST(selfsum AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+             AS mean_self_dot,
+           round(((sumsq - CAST(selfsum AS DOUBLE))
+               / CAST(n_vecs * (n_vecs - 1) AS DOUBLE))
+             / (CAST(selfsum AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 6)
+             AS cohesion_ratio
+         FROM selfs JOIN sums USING (label)
+         WHERE n_vecs > 1 ORDER BY label""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** The end-to-end curation pipeline a training-data run actually
   * executes, composed from the operators this engine exposes — in the
@@ -222,12 +222,18 @@ object Curation {
       expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)
       : DataFrame = {
     require(n >= 1, "n must be positive")
+    // native distinct gram HASHES (one codegen pass per row) — never
+    // the string grams: materializing 8-token strings per position is
+    // the dominant CPU of the exact q114 (its oracle-reproducibility
+    // price); the twin rides 63-bit hashes end to end (x22's trade —
+    // same distinct-set semantics, so per-doc counts are identical
+    // modulo 2^-64-scale collisions)
     val withSplit = docs.select(col("doc_id"),
-      TextFunctions.shingles(col("text"), n).as("_g"),
+      GraftFunctions.shingleHashes(col("text"), n, Long.MaxValue)
+        .as("_g"),
       pmod(col("doc_id"), lit(10L)).as("_m"))
     val bloom = withSplit.filter(col("_m") <= 7)
-      .select(explode(col("_g")).as("_gr"))
-      .select(xxhash64(col("_gr")).as("_h"))
+      .select(explode(col("_g")).as("_h"))
       .agg(graft.functions.GraftFunctions.bloomAgg(col("_h"),
         expectedItems, numBits).as("_bf"))
       .scalar()
@@ -240,7 +246,7 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(col("_gr")).as("n_grams"),
         count(when(graft.functions.GraftFunctions.bloomMightContain(
-          bloom, xxhash64(col("_gr"))), lit(1))).as("n_contaminated"))
+          bloom, col("_gr")), lit(1))).as("n_contaminated"))
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(col("n_contaminated").cast("double") /

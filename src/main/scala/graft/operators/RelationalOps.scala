@@ -875,4 +875,52 @@ object RelationalOps {
           .as("top_over_dev"))
       .orderBy(col("month"))
   }
+  /** Order-total consistency audit: per order status, how many orders'
+    * header totals disagree with the exact recomputed sum of their
+    * line items (price·(1−disc)·(1+tax)) beyond a cent — the classic
+    * cross-table DQ invariant a warehouse checks after every load
+    * (and the FK-orphan complement: q124 finds dangling keys, this
+    * finds VALUE drift between parent and child).
+    *
+    * Determinism: the recomputed total is an exact DECIMAL fold
+    * (ExactNum widths); the header total is DECIMAL(18,2); diffs,
+    * comparisons and the max all stay in DECIMAL — no doubles until
+    * the final rate division.
+    *
+    * Scale shape: one groupBy on the child's natural key (l_orderkey)
+    * with map-side partials, one equi-join on that key (both sides
+    * key-partitioned — co-located under bucketing), one bounded
+    * per-status fold. */
+  def orderTotalConsistency(orders: DataFrame, lineitem: DataFrame,
+      toleranceCents: Int = 1): DataFrame = {
+    val DP = DecimalType(12, 2)
+    val DS = DecimalType(4, 2)
+    val one = lit(1).cast(DecimalType(3, 2))
+    val tol = lit(toleranceCents).cast(DecimalType(10, 0)) *
+      lit(0.01).cast(DecimalType(4, 2))
+    val per = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(DP) *
+        (one - col("l_discount").cast(DS)) *
+        (one + col("l_tax").cast(DS))).as("_computed"))
+    val diff = abs(col("_computed") - col("_t"))
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("_t"))
+      .join(per, Seq("o_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("_computed").isNull, lit(1)))
+          .as("n_no_lineitems"),
+        count(when(col("_computed").isNotNull && diff > tol, lit(1)))
+          .as("n_mismatch"),
+        max(when(col("_computed").isNotNull, diff))
+          .cast(DoubleType).as("max_abs_diff"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        col("n_no_lineitems"), col("n_mismatch"),
+        round((col("n_orders") - col("n_no_lineitems") -
+          col("n_mismatch")).cast(DoubleType) /
+          col("n_orders").cast(DoubleType), 12).as("consistent_rate"),
+        col("max_abs_diff"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

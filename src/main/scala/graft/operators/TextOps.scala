@@ -2171,4 +2171,74 @@ object TextOps {
           .as("digit_run_per_mchar"))
       .orderBy(col("source"))
   }
+  /** Doc-length z-score outliers per source: exact per-source mean and
+    * population std-dev from DECIMAL sums of len and len², then the
+    * count of docs beyond 3σ — the "truncated shards / concatenated
+    * crawl records" detector (length pathologies are the cheapest
+    * corruption signal, and per SOURCE because a 50 KB doc is normal
+    * in one crawl and absurd in another).
+    *
+    * Determinism: Σlen and Σlen² ride DECIMAL(38,0) (len² sums
+    * overflow BIGINT near 10¹² chars²·docs); mean/std derive from
+    * those exact sums identically on every engine, so the 3σ
+    * comparison is bit-stable without rounding at the boundary.
+    *
+    * Scale shape: one per-source aggregate for the moments + one
+    * map-side re-scan with the |sources|-row stats broadcast — the
+    * standard two-pass moment audit; no window, no per-doc shuffle. */
+  def docLengthOutliers(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val len = length(col("text")).cast("long")
+    val stats = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(len.cast(dec)).as("_s1"),
+        sum((len * len).cast(dec)).as("_s2"))
+      .select(col("source"), col("n_docs"),
+        (col("_s1").cast("double") / col("n_docs")).as("_mean"),
+        sqrt((col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") /
+            col("n_docs")) / col("n_docs")).as("_std"))
+    docs
+      .select(col("source"), len.as("_len"))
+      .join(broadcast(stats), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(max(col("_mean")), 12).as("mean_len"),
+        round(max(col("_std")), 12).as("std_len"),
+        count(when(abs(col("_len") - col("_mean")) >
+          lit(3.0) * col("_std"), lit(1))).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("mean_len"),
+        col("std_len"), col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_docs").cast("double"), 12).as("outlier_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Source token-novelty: per source, how much of its vocabulary
+    * appears in NO other source — exclusive share near 1 means the
+    * source contributes genuinely new text; near 0 means it re-crawls
+    * what other sources already provide (the acquisition-value audit
+    * run before paying for another dump of the same web).
+    *
+    * Scale shape: distinct (source, token) pairs fold with map-side
+    * partials (vocabulary-shaped); token source-counts are one more
+    * vocab-sized aggregate; the join-back keys on token over the same
+    * frames. Nothing corpus-sized past the first projection. */
+  def sourceTokenNovelty(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .distinct()
+    val df = st.groupBy(col("token"))
+      .agg(count(lit(1)).as("_nsrc"))
+    st.join(df, "token")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("_nsrc") === 1, lit(1))).as("exclusive"))
+      .select(col("source"), col("vocab"), col("exclusive"),
+        round(col("exclusive").cast("double") /
+          col("vocab").cast("double"), 12).as("exclusive_share"))
+      .orderBy(col("source"))
+  }
 }

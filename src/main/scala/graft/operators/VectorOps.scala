@@ -925,4 +925,122 @@ object VectorOps {
           .as("centroid_cosine"))
       .orderBy(col("label"))
   }
+  /** Embedding-norm profile per label: zero-vector count and the
+    * min/max/mean L2 norm — the "did a shard come back zeroed or
+    * re-scaled" check (norm distributions are tight for a healthy
+    * encoder; a bimodal or shifted profile flags a mixed-version
+    * index long before retrieval quality shows it). Complements q81
+    * (per-dimension) with the per-row magnitude view.
+    *
+    * Determinism: each row's norm is one double (identical on every
+    * engine — same left-to-right fold the oracle-checked cosine
+    * family relies on); min/max are order-independent; the MEAN
+    * rounds each norm to 6 decimals into DECIMAL pre-sum so the fold
+    * is order-independent too (the q140 discipline, applied to sqrt).
+    *
+    * Scale shape: map-side norm per row + one bounded per-label
+    * aggregate. */
+  def embeddingNormProfile(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val nrm = norm(col("embedding"))
+    emb
+      .select(col("label"), nrm.as("_n"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("_n") === 0.0, lit(1))).as("n_zero"),
+        round(min(col("_n")), 6).as("min_norm"),
+        round(max(col("_n")), 6).as("max_norm"),
+        (sum(round(col("_n"), 6).cast(dec)).cast("double") /
+          count(lit(1))).as("mean_norm"))
+      .orderBy(col("label"))
+  }
+  /** Per-dimension variance profile with dead-dimension flags: exact
+    * DECIMAL sums of x and x² per dim → population variance, plus a
+    * flag for dims whose variance sits under `deadEps` — the
+    * "collapsed/dead dimensions" audit (a dimension the encoder never
+    * varies wastes index space and distorts cosine; PQ subspace
+    * training degenerates on it). Complements q81 (min/max/mean) with
+    * the second moment.
+    *
+    * Determinism: both sums ride DECIMAL(28,8)/(38,16) (float→double
+    * exact, decimal rounding identical on every engine); variance
+    * derives from the exact sums in one double expression, round(12).
+    *
+    * Scale shape: one (dim) partial-aggregated fold over the exploded
+    * vectors; everything after runs on dim-count rows. */
+  def dimVarianceProfile(emb: DataFrame, deadEps: Double = 1e-4)
+      : DataFrame = {
+    // (18,8) not (28,8) before squaring: a (28,8) product needs width
+    // 57 and both engines rescale a 38-overflow DIFFERENTLY (observed
+    // ~1e-8 divergence); (18,8)x(18,8) -> (37,16) stays exact in both
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec2 = org.apache.spark.sql.types.DecimalType(38, 16)
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "val")))
+      .select(col("dim").cast("long").as("dim"),
+        col("val").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("_s1"),
+        sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec2))
+          .as("_s2"))
+      .select(col("dim"), col("n"),
+        round((col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") /
+            col("n")) / col("n"), 12).as("variance"),
+        ((col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") /
+            col("n")) / col("n") < lit(deadEps)).as("is_dead"))
+      .orderBy(col("dim"))
+  }
+
+  /** Intra-label cohesion WITHOUT pairwise work: the mean pairwise dot
+    * product inside a label equals (|Σv|² − Σ|v|²) / (n·(n−1)) — the
+    * norm of the sum vector against the sum of norms — so the O(n²)
+    * "how tight is this cluster" statistic folds from the SAME
+    * per-(label, dim) decimal sums the centroid audit uses, in O(n)
+    * with one bounded aggregate. Reported alongside the mean
+    * self-dot (Σ|v|²/n) so the dimensionless cohesion ratio
+    * mean-pair-dot / mean-self-dot reads like an average cosine for
+    * unit-ish embeddings. The contrastive-training health check:
+    * cohesion falling toward 0 means the label's members no longer
+    * agree.
+    *
+    * Scale shape: one (label, dim) decimal-sum fold + one per-label
+    * decimal self-dot fold; the combine runs on |labels|·dim metadata
+    * rows. Nothing pairwise anywhere. */
+  def labelCohesion(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val dec2 = org.apache.spark.sql.types.DecimalType(38, 16)
+    // Σv per (label, dim) — the sum vector, exactly
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("dim", "val")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("val").cast("double").cast(dec)).as("_s"))
+      .groupBy(col("label"))
+      .agg(sum((col("_s").cast("double") * col("_s").cast("double")))
+        .as("_sumsq")) // |Σv|² — 64-term double fold, round at the end
+    // Σ|v|² per label — per-row self-dot is one double, decimal-summed
+    val selfs = emb
+      .select(col("label"),
+        GraftFunctions.vectorDot(col("embedding"), col("embedding"))
+          .as("_d"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("_d"), 6).cast(dec2)).as("_selfsum"))
+    selfs.join(sums, "label")
+      .filter(col("n_vecs") > 1)
+      .select(col("label"), col("n_vecs"),
+        round((col("_sumsq") - col("_selfsum").cast("double")) /
+          (col("n_vecs") * (col("n_vecs") - lit(1))).cast("double"), 6)
+          .as("mean_pair_dot"),
+        round(col("_selfsum").cast("double") /
+          col("n_vecs").cast("double"), 6).as("mean_self_dot"),
+        round(((col("_sumsq") - col("_selfsum").cast("double")) /
+          (col("n_vecs") * (col("n_vecs") - lit(1))).cast("double")) /
+          (col("_selfsum").cast("double") /
+            col("n_vecs").cast("double")), 6).as("cohesion_ratio"))
+      .orderBy(col("label"))
+  }
 }

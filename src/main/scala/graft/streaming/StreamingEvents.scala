@@ -139,6 +139,95 @@ object StreamingEvents {
       }
   }
 
+  /** A drift-ledger row: one micro-batch's composition audit. */
+  case class MixDrift(batch_id: Long, n_events: Long, l1_drift: Double,
+      top_over_type: String, top_over_dev: Double)
+
+  /** Streaming composition-drift MONITOR — q148/q140 deployed as an
+    * ingestion alert: each arriving micro-batch's event_type mix is
+    * compared (L1 distance + most over-represented type) against the
+    * reference mix of the accepted history, and the verdicts append
+    * to a drift ledger. The monitor a production feed runs so a
+    * upstream change (a producer starts spamming one event type, a
+    * source flips format and floods `error`) pages BEFORE the drifted
+    * batch pollutes the blend — the streaming reading of the batch
+    * audits: q148 finds drift after the fact, this catches it at the
+    * door.
+    *
+    * Scale shape: the per-batch work is ONE |types|-bounded count
+    * aggregate of the micro-batch (collected — bounded metadata, like
+    * every fixpoint probe in this engine); the reference mix is a
+    * broadcast-tiny driver map; the ledger appends one row per batch.
+    * State is O(|types|), so the monitor runs indefinitely.
+    *
+    * Static harness (the x30 entry): the reference mix comes from the
+    * full events table, the stream replays the same events in
+    * `nBatches` deterministic event_id-mod drops through a
+    * checkpointed AvailableNow pass each, and the ledger comes back
+    * ordered. Batches ARE samples of the reference here, so measured
+    * drift is small but nonzero (sampling noise) — StreamingSpec pins
+    * the sharp properties (ledger == batch-computed L1 per slice;
+    * zero drift for a batch that exactly matches the reference). */
+  def mixDriftStatic(spark: SparkSession, events: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    require(nBatches >= 1, "nBatches must be positive")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mix_drift").toString
+    val landing = base + "/landing"
+    val ledger = base + "/ledger"
+    val ckpt = base + "/ckpt"
+    val src = events.select(col("event_id"), col("event_type"))
+    val baselineRows = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val baseTotal = baselineRows.map(_._2).sum.toDouble
+    val baseline = baselineRows.map { case (t, n) => t -> (n / baseTotal) }
+      .toMap
+    (0 until nBatches).foreach { i =>
+      src.filter(pmod(col("event_id"), lit(nBatches.toLong)) === i)
+        .write.mode("append").parquet(landing)
+      spark.readStream.schema(src.schema).parquet(landing)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ledgerRow = auditBatch(batch, batchId, baseline)
+          val sp = batch.sparkSession
+          import sp.implicits._
+          Seq(ledgerRow).toDS().write.mode("append").parquet(ledger)
+          ()
+        }
+        .start().awaitTermination()
+    }
+    spark.read.parquet(ledger).orderBy(col("batch_id"))
+  }
+
+  /** One micro-batch's audit against the reference mix — extracted so
+    * StreamingSpec can pin ledger == direct computation on a slice.
+    * The batch side is one bounded count aggregate; every type in
+    * EITHER the batch or the reference enters the L1 fold (an absent
+    * reference type in the batch contributes its full reference
+    * share; a novel type contributes its full batch share). */
+  private[streaming] def auditBatch(batch: DataFrame, batchId: Long,
+      baseline: Map[String, Double]): MixDrift = {
+    val counts = batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val types = (counts.keySet ++ baseline.keySet).toSeq.sorted
+    val devs = types.map { t =>
+      val p = if (n == 0) 0.0 else counts.getOrElse(t, 0L).toDouble / n
+      t -> (p - baseline.getOrElse(t, 0.0))
+    }
+    val l1 = devs.map { case (_, d) => math.abs(d) }.sum
+    // argmax deviation, ties to the lexicographically smallest type
+    val (topType, topDev) = devs.sortBy { case (t, d) => (-d, t) }.head
+    def r12(v: Double): Double =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)
+        .toDouble
+    MixDrift(batchId, n, r12(l1), topType, r12(topDev))
+  }
+
   private def micros(us: Long): java.sql.Timestamp =
     new java.sql.Timestamp(us / 1000L)
 }

@@ -260,4 +260,105 @@ class AnalyticsSpec extends SparkSuite {
       .head.getAs[Double]("expected")
     assert(math.abs(exp1 - math.log10(2.0)) < 1e-12)
   }
+  test("yoyRevenueGrowth: a GAP year reports NULL growth (never a " +
+      "silent compare against 2+ years earlier)") {
+    import spark.implicits._
+    val orders = Seq((1L, "1995-03-01", 100.0), (1L, "1997-02-01", 75.0))
+      .toDF("o_custkey", "_d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("_d")))
+    val customer = Seq((1L, 7L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((7L, "n1")).toDF("n_nationkey", "n_name")
+    val out = RelationalOps.yoyRevenueGrowth(orders, customer, nation)
+      .collect().map(r => (r.getInt(1),
+        Option(r.getAs[java.lang.Double]("prev_revenue")),
+        Option(r.getAs[java.lang.Double]("yoy_growth")))).toSeq
+    assert(out == Seq((1995, None, None), (1997, None, None)),
+      s"1996 is absent, so 1997 must NOT compare against 1995: $out")
+  }
+
+  test("chiSquareIndependence: single-category attribute yields NULL " +
+      "Cramer's V (denominator min(r,c)-1 = 0), not Inf/NaN") {
+    import spark.implicits._
+    val customer = Seq((1L, "A"), (2L, "A")).toDF("c_custkey",
+      "c_mktsegment")
+    val orders = Seq((1L, "P1"), (2L, "P2"))
+      .toDF("o_custkey", "o_orderpriority")
+    val r = RelationalOps.chiSquareIndependence(orders, customer)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("cramers_v")),
+      "one segment => no association to measure => NULL")
+  }
+
+  test("benfordProfile: negative and zero totals are excluded from " +
+      "the digit domain") {
+    import spark.implicits._
+    val orders = Seq(123.45, -234.00, 0.0, 911.00)
+      .toDF("o_totalprice")
+    val out = RelationalOps.benfordProfile(orders).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n"))).toSeq
+    assert(out == Seq((1, 1L), (9, 1L)),
+      s"only the two positive totals count: $out")
+  }
+
+  test("revenueHhi: hand-computed shares - 25/75 split gives 0.625, " +
+      "a single-whale nation gives 1.0") {
+    import spark.implicits._
+    val orders = Seq((1L, 10.0), (2L, 30.0), (3L, 50.0))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 7L), (2L, 7L), (3L, 8L))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((7L, "n1"), (8L, "n2"))
+      .toDF("n_nationkey", "n_name")
+    val out = RelationalOps.revenueHhi(orders, customer, nation)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("hhi"))).toSeq
+    // n1: shares 0.25/0.75 -> 0.0625 + 0.5625 = 0.625; n2: one whale
+    assert(out == Seq(("n1", 2L, 40.0, 0.625), ("n2", 1L, 50.0, 1.0)),
+      s"got $out")
+  }
+
+  test("priorityMixDrift: uniform month reports zero L1 drift; a " +
+      "skewed month reports the over-represented priority") {
+    import spark.implicits._
+    // global mix over both months: P1 3/6, P2 3/6. Month 1 matches the
+    // global mix exactly (1/2, 1/2 scaled 2x); month 2 is all P2... make
+    // month1: P1,P1,P2,P2 ; month2: P1,P2,P2 -> global P1 3/7, P2 4/7
+    val orders = Seq(
+      ("1995-01-10", "P1"), ("1995-01-15", "P1"),
+      ("1995-01-20", "P2"), ("1995-01-25", "P2"),
+      ("1995-02-10", "P1"), ("1995-02-15", "P2"), ("1995-02-20", "P2"))
+      .toDF("_d", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("_d")))
+    val out = RelationalOps.priorityMixDrift(orders).collect()
+      .map(r => (r.getAs[Long]("n_orders"), r.getAs[Double]("l1_drift"),
+        r.getAs[String]("top_over_priority"))).toSeq
+    // global: P1 3/7, P2 4/7. Jan (2/4, 2/4): dev P1 = .5-3/7 = 1/14,
+    // dev P2 = .5-4/7 = -1/14 -> L1 = 2/14; top over = P1.
+    // Feb (1/3, 2/3): dev P1 = 1/3-3/7 = -2/21, dev P2 = 2/3-4/7 =
+    // 2/21 -> L1 = 4/21; top over = P2.
+    assert(out.map(_._1) == Seq(4L, 3L))
+    assert(out.map(_._3) == Seq("P1", "P2"), s"got $out")
+    assert(math.abs(out(0)._2 - 2.0 / 14.0) < 1e-9)
+    assert(math.abs(out(1)._2 - 4.0 / 21.0) < 1e-9)
+  }
+  test("orderTotalConsistency: consistent, mismatched and " +
+      "lineitem-less orders each land in their own counter") {
+    import spark.implicits._
+    // order 1: one item 100 * (1-0.1) * (1+0.05) = 94.50 == header
+    // order 2: header off by 5.00; order 3: no lineitems at all
+    val orders = Seq((1L, "O", 94.50), (2L, "O", 100.00), (3L, "F", 7.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq((1L, 100.0, 0.10, 0.05), (2L, 100.0, 0.10, 0.05))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = RelationalOps.orderTotalConsistency(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_no_lineitems"), r.getAs[Long]("n_mismatch"),
+        r.getAs[Double]("consistent_rate"))).toSeq
+    assert(out == Seq(("F", 1L, 1L, 0L, 0.0), ("O", 2L, 0L, 1L, 0.5)),
+      s"got $out")
+    val maxDiff = RelationalOps.orderTotalConsistency(orders, lineitem)
+      .collect().find(_.getString(0) == "O").get
+      .getAs[Double]("max_abs_diff")
+    assert(maxDiff == 5.5, s"|94.50 - 100.00| = 5.50, got $maxDiff")
+  }
 }

@@ -1359,4 +1359,101 @@ class TextOpsSpec extends SparkSuite {
     assert(out("A") == out("B"), s"symmetry: $out")
     assert(out("A") > 0.25, s"disjoint populations must alarm: $out")
   }
+  test("lexicalRichness: hand-computed TTR and hapax fraction") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "a b a"), (2L, "a", "b c"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.lexicalRichness(docs).collect().head
+    // tokens: a,b,a,b,c -> n=5, vocab {a:2, b:2, c:1} -> 3, hapax {c}
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("hapax") == 1L)
+    assert(r.getAs[Double]("ttr") == 0.6)
+    assert(math.abs(r.getAs[Double]("hapax_frac") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("charClassProfile: length-diff counting matches a hand count") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "Ab 12, c!"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.charClassProfile(docs).collect().head
+    assert(r.getAs[Long]("n_chars") == 9L)
+    assert(r.getAs[Long]("n_punct") == 2L)  // , !
+    assert(r.getAs[Long]("n_digit") == 2L)
+    assert(r.getAs[Long]("n_upper") == 1L)
+    assert(r.getAs[Long]("n_space") == 2L)
+  }
+
+  test("stopwordProfileCosine: a single source IS the corpus - " +
+      "cosine exactly 1; two sources with disjoint stopword use " +
+      "score below 1") {
+    import spark.implicits._
+    val one = Seq((1L, "s", "the a of and the"))
+      .toDF("doc_id", "source", "text")
+    val r1 = TextOps.stopwordProfileCosine(one).collect().head
+    assert(r1.getAs[Long]("n_stop_tokens") == 5L)
+    assert(r1.getAs[Double]("stopword_cosine") == 1.0)
+    val two = Seq((1L, "s1", "the the the"), (2L, "s2", "of of and"))
+      .toDF("doc_id", "source", "text")
+    val r2 = TextOps.stopwordProfileCosine(two).collect()
+      .map(r => r.getAs[Double]("stopword_cosine"))
+    assert(r2.forall(c => c > 0.0 && c < 1.0), s"got ${r2.toSeq}")
+  }
+
+  test("letterEntropyBySource: single letter -> 0 bits; two balanced " +
+      "letters -> 1 bit; case-insensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "s0", "aaAA"), (2L, "s1", "abAB"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.letterEntropyBySource(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_letters"),
+        r.getAs[Double]("letter_entropy_bits"))).toSeq
+    assert(out == Seq(("s0", 4L, 0.0), ("s1", 4L, 1.0)), s"got $out")
+  }
+
+  test("piiDensityBySource: planted email/url/digit-run all counted; " +
+      "clean text counts zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "contact me at jo.doe+x@ex-ample.org or " +
+        "https://ex.org/p?q=1 ref 123456789012 ok"),
+      (2L, "s", "nothing personal here 1234")).toDF(
+      "doc_id", "source", "text")
+    val r = TextOps.piiDensityBySource(docs).collect().head
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_url") == 1L)
+    assert(r.getAs[Long]("n_digit_run") == 1L)
+  }
+  test("docLengthOutliers: a single extreme doc is the only 3-sigma " +
+      "outlier; a uniform source reports zero") {
+    import spark.implicits._
+    val docs = (Seq.fill(20)("x" * 10) :+ ("y" * 500)).zipWithIndex
+      .map { case (t, i) => (i.toLong, "s0", t) }
+    val uniform = (0 until 5).map(i => (100L + i, "s1", "z" * 10))
+    val out = TextOps.docLengthOutliers((docs ++ uniform)
+      .toDF("doc_id", "source", "text")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_outliers"))).toSeq
+    assert(out == Seq(("s0", 21L, 1L), ("s1", 5L, 0L)), s"got $out")
+  }
+
+  test("sourceTokenNovelty: exclusive vocabulary counted per source, " +
+      "shared tokens excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s0", "alpha beta shared"),
+      (2L, "s1", "gamma shared"),
+      (3L, "s1", "gamma delta")).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceTokenNovelty(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("vocab"),
+        r.getAs[Long]("exclusive"),
+        r.getAs[Double]("exclusive_share"))).toSeq
+    // s0 vocab {alpha, beta, shared} - exclusive {alpha, beta};
+    // s1 vocab {gamma, shared, delta} - exclusive {gamma, delta}
+    assert(out == Seq(("s0", 3L, 2L, round2(2.0 / 3.0)),
+      ("s1", 3L, 2L, round2(2.0 / 3.0))), s"got $out")
+  }
+
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

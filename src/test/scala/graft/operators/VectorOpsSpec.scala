@@ -817,4 +817,63 @@ class VectorOpsSpec extends SparkSuite
       s"guarded skewed run ${hot}s vs unskewed ${base}s — the caps " +
         "must keep the hot cell from dominating wall-time")
   }
+  test("labelCentroidDrift: symmetric axis labels both sit at cos 45 " +
+      "degrees from the corpus mean; a label aligned with the corpus " +
+      "mean scores 1") {
+    val emb = vecDf(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(1.0f, 1.0f), 2), (6L, Seq(1.0f, 1.0f), 2)))
+    val out = VectorOps.labelCentroidDrift(emb).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("centroid_cosine"))).toSeq
+    // corpus sum = (4, 4); labels 0/1 are axes -> cos 45deg; label 2
+    // is parallel to the mean -> 1
+    assert(out.map(_._1) == Seq(0, 1, 2))
+    assert(out.map(_._2) == Seq(2L, 2L, 2L))
+    assert(out(0)._3 == out(1)._3)
+    assert(math.abs(out(0)._3 - math.sqrt(0.5)) < 1e-6)
+    assert(out(2)._3 == 1.0)
+  }
+  test("embeddingNormProfile: zero vectors counted, 3-4-5 norms exact") {
+    val emb = vecDf(Seq(
+      (1L, Seq(3.0f, 4.0f), 0), (2L, Seq(0.0f, 0.0f), 0),
+      (3L, Seq(5.0f, 12.0f), 0)))
+    val r = VectorOps.embeddingNormProfile(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("min_norm") == 0.0)
+    assert(r.getAs[Double]("max_norm") == 13.0)
+    assert(math.abs(r.getAs[Double]("mean_norm") - 6.0) < 1e-9)
+  }
+  test("dimVarianceProfile: constant dimension flagged dead, varying " +
+      "dimension's variance exact") {
+    val emb = vecDf(Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(1.0f, 4.0f), 0),
+      (3L, Seq(1.0f, 6.0f), 0)))
+    val out = VectorOps.dimVarianceProfile(emb).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("variance"),
+        r.getAs[Boolean]("is_dead"))).toSeq
+    // dim0 constant -> var 0, dead; dim1 {2,4,6} -> pop var 8/3
+    assert(out(0) == ((0L, 0.0, true)))
+    assert(out(1)._1 == 1L && !out(1)._3)
+    assert(math.abs(out(1)._2 - 8.0 / 3.0) < 1e-9)
+  }
+
+  test("labelCohesion: identical vectors cohere at ratio 1; " +
+      "orthogonal vectors at 0; single-member labels dropped") {
+    val emb = vecDf(Seq(
+      (1L, Seq(2.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(9.0f, 9.0f), 2)))
+    val out = VectorOps.labelCohesion(emb).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("mean_pair_dot"),
+        r.getAs[Double]("mean_self_dot"),
+        r.getAs[Double]("cohesion_ratio"))).toSeq
+    // label 0: pair dot 4, self dot 4 -> ratio 1; label 1: pair dot 0;
+    // label 2: single member -> absent
+    assert(out == Seq((0, 2L, 4.0, 4.0, 1.0), (1, 2L, 0.0, 1.0, 0.0)),
+      s"got $out")
+  }
 }

@@ -630,4 +630,47 @@ class StreamingSpec extends SparkSuite {
     assert(StreamingDedup.readFoldManifest(fs, staging)
       .contains(Seq(7L, 8L, 42L)))
   }
+  test("mixDrift: a batch matching the reference mix reports zero L1; " +
+      "a flooded batch reports the flooding type; the streaming " +
+      "ledger equals the direct per-slice computation") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    val baseline = Map("view" -> 0.5, "click" -> 0.25, "error" -> 0.25)
+    // exact-match batch: 2 view, 1 click, 1 error
+    val exact = Seq("view", "view", "click", "error").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("event_id", "event_type")
+    val a = StreamingEvents.auditBatch(exact, 0L, baseline)
+    assert(a.l1_drift == 0.0 && a.n_events == 4L)
+    // flooded batch: all error
+    val flood = (0 until 4).map(i => (i.toLong, "error"))
+      .toDF("event_id", "event_type")
+    val f = StreamingEvents.auditBatch(flood, 1L, baseline)
+    assert(f.top_over_type == "error")
+    assert(math.abs(f.l1_drift - 1.5) < 1e-12) // |1-.25|+.5+.25
+    assert(math.abs(f.top_over_dev - 0.75) < 1e-12)
+    // a type absent from the reference counts its full batch share
+    val novel = Seq((0L, "view"), (1L, "purchase"))
+      .toDF("event_id", "event_type")
+    val nv = StreamingEvents.auditBatch(novel, 2L, baseline)
+    assert(nv.top_over_type == "purchase")
+    // end-to-end static harness: ledger rows == direct audit of each
+    // event_id-mod slice against the full-table mix
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+    val ledger = StreamingEvents.mixDriftStatic(spark, events, nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getString(3), r.getDouble(4))).toSeq
+    assert(ledger.map(_._1) == Seq(0L, 1L, 2L))
+    val counts = events.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum.toDouble
+    val base = counts.map { case (t, n) => t -> (n / total) }.toMap
+    (0 until 3).foreach { i =>
+      val slice = events.filter(pmod(col("event_id"), lit(3L)) === i)
+      val direct = StreamingEvents.auditBatch(slice, i.toLong, base)
+      assert(ledger(i) == ((direct.batch_id, direct.n_events,
+        direct.l1_drift, direct.top_over_type, direct.top_over_dev)),
+        s"batch $i: ledger ${ledger(i)} != direct $direct")
+    }
+  }
 }
