@@ -683,6 +683,18 @@ object SparkEntry {
       VectorOps.dimVarianceProfile(t(s, d, "embeddings"))),
     "q154_label_cohesion" -> ((s, d) =>
       VectorOps.labelCohesion(t(s, d, "embeddings"))),
+    "q155_returned_revenue" -> ((s, d) =>
+      RelationalOps.returnedItemRevenue(t(s, d, "lineitem"),
+        t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q156_promo_revenue" -> ((s, d) =>
+      RelationalOps.promoRevenueByMonth(t(s, d, "lineitem"),
+        t(s, d, "part"))),
+    "q157_small_qty_revenue" -> ((s, d) =>
+      RelationalOps.smallQuantityRevenue(t(s, d, "lineitem"),
+        t(s, d, "part"))),
+    "q158_brand_tier_revenue" -> ((s, d) =>
+      RelationalOps.brandTierRevenue(t(s, d, "lineitem"),
+        t(s, d, "part"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3075,6 +3087,67 @@ object SparkEntry {
              AS cohesion_ratio
          FROM selfs JOIN sums USING (label)
          WHERE n_vecs > 1 ORDER BY label""",
+    // TPC-H Q10 shape: returned-item revenue star, exact decimal
+    // disc-price sums, top-20.
+    "q155_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2))
+               - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    // TPC-H Q14 shape: promo share per ship month from ONE
+    // conditional-sum pass; month stays TIMESTAMP.
+    "q156_promo_revenue" ->
+      """WITH j AS (SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2))) AS disc,
+             p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT month, CAST(sum(disc) AS DOUBLE) AS revenue,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc
+             ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc
+               ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(sum(disc) AS DOUBLE), 12) AS promo_pct
+         FROM j GROUP BY month ORDER BY month""",
+    // TPC-H Q17 shape: the under-1/5-of-part-average filter is
+    // cross-multiplied (5*qty*n < sum_qty) - exact decimal, no
+    // division at the boundary.
+    "q157_small_qty_revenue" ->
+      """WITH pp AS (SELECT l_partkey, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+           FROM lineitem GROUP BY l_partkey)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN pp USING (l_partkey)
+         JOIN part ON l_partkey = p_partkey
+         WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n < sq
+         GROUP BY p_brand ORDER BY p_brand""",
+    // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity tiers, one row.
+    "q158_brand_tier_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2))
+               - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND l_quantity BETWEEN 20 AND 40)""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -923,4 +923,104 @@ object RelationalOps {
         col("max_abs_diff"))
       .orderBy(col("o_orderstatus"))
   }
+  /** TPC-H Q10 shape — top customers by revenue LOST to returns: only
+    * 'R'-flagged lineitems enter (the selective filter runs BEFORE
+    * every join and reaches the parquet scan), then the order→customer
+    * star resolves names and the top-k folds as
+    * TakeOrderedAndProject. The "who should retention call first"
+    * report, and at 100 TB the showcase that a 3-table star over a
+    * 2%-selective fact slice costs a fraction of the full scan. */
+  def returnedItemRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsumDisc(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q14 shape — promo revenue share by ship month: what
+    * fraction of each month's discounted revenue came from PROMO
+    * parts. Both numerator and denominator are exact decimal folds of
+    * the SAME join pass (one conditional sum, not two scans); the
+    * single division per month runs in double, round(12). */
+  def promoRevenueByMonth(lineitem: DataFrame, part: DataFrame)
+      : DataFrame = {
+    val DP = DecimalType(12, 2)
+    val DS = DecimalType(4, 2)
+    val one = lit(1).cast(DecimalType(3, 2))
+    val disc = col("l_extendedprice").cast(DP) *
+      (one - col("l_discount").cast(DS))
+    lineitem
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_type")),
+        "l_partkey")
+      .groupBy(col("month"))
+      .agg(sum(disc).as("_all"),
+        sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast(DecimalType(3, 2)))).as("_promo"))
+      .select(col("month"),
+        col("_all").cast(DoubleType).as("revenue"),
+        col("_promo").cast(DoubleType).as("promo_revenue"),
+        round(lit(100.0) * col("_promo").cast(DoubleType) /
+          col("_all").cast(DoubleType), 12).as("promo_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q17 shape — revenue sitting in SMALL orders: lineitems
+    * whose quantity is under 1/5 of their part's average order
+    * quantity (the "candidates for batching" spend), per brand. The
+    * correlated-subquery formulation decorrelates into one per-part
+    * aggregate joined back to the fact; the fraction compare is
+    * CROSS-MULTIPLIED (5·qty·n < Σqty) so it stays in exact decimal
+    * integer arithmetic — no division, no boundary drift between
+    * engines. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame)
+      : DataFrame = {
+    val DP = DecimalType(12, 2)
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("l_quantity").cast(DP)).as("_sq"))
+    lineitem
+      .join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast(DP) * lit(5) * col("_n") <
+        col("_sq"))
+      .join(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    * predicate (brand × size-band × quantity-band tiers): the
+    * pushdown showcase — the disjunction references both tables, but
+    * the part-only conjuncts prune the dimension before the join and
+    * the quantity bounds reach the fact scan. One-row output. */
+  def brandTierRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"), col("p_size")), "l_partkey")
+      .filter(
+        (col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(count(lit(1)).as("n_lineitems"),
+        dsumDisc(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
 }

@@ -780,4 +780,30 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
       s"probe must be map-side (bloom in a scalar subquery), got:\n$plan")
   }
+  test("q155 returned-revenue star: the returnflag filter reaches the " +
+      "lineitem scan, nation broadcasts, top-20 is TakeOrdered") {
+    val plan = finalPlan(q("q155_returned_revenue"))
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(l_returnflag,R)"),
+      s"selective filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must fold as TakeOrderedAndProject, never a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q158 brand-tier revenue: the quantity disjunct bounds reach " +
+      "the lineitem scan and the part-only conjuncts prune the " +
+      "dimension before the join") {
+    val plan = finalPlan(q("q158_brand_tier_revenue"))
+    // the OR of quantity bands implies l_quantity BETWEEN 1 AND 40 -
+    // Spark pushes at least the non-null constraint plus Or(...) over
+    // quantity to the fact scan
+    assert(plan.contains("IsNotNull(l_quantity)") ||
+      plan.contains("Or(And("),
+      s"quantity constraints should reach the fact scan:\n$plan")
+    assert(plan.contains("IsNotNull(p_brand)") ||
+      plan.contains("In(p_brand") || plan.contains("Or(And(EqualTo(p_brand"),
+      s"part conjuncts should prune the dimension scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
