@@ -695,6 +695,15 @@ object SparkEntry {
     "q158_brand_tier_revenue" -> ((s, d) =>
       RelationalOps.brandTierRevenue(t(s, d, "lineitem"),
         t(s, d, "part"))),
+    "q159_bigram_backoff" -> ((s, d) =>
+      TextOps.bigramBackoffLogProb(t(s, d, "documents"))),
+    "q160_first_touch" -> ((s, d) =>
+      EventOps.firstTouchAttribution(t(s, d, "events"),
+        touchType = "click", convType = "purchase",
+        windowMinutes = 120)),
+    "q161_idle_rich_customers" -> ((s, d) =>
+      RelationalOps.idleRichCustomers(t(s, d, "customer"),
+        t(s, d, "orders"), t(s, d, "nation"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3148,6 +3157,80 @@ object SparkEntry {
              AND l_quantity BETWEEN 10 AND 30)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
              AND l_quantity BETWEEN 20 AND 40)""",
+    // Stupid Backoff bigram LM trained on the doc_id-mod train split;
+    // log10 terms rounded to 6 decimals into DECIMAL pre-sum.
+    "q159_bigram_backoff" ->
+      """WITH doc AS (SELECT doc_id, doc_id % 10 AS m,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, m,
+                 unnest([{'w1': t[i], 'w2': t[i+1]}
+                   for i in range(1, len(t))]) AS b
+               FROM doc WHERE len(t) >= 2),
+         bg2 AS (SELECT doc_id, m, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         bi AS (SELECT w1, w2, count(*) AS b12 FROM bg2
+                WHERE m <= 7 GROUP BY w1, w2),
+         uni AS (SELECT u AS w, count(*) AS c
+                 FROM (SELECT unnest(list_filter(
+                         string_split(text, ' '), x -> x != '')) AS u
+                       FROM documents WHERE doc_id % 10 <= 7)
+                 GROUP BY u),
+         tot AS (SELECT sum(c) AS T, count(*) AS V FROM uni),
+         terms AS (SELECT doc_id, m,
+             CAST(round(CASE WHEN b12 IS NOT NULL
+               THEN log10(CAST(b12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+               ELSE log10(0.4 * (COALESCE(c2, 0) + 1)
+                 / CAST(T + V AS DOUBLE)) END, 6) AS DECIMAL(18,6))
+               AS lp
+           FROM bg2
+           LEFT JOIN bi USING (w1, w2)
+           LEFT JOIN (SELECT w AS w1, c AS c1 FROM uni) USING (w1)
+           LEFT JOIN (SELECT w AS w2, c AS c2 FROM uni) USING (w2), tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           max(CASE WHEN m <= 7 THEN 'train' WHEN m = 8
+             THEN 'validation' ELSE 'test' END) AS split,
+           CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp10
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    // First-touch attribution: per-user numeric RANGE frame finds the
+    // earliest click strictly inside the 2 h lookback; ids attach by
+    // an equi-join on (user, microsecond).
+    "q160_first_touch" ->
+      """WITH e AS (SELECT event_id, user_id, value, event_type,
+             epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT *, min(CASE WHEN event_type = 'click' THEN us
+                 END) OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 7200000000 PRECEDING AND 1 PRECEDING)
+                 AS ft_us
+               FROM e),
+         conv AS (SELECT event_id, user_id, value, us, ft_us FROM w
+                  WHERE event_type = 'purchase' AND ft_us IS NOT NULL),
+         t AS (SELECT user_id, epoch_us(ts) AS ft_us,
+                 event_id AS tid
+               FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.value,
+           min(t.tid) AS touch_event_id,
+           CAST((c.us - c.ft_us) // 1000000 AS BIGINT) AS lag_seconds
+         FROM conv c JOIN t USING (user_id, ft_us)
+         GROUP BY c.event_id, c.user_id, c.value, c.us, c.ft_us
+         ORDER BY c.event_id""",
+    // TPC-H Q22 shape: broadcast scalar average from exact decimal
+    // sums; anti join probes only the filtered survivors.
+    "q161_idle_rich_customers" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+               AS DOUBLE) / count(*) AS avgb
+           FROM customer WHERE c_acctbal > 0)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         CROSS JOIN a
+         WHERE c_acctbal > avgb
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY n_name ORDER BY n_name""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -608,4 +608,45 @@ object EventOps {
       .agg(count(lit(1)).as("active_users"))
       .orderBy(col("day"))
   }
+  /** FIRST-touch attribution — q38's mirror: for every `convType`
+    * event, the EARLIEST `touchType` event by the same user STRICTLY
+    * within the preceding `windowMinutes` (marketing's first-touch
+    * model: the touch that opened the converting journey gets the
+    * credit; q38's as-of gives last-touch). Conversions with no touch
+    * in the window drop (inner semantics, as q38).
+    *
+    * Scale shape: one per-user RANGE-frame window (numeric µs order,
+    * frame [−window, −1] — bounded lookback, linear per user) finds
+    * the first-touch timestamp; the touch ids attach by one hash
+    * join on (user, µs) against the touch slice, with a min fold in
+    * case of same-instant touches. No range join, no quadratic
+    * per-user scan. */
+  def firstTouchAttribution(events: DataFrame, touchType: String,
+      convType: String, windowMinutes: Int): DataFrame = {
+    require(windowMinutes > 0, "window must be positive")
+    val winUs = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"))
+      .rangeBetween(-winUs, -1)
+    val isTouch = col("event_type") === touchType
+    val conv = events
+      .filter(col("event_type").isin(touchType, convType))
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_ft_us", min(when(isTouch, col("_us"))).over(w))
+      .filter(col("event_type") === convType && col("_ft_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("_us"), col("_ft_us"))
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), unix_micros(col("ts")).as("_ft_us"),
+        col("event_id").as("_tid"))
+    conv
+      .join(touches, Seq("user_id", "_ft_us"))
+      .groupBy(col("event_id"), col("user_id"), col("value"),
+        col("_us"), col("_ft_us"))
+      .agg(min(col("_tid")).as("touch_event_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("touch_event_id"),
+        expr("(_us - _ft_us) div 1000000").as("lag_seconds"))
+      .orderBy(col("event_id"))
+  }
 }

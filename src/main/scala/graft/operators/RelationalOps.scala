@@ -1023,4 +1023,34 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_lineitems"),
         dsumDisc(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
+  /** TPC-H Q22 shape — high-balance customers per nation with no
+    * URGENT order: positive-balance customers above the
+    * positive-balance average who have never placed a '1-URGENT'
+    * order (the "high-value accounts the priority pipeline never
+    * touches" report; the harness data gives every customer SOME
+    * order, so the classic no-orders leg would be vacuously empty —
+    * the urgent-slice anti join keeps the exact Q22 plan shape with a
+    * non-trivial answer). The average is a broadcast scalar from
+    * exact decimal sums (deterministic boundary on every engine —
+    * account balances are 2-decimal values); the anti join's build
+    * side is pre-filtered to the urgent slice. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast(DoubleType) /
+        count(lit(1))).as("_avg"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg"))
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_balance"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -2241,4 +2241,69 @@ object TextOps {
           col("vocab").cast("double"), 12).as("exclusive_share"))
       .orderBy(col("source"))
   }
+  /** Held-out bigram LM scoring with Stupid Backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation"): train
+    * bigram/unigram counts on the TRAIN split (doc_id mod 10 ≤ 7),
+    * score EVERY document's bigrams under them — seen bigrams at
+    * log10(C(w1w2)/C(w1)), unseen ones backing off to α·(C(w2)+1)/
+    * (T+V) (add-one unigram). Held-out docs hitting the backoff is
+    * the point: the per-doc average is the fluency/novelty signal
+    * q113's unigram score cannot see (word salad with common words
+    * scores high on unigrams, low here), and the train/test gap is a
+    * leakage smell.
+    *
+    * Scale shape: bigrams build MAP-SIDE from the token array (no
+    * self-join); the LM tables are vocabulary-shaped aggregates; the
+    * scoring stream takes three vocab-table hash joins (bigram, w1,
+    * w2) — q113's shape ×3. Engine parity: each log10 term rounds to
+    * 6 decimals into DECIMAL pre-sum (q113's libm discipline). */
+  def bigramBackoffLogProb(docs: DataFrame, alpha: Double = 0.4)
+      : DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val bigrams = docs
+      .select(col("doc_id"), toks.as("_t"),
+        pmod(col("doc_id"), lit(10L)).as("_m"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), col("_m"),
+        explode(expr("transform(sequence(0, size(_t) - 2), " +
+          "i -> struct(element_at(_t, i + 1) AS w1, " +
+          "element_at(_t, i + 2) AS w2))")).as("_b"))
+      .select(col("doc_id"), col("_m"),
+        col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = bigrams.filter(col("_m") <= 7)
+    val bi = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_b12"))
+    // unigram counts over the FULL train token stream (one extra
+    // tokenize pass — simpler and standard; C(w1) ≥ C(w1, ·) always,
+    // so a seen bigram's conditional never exceeds 1)
+    val uni = docs
+      .filter(pmod(col("doc_id"), lit(10L)) <= 7)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+    val tot = uni.agg(sum(col("_c")).as("_T"), count(lit(1)).as("_V"))
+    val lp = round(
+      when(col("_b12").isNotNull,
+        log10(col("_b12").cast("double") / col("_c1").cast("double")))
+        .otherwise(log10(lit(alpha) *
+          (coalesce(col("_c2"), lit(0L)) + 1).cast("double") /
+          (col("_T") + col("_V")).cast("double"))), 6)
+      .cast(DecimalType(18, 6))
+    bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("_c").as("_c1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("_c").as("_c2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("_m"), lp.as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        max(when(col("_m") <= 7, lit("train"))
+          .when(col("_m") === 8, lit("validation"))
+          .otherwise(lit("test"))).as("split"),
+        (sum(col("_lp")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp10"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -361,4 +361,22 @@ class AnalyticsSpec extends SparkSuite {
       .getAs[Double]("max_abs_diff")
     assert(maxDiff == 5.5, s"|94.50 - 100.00| = 5.50, got $maxDiff")
   }
+  test("idleRichCustomers: above-average positive balance AND no " +
+      "urgent order; negative balances never pass") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 100.0, 7L), (2L, 300.0, 7L),  // avg positive = 200
+      (3L, 250.0, 8L), (4L, -500.0, 8L))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val orders = Seq((2L, "1-URGENT"), (3L, "5-LOW"), (1L, "5-LOW"))
+      .toDF("o_custkey", "o_orderpriority")
+    val nation = Seq((7L, "n1"), (8L, "n2"))
+      .toDF("n_nationkey", "n_name")
+    val out = RelationalOps.idleRichCustomers(customer, orders, nation)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("total_balance"))).toSeq
+    // avg positive bal = (100+300+250)/3 = 216.67; above: 2 (300,
+    // urgent -> excluded) and 3 (250, no urgent -> kept)
+    assert(out == Seq(("n2", 1L, 250.0)), s"got $out")
+  }
 }

@@ -338,4 +338,27 @@ class EventOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 1L, false), (2L, 0L, true),
       (4L, 0L, true), (5L, 0L, true)), s"got $out")
   }
+  test("firstTouchAttribution: earliest in-window touch wins (not the " +
+      "last), out-of-window and same-instant touches handled, " +
+      "conversions without a touch drop") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1: touch at 0 (outside 30m window of conv at 100),
+      // touches at 80 and 90 inside -> FIRST = 80
+      (1L, 1L, "click", ts(0)), (2L, 1L, "click", ts(80)),
+      (3L, 1L, "click", ts(90)), (4L, 1L, "purchase", ts(100)),
+      // user 2: conversion with no click in window -> dropped
+      (5L, 2L, "click", ts(0)), (6L, 2L, "purchase", ts(200)),
+      // user 3: click at the SAME instant as the purchase does not
+      // count (strictly-before frame)
+      (7L, 3L, "click", ts(50)), (8L, 3L, "purchase", ts(50))
+    ).map { case (id, u, t, time) => (id, u, t, time, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.firstTouchAttribution(events, "click",
+      "purchase", windowMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("touch_event_id"),
+        r.getAs[Long]("lag_seconds"))).toSeq
+    assert(out == Seq((4L, 2L, 1200L)), s"got $out")
+  }
 }

@@ -1456,4 +1456,28 @@ class TextOpsSpec extends SparkSuite {
 
   private def round2(v: Double): Double =
     BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  test("bigramBackoffLogProb: seen train bigram scores C12/C1, an " +
+      "unseen test bigram takes the alpha add-one unigram backoff") {
+    import spark.implicits._
+    // train docs (ids 0-7 cover mod<=7): "a b" x2 and "a c"
+    // test doc (id 9): "a b" (seen) ... and "c d" (unseen bigram, d
+    // unseen unigram)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"),
+      (9L, "a b"), (19L, "c d")).toDF("doc_id", "text")
+    val out = TextOps.bigramBackoffLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[String]("split"), r.getAs[Double]("avg_logp10"))).toMap
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // train tokens: a,b,a,b,a,c -> C(a)=3 C(b)=2 C(c)=1, T=6, V=3
+    // doc 9 "a b": seen bigram C(a,b)=2, C(a)=3 -> log10(2/3)
+    assert(out(9L)._1 == 1L && out(9L)._2 == "test")
+    assert(out(9L)._3 == r6(math.log10(2.0 / 3.0)))
+    // doc 19 "c d": unseen bigram -> 0.4 * (C(d)+1)/(T+V) = 0.4*(0+1)/9
+    assert(out(19L)._3 == r6(math.log10(0.4 / 9.0)))
+    // train doc 2 "a c": seen C(a,c)=1/C(a)=3
+    assert(out(2L)._2 == "train")
+    assert(out(2L)._3 == r6(math.log10(1.0 / 3.0)))
+  }
 }
