@@ -704,6 +704,15 @@ object SparkEntry {
     "q161_idle_rich_customers" -> ((s, d) =>
       RelationalOps.idleRichCustomers(t(s, d, "customer"),
         t(s, d, "orders"), t(s, d, "nation"))),
+    "q162_neyman_allocation" -> ((s, d) =>
+      Curation.neymanAllocation(t(s, d, "documents"), budget = 1000L)),
+    "q163_dedup_savings" -> ((s, d) =>
+      Curation.dedupSavings(t(s, d, "documents"), n = 3, minJ = 0.7)),
+    // LSH self-evaluation: recall/precision of the banded MinHash pair
+    // set vs the exact inverted-index pairs — engine-seeded hashes on
+    // the LSH side → rows-only; set-level parity pinned in NearDupSpec.
+    "x31_lsh_eval_report" -> ((s, d) =>
+      NearDup.lshEvalReport(t(s, d, "documents"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3231,6 +3240,68 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY n_name ORDER BY n_name""",
+    // Neyman weights N*sigma from exact decimal moments, scaled to
+    // integers (x1e6) so the apportionment is pure integer arithmetic.
+    "q162_neyman_allocation" ->
+      """WITH st AS (SELECT source, count(*) AS n_docs,
+             sqrt((CAST(sum(CAST(CAST(n_chars AS DECIMAL(19,0))
+                   * CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                   AS DOUBLE)
+                 - CAST(sum(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE)
+                   * CAST(sum(CAST(n_chars AS DECIMAL(19,0)))
+                     AS DOUBLE) / count(*)) / count(*)) AS sd
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, round(sd, 12) AS std_chars,
+                 CAST(round(n_docs * sd, 6) * 1000000 AS HUGEINT)
+                   AS wi
+               FROM st),
+         t AS (SELECT sum(wi) AS W FROM w),
+         b AS (SELECT source, n_docs, std_chars,
+                 (1000 * wi) // W AS base, (1000 * wi) % W AS rem
+               FROM w, t),
+         l AS (SELECT 1000 - sum(base) AS L FROM b),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY rem DESC, source) AS rk FROM b, l)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs, std_chars,
+           CAST(base + CASE WHEN rk <= L THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+         FROM r ORDER BY source""",
+    // q49's recursive-CTE connected components + per-source TOKEN
+    // accounting of the dropped (non-canonical) documents.
+    "q163_dedup_savings" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS m FROM r GROUP BY id),
+         losers AS (SELECT id FROM comp WHERE id <> m),
+         tk AS (SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x != '')) AS BIGINT) AS nt
+                FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN doc_id IN (SELECT id FROM losers)
+             THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(sum(CASE WHEN doc_id IN
+             (SELECT id FROM losers) THEN nt END), 0) AS BIGINT)
+             AS dropped_tokens,
+           round(CAST(COALESCE(sum(CASE WHEN doc_id IN
+               (SELECT id FROM losers) THEN nt END), 0) AS DOUBLE)
+             / CAST(sum(nt) AS DOUBLE), 12) AS savings_frac
+         FROM tk GROUP BY source ORDER BY source""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

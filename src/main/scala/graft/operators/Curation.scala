@@ -520,4 +520,92 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+  /** Neyman-optimal stratified sample allocation: each source's share
+    * of a `budget` draws is proportional to N_s·σ_s (population size
+    * × length std-dev) — the minimum-variance allocation for
+    * estimating corpus statistics from a sample (Neyman 1934), and
+    * the principled alternative to q128's proportional quotas when
+    * strata differ in spread (a high-variance crawl needs MORE
+    * samples per document than a uniform one).
+    *
+    * Determinism discipline: moments ride exact DECIMAL(38,0) sums
+    * (products via DECIMAL(19,0) casts so no width-38 overflow
+    * rescaling); σ derives identically on every engine; the weight
+    * N·σ rounds to 6 decimals and SCALES TO AN INTEGER (×10⁶), so
+    * the base/remainder split and largest-remainder seats are pure
+    * integer arithmetic (q128's apportionment, on Neyman weights).
+    * Degenerate all-zero-variance corpora have Σw = 0 and yield null
+    * quotas (guard upstream).
+    *
+    * Scale shape: one bounded per-source moment aggregate touches the
+    * corpus; weights, totals, ranking all run on |sources| rows. */
+  def neymanAllocation(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(d19).cast(d38)).as("_s1"),
+        sum((col("n_chars").cast(d19) * col("n_chars").cast(d19))
+          .cast(d38)).as("_s2"))
+      .select(col("source"), col("n_docs"),
+        sqrt((col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") /
+            col("n_docs")) / col("n_docs")).as("_std"))
+    val st = stats.select(col("source"), col("n_docs"),
+      round(col("_std"), 12).as("std_chars"),
+      (round(col("n_docs") * col("_std"), 6) * lit(1000000))
+        .cast(d38).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = st.agg(sum(col("_w")).as("_wtot"))
+    val based = st.crossJoin(broadcast(tot))
+      .withColumn("_base",
+        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w AS DECIMAL(19,0))) div _wtot")
+          .cast("long"))
+      .withColumn("_rem",
+        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w AS DECIMAL(19,0))) % _wtot"))
+    based
+      .crossJoin(broadcast(based.agg(
+        (lit(budget) - sum(col("_base"))).as("_L"))))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("std_chars"),
+        (col("_base") + when(col("_rk") <= col("_L"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Dedup savings projection per source: how many tokens the q49
+    * transitive near-dup dedup would REMOVE — the "is this dedup run
+    * worth its compute" estimate a curation pipeline prices before
+    * committing, and the per-source attribution of where duplication
+    * lives (pairs with q91's doc-level dup rate; this is the
+    * TOKEN-weighted view that actually maps to training cost).
+    *
+    * Scale shape: inherits the q29→q47 pair/CC shapes; the savings
+    * accounting adds one hash join of the corpus against the (far
+    * sub-corpus) loser set and one bounded per-source fold. */
+  def dedupSavings(docs: DataFrame, n: Int = 3, minJ: Double = 0.7)
+      : DataFrame = {
+    val losers = NearDup.duplicateClusters(
+        NearDup.jaccardPairs(docs, n, minJ))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("_drop"))
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("_nt"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        count(col("_drop")).as("n_dropped"),
+        coalesce(sum(when(col("_drop").isNotNull, col("_nt"))), lit(0L))
+          .as("dropped_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dropped"), col("dropped_tokens"),
+        round(col("dropped_tokens").cast("double") /
+          col("n_tokens").cast("double"), 12).as("savings_frac"))
+      .orderBy(col("source"))
+  }
+
 }

@@ -976,4 +976,36 @@ object NearDup {
   def dupGraphTriangles(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
       maxShingleFreq: Int = Int.MaxValue): DataFrame =
     triangleStats(jaccardPairs(docs, n, minJ, maxShingleFreq))
+  /** LSH self-evaluation report — the recall/precision harness as a
+    * first-class operator: the banded MinHash pair set scored against
+    * the exact inverted-index pair set at the same threshold, in one
+    * full-outer join + one fold. A curation run executes this on a
+    * SAMPLE before trusting the banding parameters on the full corpus
+    * (recall drifts with document length and shingle entropy; the
+    * b/r curve is a model, this is the measurement). Precision is 1
+    * by construction (LSH candidates are exact-verified) — reported
+    * anyway so a future banding change that breaks the invariant
+    * surfaces in data, not just in a spec.
+    *
+    * Scale shape: both pair sets inherit their own audited shapes;
+    * the comparison is one equi-join on (a_id, b_id) over pair-sized
+    * (far sub-corpus) frames + a one-row fold. */
+  def lshEvalReport(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJ: Double = 0.7): DataFrame = {
+    val e = jaccardPairs(docs, n, minJ)
+      .select(col("a_id"), col("b_id"), lit(1).as("_e"))
+    val l = minHashLshPairs(docs, n, numHashes, bands, minJ)
+      .select(col("a_id"), col("b_id"), lit(1).as("_l"))
+    e.join(l, Seq("a_id", "b_id"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, lit(1)))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") /
+          col("n_exact").cast("double"), 12).as("recall"),
+        round(col("n_both").cast("double") /
+          col("n_lsh").cast("double"), 12).as("precision"))
+  }
+
 }

@@ -397,4 +397,37 @@ class CurationSpec extends SparkSuite {
     // the known-leaked doc is flagged by both
     assert(bloom.find(_._1 == 9L).exists(_._3 >= 1L))
   }
+  test("neymanAllocation: quotas track N*sigma and sum exactly to the " +
+      "budget; a zero-variance source gets zero") {
+    import spark.implicits._
+    // s0: 4 docs, lengths {10,10,30,30} -> sigma 10, w = 40
+    // s1: 2 docs, lengths {20,20} -> sigma 0, w = 0
+    // s2: 2 docs, lengths {0,40} -> sigma 20, w = 40
+    val docs = (Seq(10L, 10L, 30L, 30L).zipWithIndex.map { case (c, i) =>
+      (i.toLong, "s0", c) } ++
+      Seq((10L, "s1", 20L), (11L, "s1", 20L),
+        (20L, "s2", 0L), (21L, "s2", 40L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.neymanAllocation(docs, budget = 7)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("quota"))).toSeq
+    // weights 40 : 0 : 40 -> exact shares 3.5 / 0 / 3.5; largest
+    // remainder gives the extra seat to s0 (tie-break on source name)
+    assert(out == Seq(("s0", 4L), ("s1", 0L), ("s2", 3L)), s"got $out")
+    assert(out.map(_._2).sum == 7L, "quotas must sum exactly to budget")
+  }
+
+  test("dedupSavings: dropped tokens are exactly the non-canonical " +
+      "dup members' tokens, clean sources save nothing") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, "s0", dup), (2L, "s0", dup + " zeta"), // near-dups, 1 kept
+      (3L, "s1", "unique one two three four")).toDF(
+      "doc_id", "source", "text")
+    val out = Curation.dedupSavings(docs, n = 3, minJ = 0.7).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("dropped_tokens"))).toSeq
+    // cluster {1,2}: canonical 1, dropped 2 (6 tokens)
+    assert(out == Seq(("s0", 1L, 6L), ("s1", 0L, 0L)), s"got $out")
+  }
 }

@@ -699,4 +699,20 @@ class NearDupSpec extends SparkSuite {
       z.getAs[Long]("n_wedges") == 0L &&
       z.getAs[Double]("clustering_coeff") == 0.0)
   }
+  test("lshEvalReport: report counts equal the set computation, " +
+      "precision is 1 by construction") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = NearDup.jaccardPairs(docs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minHashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep = NearDup.lshEvalReport(docs).collect().head
+    assert(rep.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(rep.getAs[Long]("n_lsh") == lsh.size.toLong)
+    assert(rep.getAs[Long]("n_both") == (exact & lsh).size.toLong)
+    assert(rep.getAs[Double]("precision") == 1.0,
+      "LSH pairs are exact-verified - precision must be 1")
+    assert(rep.getAs[Double]("recall") >= 0.9)
+  }
 }
