@@ -199,7 +199,25 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     spark.read.parquet(s"$src/nation.parquet")
       .write.mode("overwrite").parquet(s"$out/nation.parquet")
-    println(s"wrote ${k}x orders/customer (+1x nation) to $out")
+    // lineitem shifts ONLY its order FK (same stride as orders, so the
+    // parent/child relation replicates consistently); part keys stay
+    // unshifted — parts are a dimension, and the per-part statistics
+    // (q156/q157) should see k× the lineitems per part, not k× parts
+    replicateKeyed(spark.read.parquet(s"$src/lineitem.parquet"),
+      Seq("l_orderkey"), k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    spark.read.parquet(s"$src/part.parquet")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // events shift both ids: each copy is a disjoint user population
+    // replaying the same per-user timelines, so session/window output
+    // grows linearly and timestamps (the window semantics) replicate
+    replicateKeyed(spark.read.parquet(s"$src/events.parquet"),
+      Seq("event_id", "user_id"), k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"wrote ${k}x orders/customer/lineitem/events " +
+      s"(+1x nation/part) to $out")
     spark.stop()
   }
 }
