@@ -806,4 +806,53 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"part conjuncts should prune the dimension scan:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+  test("q145/q143 profile family: every window runs over aggregated " +
+      "metadata, never raw documents") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    for (name <- Seq("q145_letter_entropy", "q143_stopword_cosine")) {
+      val df = q(name)
+      df.collect()
+      val lp = df.queryExecution.optimizedPlan
+      val bad = lp.collect { case w: LWindow
+          if w.child.collectFirst { case _: Aggregate => () }.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name: windows must sit on aggregate (metadata) frames: $bad")
+    }
+  }
+
+  test("q150 length outliers: two-pass moment audit - the stats side " +
+      "broadcasts, no window anywhere") {
+    val df = q("q150_doc_length_outliers")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the moment audit needs no window at all")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source stats must broadcast back to the scan")
+  }
+
+  test("q159 bigram LM: scoring stream takes hash joins against the " +
+      "vocab tables - no cartesian, no window") {
+    val df = q("q159_bigram_backoff")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LM scoring must never plan a product join")
+    assert(!plan.contains("Window"),
+      "per-doc accounting is an aggregate, not a window")
+  }
+
+  test("q162 Neyman allocation: the corpus is touched by ONE " +
+      "aggregate; ranking windows run on the |sources| frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val df = q("q162_neyman_allocation")
+    df.collect()
+    val lp = df.queryExecution.optimizedPlan
+    val bad = lp.collect { case w: LWindow
+        if w.child.collectFirst { case _: Aggregate => () }.isEmpty => w }
+    assert(bad.isEmpty,
+      s"allocation windows must run over the per-source aggregate: $bad")
+  }
 }
