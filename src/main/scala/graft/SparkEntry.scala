@@ -713,6 +713,17 @@ object SparkEntry {
     // the LSH side → rows-only; set-level parity pinned in NearDupSpec.
     "x31_lsh_eval_report" -> ((s, d) =>
       NearDup.lshEvalReport(t(s, d, "documents"))),
+    "q164_session_type_pmi" -> ((s, d) =>
+      EventOps.sessionTypePmi(t(s, d, "events"))),
+    "q165_user_growth" -> ((s, d) =>
+      EventOps.userGrowthByWeek(t(s, d, "events"))),
+    // Incrementally-maintained per-source corpus stats: streaming
+    // aggregation state across 3 checkpointed AvailableNow drops —
+    // temp-dir checkpoints/ledger → rows-only; incremental ==
+    // from-scratch batch aggregate pinned in StreamingSpec.
+    "x32_streaming_corpus_stats" -> ((s, d) =>
+      graft.streaming.StreamingEvents.corpusStatsStatic(
+        s, t(s, d, "documents"), nBatches = 3)),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3302,6 +3313,58 @@ object SparkEntry {
                (SELECT id FROM losers) THEN nt END), 0) AS DOUBLE)
              / CAST(sum(nt) AS DOUBLE), 12) AS savings_frac
          FROM tk GROUP BY source ORDER BY source""",
+    // q21's gap-cumsum session ids -> (session, type) presence ->
+    // ordered-pair co-occurrence; one rounded log per output row.
+    "q164_session_type_pmi" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         sid AS (SELECT user_id, event_type,
+                   sum(CASE WHEN prev IS NULL OR
+                     epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS s
+                 FROM o),
+         pres AS (SELECT DISTINCT user_id, s, event_type FROM sid),
+         tot AS (SELECT count(*) AS n FROM
+                   (SELECT DISTINCT user_id, s FROM pres)),
+         tc AS (SELECT event_type, count(*) AS nt FROM pres
+                GROUP BY event_type),
+         pairs AS (SELECT a.event_type AS type_a,
+                     b.event_type AS type_b, count(*) AS n_both
+                   FROM pres a JOIN pres b
+                     ON a.user_id = b.user_id AND a.s = b.s
+                       AND a.event_type < b.event_type
+                   GROUP BY a.event_type, b.event_type)
+         SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(ta.nt AS BIGINT) AS n_a, CAST(tb.nt AS BIGINT) AS n_b,
+           round(log10(CAST(n_both AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(ta.nt AS DOUBLE) * CAST(tb.nt AS DOUBLE))), 6)
+             AS pmi10
+         FROM pairs
+         JOIN tc ta ON ta.event_type = type_a
+         JOIN tc tb ON tb.event_type = type_b, tot
+         ORDER BY type_a, type_b""",
+    // Weekly actives + first-seen new users + cumulative base; weeks
+    // stay TIMESTAMP.
+    "q165_user_growth" ->
+      """WITH act AS (SELECT date_trunc('week', ts) AS week,
+             count(DISTINCT user_id) AS active_users
+           FROM events GROUP BY week),
+         fs AS (SELECT date_trunc('week', min(ts)) AS week
+                FROM events GROUP BY user_id),
+         nu AS (SELECT week, count(*) AS new_users FROM fs
+                GROUP BY week)
+         SELECT a.week, CAST(a.active_users AS BIGINT) AS active_users,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY a.week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+         FROM act a LEFT JOIN nu n ON a.week = n.week
+         ORDER BY a.week""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

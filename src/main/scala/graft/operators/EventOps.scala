@@ -649,4 +649,92 @@ object EventOps {
         expr("(_us - _ft_us) div 1000000").as("lag_seconds"))
       .orderBy(col("event_id"))
   }
+  /** Within-session event-type PMI: which event types co-occur in the
+    * SAME session more (or less) than independence predicts — the
+    * association mining behind funnel design ("error co-occurs with
+    * purchase sessions 3× base rate" is a checkout bug signal) one
+    * level above q74's adjacent-transition matrix: PMI sees
+    * co-presence at any distance within the session.
+    *
+    * Determinism: session ids are the q21 gap cumsum over the total
+    * (ts, event_id) order; counts are exact; each PMI is ONE log of a
+    * ratio of exact integers, round(6).
+    *
+    * Scale shape: the sessionizer is one per-user window pass; the
+    * (session, type) presence table is session-count-sized; the
+    * co-occurrence self-join keys on the session id with ≤ |types|
+    * rows per key (bounded fan-out, never user-history-sized), and
+    * the final fold is |types|²-bounded. */
+  def sessionTypePmi(events: DataFrame, gapMinutes: Int = 30)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("_prev"))) >
+            gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(run))
+      .select(col("user_id"), col("_sid"), col("event_type"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = sess.select(col("user_id"), col("_sid")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val tcount = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_nt"))
+    val pairs = sess.as("a")
+      .join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a._sid") === col("b._sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(tcount.select(col("event_type").as("type_a"),
+        col("_nt").as("_na"))), "type_a")
+      .join(broadcast(tcount.select(col("event_type").as("type_b"),
+        col("_nt").as("_nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(log10(col("n_both").cast("double") *
+          col("_n").cast("double") /
+          (col("_na").cast("double") * col("_nb").cast("double"))), 6)
+          .as("pmi10"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Weekly user-growth curve: active users, NEW users (first-ever
+    * activity that week) and the cumulative user base per week — the
+    * q76 vocabulary-growth reading applied to the user dimension (a
+    * flattening new-user curve with steady actives is retention doing
+    * the work; both flattening is stall).
+    *
+    * Scale shape: first-seen is one per-user min aggregate; weekly
+    * actives one distinct + count; the cumulative window runs over
+    * |weeks| metadata rows. Weeks stay TIMESTAMP (comparator
+    * normalizes timestamps, not DATE encodings). */
+  def userGrowthByWeek(events: DataFrame): DataFrame = {
+    val active = events
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct()
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"))
+    val firstSeen = events
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_first"))
+      .select(date_trunc("week", col("_first")).as("week"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("new_users"))
+    active
+      .join(firstSeen, Seq("week"), "left")
+      .select(col("week"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("week"))
+  }
 }

@@ -228,6 +228,58 @@ object StreamingEvents {
     MixDrift(batchId, n, r12(l1), topType, r12(topDev))
   }
 
+  /** Incrementally-maintained corpus statistics — q24's streaming
+    * twin: per-source (n_docs, n_tokens, n_chars) kept as STREAMING
+    * AGGREGATION STATE across micro-batches, snapshots appended to a
+    * ledger in Update mode (only sources the batch touched emit).
+    * The always-current stats table a curation pipeline reads without
+    * ever re-scanning the corpus: ingestion cost ∝ batch, state
+    * O(|sources|), runs indefinitely.
+    *
+    * Static harness (the x32 entry): the documents table streams in
+    * `nBatches` deterministic doc_id-mod drops through a checkpointed
+    * AvailableNow pass each; the returned frame is the LATEST
+    * snapshot per source, which StreamingSpec pins equal to the batch
+    * aggregate over the full table — incremental == from-scratch. */
+  def corpusStatsStatic(spark: SparkSession, docs: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    require(nBatches >= 1, "nBatches must be positive")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_corpus_stats").toString
+    val landing = base + "/landing"
+    val ledger = base + "/ledger"
+    val ckpt = base + "/ckpt"
+    val src = docs.select(col("doc_id"), col("source"), col("text"))
+    (0 until nBatches).foreach { i =>
+      src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+        .write.mode("append").parquet(landing)
+      spark.readStream.schema(src.schema).parquet(landing)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")))
+            .as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(ledger)
+          ()
+        }
+        .start().awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_batch_id").desc)
+    spark.read.parquet(ledger)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("source"))
+  }
+
   private def micros(us: Long): java.sql.Timestamp =
     new java.sql.Timestamp(us / 1000L)
 }

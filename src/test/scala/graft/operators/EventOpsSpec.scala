@@ -361,4 +361,49 @@ class EventOpsSpec extends SparkSuite {
         r.getAs[Long]("lag_seconds"))).toSeq
     assert(out == Seq((4L, 2L, 1200L)), s"got $out")
   }
+  test("sessionTypePmi: co-session pair counted once per session, " +
+      "never-co-occurring types score negative, PMI hand-checked") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1 session A: {view, click} (two views - presence counts 1);
+    // user 1 session B (gap > 30m): {view}; user 2: {view, error}
+    val events = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 5L), (3L, 1L, "click", 10L),
+      (4L, 1L, "view", 100L),
+      (5L, 2L, "view", 0L), (6L, 2L, "error", 1L))
+      .map { case (id, u, t, m) => (id, u, t, ts(m), 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.sessionTypePmi(events, gapMinutes = 30).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("pmi10")))).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 3 sessions; view in 3, click in 1, error in 1
+    // (click, view): n_both 1 -> pmi10 = log10(1*3/(1*3)) = 0
+    assert(out(("click", "view")) == ((1L, 1L, 3L, 0.0)))
+    // (error, view): n_both 1 -> log10(3/3) = 0 as well
+    assert(out(("error", "view")) == ((1L, 1L, 3L, 0.0)))
+    // click and error never co-occur -> pair absent (count 0)
+    assert(!out.contains(("click", "error")))
+  }
+
+  test("userGrowthByWeek: new users counted in their first-seen week " +
+      "only, cumulative sums monotonically to the user total") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // week of Jan 1 (Mon): users 1, 2; week of Jan 8: user 1 again
+    // (active, not new) + user 3 (new)
+    val events = Seq(
+      (1L, 1L, ts(1)), (2L, 2L, ts(2)),
+      (3L, 1L, ts(8)), (4L, 3L, ts(9)))
+      .map { case (id, u, t) => (id, u, "view", t, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.userGrowthByWeek(events).collect()
+      .map(r => (r.getAs[Long]("active_users"),
+        r.getAs[Long]("new_users"), r.getAs[Long]("cum_users"))).toSeq
+    assert(out == Seq((2L, 2L, 2L), (2L, 1L, 3L)), s"got $out")
+  }
 }

@@ -673,4 +673,24 @@ class StreamingSpec extends SparkSuite {
         s"batch $i: ledger ${ledger(i)} != direct $direct")
     }
   }
+  test("corpusStats: incrementally-maintained streaming aggregate " +
+      "equals the from-scratch batch aggregate over the full corpus") {
+    import graft.streaming.StreamingEvents
+    import graft.functions.TextFunctions
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val streamed = StreamingEvents.corpusStatsStatic(spark, docs,
+      nBatches = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(streamed == batch,
+      s"incremental state must equal from-scratch: $streamed vs $batch")
+  }
 }
