@@ -724,6 +724,10 @@ object SparkEntry {
     "x32_streaming_corpus_stats" -> ((s, d) =>
       graft.streaming.StreamingEvents.corpusStatsStatic(
         s, t(s, d, "documents"), nBatches = 3)),
+    "q166_bought_together" -> ((s, d) =>
+      RelationalOps.partsBoughtTogether(t(s, d, "lineitem"))),
+    "q167_supplier_concentration" -> ((s, d) =>
+      RelationalOps.partSupplierConcentration(t(s, d, "lineitem"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3365,6 +3369,31 @@ object SparkEntry {
              AS BIGINT) AS cum_users
          FROM act a LEFT JOIN nu n ON a.week = n.week
          ORDER BY a.week""",
+    // Order-keyed self-join (items-per-order-bounded fan-out) ->
+    // pair counts -> deterministic top-20.
+    "q166_bought_together" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+         GROUP BY part_a, part_b
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    // Distinct (part, supplier) -> per-part supplier counts ->
+    // histogram + single-source share.
+    "q167_supplier_concentration" ->
+      """WITH pp AS (SELECT l_partkey, count(DISTINCT l_suppkey)
+             AS n_suppliers
+           FROM lineitem GROUP BY l_partkey),
+         h AS (SELECT n_suppliers, count(*) AS n_parts FROM pp
+               GROUP BY n_suppliers),
+         t AS (SELECT sum(n_parts) AS total FROM h)
+         SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           round(CAST(n_parts AS DOUBLE) / CAST(total AS DOUBLE), 12)
+             AS part_share
+         FROM h, t ORDER BY n_suppliers""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

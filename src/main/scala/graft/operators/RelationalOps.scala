@@ -1053,4 +1053,51 @@ object RelationalOps {
         dsum(col("c_acctbal")).as("total_balance"))
       .orderBy(col("n_name"))
   }
+  /** Market-basket pair mining: the top-k part pairs bought together
+    * in the same order — the co-purchase association table behind
+    * "frequently bought together" and bundle design. The self-join
+    * keys on the ORDER id, so fan-out per key is bounded by items per
+    * order (single digits), never catalog- or corpus-sized; pair
+    * counts then fold with map-side partials and the top-k is
+    * TakeOrderedAndProject (ties break on the part keys, so the cut
+    * is deterministic). */
+  def partsBoughtTogether(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  /** Part supply-concentration histogram: how many parts are served
+    * by exactly n distinct suppliers, plus the single-source share —
+    * the supply-chain risk pre-flight (a part with one supplier is a
+    * single point of failure; a catalog that is mostly single-source
+    * is fragile as a whole).
+    *
+    * Scale shape: distinct (part, supplier) pairs fold with map-side
+    * partials (catalog-shaped), then two bounded aggregates; the
+    * share is one division of exact longs against a broadcast
+    * one-row total. */
+  def partSupplierConcentration(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val hist = perPart.groupBy(col("n_suppliers"))
+      .agg(count(lit(1)).as("n_parts"))
+    hist
+      .crossJoin(broadcast(hist.agg(
+        sum(col("n_parts")).as("_total"))))
+      .select(col("n_suppliers"), col("n_parts"),
+        round(col("n_parts").cast(DoubleType) /
+          col("_total").cast(DoubleType), 12).as("part_share"))
+      .orderBy(col("n_suppliers"))
+  }
 }

@@ -379,4 +379,33 @@ class AnalyticsSpec extends SparkSuite {
     // urgent -> excluded) and 3 (250, no urgent -> kept)
     assert(out == Seq(("n2", 1L, 250.0)), s"got $out")
   }
+  test("partsBoughtTogether: pair counted once per order regardless " +
+      "of line multiplicity; deterministic top-k tie-break") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // order 1: {10, 20} (dup line)
+      (2L, 10L), (2L, 20L), (2L, 30L), // order 2: 3 pairs
+      (3L, 40L))                        // singleton: no pairs
+      .toDF("l_orderkey", "l_partkey")
+    val out = RelationalOps.partsBoughtTogether(lineitem, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_orders"))).toSeq
+    assert(out == Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)),
+      s"got $out")
+  }
+
+  test("partSupplierConcentration: histogram over distinct supplier " +
+      "counts, shares sum to 1") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 10L, 100L), (2L, 10L, 100L), // part 10: 1 supplier (dup)
+      (3L, 20L, 100L), (4L, 20L, 200L), // part 20: 2 suppliers
+      (5L, 30L, 300L))                   // part 30: 1 supplier
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val out = RelationalOps.partSupplierConcentration(lineitem)
+      .collect().map(r => (r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("n_parts"), r.getAs[Double]("part_share"))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12)
+  }
 }
