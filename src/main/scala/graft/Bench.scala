@@ -43,6 +43,16 @@ object Bench {
     // Catalyst prune final sorts and projections out of the measurement).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Untimed fixture materialization (x27's MJPEG payload table):
+    // without this a fresh JVM pays the one-time JPEG-encode
+    // scaffolding inside its first timed x27 pass, and the adaptive
+    // median at 3 passes still absorbs it (r11 drove 9.6 s vs the
+    // 5.5 s decode-only number this reports now).
+    try SparkEntry.prepare(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench-prepare] ${e.getClass.getName}: " +
+        s"${e.getMessage} — fixture will build inside the first pass")
+    }
     // Warm the JVM/codegen so measured times reflect steady state. Three
     // passes, not one: q01 is also the FIRST measured query, and with a
     // single warm-up its median still absorbed leftover JIT compilation
@@ -177,6 +187,21 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line(queriesJson(short = false)) + "\n")
+    // Machine-readable per-query record (full names, median, pass
+    // count, every per-pass sample incl. negative failure markers):
+    // the driver's stdout artifact truncates its tail most rounds
+    // (r11 lost q100–q131), and the builder's own interleaved runs
+    // previously survived only as README prose — this file is the
+    // diffable round-over-round perf ledger. Committed per round as
+    // bench_local_rN.json.
+    val detail = results.map { case (k, med) =>
+      val ss = samples(k).map(fmt).mkString("[", ",", "]")
+      s""""$k":{"median":${fmt(med)},"n":${samples(k).size},"samples":$ss}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_local.json"),
+      s"""{"sf":"$sfDir","cpus":$cpus,"iters":$iters,"fastIters":$fastIters,""" +
+        s""""total":${fmt(total)},"queries":$detail}""" + "\n")
     spark.stop()
     // Re-print the short-key line as the ABSOLUTE last stdout act, after
     // spark.stop(): round 6's line fit the driver's 2000-char tail but

@@ -181,7 +181,7 @@ object Curation {
       pmod(col("doc_id"), lit(10L)).as("_m"))
     // NO .distinct() on the train grams: left_semi already has
     // exists-semantics, so a distinct would only add a full extra
-    // shuffle+aggregate of the dominant (90%-of-corpus) gram stream —
+    // shuffle+aggregate of the dominant (80%-of-corpus) gram stream —
     // measured 7.4 s → 5.4 s at sf0.1 when removed
     val trainGrams = withSplit.filter(col("_m") <= 7)
       .select(explode(col("_g")).as("_gr"))
@@ -209,8 +209,10 @@ object Curation {
     * and folds into a mergeable BLOOM partial aggregate whose only
     * shuffled bytes are the per-partition bitsets; the reduced filter
     * broadcasts back as a scalar subquery and the 10% test slice
-    * probes it map-side — so the 90%-of-corpus train stream, q114's
-    * dominant cost, contributes ZERO shuffle rows. Error is ONE-SIDED
+    * probes it map-side — so the 80%-of-corpus train slice (doc_id
+    * mod 10 ≤ 7, matching exact q114's train/val/test = 8/1/1 split),
+    * the dominant train stream and q114's dominant cost, contributes
+    * ZERO shuffle rows. Error is ONE-SIDED
     * on top of the 2⁻⁶⁴-scale hash-collision risk: blooms have no
     * false negatives, so per-doc n_contaminated (and the rate) can
     * only be OVERSTATED — every doc q114 flags at a given rate is
@@ -557,13 +559,33 @@ object Curation {
       (round(col("n_docs") * col("_std"), 6) * lit(1000000))
         .cast(d38).as("_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Overflow guard for the apportionment product: budget (≤ 18
+    // digits) × weight must fit DECIMAL(38,0), so the integer weights
+    // are pre-scaled by ONE shared power of ten sized off Σw's digit
+    // count (Σw ≤ 10¹⁸ after the shift ⇒ every wᵢ fits DECIMAL(19,0)
+    // and the product precision is 18+19+1 = 38, exact). Quotas depend
+    // only on weight RATIOS, so at corpora where the shift is 0 (all
+    // test scales; Σw < 10¹⁸ means N·σ·10⁶ summed under a quintillion)
+    // the result is bit-identical to the unscaled form; past the cliff
+    // the div drops shared low-order digits instead of silently
+    // nulling the quotas (the pre-r12 CAST(_w AS DECIMAL(19,0))
+    // overflowed to NULL once any N·σ·10⁶ reached 10¹⁹). The power of
+    // ten is built by string concat, not pow(): doubles above 2⁵³
+    // cannot represent 10ⁿ exactly.
     val tot = st.agg(sum(col("_w")).as("_wtot"))
-    val based = st.crossJoin(broadcast(tot))
+      .withColumn("_pow",
+        expr("CAST(concat('1', repeat('0', " +
+          "greatest(0, length(CAST(_wtot AS STRING)) - 18))) " +
+          "AS DECIMAL(38,0))"))
+    val scaled = st.crossJoin(broadcast(tot))
+      .withColumn("_w2", expr("_w div _pow"))
+    val tot2 = scaled.agg(sum(col("_w2")).as("_wtot2"))
+    val based = scaled.crossJoin(broadcast(tot2))
       .withColumn("_base",
-        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w AS DECIMAL(19,0))) div _wtot")
+        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w2 AS DECIMAL(19,0))) div _wtot2")
           .cast("long"))
       .withColumn("_rem",
-        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w AS DECIMAL(19,0))) % _wtot"))
+        expr(s"(CAST($budget AS DECIMAL(18,0)) * CAST(_w2 AS DECIMAL(19,0))) % _wtot2"))
     based
       .crossJoin(broadcast(based.agg(
         (lit(budget) - sum(col("_base"))).as("_L"))))

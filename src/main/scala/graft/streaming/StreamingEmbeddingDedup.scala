@@ -86,8 +86,10 @@ object StreamingEmbeddingDedup {
     * runner are pinned in StreamingSpec. */
   def ingestStatic(spark: SparkSession, emb: DataFrame,
       threshold: Double = 0.9): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_emb_ingest").toString
+    // scratch lifecycle: the returned corpus frame reads LAZILY from
+    // these dirs, so they must survive the call — Scratch deletes them
+    // at JVM exit instead of leaking across bench/verify runs
+    val base = Scratch.scratch("graft_emb_ingest")
     val landing = base + "/landing"
     val corpus = base + "/corpus"
     val bandIdx = base + "/bands"
@@ -130,8 +132,8 @@ object StreamingEmbeddingDedup {
     * corpus). Engine-seeded layout + temp dirs → no SQL oracle. */
   def maintainStatic(spark: SparkSession, emb: DataFrame,
       threshold: Double = 0.9, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_emb_maint").toString
+    // scratch lifecycle: see ingestStatic — deleted at JVM exit
+    val base = Scratch.scratch("graft_emb_maint")
     val landing = base + "/landing"
     val corpus = base + "/corpus"
     val bandIdx = base + "/bands"

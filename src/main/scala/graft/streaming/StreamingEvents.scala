@@ -171,8 +171,7 @@ object StreamingEvents {
   def mixDriftStatic(spark: SparkSession, events: DataFrame,
       nBatches: Int = 3): DataFrame = {
     require(nBatches >= 1, "nBatches must be positive")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_mix_drift").toString
+    val base = Scratch.scratch("graft_mix_drift")
     val landing = base + "/landing"
     val ledger = base + "/ledger"
     val ckpt = base + "/ckpt"
@@ -184,9 +183,15 @@ object StreamingEvents {
     val baseline = baselineRows.map { case (t, n) => t -> (n / baseTotal) }
       .toMap
     (0 until nBatches).foreach { i =>
+      // ONE file per drop + maxFilesPerTrigger=1 on the reader makes
+      // "each AvailableNow pass = exactly one micro-batch" an ENFORCED
+      // invariant (the ledger's batch_id ↔ drop-id identity that the
+      // spec pins), not an accident of the file source's default
+      // 1000-file trigger cap.
       src.filter(pmod(col("event_id"), lit(nBatches.toLong)) === i)
-        .write.mode("append").parquet(landing)
-      spark.readStream.schema(src.schema).parquet(landing)
+        .coalesce(1).write.mode("append").parquet(landing)
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
@@ -199,7 +204,14 @@ object StreamingEvents {
         }
         .start().awaitTermination()
     }
-    spark.read.parquet(ledger).orderBy(col("batch_id"))
+    // the ledger is |batches| rows of metadata — pull it to the driver
+    // and delete the scratch dirs NOW rather than leaking them until
+    // JVM exit (the returned frame must not read lazily from scratch)
+    import spark.implicits._
+    val rows = spark.read.parquet(ledger).as[MixDrift]
+      .collect().sortBy(_.batch_id).toSeq
+    Scratch.dispose(base)
+    rows.toDS().toDF().orderBy(col("batch_id"))
   }
 
   /** One micro-batch's audit against the reference mix — extracted so
@@ -244,16 +256,18 @@ object StreamingEvents {
   def corpusStatsStatic(spark: SparkSession, docs: DataFrame,
       nBatches: Int = 3): DataFrame = {
     require(nBatches >= 1, "nBatches must be positive")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_corpus_stats").toString
+    val base = Scratch.scratch("graft_corpus_stats")
     val landing = base + "/landing"
     val ledger = base + "/ledger"
     val ckpt = base + "/ckpt"
     val src = docs.select(col("doc_id"), col("source"), col("text"))
     (0 until nBatches).foreach { i =>
+      // one file per drop + one-file trigger: batch ↔ drop identity
+      // enforced, same reasoning as mixDriftStatic
       src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
-        .write.mode("append").parquet(landing)
-      spark.readStream.schema(src.schema).parquet(landing)
+        .coalesce(1).write.mode("append").parquet(landing)
+      spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(graft.functions.TextFunctions.tokenCount(col("text")))
@@ -272,12 +286,19 @@ object StreamingEvents {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("_batch_id").desc)
-    spark.read.parquet(ledger)
+    // |sources|-bounded snapshot — collect it and delete the scratch
+    // dirs eagerly (see mixDriftStatic; the frame returned to the
+    // caller must not depend on the scratch parquet)
+    val snap = spark.read.parquet(ledger)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"))
-      .orderBy(col("source"))
+    val rows = snap.collect().toSeq
+    val schema = snap.schema
+    Scratch.dispose(base)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).orderBy(col("source"))
   }
 
   private def micros(us: Long): java.sql.Timestamp =

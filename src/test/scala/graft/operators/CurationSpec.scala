@@ -416,6 +416,28 @@ class CurationSpec extends SparkSuite {
     assert(out.map(_._2).sum == 7L, "quotas must sum exactly to budget")
   }
 
+  test("neymanAllocation: survives the N*sigma*1e6 >= 1e19 weight " +
+      "cliff — quotas stay non-null, proportional, and sum to budget") {
+    import spark.implicits._
+    // sigma ~ 5e14 per source pushes w = round(N*sigma,6)*1e6 past
+    // 1e21: the pre-r12 CAST(_w AS DECIMAL(19,0)) overflowed these to
+    // NULL and every quota silently nulled. The shared power-of-ten
+    // pre-scale must keep the apportionment exact in RATIO terms.
+    val big = 1_000_000_000_000_000L // 1e15
+    val docs = (Seq((0L, "s0", 0L), (1L, "s0", big),
+      (2L, "s1", 0L), (3L, "s1", big),
+      (4L, "s2", 0L), (5L, "s2", 3L * big))) // sigma 3x the others
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Curation.neymanAllocation(docs, budget = 1000)
+      .collect()
+    val out = rows.map(r => (r.getString(0), r.getAs[Long]("quota"))).toSeq
+    assert(rows.forall(!_.isNullAt(3)),
+      s"quota overflowed to NULL past the weight cliff: $out")
+    // weights 1 : 1 : 3 -> 200 / 200 / 600
+    assert(out == Seq(("s0", 200L), ("s1", 200L), ("s2", 600L)),
+      s"got $out")
+  }
+
   test("dedupSavings: dropped tokens are exactly the non-canonical " +
       "dup members' tokens, clean sources save nothing") {
     import spark.implicits._
