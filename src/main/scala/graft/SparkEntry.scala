@@ -763,6 +763,18 @@ object SparkEntry {
       RelationalOps.partsBoughtTogether(t(s, d, "lineitem"))),
     "q167_supplier_concentration" -> ((s, d) =>
       RelationalOps.partSupplierConcentration(t(s, d, "lineitem"))),
+    // Line-level boilerplate REMOVAL (RefinedWeb's transform stage):
+    // aligned 8-token lines occurring in >= 3 docs are stripped and
+    // each doc's text rebuilt from the survivors in order.
+    "q168_strip_boilerplate" -> ((s, d) =>
+      TextOps.stripBoilerplateLines(t(s, d, "documents"))),
+    // q168's 100 TB twin: boilerplate vocabulary rides 64-bit line
+    // hashes into ONE bloom bitset (scalar subquery); the rebuild
+    // probes map-side — no doc-line join. Bitset hashing is
+    // engine-seeded → rows-only; removal-superset/subsequence vs the
+    // exact operator pinned in TextOpsSpec.
+    "x33_strip_boilerplate_bloom" -> ((s, d) =>
+      TextOps.stripBoilerplateLinesApprox(t(s, d, "documents"))),
     // DEFLATE-compression redundancy profile: compressed byte counts
     // are a zlib-implementation property (not SQL-expressible) →
     // rows-only; expression behavior pinned in TextOpsSpec.
@@ -3436,6 +3448,33 @@ object SparkEntry {
            round(CAST(n_parts AS DOUBLE) / CAST(total AS DOUBLE), 12)
              AS part_share
          FROM h, t ORDER BY n_suppliers""",
+    // Lines = aligned non-overlapping 8-token segments (the corpus
+    // has no newline structure); df over per-doc-DISTINCT lines;
+    // rebuild = ordered string_agg of the non-boilerplate lines
+    // (string_agg skips NULLs; coalesce covers the all-boiler doc).
+    "q168_strip_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         l AS (SELECT doc_id, i // 8 AS line_no,
+                 array_to_string(list_slice(lst, i + 1, i + 8), ' ')
+                   AS line
+               FROM t, unnest([i for i in range(0, len(lst), 8)])
+                 AS u(i)
+               WHERE len(lst) > 0),
+         d AS (SELECT line FROM (
+                 SELECT line, count(DISTINCT doc_id) AS df
+                 FROM l GROUP BY line)
+               WHERE df >= 3),
+         m AS (SELECT l.doc_id, l.line_no, l.line,
+                 d.line IS NOT NULL AS b
+               FROM l LEFT JOIN d ON l.line = d.line)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT b THEN line END, ' '
+             ORDER BY line_no), '') AS text_clean
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "q96_moving_avg" ->
       """SELECT user_id, event_id,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

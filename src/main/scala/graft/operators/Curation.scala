@@ -54,12 +54,27 @@ object Curation {
       .withColumn("text", TextOps.piiCleanText(col("text")))
 
   def pipeline(docs: DataFrame, packTokens: Long = 256L,
-      minJ: Double = 0.7, bands: Int = 16): DataFrame = {
+      minJ: Double = 0.7, bands: Int = 16,
+      stripBoilerplateMinDocs: Option[Int] = None): DataFrame = {
+    // Optional line-level boilerplate removal (q168's transform)
+    // BETWEEN scrub and dedup — RefinedWeb's stage order: strip the
+    // recurring headers/footers first so near-dup similarity is
+    // computed over content, not shared boilerplate. None (the
+    // default, and x15's registered form) skips the stage entirely.
+    val base = stripBoilerplateMinDocs match {
+      case None => prepare(docs)
+      case Some(m) =>
+        val p = prepare(docs)
+        p.drop("text").join(
+          TextOps.stripBoilerplateLines(p, minDocs = m)
+            .select(col("doc_id"), col("text_clean").as("text")),
+          Seq("doc_id"), "inner")
+    }
     // persisted: the scrubbed frame feeds three plan consumers (LSH
     // signatures, candidate verification re-shingle, final anti-join) —
     // without it the gate + four-regex scrub re-run per consumer (same
     // bounded cache-lifecycle note as NearDup.minHashLshPairs)
-    val scrubbed = prepare(docs)
+    val scrubbed = base
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = NearDup
       .minHashLshPairs(scrubbed, bands = bands, minJ = minJ)

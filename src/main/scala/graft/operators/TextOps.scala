@@ -1351,6 +1351,115 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-doc "line" table shared by the boilerplate REMOVAL family
+    * (q168/x33): the corpus carries no newline structure (ref
+    * etl/etl.py:224-297 cleans extracted text the same way — transform
+    * tier, not just measurement), so a line is a NON-OVERLAPPING run
+    * of `w` whitespace tokens, aligned from position 0 (the last line
+    * may be shorter). Aligned fixed segments — not q63's sliding
+    * shingles — because removal must PARTITION the document: every
+    * token belongs to exactly one line, so dropping boilerplate lines
+    * and rejoining the rest reconstructs a well-defined cleaned text.
+    * Zero-token docs have no lines and drop out (q63's convention). */
+  private def lineTable(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("_t")) - 1) / lit(w)).cast("int")),
+        i => concat_ws(" ", slice(col("_t"), i * lit(w) + 1, lit(w))))))
+      .toDF("doc_id", "line_no", "line")
+
+  /** Line-level boilerplate REMOVAL — the RefinedWeb curation stage
+    * that q63/x14 measure but could not execute: lines occurring in
+    * ≥ minDocs documents (headers, footers, licence blocks) are
+    * STRIPPED and each document's text is rebuilt from its surviving
+    * lines in original order. Output per doc: n_lines, n_removed, and
+    * the cleaned text (possibly "" when every line was boilerplate) —
+    * the actual transform a pipeline runs between scrubbing and
+    * dedup (see Curation.pipeline's stripBoilerplate hook).
+    *
+    * Scale shape (q63's): document frequency is a partial+final hash
+    * aggregate over the per-doc-distinct (doc, line) table — never a
+    * count window over the exploded rows (boilerplate lines are by
+    * definition the heavy keys; the join-back's hot keys carry
+    * ≤ n_docs rows each and AQE skew-splits them). The rebuild is one
+    * left join marking members plus a per-doc aggregate whose
+    * collect_list is bounded by the document's own line count — the
+    * same per-doc bound every profile operator carries, never
+    * corpus-sized. The per-doc re-order happens inside array_sort on
+    * that bounded list, not in a data-sized sort. */
+  def stripBoilerplateLines(docs: DataFrame, w: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    require(w >= 1, "w must be positive")
+    require(minDocs >= 2, "minDocs under 2 would strip every line")
+    // persisted: feeds both the df aggregate and the join-back rebuild
+    // (without it the corpus re-tokenizes and re-segments per
+    // consumer); consumed within this plan — callers executing the
+    // returned frame release it via Bench's per-query unpersist sweep
+    val lines = lineTable(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct BEFORE the df count: aligned segments can repeat inside
+    // one document (token runs), and df is defined over documents
+    val boiler = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("line"), lit(true).as("_b"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_b").isNull,
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), " ").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** stripBoilerplateLines' 100 TB twin (x14's bloom delivery): the
+    * boilerplate vocabulary is still found by the exact document-
+    * frequency aggregate (a count threshold can't sketch away), but
+    * it runs over 64-bit line hashes — never line strings — and
+    * reaches the rebuild as ONE bloom bitset via a scalar subquery
+    * instead of a join, so the rebuild side never shuffles doc-line
+    * rows by line. Error is ONE-SIDED: might_contain never misses a
+    * member, so removal is a SUPERSET of the exact operator's —
+    * n_removed ≥ exact and text_clean is a subsequence of exact's
+    * (pinned in TextOpsSpec); false positives (an innocent line
+    * stripped) are governed by numBits. */
+  def stripBoilerplateLinesApprox(docs: DataFrame, w: Int = 8,
+      minDocs: Int = 3, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    require(w >= 1, "w must be positive")
+    require(minDocs >= 2, "minDocs under 2 would strip every line")
+    // persisted: feeds the bloom scalar subquery and the rebuild
+    val lines = lineTable(docs, w)
+      .withColumn("_h", xxhash64(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = lines.select(col("doc_id"), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .agg(GraftFunctions.bloomAgg(col("_h"), expectedItems, numBits)
+        .as("_bf"))
+      .scalar()
+    // probe in a PROJECT, not inside the aggregate: Catalyst rejects
+    // scalar subqueries nested under higher-order functions, and the
+    // map-side projection is where the probe belongs anyway
+    lines
+      .withColumn("_boil",
+        GraftFunctions.bloomMightContain(bloom, col("_h")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_boil"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("_boil"), struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), " ").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-gate accounting per source: how many docs each filter
     * family rejects, and the final pass rate — the pipeline-health
     * dashboard a curation run emits. Rules (Gopher-shaped, thresholds

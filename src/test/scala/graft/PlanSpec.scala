@@ -855,4 +855,63 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty,
       s"allocation windows must run over the per-source aggregate: $bad")
   }
+
+  test("q164 session PMI: the type-pair self-join keys on (user, " +
+      "session) — equi-join by construction, never a product") {
+    val df = q("q164_session_type_pmi")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pair mining must never be a product join")
+    // the data-sized self-join must hash on the (user, session) key —
+    // the only nested-loop allowed is the one-row broadcast of the
+    // session total (the scalar N in the PMI denominator)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("user_id")),
+      s"type-pair self-join must be an equi-join keyed on the session")
+    assert(plan.contains("HashAggregate"),
+      "pair counts must partial-aggregate before any exchange")
+  }
+
+  test("q166 market basket: the pair self-join keys on l_orderkey — " +
+      "equi-join with fan-out bounded by items per order, and the " +
+      "top-k is TakeOrderedAndProject, never a global sort") {
+    val df = q("q166_bought_together")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "basket pairs must join on the order key, never catalog²")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-20 must be a bounded TakeOrderedAndProject")
+  }
+
+  test("q168 strip boilerplate: df joins back on the line (equi-join, " +
+      "partial-aggregated) — q63's shape carried into the transform") {
+    val df = q("q168_strip_boilerplate")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "membership marking must be an equi-join on the line")
+    assert(plan.contains("HashAggregate"),
+      "document frequency must aggregate before the join-back")
+    assert(!plan.contains("Window"),
+      "the per-doc rebuild is an aggregate (bounded collect_list + " +
+        "array_sort), never a data-sized window")
+  }
+
+  test("x33 bloom strip-boilerplate: the rebuild side has NO join — " +
+      "the vocabulary arrives as a scalar-subquery bitset (x14's " +
+      "delivery for the removal transform)") {
+    val df = q("x33_strip_boilerplate_bloom")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the ONLY join-free plan form: membership is a map-side
+    // might_contain probe (the df-threshold subquery aggregates but
+    // never joins against the doc-line stream)
+    assert(!plan.contains("Join"),
+      "rebuild must probe the bloom map-side, never join by line")
+  }
 }

@@ -74,6 +74,57 @@ class CurationSpec extends SparkSuite {
       "premise: un-normalized NFC twins must NOT pair")
   }
 
+  test("pipeline: the stripBoilerplate stage slots between scrub and " +
+      "dedup — shared headers vanish from every survivor, and the " +
+      "composed pipeline equals the step-by-step composition") {
+    import spark.implicits._
+    // Three gate-passing docs sharing one aligned 8-token header
+    // (w=8 default lines), each followed by 32 private tokens — low
+    // pairwise Jaccard, so none of them near-dup away.
+    val header = "the hd1 hd2 hd3 hd4 hd5 hd6 hd7"
+    def doc(tag: Int): String =
+      header + " " + (0 until 32).map(i => s"c$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", doc(1)), (2L, "s1", doc(2)), (3L, "s1", doc(3))
+    ).toDF("doc_id", "source", "text")
+
+    val out = Curation.pipeline(docs, packTokens = 64L,
+      stripBoilerplateMinDocs = Some(3)).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 3L),
+      s"distinct-content docs must all survive; got $ids")
+    // packSequences reports n_tokens: 32 = the private content only —
+    // the 8-token shared header was stripped from every survivor
+    val nTok = out.map(_.getAs[Long]("n_tokens")).toSeq
+    assert(nTok.forall(_ == 32L),
+      s"header must be stripped before packing; got n_tokens $nTok")
+
+    // composition == running the stages by hand
+    val byHand = {
+      val p = Curation.prepare(docs)
+      val cleaned = p.drop("text").join(
+        TextOps.stripBoilerplateLines(p, minDocs = 3)
+          .select(col("doc_id"), col("text_clean").as("text")),
+        Seq("doc_id"), "inner")
+      val pairs = NearDup.minHashLshPairs(cleaned)
+        .select(col("a_id"), col("b_id"))
+      TextOps.packSequences(
+        NearDup.dedupByClusters(cleaned,
+          NearDup.duplicateClusters(pairs)), 64L)
+    }
+    assert(Curation.pipeline(docs, packTokens = 64L,
+        stripBoilerplateMinDocs = Some(3)).collect().toSeq ==
+      byHand.collect().toSeq)
+
+    // default (None) keeps x15's registered behavior: header intact
+    // (40 tokens per doc, not 32)
+    val kept = Curation.pipeline(docs, packTokens = 64L).collect()
+      .map(_.getAs[Long]("n_tokens")).toSeq
+    assert(kept.forall(_ == 40L),
+      s"without the stage the header must survive — x15 unchanged; " +
+        s"got n_tokens $kept")
+  }
+
   // ---- training-mix construction (q101-q103) ------------------------
 
   private def mixDocs(n: Int) = {

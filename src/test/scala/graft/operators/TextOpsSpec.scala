@@ -219,6 +219,77 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("stripBoilerplateLines: lines shared by >= minDocs docs are " +
+      "removed, text rebuilds in original order, short tail lines " +
+      "count, an all-boilerplate doc keeps an empty text") {
+    import spark.implicits._
+    // w=2 lines. "HDR FOOT" is the planted boilerplate (3 docs, each
+    // aligned at position 0); every doc also has private content.
+    // doc 4 is ONLY boilerplate; doc 5 has an odd-length tail line.
+    val docs = Seq(
+      (1L, "HDR FOOT alpha beta gamma delta"),
+      (2L, "HDR FOOT beta alpha"),
+      (3L, "HDR FOOT delta gamma epsilon"),
+      (4L, "HDR FOOT"),
+      (5L, "zeta eta theta")).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplateLines(docs, w = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .toMap
+    assert(out(1L) == ((3L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, "beta alpha")))
+    // doc 3's tail "epsilon" is a 1-token line, kept in order
+    assert(out(3L) == ((3L, 1L, "delta gamma epsilon")))
+    assert(out(4L) == ((1L, 1L, "")), "all-boiler doc must stay, empty")
+    assert(out(5L) == ((2L, 0L, "zeta eta theta")),
+      "clean doc must round-trip byte-identically")
+  }
+
+  test("stripBoilerplateLines: alignment is per-document — the same " +
+      "tokens at a different line offset are a DIFFERENT line") {
+    import spark.implicits._
+    // "p q" aligned in docs 1,2 but doc 3 carries it at offset 1 ->
+    // its aligned lines are "x p" / "q y", so df("p q") stays 2 < 3
+    val docs = Seq(
+      (1L, "p q a b"), (2L, "p q c d"), (3L, "x p q y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplateLines(docs, w = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_removed"))
+      .toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      "misaligned repeats must not reach the df threshold")
+  }
+
+  test("stripBoilerplateLinesApprox: removal is a superset of exact " +
+      "(bloom one-sided), kept text a subsequence; identical on the " +
+      "harness fixture at default bits") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.stripBoilerplateLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .toMap
+    val approx = TextOps.stripBoilerplateLinesApprox(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (id, (nl, nr, txt)) =>
+      val (anl, anr, atxt) = approx(id)
+      assert(anl == nl, s"doc $id: line universe must match")
+      assert(anr >= nr, s"doc $id: bloom must never under-remove")
+      // subsequence: every kept-by-approx line was kept by exact
+      val kept = txt.split(' ').filter(_.nonEmpty)
+      val akept = atxt.split(' ').filter(_.nonEmpty)
+      assert(akept.length <= kept.length &&
+        akept.diff(kept).isEmpty,
+        s"doc $id: approx text must be a sub-multiset of exact's")
+      // 2^23 bits vs a few thousand lines → FP-free on this fixture
+      assert((anr, atxt) == ((nr, txt)),
+        s"doc $id: expected no false positives at default bits")
+    }
+  }
+
   test("qualityGate: each rule family fires independently") {
     import spark.implicits._
     // 40 distinct tokens incl. one stopword: passes every gate
