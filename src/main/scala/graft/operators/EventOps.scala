@@ -664,7 +664,14 @@ object EventOps {
     * (session, type) presence table is session-count-sized; the
     * co-occurrence self-join keys on the session id with ≤ |types|
     * rows per key (bounded fan-out, never user-history-sized), and
-    * the final fold is |types|²-bounded. */
+    * the final fold is |types|²-bounded.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * presence table (it feeds three plan consumers), so the cache
+    * entry lives until the caller's session drops it — evictable
+    * MEMORY_AND_DISK; one-shot runners (Bench/Verify) sweep it after
+    * execution, long-lived sessions should spark.catalog.clearCache()
+    * between unrelated workloads. */
   def sessionTypePmi(events: DataFrame, gapMinutes: Int = 30)
       : DataFrame = {
     val w = Window.partitionBy(col("user_id"))

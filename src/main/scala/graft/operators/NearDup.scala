@@ -885,6 +885,11 @@ object NearDup {
         case _ => false
       }
       prevSum = s
+      // the probe just materialized round r's checkpoint, so round
+      // r-1's blocks are superseded — free them NOW instead of
+      // leaving one data-sized copy per round to the ContextCleaner
+      // (round 0's `labels` is a plain plan; free() is a no-op there)
+      Ckpt.free(labels)
       labels = next
       round += 1
     }
@@ -892,6 +897,9 @@ object NearDup {
       s"label propagation did not converge in $maxRounds rounds — " +
         "with pointer jumping that needs a component of diameter " +
         "~2^$maxRounds; check the pair input for pathology")
+    // the returned frame reads ONLY the final label checkpoint — the
+    // edge checkpoint has no consumer left
+    Ckpt.free(edges)
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id")), round)
   }

@@ -575,9 +575,10 @@ object TextOps {
       .distinct()
       .select(col("w"), bpeBaseSymbols(col("w")).as("symbols"))
     rules.foreach { case (l, r) =>
-      syms = syms
-        .withColumn("symbols", bpeMergeFold(col("symbols"), l, r))
-        .localCheckpoint()
+      // eager checkpoint + free of the superseded fold step — the
+      // chain otherwise keeps |rules| copies of the word table alive
+      syms = Ckpt.advance(syms,
+        syms.withColumn("symbols", bpeMergeFold(col("symbols"), l, r)))
     }
     syms
   }
@@ -697,7 +698,12 @@ object TextOps {
     * C(#sources, 2) rows PER SHINGLE, so the pair space is bounded by
     * #sources² regardless of corpus size, and the final aggregate is
     * #source-pairs rows. Shingles ride as 64-bit hashes (q69's
-    * convention), not strings. */
+    * convention), not strings.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * vocabulary table — the cache entry outlives the call (evictable
+    * MEMORY_AND_DISK); one-shot runners sweep it, long-lived sessions
+    * clearCache() between workloads (same note as sessionTypePmi). */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val s = docs
       .select(col("source"),

@@ -459,7 +459,10 @@ object VectorOps {
     * iterative lineage (same pattern as NearDup.duplicateClusters). */
   def trainCentroids(emb: DataFrame, iters: Int = 2): DataFrame = {
     var c = labelCentroids(emb)
-    (0 until iters).foreach { _ => c = kmeansStep(emb, c).localCheckpoint() }
+    // Ckpt.advance: eager checkpoint of step r, then free step r-1's
+    // superseded blocks (the chain otherwise keeps every iteration's
+    // centroid table alive until the ContextCleaner runs)
+    (0 until iters).foreach { _ => c = Ckpt.advance(c, kmeansStep(emb, c)) }
     c
   }
 
@@ -648,9 +651,13 @@ object VectorOps {
         .crossJoin(broadcast(packPq(cb)))
         .withColumn("code", GraftFunctions.pqSubArgmin(col("sv"),
           element_at(col("_cb"), col("sub_id") + 1)))
-      cb = meanBySubCode(assigned.select(col("sub_id"), col("code"),
-        col("sv"))).localCheckpoint()
+      // eager checkpoint + free of the superseded step (Ckpt.advance)
+      cb = Ckpt.advance(cb, meanBySubCode(
+        assigned.select(col("sub_id"), col("code"), col("sv"))))
     }
+    // the returned codebook is a materialized checkpoint — the
+    // subvector cache is fully consumed inside this function
+    sub.unpersist(blocking = false)
     cb
   }
 
