@@ -763,6 +763,29 @@ object SparkEntry {
       RelationalOps.partsBoughtTogether(t(s, d, "lineitem"))),
     "q167_supplier_concentration" -> ((s, d) =>
       RelationalOps.partSupplierConcentration(t(s, d, "lineitem"))),
+    // TPC-H Q7 shape: bilateral trade volume for a disjunctive
+    // nation pair, per ship year.
+    "q169_volume_shipping" -> ((s, d) =>
+      RelationalOps.volumeShipping(t(s, d, "lineitem"),
+        t(s, d, "orders"), t(s, d, "customer"), t(s, d, "supplier"),
+        t(s, d, "nation"))),
+    // TPC-H Q8 shape: one nation's share of a region's market for one
+    // part type, per order year (two-level conditional aggregate).
+    "q170_market_share" -> ((s, d) =>
+      RelationalOps.marketShare(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"),
+        t(s, d, "region"), t(s, d, "part"))),
+    // Curriculum-interleave schedule: per-source quality rank +
+    // arithmetic round-robin position (no global window).
+    "q171_curriculum_schedule" -> ((s, d) =>
+      Curation.curriculumSchedule(t(s, d, "documents"))),
+    // IVF nprobe-tuning curve: recall/precision@k vs exact brute
+    // force per probe level. Engine-seeded centroid assignment →
+    // rows-only; report==set-computation parity pinned in
+    // VectorOpsSpec.
+    "x34_ivf_eval_report" -> ((s, d) =>
+      VectorOps.ivfEvalReport(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, maxProbe = 3)),
     // Line-level boilerplate REMOVAL (RefinedWeb's transform stage):
     // aligned 8-token lines occurring in >= 3 docs are stripped and
     // each doc's text rebuilt from the survivors in order.
@@ -3448,6 +3471,78 @@ object SparkEntry {
            round(CAST(n_parts AS DOUBLE) / CAST(total AS DOUBLE), 12)
              AS part_share
          FROM h, t ORDER BY n_suppliers""",
+    // TPC-H Q7: the disjunctive nation-pair filter references both
+    // dimension legs; year as BIGINT both sides.
+    "q169_volume_shipping" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         cn AS (SELECT c_custkey, n_name AS cust_nation
+             FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2))
+               - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN sn ON l_suppkey = s_suppkey
+         JOIN cn ON o_custkey = c_custkey
+         WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+            OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+         GROUP BY supp_nation, cust_nation, ship_year
+         ORDER BY supp_nation, cust_nation, ship_year""",
+    // TPC-H Q8: share = conditional decimal sum over total within the
+    // same yearly group; the region gate is an IN-subquery semi join.
+    "q170_market_share" ->
+      """WITH mc AS (SELECT c_custkey
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'),
+         sn AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         j AS (SELECT o_orderdate, supp_nation,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2))) AS disc
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN sn ON l_suppkey = s_suppkey
+           WHERE o_custkey IN (SELECT c_custkey FROM mc))
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(disc) AS DOUBLE) AS total_revenue,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN disc
+             ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             AS nation_revenue,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN disc
+               ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(sum(disc) AS DOUBLE), 12) AS mkt_share
+         FROM j GROUP BY order_year ORDER BY order_year""",
+    // Per-source diversity rank (q105's metric) + arithmetic
+    // round-robin position off the |sources| index — no global
+    // row_number anywhere.
+    "q171_curriculum_schedule" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         d AS (SELECT doc_id, source,
+             CASE WHEN len(lst) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(lst)) AS DOUBLE)/len(lst)
+             END AS diversity FROM t),
+         r AS (SELECT doc_id, source, diversity,
+             row_number() OVER (PARTITION BY source
+               ORDER BY diversity DESC, doc_id) AS rnk FROM d),
+         s AS (SELECT source,
+             row_number() OVER (ORDER BY source) - 1 AS sidx
+           FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT count(*) AS ns FROM s)
+         SELECT doc_id, r.source, round(diversity, 12) AS diversity,
+           CAST(rnk AS BIGINT) AS quality_rank,
+           CAST((rnk - 1) * ns + sidx AS BIGINT) AS position
+         FROM r JOIN s ON r.source = s.source, n
+         ORDER BY position""",
     // Lines = aligned non-overlapping 8-token segments (the corpus
     // has no newline structure); df over per-doc-DISTINCT lines;
     // rebuild = ordered string_agg of the non-boilerplate lines

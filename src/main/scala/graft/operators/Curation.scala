@@ -355,6 +355,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum-interleave training schedule: documents ranked by
+    * quality (q105's distinct-token diversity) WITHIN each source,
+    * then interleaved round-robin across sources — rank-1 docs of
+    * every source first, then rank 2, … — so a sequential reader sees
+    * highest-quality-first AND source-balanced data from step one
+    * (quality curriculum + mixture stratification in one ordering;
+    * anti-curriculum = read the schedule backwards).
+    *
+    * The schedule position is ARITHMETIC — (rank−1)·|sources| +
+    * source_index — from a broadcast |sources|-row index table, never
+    * a global row_number: a total-order window over the corpus is the
+    * one-reducer serialization q126 exorcised. Positions are unique
+    * and monotone in (rank, source); sources that exhaust early leave
+    * gaps, which a consumer streams past (ordering, not density, is
+    * the contract).
+    *
+    * Scale shape: one per-source rank window (partitioned, spreads
+    * across the cluster), one broadcast join against the tiny source
+    * index, map-side position arithmetic; the output sort is the
+    * ordinary result-delivery sort every oracle query carries. */
+  def curriculumSchedule(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val diversity = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("_sidx",
+        (row_number().over(Window.orderBy(col("source"))) - 1)
+          .cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("_ns")).scalar()
+    docs
+      .select(col("doc_id"), col("source"), diversity.as("diversity"))
+      .withColumn("quality_rank", row_number().over(wRank).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        round(col("diversity"), 12).as("diversity"),
+        col("quality_rank"),
+        ((col("quality_rank") - 1) * nSrc + col("_sidx"))
+          .as("position"))
+      .orderBy(col("position"))
+  }
+
   /** Per-source dataset card — the summary table a corpus release ships
     * (HuggingFace dataset-card / Datasheets-for-Datasets shape): doc and
     * token counts, mean document length, language breadth, and each

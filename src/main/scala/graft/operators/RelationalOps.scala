@@ -1100,4 +1100,93 @@ object RelationalOps {
           col("_total").cast(DoubleType), 12).as("part_share"))
       .orderBy(col("n_suppliers"))
   }
+
+  /** TPC-H Q7 shape — bilateral shipping volume between two nations:
+    * revenue per (supplier nation, customer nation, ship year) for
+    * the DISJUNCTIVE nation pair (n1→n2 or n2→n1) — the trade-flow
+    * query whose defining plan property is a filter that references
+    * BOTH dimension legs at once.
+    *
+    * Scale shape: nation broadcasts twice (once per leg) and supplier
+    * broadcasts whole; the fact table shuffles once for the orders
+    * key join; the disjunctive pair predicate applies the moment both
+    * nation names are bound — before the aggregate — so only the two
+    * nations' bilateral rows reach the final (2 × years)-row group
+    * by. Revenue is the exact decimal discount sum (order-independent
+    * at any parallelism). */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custNation = customer
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(dsumDisc(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q8 shape — national market share: for one part type sold
+    * into one region, the share of yearly revenue supplied by one
+    * nation. The two-level conditional aggregate (share = conditional
+    * sum over total within the SAME group) in one pass — never a
+    * self-join of the aggregate against itself.
+    *
+    * Scale shape: part is filtered to the type BEFORE its broadcast
+    * (the selective filter prunes the build side, and the fact join
+    * then prunes the probe stream); region gates the customer-nation
+    * leg the same way; supplier's nation name rides a broadcast so
+    * the share's CASE is map-side. One fact shuffle (orders key), one
+    * |years|-row aggregate. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, partT: DataFrame,
+      suppNation: String = "NATION_9", regionName: String = "ASIA",
+      pType: String = "PROMO"): DataFrame = {
+    val marketCust = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppWithNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(broadcast(partT.filter(col("p_type") === pType)
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppWithNation),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("order_year"))
+      .agg(
+        dsumDisc(col("l_extendedprice"), col("l_discount"))
+          .as("total_revenue"),
+        sum(when(col("supp_nation") === suppNation,
+          col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(3, 2)) -
+              col("l_discount").cast(DecimalType(4, 2))))
+          .otherwise(lit(0).cast(DecimalType(3, 2))))
+          .cast(DoubleType).as("nation_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 12))
+      .orderBy(col("order_year"))
+  }
 }

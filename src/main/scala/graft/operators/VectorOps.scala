@@ -1050,4 +1050,42 @@ object VectorOps {
             col("n_vecs").cast("double")), 6).as("cohesion_ratio"))
       .orderBy(col("label"))
   }
+
+  /** IVF self-evaluation (x31's discipline for the vector index): for
+    * each nprobe in 1..maxProbe, recall@k and precision@k of the
+    * partition-pruned IVF search against the exact brute-force top-k
+    * on the SAME query set — the nprobe-tuning curve an index
+    * operator measures before committing a recall target ("how many
+    * buckets must I probe to hit 95%?"). Both sides exclude self-
+    * matches; the ground truth is computed ONCE and each probe level
+    * joins against it on (q_id, n_id).
+    *
+    * Scale shape: at 100 TB the evaluation runs on a query SAMPLE
+    * (queryIds — the statistic needs coverage, not the corpus); each
+    * probe level replays the x04 partition-pruned search plan, the
+    * truth side is one brute-force pass, and every comparison join is
+    * |queries|·k rows — driver-bounded metadata. */
+  def ivfEvalReport(emb: DataFrame, queryIds: Seq[Long],
+      k: Int = 10, maxProbe: Int = 3,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    require(maxProbe >= 1, "maxProbe must be positive")
+    val exact = annBruteForce(emb, queryIds, k)
+      .select(col("q_id"), col("n_id"), lit(1).as("_e"))
+    val levels = (1 to maxProbe).map { p =>
+      annIvf(emb, queryIds, k, nprobe = p, codebook = codebook)
+        .select(col("q_id"), col("n_id"), lit(1).as("_i"))
+        .join(exact, Seq("q_id", "n_id"), "full_outer")
+        .agg(count(col("_e")).as("n_exact"),
+          count(col("_i")).as("n_ivf"),
+          count(when(col("_e").isNotNull && col("_i").isNotNull,
+            lit(1))).as("n_both"))
+        .select(lit(p.toLong).as("nprobe"), col("n_exact"),
+          col("n_ivf"), col("n_both"),
+          round(col("n_both").cast("double") /
+            col("n_exact").cast("double"), 12).as("recall"),
+          round(col("n_both").cast("double") /
+            col("n_ivf").cast("double"), 12).as("precision"))
+    }
+    levels.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
 }

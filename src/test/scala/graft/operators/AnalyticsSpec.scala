@@ -408,4 +408,73 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L), (2L, 1L)))
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12)
   }
+
+  test("volumeShipping: only the disjunctive nation pair survives, " +
+      "directions group separately, revenue is the exact disc sum") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val nation = Seq((0, "N_A"), (1, "N_B"), (2, "N_C"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((100L, 0), (101L, 1), (102L, 2))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((200L, 0), (201L, 1), (202L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((1L, 201L), (2L, 200L), (3L, 202L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      // order 1 (cust N_B): supp N_A -> A->B, 1996
+      (1L, 100L, 100.0, 0.10, ts("1996-03-01 00:00:00")),
+      // order 1 again, 1997: second year bucket
+      (1L, 100L, 200.0, 0.00, ts("1997-03-01 00:00:00")),
+      // order 2 (cust N_A): supp N_B -> B->A
+      (2L, 101L, 50.0, 0.00, ts("1996-05-01 00:00:00")),
+      // order 2, supp N_C -> C->A: NOT in the pair, dropped
+      (2L, 102L, 999.0, 0.00, ts("1996-05-01 00:00:00")),
+      // order 3 (cust N_C): supp N_A -> A->C, dropped
+      (3L, 100L, 999.0, 0.00, ts("1996-06-01 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val out = RelationalOps.volumeShipping(lineitem, orders, customer,
+      supplier, nation, n1 = "N_A", n2 = "N_B")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("ship_year"), r.getAs[Double]("revenue"))).toSeq
+    assert(out == Seq(
+      ("N_A", "N_B", 1996L, 90.0), ("N_A", "N_B", 1997L, 200.0),
+      ("N_B", "N_A", 1996L, 50.0)), s"got $out")
+  }
+
+  test("marketShare: share = focal nation's conditional sum over the " +
+      "region+type-gated total, per order year") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val region = Seq((0, "R_0"), (1, "R_1")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "N_A", 0), (1, "N_B", 0), (2, "N_C", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((100L, 0), (101L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+    // cust 200 in-region (N_A/R_0); cust 202 out-of-region (N_C/R_1)
+    val customer = Seq((200L, 0), (202L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 200L, ts("1996-01-10 00:00:00")),
+      (2L, 202L, ts("1996-02-10 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Seq((10L, "PROMO"), (11L, "LARGE"))
+      .toDF("p_partkey", "p_type")
+    val lineitem = Seq(
+      (1L, 10L, 100L, 60.0, 0.0),  // focal supp N_A, in scope
+      (1L, 10L, 101L, 40.0, 0.0),  // other supp N_B, in scope
+      (1L, 11L, 100L, 999.0, 0.0), // wrong part type, dropped
+      (2L, 10L, 100L, 999.0, 0.0)) // out-of-region cust, dropped
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val out = RelationalOps.marketShare(lineitem, orders, customer,
+      supplier, nation, region, part,
+      suppNation = "N_A", regionName = "R_0", pType = "PROMO")
+      .collect().map(r => (r.getAs[Long]("order_year"),
+        r.getAs[Double]("total_revenue"),
+        r.getAs[Double]("nation_revenue"),
+        r.getAs[Double]("mkt_share"))).toSeq
+    assert(out == Seq((1996L, 100.0, 60.0, 0.6)), s"got $out")
+  }
 }

@@ -489,6 +489,30 @@ class CurationSpec extends SparkSuite {
       s"got $out")
   }
 
+  test("curriculumSchedule: per-source quality rank, arithmetic " +
+      "round-robin positions (rank-1 of every source before any " +
+      "rank-2), unique and monotone — no global row_number") {
+    import spark.implicits._
+    val docs = Seq(
+      // s0: doc 1 diversity 1.0 (3 distinct/3), doc 2 diversity 0.5
+      (1L, "s0", "a b c"), (2L, "s0", "x x y y"),
+      // s1: doc 3 diversity 1.0, doc 4 diversity 0.25
+      (3L, "s1", "p q"), (4L, "s1", "z z z z"),
+      // s2: single doc
+      (5L, "s2", "m n o")).toDF("doc_id", "source", "text")
+    val out = Curation.curriculumSchedule(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("quality_rank"), r.getAs[Long]("position")))
+      .toSeq
+    // 3 sources -> positions (rank-1)*3 + sidx; s0=0, s1=1, s2=2
+    assert(out == Seq(
+      (1L, "s0", 1L, 0L), (3L, "s1", 1L, 1L), (5L, "s2", 1L, 2L),
+      (2L, "s0", 2L, 3L), (4L, "s1", 2L, 4L)), s"got $out")
+    // every rank-1 position precedes every rank-2 position
+    assert(out.map(_._4).distinct.size == out.size,
+      "positions must be unique")
+  }
+
   test("dedupSavings: dropped tokens are exactly the non-canonical " +
       "dup members' tokens, clean sources save nothing") {
     import spark.implicits._

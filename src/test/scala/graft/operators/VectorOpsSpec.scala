@@ -876,4 +876,37 @@ class VectorOpsSpec extends SparkSuite
     assert(out == Seq((0, 2L, 4.0, 4.0, 1.0), (1, 2L, 0.0, 1.0, 0.0)),
       s"got $out")
   }
+
+  test("ivfEvalReport: recall is non-decreasing in nprobe, hits the " +
+      "floor the x04 search promises, and the report equals the " +
+      "direct set computation on the harness embeddings") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    val nCentroids = sfEmb.select(col("label")).distinct().count().toInt
+    val rep = VectorOps.ivfEvalReport(sfEmb, qids, k = k,
+      maxProbe = nCentroids).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_ivf"), r.getAs[Long]("n_both"),
+        r.getAs[Double]("recall"))).toSeq
+    assert(rep.map(_._1) == (1 to nCentroids).map(_.toLong),
+      "one row per probe level, ordered")
+    // recall monotone in nprobe (more probed buckets never lose hits)
+    rep.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 >= a._5, s"recall must not decrease: $rep")
+    }
+    // probing EVERY bucket scores the whole corpus == brute force
+    val full = rep.last
+    assert(full._4 == full._2 && full._5 == 1.0,
+      s"nprobe=|buckets| must reach recall 1; got $rep")
+    // report parity vs direct set computation at nprobe=1
+    val exact = VectorOps.annBruteForce(sfEmb, qids, k).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf1 = VectorOps.annIvf(sfEmb, qids, k, nprobe = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val r1 = rep.head
+    assert((r1._2, r1._3, r1._4) ==
+      ((exact.size.toLong, ivf1.size.toLong,
+        (exact intersect ivf1).size.toLong)),
+      s"report row must equal the set computation; got $r1")
+  }
 }
