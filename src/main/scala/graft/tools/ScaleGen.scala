@@ -209,6 +209,12 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     spark.read.parquet(s"$src/part.parquet")
       .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // supplier/region pass through 1x like nation/part: dimensions
+    // (the trade-flow/market-share star queries read them)
+    spark.read.parquet(s"$src/supplier.parquet")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
     // events shift both ids: each copy is a disjoint user population
     // replaying the same per-user timelines, so session/window output
     // grows linearly and timestamps (the window semantics) replicate
