@@ -33,6 +33,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sweep per query (Bench's discipline): operators persist
+      // intermediates and pin localCheckpoint micro-batches; across
+      // 200 queries the accumulated entries otherwise squeeze the
+      // executor heap mid-run
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -902,6 +902,53 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         "array_sort), never a data-sized window")
   }
 
+  test("q169 volume shipping: nation legs broadcast, the fact joins " +
+      "hash on keys — no product join for the disjunctive pair") {
+    val df = q("q169_volume_shipping")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the disjunctive nation-pair filter must not degrade any join " +
+        "to a product form")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the nation-bound dimension legs must broadcast")
+  }
+
+  test("q170 market share: the p_type filter prunes the part build " +
+      "side BEFORE its broadcast join, and the share is one aggregate " +
+      "(no aggregate-vs-aggregate self-join)") {
+    val df = q("q170_market_share")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "star joins must stay hash equi-joins")
+    // the filtered part table reaches its scan with the type predicate
+    assert(plan.contains("p_type"),
+      "p_type must appear in the plan (filter pushed toward the scan)")
+    val aggCount = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount <= 6,
+      s"share must fold in ONE partial+final aggregate pair per side, " +
+        s"not a self-joined aggregate cascade; got $aggCount HashAggregates")
+  }
+
+  test("q171 curriculum: the only unpartitioned window runs over the " +
+      "|sources| index frame — positions are arithmetic, never a " +
+      "global row_number over the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val df = q("q171_curriculum_schedule")
+    df.collect()
+    val lp = df.queryExecution.optimizedPlan
+    val bad = lp.collect { case w: LWindow
+        if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case _: Aggregate => () }.isEmpty => w }
+    assert(bad.isEmpty,
+      s"unpartitioned windows must sit on the distinct-source " +
+        s"(aggregate) frame only: $bad")
+  }
+
   test("x33 bloom strip-boilerplate: the rebuild side has NO join — " +
       "the vocabulary arrives as a scalar-subquery bitset (x14's " +
       "delivery for the removal transform)") {
