@@ -779,6 +779,11 @@ object SparkEntry {
     // arithmetic round-robin position (no global window).
     "q171_curriculum_schedule" -> ((s, d) =>
       Curation.curriculumSchedule(t(s, d, "documents"))),
+    // Temperature-weighted source mixing (alpha = 1/2 sampling):
+    // weight ∝ sqrt(tokens), sqrt because it is IEEE-exact on every
+    // engine where pow is libm-approximated.
+    "q172_source_mix_weights" -> ((s, d) =>
+      Curation.sourceMixWeights(t(s, d, "documents"))),
     // IVF nprobe-tuning curve: recall/precision@k vs exact brute
     // force per probe level. Engine-seeded centroid assignment →
     // rows-only; report==set-computation parity pinned in
@@ -3520,6 +3525,26 @@ object SparkEntry {
                ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
              / CAST(sum(disc) AS DOUBLE), 12) AS mkt_share
          FROM j GROUP BY order_year ORDER BY order_year""",
+    // alpha=1/2 sampling weights: sqrt is IEEE-exact both engines;
+    // the rounded weights sum as exact decimals.
+    "q172_source_mix_weights" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+               x -> x != ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+               AS DECIMAL(38,6)) AS wi
+           FROM st),
+         t AS (SELECT sum(wi) AS W, sum(n_tokens) AS T FROM w)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(T AS DOUBLE), 12)
+             AS raw_share,
+           round(CAST(wi AS DOUBLE) / CAST(W AS DOUBLE), 12) AS weight,
+           round((CAST(wi AS DOUBLE) / CAST(W AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(T AS DOUBLE)), 12)
+             AS boost
+         FROM w, t ORDER BY source""",
     // Per-source diversity rank (q105's metric) + arithmetic
     // round-robin position off the |sources| index — no global
     // row_number anywhere.

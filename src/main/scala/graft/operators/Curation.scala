@@ -398,6 +398,45 @@ object Curation {
       .orderBy(col("position"))
   }
 
+  /** Temperature-weighted source-mixing table (the mT5/CC-100 α-
+    * sampling rule, α = 1/2): sampling weight ∝ n_tokens^α, so
+    * low-resource sources up-sample relative to their raw share and
+    * head sources damp — the mixture a multilingual/multi-domain
+    * pretraining run draws from instead of raw proportions. Output
+    * per source: token counts, raw share, the α-weight, and the boost
+    * factor (weight / raw share; > 1 = up-sampled).
+    *
+    * α is FIXED at 1/2 because sqrt is IEEE-exactly-rounded on every
+    * engine — pow(x, α) for general α is libm-approximated and two
+    * engines may disagree in the last ulp (the determinism discipline
+    * the docstrings call "bit-identical cross-engine"). The rounded
+    * sqrt weights sum as exact decimals (order-independent), and each
+    * share is ONE double division of decimal-exact operands.
+    *
+    * Scale shape: one partial+final per-source token aggregate
+    * touches the corpus; weights, totals, boosts all fold on
+    * |sources| rows. */
+  def sourceMixWeights(docs: DataFrame): DataFrame = {
+    val d386 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val st = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("_w",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast(d386))
+    st.crossJoin(broadcast(st.agg(
+        sum(col("_w")).as("_wtot"),
+        sum(col("n_tokens")).as("_ttot"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("_ttot").cast("double"), 12).as("raw_share"),
+        round(col("_w").cast("double") /
+          col("_wtot").cast("double"), 12).as("weight"),
+        round((col("_w").cast("double") / col("_wtot").cast("double")) /
+          (col("n_tokens").cast("double") / col("_ttot").cast("double")),
+          12).as("boost"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source dataset card — the summary table a corpus release ships
     * (HuggingFace dataset-card / Datasheets-for-Datasets shape): doc and
     * token counts, mean document length, language breadth, and each

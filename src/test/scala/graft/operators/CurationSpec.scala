@@ -513,6 +513,31 @@ class CurationSpec extends SparkSuite {
       "positions must be unique")
   }
 
+  test("sourceMixWeights: weight ∝ sqrt(tokens) — low-resource " +
+      "sources boost above 1, head sources damp, weights sum to 1") {
+    import spark.implicits._
+    // s0: 1 token, s1: 4 tokens -> sqrt weights 1 : 2
+    val docs = Seq(
+      (1L, "s0", "a"),
+      (2L, "s1", "b c"), (3L, "s1", "d e")).toDF(
+      "doc_id", "source", "text")
+    val out = Curation.sourceMixWeights(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("raw_share"), r.getAs[Double]("weight"),
+        r.getAs[Double]("boost"))).toSeq
+    def r12(v: Double): Double =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(out == Seq(
+      ("s0", 1L, r12(0.2), r12(1.0 / 3), r12((1.0 / 3) / 0.2)),
+      ("s1", 4L, r12(0.8), r12(2.0 / 3), r12((2.0 / 3) / 0.8))),
+      s"got $out")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    assert(out.head._5 > 1.0 && out.last._5 < 1.0,
+      "small source up-samples, head source damps")
+  }
+
   test("dedupSavings: dropped tokens are exactly the non-canonical " +
       "dup members' tokens, clean sources save nothing") {
     import spark.implicits._
