@@ -784,6 +784,69 @@ object SparkEntry {
     // engine where pow is libm-approximated.
     "q172_source_mix_weights" -> ((s, d) =>
       Curation.sourceMixWeights(t(s, d, "documents"))),
+    // TPC-H Q6 shape: forecast revenue — one exact-decimal sum over a
+    // triple-filtered scan (the canonical pushdown demo).
+    "q173_forecast_revenue" -> ((s, d) =>
+      RelationalOps.forecastRevenue(t(s, d, "lineitem"))),
+    // TPC-H Q4 shape: late-shipment order-priority check; EXISTS
+    // decorrelated to a left-semi join with a compound condition.
+    "q174_late_priority_orders" -> ((s, d) =>
+      RelationalOps.latePriorityOrders(t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+    // TPC-H Q13 shape: customer order-count distribution with the
+    // zero bucket preserved (filter in the LEFT-join condition).
+    "q175_cust_order_distribution" -> ((s, d) =>
+      RelationalOps.custOrderDistribution(t(s, d, "customer"),
+        t(s, d, "orders"))),
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue, ties
+    // kept via an exact-decimal scalar-max broadcast (never a sort).
+    "q176_top_revenue_suppliers" -> ((s, d) =>
+      RelationalOps.topRevenueSuppliers(t(s, d, "lineitem"),
+        t(s, d, "supplier"))),
+    // TPC-H Q2 shape: min-cost supplier per part; correlated MIN
+    // decorrelated to a per-part aggregate joined back on exact
+    // decimal equality.
+    "q177_min_cost_supplier" -> ((s, d) =>
+      RelationalOps.minCostSupplier(t(s, d, "lineitem"),
+        t(s, d, "part"), t(s, d, "supplier"), t(s, d, "nation"))),
+    // TPC-H Q9 shape: product-type profit by supplier nation and
+    // order year (cost = retail*qty*0.5, exact decimals both sides).
+    "q178_product_type_profit" -> ((s, d) =>
+      RelationalOps.productTypeProfit(t(s, d, "lineitem"),
+        t(s, d, "orders"), t(s, d, "part"), t(s, d, "supplier"),
+        t(s, d, "nation"))),
+    // TPC-H Q11 shape: parts above a fixed fraction of one nation's
+    // total sales value; integer-scaled exact threshold compare.
+    "q179_important_parts" -> ((s, d) =>
+      RelationalOps.importantParts(t(s, d, "lineitem"),
+        t(s, d, "supplier"), t(s, d, "nation"))),
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // minus a broadcast anti-join blacklist.
+    "q180_supplier_diversity" -> ((s, d) =>
+      RelationalOps.supplierDiversity(t(s, d, "lineitem"),
+        t(s, d, "part"), t(s, d, "supplier"))),
+    // TPC-H Q18 shape: HAVING-as-filter before the dimension joins;
+    // exact decimal quantity threshold.
+    "q181_large_volume_orders" -> ((s, d) =>
+      RelationalOps.largeVolumeOrders(t(s, d, "lineitem"),
+        t(s, d, "orders"), t(s, d, "customer"))),
+    // TPC-H Q20 shape: stacked (supp,part)->part aggregates with the
+    // exact mean-relative dominance compare; broadcast nation
+    // attribution on the supplier tail.
+    "q182_dominant_suppliers" -> ((s, d) =>
+      RelationalOps.dominantSuppliers(t(s, d, "lineitem"),
+        t(s, d, "supplier"), t(s, d, "nation"))),
+    // TPC-H Q21 shape: EXISTS + NOT-EXISTS decorrelated to one
+    // per-order aggregate; zero self-joins of the fact table.
+    "q183_sole_late_supplier" -> ((s, d) =>
+      RelationalOps.soleLateSupplier(t(s, d, "lineitem"),
+        t(s, d, "orders"), t(s, d, "supplier"))),
+    // Epoch allocation under a token budget: q172's alpha-weights
+    // turned into per-source epoch counts, capped at 4 repeats
+    // (data-constrained-scaling rule); shortfall reported.
+    "q184_epoch_allocation" -> ((s, d) =>
+      Curation.epochAllocation(t(s, d, "documents"),
+        tokenBudget = 2000000L)),
     // IVF nprobe-tuning curve: recall/precision@k vs exact brute
     // force per probe level. Engine-seeded centroid assignment →
     // rows-only; report==set-computation parity pinned in
@@ -3545,6 +3608,197 @@ object SparkEntry {
              / (CAST(n_tokens AS DOUBLE) / CAST(T AS DOUBLE)), 12)
              AS boost
          FROM w, t ORDER BY source""",
+    // TPC-H Q6: the exact decimal price*discount sum; all three
+    // predicates are scan-pushable.
+    "q173_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    // TPC-H Q4: EXISTS with the compound lateness condition — each
+    // qualifying order counts once regardless of late-line count.
+    "q174_late_priority_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+           AND o_orderdate < TIMESTAMP '1997-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // TPC-H Q13: the priority filter lives in the LEFT-join condition
+    // so zero-order customers survive into the 0 bucket.
+    "q175_cust_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    // TPC-H Q15: ties kept by comparing the EXACT decimal revenue
+    // against its scalar max, never a double projection or a sort.
+    "q176_top_revenue_suppliers" ->
+      """WITH r AS (SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey),
+         m AS (SELECT max(rev) AS mx FROM r)
+         SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+         FROM r, m
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev = mx ORDER BY s_suppkey""",
+    // TPC-H Q2: the decorrelated min-offer join-back; offers kept as
+    // exact decimals for the equality.
+    "q177_min_cost_supplier" ->
+      """WITH pf AS (SELECT p_partkey, p_name, p_brand FROM part
+           WHERE p_type = 'STANDARD' AND p_size >= 10 AND p_size <= 20),
+         o AS (SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer
+           FROM lineitem JOIN pf ON l_partkey = p_partkey
+           GROUP BY l_partkey, l_suppkey),
+         b AS (SELECT l_partkey AS bk, min(offer) AS best
+           FROM o GROUP BY l_partkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_brand,
+           CAST(offer AS DOUBLE) AS best_price
+         FROM o
+         JOIN b ON l_partkey = bk AND offer = best
+         JOIN pf ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+    // TPC-H Q9: profit = exact decimal revenue minus modeled cost
+    // (retail*qty*0.5), mirrored term-for-term.
+    "q178_product_type_profit" ->
+      """SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2)))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(0.5 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY n_name, o_year
+         ORDER BY n_name, o_year DESC""",
+    // TPC-H Q11: scalar-total gate with the integer-scaled exact
+    // compare (value*2000 > total).
+    "q179_important_parts" ->
+      """WITH ns AS (SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3'),
+         v AS (SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l_discount AS DECIMAL(4,2)))) AS val
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM ns)
+           GROUP BY l_partkey),
+         t AS (SELECT sum(val) AS tot FROM v)
+         SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+         FROM v, t WHERE val * 2000 > tot
+         ORDER BY part_value DESC, l_partkey""",
+    // TPC-H Q16: NOT IN blacklist + distinct-supplier counts per
+    // part attribute.
+    "q180_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (5, 10, 15, 20, 25, 30)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // TPC-H Q18: HAVING sum(qty) > threshold as a pre-join filter;
+    // exact decimal sum.
+    "q181_large_volume_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2)))
+             > CAST(250 AS DECIMAL(12,2)))
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           o_totalprice, CAST(qty AS DOUBLE) AS total_qty
+         FROM q
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // TPC-H Q20: dominant (supp,part) links via the stacked
+    // aggregates and the exact mean-relative compare
+    // (sq*n_supps > 2*part_total).
+    "q182_dominant_suppliers" ->
+      """WITH sp AS (SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+           FROM lineitem GROUP BY l_suppkey, l_partkey),
+         pt AS (SELECT l_partkey AS pk, sum(sq) AS pq,
+             CAST(count(*) AS BIGINT) AS ns
+           FROM sp GROUP BY l_partkey),
+         ds AS (SELECT DISTINCT l_suppkey FROM sp
+           JOIN pt ON l_partkey = pk WHERE sq * ns > pq * 2)
+         SELECT s_suppkey, s_name, n_name, s_acctbal
+         FROM ds
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_name""",
+    // TPC-H Q21: the one-aggregate decorrelation of the EXISTS /
+    // NOT-EXISTS pair (distinct vs distinct-late supplier counts).
+    "q183_sole_late_supplier" ->
+      """WITH j AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+             (l_shipdate > o_orderdate + INTERVAL 900 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         st AS (SELECT ok, count(DISTINCT sk) AS ns,
+             count(DISTINCT CASE WHEN late THEN sk END) AS nl
+           FROM j GROUP BY ok)
+         SELECT s_suppkey, s_name,
+           count(DISTINCT q.ok) AS numwait
+         FROM (SELECT DISTINCT ok, sk FROM j WHERE late) q
+         JOIN st ON q.ok = st.ok
+         JOIN supplier ON q.sk = s_suppkey
+         WHERE ns > 1 AND nl = 1
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
+    // Epoch allocation: q172's rounded-sqrt decimal weights, budget
+    // as an exact integer, every ratio one double op rounded to 12.
+    "q184_epoch_allocation" ->
+      """WITH st AS (SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+               x -> x != ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+               AS DECIMAL(38,6)) AS wi
+           FROM st),
+         t AS (SELECT sum(wi) AS W FROM w),
+         a AS (SELECT source, n_tokens,
+             CAST(wi AS DOUBLE) / CAST(W AS DOUBLE)
+               * CAST(2000000 AS DOUBLE) AS target,
+             CAST(wi AS DOUBLE) / CAST(W AS DOUBLE)
+               * CAST(2000000 AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS eraw
+           FROM w, t)
+         SELECT source, n_tokens,
+           round(target, 4) AS target_tokens,
+           round(eraw, 12) AS epochs_uncapped,
+           round(least(eraw, 4.0), 12) AS epochs,
+           round(least(eraw, 4.0) * CAST(n_tokens AS DOUBLE), 4)
+             AS planned_tokens,
+           round(greatest(target
+             - least(eraw, 4.0) * CAST(n_tokens AS DOUBLE), 0.0), 4)
+             AS shortfall
+         FROM a ORDER BY source""",
     // Per-source diversity rank (q105's metric) + arithmetic
     // round-robin position off the |sources| index — no global
     // row_number anywhere.

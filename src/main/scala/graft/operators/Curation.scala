@@ -437,6 +437,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Epoch-allocation plan — the step AFTER [[sourceMixWeights]]: given
+    * a total training-token budget, how many tokens (and therefore how
+    * many EPOCHS — repeat passes) to draw from each source under the
+    * α = 1/2 mixing weights, with the repeat count capped at
+    * `maxEpochs` (the data-constrained-scaling rule of thumb that
+    * repeating a source beyond ~4 epochs stops helping). Per source:
+    * the weight-implied target tokens, the epoch count that target
+    * implies, the cap-clipped epochs actually granted, the resulting
+    * planned tokens, and the shortfall a capped source returns to the
+    * budget (a report, not an iterative waterfill — the re-spend
+    * decision is the caller's).
+    *
+    * Determinism: weights are the q172 rounded-sqrt decimals; target
+    * tokens and epoch ratios are single double operations on
+    * decimal-exact operands. Token-scale outputs (O(budget) values)
+    * round to 4 decimals and the O(1) epoch ratios to 12 — both
+    * leave the last ulp of a double outside the rounded digits, so
+    * an engine pair differing in the final bit of a division still
+    * emits identical rows. The budget enters as an exact long.
+    *
+    * Scale shape: one per-source token aggregate touches the corpus;
+    * every allocation column folds on the |sources|-row table. */
+  def epochAllocation(docs: DataFrame, tokenBudget: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    val d386 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val st = docs.groupBy(col("source"))
+      .agg(sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("_w",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast(d386))
+    val target = col("_w").cast("double") / col("_wtot").cast("double") *
+      lit(tokenBudget).cast("double")
+    val epochsRaw = target / col("n_tokens").cast("double")
+    val epochs = least(epochsRaw, lit(maxEpochs).cast("double"))
+    st.crossJoin(broadcast(st.agg(sum(col("_w")).as("_wtot"))))
+      .select(col("source"), col("n_tokens"),
+        round(target, 4).as("target_tokens"),
+        round(epochsRaw, 12).as("epochs_uncapped"),
+        round(epochs, 12).as("epochs"),
+        round(epochs * col("n_tokens").cast("double"), 4)
+          .as("planned_tokens"),
+        round(greatest(target - epochs * col("n_tokens").cast("double"),
+          lit(0.0)), 4).as("shortfall"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source dataset card — the summary table a corpus release ships
     * (HuggingFace dataset-card / Datasheets-for-Datasets shape): doc and
     * token counts, mean document length, language breadth, and each

@@ -1189,4 +1189,353 @@ object RelationalOps {
         round(col("nation_revenue") / col("total_revenue"), 12))
       .orderBy(col("order_year"))
   }
+
+  /** TPC-H Q6 shape — forecast revenue change: one exact-decimal sum
+    * over a triple-filtered scan. The canonical pushdown demo: all
+    * three predicates (shipdate year band, discount band, quantity
+    * cap) and the 2-column projection reach the parquet scan, so at
+    * 100 TB the stage reads a sliver of the table and aggregates
+    * map-side to a single row — no shuffle wider than one row per
+    * partition. */
+  def forecastRevenue(lineitem: DataFrame,
+      year: String = "1997", discLo: Double = 0.05, discHi: Double = 0.07,
+      maxQty: Double = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        col("l_discount").cast(DecimalType(4, 2)))
+        .cast(DoubleType).as("revenue"))
+
+  /** TPC-H Q4 shape — order-priority checking: orders in one quarter
+    * that had at least one LATE line (shipped more than `lateDays`
+    * after the order date — this schema has no commit/receipt dates),
+    * counted per priority. The EXISTS decorrelates to a left-semi
+    * join, so each order contributes at most once no matter how many
+    * late lines it has and the per-priority counts never overcount.
+    *
+    * Scale shape: the quarter filter prunes the orders scan FIRST
+    * (predicate reaches parquet), then ONE semi join keyed on
+    * orderkey carries the compound lateness condition; lineitem ships
+    * only (orderkey, shipdate). Aggregate is |priorities| rows. */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+      qStart: String = "1997-07-01", qEnd: String = "1997-10-01",
+      lateDays: Int = 90): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed 0, 1, 2, … qualifying orders. The zero bucket
+    * is the point: the priority filter must live in the JOIN
+    * condition of a LEFT join (not a WHERE), so customers with no
+    * qualifying orders survive with count 0 instead of vanishing.
+    *
+    * Scale shape: one outer join keyed on custkey (both sides shuffle
+    * on the key — co-locatable under bucketing), a per-customer count
+    * (map-side partial), then a second aggregate over |distinct
+    * counts| rows — the histogram never sees the fact table. */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue, TIES
+    * KEPT: suppliers whose revenue equals the maximum. The scalar max
+    * rides a broadcast one-row cross join and the equality happens on
+    * the EXACT decimal revenue (never the double projection), so the
+    * tie set is deterministic on any engine and any accumulation
+    * order — a global sort+limit would both drop ties and pay a
+    * data-sized exchange.
+    *
+    * Scale shape: one per-supplier partial+final aggregate over the
+    * date-pruned scan (|suppliers| rows out), a 1-row max broadcast
+    * back over it, and a broadcast supplier-dim join for the name. */
+  def topRevenueSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      qStart: String = "1997-01-01", qEnd: String = "1997-04-01")
+      : DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))).as("_rev"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("_rev")).as("_mx"))))
+      .filter(col("_rev") === col("_mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast(DoubleType).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q2 shape — minimum-cost supplier: for each part of one
+    * type in a size band, the supplier(s) offering the best (minimum)
+    * observed sale price. This schema has no partsupp/supplycost, so
+    * the offer book is derived: min extendedprice per (part,
+    * supplier) from lineitem. The correlated MIN subquery
+    * decorrelates into a per-part aggregate joined back on (partkey,
+    * offer) — the classic rewrite; offers stay EXACT decimals so the
+    * equality join is deterministic cross-engine.
+    *
+    * Scale shape: the type/size filter prunes part BEFORE its
+    * broadcast, so the fact scan only aggregates matching parts; the
+    * offer table is ≤ |part|·|supplier-per-part| rows, its per-part
+    * min a second tiny aggregate, and the join-back is keyed — all
+    * post-fact stages are dimension-sized. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      pType: String = "STANDARD", sizeLo: Int = 10, sizeHi: Int = 20)
+      : DataFrame = {
+    val partF = part
+      .filter(col("p_type") === pType &&
+        col("p_size") >= sizeLo && col("p_size") <= sizeHi)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val offers = lineitem
+      .join(broadcast(partF.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(12, 2)))
+        .as("_offer"))
+    val best = offers.groupBy(col("l_partkey").as("_bk"))
+      .agg(min(col("_offer")).as("_best"))
+    offers
+      .join(best, col("l_partkey") === col("_bk") &&
+        col("_offer") === col("_best"))
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("p_brand"),
+        col("_offer").cast(DoubleType).as("best_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  /** TPC-H Q9 shape — product-type profit by nation and year: for
+    * parts matching a name pattern, profit = revenue − cost, grouped
+    * by the SUPPLIER's nation and the order year. No supplycost
+    * column exists, so cost is modeled as retailprice·quantity·0.5 —
+    * every factor an exact decimal, mirrored term-for-term in the
+    * oracle so both engines sum identical values.
+    *
+    * Scale shape: the name filter prunes the part broadcast first
+    * (the probe stream shrinks at the scan), supplier→nation rides a
+    * second broadcast, and the only fact-sized exchange is the
+    * orders key join; the aggregate is |nations|·|years| rows with
+    * map-side partials. */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      namePattern: String = "%bolt%"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier
+        .join(broadcast(nation.select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum(
+        col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) -
+            col("l_discount").cast(DecimalType(4, 2))) -
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+          col("l_quantity").cast(DecimalType(12, 2)) *
+          lit(0.5).cast(DecimalType(4, 2)))
+        .cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 shape — important parts: parts whose sales value
+    * through one nation's suppliers exceeds a fixed fraction of that
+    * nation's total. The global total is a one-row broadcast gate
+    * (scalar subquery), and the threshold compare is EXACT:
+    * value·2000 > total (fraction 1/2000) — integer-scaled decimals,
+    * no double boundary anywhere.
+    *
+    * Scale shape: the nation's suppliers ride a broadcast semi join
+    * into the fact scan; per-part values are one partial+final
+    * aggregate; the total folds the |part|-sized value table, not
+    * the corpus — and gates it via a 1-row broadcast. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String = "NATION_3",
+      fracDenom: Int = 2000): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))).as("_v"))
+    value
+      .crossJoin(broadcast(value.agg(sum(col("_v")).as("_tot"))))
+      .filter(col("_v") * lit(fracDenom) > col("_tot"))
+      .select(col("l_partkey"),
+        col("_v").cast(DoubleType).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape — supplier diversity per part attribute: how
+    * many distinct suppliers have sold parts of each (brand, type,
+    * size), excluding a supplier blacklist (NOT IN → broadcast
+    * anti join; the blacklist here is negative-balance suppliers —
+    * this schema has no comment column for the complaint text).
+    *
+    * Scale shape: the (part, supplier) relationship distincts the
+    * fact scan down to ≤ |part|·|suppliers-per-part| rows FIRST (one
+    * shuffle with partial distinct), then all remaining stages —
+    * anti join, attribute broadcast, count-distinct — run on the
+    * pair table, never the corpus. */
+  def supplierDiversity(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String = "Brand#1",
+      sizes: Seq[Int] = Seq(5, 10, 15, 20, 25, 30)): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part
+        .filter(col("p_brand") =!= excludeBrand &&
+          col("p_size").isin(sizes.map(Integer.valueOf): _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total line
+    * quantity exceeds a threshold, with customer attribution. The
+    * HAVING becomes a per-order aggregate that FILTERS before any
+    * dimension join — the expensive join runs on the (rare)
+    * qualifying orders only, and the threshold compare is exact
+    * decimal.
+    *
+    * Scale shape: one per-orderkey partial+final quantity sum over
+    * the scan, the filter collapses it to the qualifying tail, then
+    * two keyed joins (orders, customer) on that tail; final top-k is
+    * TakeOrderedAndProject. */
+  def largeVolumeOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Int = 250, k: Int = 100): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("_qty"))
+      .filter(col("_qty") > lit(minQty).cast(DecimalType(12, 2)))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("_qty").cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q20 shape — dominant suppliers: suppliers shipping more
+    * than `mult`× the MEAN per-supplier quantity of some part (the
+    * "holds excess share" predicate; mean-relative because an
+    * absolute share threshold collapses as supplier-per-part
+    * cardinality grows with the corpus). The nested aggregate
+    * threshold (per-(supp,part) vs per-part total) decorrelates into
+    * two stacked aggregates — the per-part rollup REUSES the first
+    * aggregate's output, not a second fact scan — joined back on
+    * partkey with the exact integer-scaled compare
+    * (supp_qty·n_supps > mult·part_qty).
+    *
+    * Scale shape: one fact aggregate to (supp, part) rows; the
+    * per-part rollup and join-back run on that dimension-sized
+    * table; the DISTINCT supplier tail takes two broadcast dim
+    * joins for attribution. */
+  def dominantSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, mult: Int = 2): DataFrame = {
+    val sp = lineitem
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("_sq"))
+    val pt = sp.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(col("_sq")).as("_pq"), count(lit(1)).as("_ns"))
+    sp
+      .join(pt, col("l_partkey") === col("_pk") &&
+        col("_sq") * col("_ns") > col("_pq") * lit(mult))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(supplier
+        .join(broadcast(nation.select(col("n_nationkey"),
+          col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q21 shape — the sole late supplier: suppliers who were the
+    * ONLY late shipper in a multi-supplier order (late = shipped more
+    * than `lateDays` after the order date), counted over orders. The
+    * classic EXISTS + NOT-EXISTS pair of correlated self-joins
+    * decorrelates into ONE per-order aggregate (distinct suppliers,
+    * distinct LATE suppliers) joined back to the late lines — the
+    * fact table is scanned once and self-joined zero times.
+    *
+    * Scale shape: one orderkey-keyed fact join (orders ships only
+    * orderkey+date), one per-order aggregate, one keyed join-back of
+    * the distinct late (order, supp) pairs, then a |suppliers|-row
+    * count. The two correlated subqueries of the textbook plan would
+    * each re-shuffle lineitem; this shape pays one shuffle total. */
+  def soleLateSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 900, k: Int = 100)
+      : DataFrame = {
+    val j = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_late", col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val stats = j.groupBy(col("l_orderkey").as("_ok"))
+      .agg(countDistinct(col("l_suppkey")).as("_ns"),
+        countDistinct(when(col("_late"), col("l_suppkey"))).as("_nl"))
+    j.filter(col("_late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(stats, col("l_orderkey") === col("_ok") &&
+        col("_ns") > 1 && col("_nl") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 }

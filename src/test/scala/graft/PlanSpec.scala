@@ -949,6 +949,94 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"(aggregate) frame only: $bad")
   }
 
+  test("q173 forecast revenue: all three predicates reach the parquet " +
+      "scan and the sum folds map-side to one row") {
+    val df = q("q173_forecast_revenue")
+    val plan = finalPlan(df)
+    assert(plan.contains("PushedFilters: ["),
+      "scan must carry pushed filters")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("IsNotNull(l_shipdate)"),
+      "the shipdate band must be pushed")
+    // the full filter list is truncated in the rendered plan; the
+    // quantity cap's presence shows through its IsNotNull guard and
+    // the DataFilters clause
+    assert(plan.contains("IsNotNull(l_quantity)") &&
+      plan.contains("isnotnull(l_quantity"),
+      s"the quantity cap must be pushed: $plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_partkey"),
+      s"scan must read only the referenced columns: $readSchema")
+  }
+
+  test("q174 late-priority check: the EXISTS runs as ONE left-semi " +
+      "join keyed on orderkey — never a product join, and lineitem " +
+      "ships only two columns") {
+    val df = q("q174_late_priority_orders")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "the EXISTS must decorrelate to a left-semi join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the compound lateness condition must ride the orderkey " +
+        "equi-join, not degrade it to a product form")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_shipdate")).getOrElse("")
+    assert(!readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice"),
+      s"lineitem must ship only (orderkey, shipdate): $readSchema")
+  }
+
+  test("q177 min-cost supplier: the type/size filter prunes the part " +
+      "build BEFORE its broadcast and the min join-back stays an " +
+      "equi-join") {
+    val df = q("q177_min_cost_supplier")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the decorrelated min join-back must stay a hash equi-join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the pruned part/supplier dims must broadcast")
+    assert(plan.contains("p_type") && plan.contains("p_size"),
+      "the part filter must sit on the build side of the plan")
+  }
+
+  test("q181 large-volume orders: the HAVING filters before the " +
+      "dimension joins and the top-k is TakeOrderedAndProject") {
+    val df = q("q181_large_volume_orders")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as TakeOrderedAndProject, not a " +
+        "global sort")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "attribution joins must stay keyed equi-joins")
+  }
+
+  test("q183 sole-late supplier: the EXISTS/NOT-EXISTS pair costs " +
+      "ZERO fact self-joins — lineitem is scanned at most twice " +
+      "(stats + late pairs), never joined against itself per subquery") {
+    val df = q("q183_sole_late_supplier")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "all joins must stay keyed equi-joins")
+    // count scans in the FINAL plan only — the AQE rendering repeats
+    // every node once more under "== Initial Plan ==".
+    val finalSection = plan.split("== Initial Plan ==").head
+    val lineitemScans = finalSection.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans <= 2,
+      s"the textbook plan re-scans lineitem per correlated subquery; " +
+        s"this shape allows at most 2 scans, got $lineitemScans")
+  }
+
   test("x33 bloom strip-boilerplate: the rebuild side has NO join — " +
       "the vocabulary arrives as a scalar-subquery bitset (x14's " +
       "delivery for the removal transform)") {

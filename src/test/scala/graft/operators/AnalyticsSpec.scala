@@ -477,4 +477,130 @@ class AnalyticsSpec extends SparkSuite {
         r.getAs[Double]("mkt_share"))).toSeq
     assert(out == Seq((1996L, 100.0, 60.0, 0.6)), s"got $out")
   }
+
+  test("latePriorityOrders: an order with many late lines counts " +
+      "once; on-time-only and out-of-quarter orders are dropped") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, ts("1997-07-10 00:00:00"), "1-URGENT"), // 2 late lines -> 1
+      (2L, ts("1997-08-10 00:00:00"), "1-URGENT"), // on-time only
+      (3L, ts("1997-09-10 00:00:00"), "5-LOW"),    // 1 late line
+      (4L, ts("1997-11-10 00:00:00"), "5-LOW"))    // late but out of Q
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, ts("1998-01-01 00:00:00")), (1L, ts("1998-02-01 00:00:00")),
+      (2L, ts("1997-08-15 00:00:00")),
+      (3L, ts("1998-03-01 00:00:00")),
+      (4L, ts("1998-06-01 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = RelationalOps.latePriorityOrders(orders, lineitem,
+      qStart = "1997-07-01", qEnd = "1997-10-01", lateDays = 90)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("order_count")))
+      .toSeq
+    assert(out == Seq(("1-URGENT", 1L), ("5-LOW", 1L)), s"got $out")
+  }
+
+  test("custOrderDistribution: customers with zero qualifying orders " +
+      "land in the 0 bucket (filter lives in the join condition)") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "2-HIGH"), (11L, 1L, "2-HIGH"),  // cust 1: 2 orders
+      (12L, 2L, "1-URGENT"))                     // cust 2: excluded -> 0
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = RelationalOps.custOrderDistribution(customer, orders)
+      .collect().map(r => (r.getAs[Long]("c_count"),
+        r.getAs[Long]("custdist"))).toSeq
+    // custs 2 and 3 both have 0 qualifying orders; cust 1 has 2.
+    assert(out == Seq((0L, 2L), (2L, 1L)), s"got $out")
+  }
+
+  test("topRevenueSuppliers: revenue ties are BOTH kept; outside-" +
+      "window lines are excluded from the revenue") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, 100.0, 0.0, ts("1997-02-01 00:00:00")),
+      (2L, 50.0, 0.0, ts("1997-02-01 00:00:00")),
+      (2L, 50.0, 0.0, ts("1997-03-01 00:00:00")), // ties supp 1
+      (2L, 999.0, 0.0, ts("1997-06-01 00:00:00")), // outside window
+      (3L, 10.0, 0.0, ts("1997-02-01 00:00:00")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = RelationalOps.topRevenueSuppliers(lineitem, supplier)
+      .collect().map(r => (r.getAs[Long]("s_suppkey"),
+        r.getAs[Double]("total_revenue"))).toSeq
+    assert(out == Seq((1L, 100.0), (2L, 100.0)), s"got $out")
+  }
+
+  test("minCostSupplier: the decorrelated min keeps BOTH suppliers " +
+      "on an exact price tie; out-of-band parts are pruned") {
+    import spark.implicits._
+    val part = Seq(
+      (10L, "alpha", "Brand#1", "STANDARD", 15),
+      (11L, "beta", "Brand#2", "STANDARD", 50), // size out of band
+      (12L, "gamma", "Brand#3", "PROMO", 15))   // wrong type
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val nation = Seq((0, "N_A")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, "S1", 5.0, 0), (2L, "S2", 9.0, 0))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val lineitem = Seq(
+      (10L, 1L, 40.0), (10L, 1L, 60.0), // supp 1 best offer 40
+      (10L, 2L, 40.0),                  // supp 2 ties at 40
+      (11L, 1L, 1.0), (12L, 2L, 1.0))   // pruned parts
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val out = RelationalOps.minCostSupplier(lineitem, part, supplier,
+      nation).collect()
+      .map(r => (r.getAs[String]("s_name"),
+        r.getAs[Long]("p_partkey"), r.getAs[Double]("best_price")))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(("S1", 10L, 40.0), ("S2", 10L, 40.0)), s"got $out")
+  }
+
+  test("dominantSuppliers: mean-relative dominance — a supplier " +
+      "above 2x the mean share qualifies, balanced parts yield none") {
+    import spark.implicits._
+    val nation = Seq((0, "N_A")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, "S1", 1.0, 0), (2L, "S2", 2.0, 0),
+      (3L, "S3", 3.0, 0), (4L, "S4", 4.0, 0))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val lineitem = Seq(
+      // part 10: supp 1 ships 90 of 120 across 3 supps -> mean 40,
+      // 90*3 > 2*120 -> dominant
+      (10L, 1L, 90.0), (10L, 2L, 20.0), (10L, 3L, 10.0),
+      // part 20: perfectly balanced -> nobody dominates
+      (20L, 3L, 50.0), (20L, 4L, 50.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val out = RelationalOps.dominantSuppliers(lineitem, supplier, nation)
+      .collect().map(r => r.getAs[Long]("s_suppkey")).toSeq
+    assert(out == Seq(1L), s"got $out")
+  }
+
+  test("soleLateSupplier: qualifies only when the order is multi-" +
+      "supplier AND exactly one supplier shipped late") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val orders = Seq(
+      (1L, ts("1995-01-01 00:00:00")), (2L, ts("1995-01-01 00:00:00")),
+      (3L, ts("1995-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val late = ts("1998-01-01 00:00:00")   // way past 900 days
+    val ontime = ts("1995-02-01 00:00:00")
+    val lineitem = Seq(
+      // order 1: supp 1 late (twice), supp 2 on time -> S1 qualifies
+      (1L, 1L, late), (1L, 1L, late), (1L, 2L, ontime),
+      // order 2: both late -> nobody qualifies (nl = 2)
+      (2L, 1L, late), (2L, 3L, late),
+      // order 3: single-supplier late -> dropped (ns = 1)
+      (3L, 3L, late))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val out = RelationalOps.soleLateSupplier(lineitem, orders, supplier)
+      .collect().map(r => (r.getAs[Long]("s_suppkey"),
+        r.getAs[Long]("numwait"))).toSeq
+    assert(out == Seq((1L, 1L)), s"got $out")
+  }
 }

@@ -538,6 +538,27 @@ class CurationSpec extends SparkSuite {
       "small source up-samples, head source damps")
   }
 
+  test("epochAllocation: weight-implied targets, epoch cap bites the " +
+      "low-resource source, shortfall returns to the budget") {
+    import spark.implicits._
+    // s0: 1 token, s1: 4 tokens -> sqrt weights 1 : 2.
+    // budget 9 -> targets 3 and 6; epochs 3.0 and 1.5; cap 2 clips s0.
+    val docs = Seq(
+      (1L, "s0", "a"),
+      (2L, "s1", "b c"), (3L, "s1", "d e")).toDF(
+      "doc_id", "source", "text")
+    val out = Curation.epochAllocation(docs, tokenBudget = 9L,
+      maxEpochs = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("target_tokens"),
+        r.getAs[Double]("epochs_uncapped"), r.getAs[Double]("epochs"),
+        r.getAs[Double]("planned_tokens"),
+        r.getAs[Double]("shortfall"))).toSeq
+    assert(out == Seq(
+      ("s0", 1L, 3.0, 3.0, 2.0, 2.0, 1.0),
+      ("s1", 4L, 6.0, 1.5, 1.5, 6.0, 0.0)), s"got $out")
+  }
+
   test("dedupSavings: dropped tokens are exactly the non-canonical " +
       "dup members' tokens, clean sources save nothing") {
     import spark.implicits._
