@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.functions.ExactNum
-import graft.operators.{Analytics, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, Upsert, VectorOps}
+import graft.operators.{Analytics, Classifier, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, Upsert, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -976,6 +976,19 @@ object SparkEntry {
     "x30_streaming_mix_drift" -> ((s, d) =>
       graft.streaming.StreamingEvents.mixDriftStatic(
         s, t(s, d, "events"), nBatches = 3)),
+    // Linear quality-model INFERENCE with fixed published-style
+    // weights: per-doc features are exact-int ratios rounded to 6dp
+    // into DECIMAL, the score an exact decimal dot product — one scan,
+    // map-side partial aggregate to |sources| rows.
+    "q185_quality_logit" -> ((s, d) =>
+      Classifier.scoreQualityLogit(t(s, d, "documents"))),
+    // Distributed logistic-regression TRAINING: each GD iteration is
+    // ONE aggregate of d+3 doubles (gradient + loss + accuracy);
+    // driver state is the weight vector. Double partial sums are
+    // associativity-dependent → rows-only; convergence + hand-checked
+    // gradient step pinned in ClassifierSpec.
+    "x35_train_quality_logit" -> ((s, d) =>
+      Classifier.trainQualityLogit(t(s, d, "documents"), iters = 12)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -3997,5 +4010,50 @@ object SparkEntry {
              AS duration_us
          FROM t GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    // Features: exact-int ratio → one IEEE division → round 6 →
+    // DECIMAL(18,6); score: exact decimal dot product with
+    // DECIMAL(10,4) weights; the only doubles are the two final
+    // divisions, rounded to 12 (q95/q140 discipline).
+    "q185_quality_logit" ->
+      """WITH tk AS (SELECT source, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t,
+             CAST(length(text) AS BIGINT) AS nc
+           FROM documents),
+         feat AS (SELECT source,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_distinct(t)) AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_ttr,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it',
+                    'for','on','with','as','was','at','by'], x)))
+                   AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_stop,
+             CAST(CASE WHEN nc > 0 THEN round(
+                 CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                   'g')) AS DOUBLE) /
+                 CAST(nc AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_digit,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(nc AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_cpt
+           FROM tk),
+         sc AS (SELECT source,
+             CAST(CAST(-1.5000 AS DECIMAL(6,4)) AS DECIMAL(19,10))
+               + f_ttr * CAST(2.0000 AS DECIMAL(6,4))
+               + f_stop * CAST(6.0000 AS DECIMAL(6,4))
+               + f_digit * CAST(-8.0000 AS DECIMAL(6,4))
+               + f_cpt * CAST(-0.1000 AS DECIMAL(6,4)) AS score
+           FROM feat)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE score > 0) AS BIGINT) AS n_pass,
+           round(CAST(count(*) FILTER (WHERE score > 0) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS pass_rate,
+           round(CAST(sum(score) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS mean_score
+         FROM sc GROUP BY source ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1049,4 +1049,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!plan.contains("Join"),
       "rebuild must probe the bloom map-side, never join by line")
   }
+
+  test("q185 quality logit: inference is ONE scan — features and the " +
+      "decimal dot product are row expressions; no join, ≤2 shuffles " +
+      "(aggregate + output sort)") {
+    val df = q("q185_quality_logit")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Join"),
+      "scoring must not join — weights are literals in the projection")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2,
+      s"expected ≤2 shuffles (per-source aggregate + order), got " +
+        s"${exchanges.size}")
+    val scans = plan.toString.split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one documents scan, got $scans")
+  }
 }
