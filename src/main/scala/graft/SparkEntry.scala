@@ -989,6 +989,13 @@ object SparkEntry {
     // gradient step pinned in ClassifierSpec.
     "x35_train_quality_logit" -> ((s, d) =>
       Classifier.trainQualityLogit(t(s, d, "documents"), iters = 12)),
+    // PCA spectrum report: ONE GramMatrix aggregate (d²-bounded partial
+    // state) + driver Jacobi + ONE Parseval verification pass.
+    // Eigenvector signs / float-order → rows-only; analytic goldens,
+    // orthonormality, trace identity and residual==1−cum pinned in
+    // VectorOpsSpec.
+    "x36_pca_report" -> ((s, d) =>
+      VectorOps.pcaReport(t(s, d, "embeddings"), k = 8)),
   )
 
   // DuckDB-exactness conventions used below:

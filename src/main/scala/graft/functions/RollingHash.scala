@@ -93,6 +93,7 @@ object GraftFunctions {
   val LUHN_SCRUB = "graft_luhn_scrub"
   val JARO_WINKLER = "graft_jaro_winkler"
   val DEFLATE_SIZE = "graft_deflate_size"
+  val GRAM_MATRIX = "graft_gram_matrix"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -223,6 +224,10 @@ object GraftFunctions {
       DEFLATE_SIZE,
       exprs => arity(DEFLATE_SIZE, 1, exprs)(e => DeflateSize(e.head)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      GRAM_MATRIX,
+      exprs => arity(GRAM_MATRIX, 1, exprs)(e => GramMatrix(e.head)),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -238,6 +243,11 @@ object GraftFunctions {
   /** Σ aᵢ·bᵢ in double, codegen'd (see VectorDot). */
   def vectorDot(a: Column, b: Column): Column =
     registered(VECTOR_DOT, a, b)
+
+  /** One-pass second-moment aggregate: struct<n, sums[d],
+    * gram[d(d+1)/2]> — the PCA sufficient statistic with d²-bounded
+    * partial state (see GramMatrix). */
+  def gramMatrix(vec: Column): Column = registered(GRAM_MATRIX, vec)
 
   /** MinHash signature of a hash array under fixed seed pairs. */
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =

@@ -1088,4 +1088,142 @@ object VectorOps {
     }
     levels.reduce(_ unionAll _).orderBy(col("nprobe"))
   }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (upper triangle,
+    * row-major). Driver-side O(d³) on a d×d matrix that is bounded
+    * metadata (d=64 → 4 KB); returns (eigenvalues desc, eigenvectors as
+    * rows aligned with the values). Deterministic: fixed sweep order,
+    * fixed convergence threshold. */
+  private[operators] def jacobiEigen(d: Int, upper: Array[Double])
+      : (Array[Double], Array[Array[Double]]) = {
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val (r, c) = if (i <= j) (i, j) else (j, i)
+      upper(r * d - r * (r - 1) / 2 + (c - r))
+    }
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i)).toArray
+    (order.map(i => a(i)(i)),
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray))
+  }
+
+  /** PCA over the embedding column (x36) — the spectrum report a
+    * whitening/compression decision reads: per principal component its
+    * eigenvalue (variance), explained fraction and the cumulative
+    * curve, plus the measured mean squared reconstruction error of the
+    * rank-k truncation as a verification column.
+    *
+    * Scale shape — the two-pass plan that works at 100 TB:
+    *  1. ONE GramMatrix aggregate (custom TypedImperativeAggregate):
+    *     partial state is d(d+1)/2+d+1 doubles per partition, so the
+    *     shuffle carries ~17 KB per map task for d=64 — never the
+    *     corpus. Covariance = G/n − μμᵀ on the driver; the Jacobi
+    *     eigensolve is O(d³) driver metadata work.
+    *  2. ONE verification pass: the top-k eigenvectors ride into the
+    *     scan as literal arrays; each row's rank-k residual is
+    *     computed by Parseval (‖x−μ‖² − Σⱼ⟨x−μ,vⱼ⟩²) with j map-side
+    *     VectorDot calls — no second shuffle beyond a 1-row aggregate.
+    * The compositional alternative (posexplode + self-join on vec_id +
+    * d² groupBy) shuffles d·|corpus| rows; this plan shuffles O(d²).
+    *
+    * Eigenvector SIGNS and near-degenerate eigenvalue order are
+    * engine/float-order-dependent → registered rows-only; VectorOpsSpec
+    * pins analytic 2-d goldens, orthonormality, the trace identity
+    * (Σλ = Σ per-dim variance, ties to q153) and residual==1−cum. */
+  def pcaReport(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val stats = emb.agg(
+      graft.functions.GraftFunctions.gramMatrix(col("embedding"))
+        .as("_g")).select(col("_g.n"), col("_g.sums"), col("_g.gram"))
+      .head()
+    val n = stats.getAs[Long]("n")
+    require(n > 1, s"pcaReport needs at least 2 vectors, got $n")
+    val sums = stats.getSeq[Double](stats.fieldIndex("sums")).toArray
+    val gram = stats.getSeq[Double](stats.fieldIndex("gram")).toArray
+    val d = sums.length
+    val kk = math.min(k, d)
+    val mean = sums.map(_ / n)
+    val cov = new Array[Double](d * (d + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        cov(idx) = gram(idx) / n - mean(i) * mean(j)
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(d, cov)
+    val totalVar = evals.sum
+    // pass 2: measured rank-k reconstruction error via Parseval
+    // projections use x·v − μ·v (linearity); literals ride as
+    // ARRAY<FLOAT> (VectorDot's native type — the ~1e-7 relative float
+    // rounding of the eigenvector literals is far below the report's
+    // meaning, and the hot loop stays whole-stage-codegen'd)
+    val centered = "embedding"
+    def flit(xs: Array[Double]): Column =
+      array(xs.map(x => lit(x.toFloat)): _*)
+    val projCols = (0 until kk).map { j =>
+      val muDotV = mean.zip(evecs(j)).map { case (m, vv) => m * vv }.sum
+      val p = dot(col(centered), flit(evecs(j))) - lit(muDotV)
+      p * p
+    }
+    val muDotMu = mean.map(m => m * m).sum
+    val normSq = dot(col(centered), col(centered)) -
+      lit(2.0) * dot(col(centered), flit(mean)) + lit(muDotMu)
+    val resid = emb.select(
+      (normSq - projCols.reduce(_ + _)).as("_r"), normSq.as("_n2"))
+      .agg(sum(col("_r")).as("_sr"), sum(col("_n2")).as("_sn"))
+      .head()
+    val reconFrac = resid.getAs[Double]("_sr") / resid.getAs[Double]("_sn")
+    import spark.implicits._
+    val cums = evals.scanLeft(0.0)(_ + _).drop(1)
+    (0 until kk).map { j =>
+      (j + 1, evals(j), evals(j) / totalVar, cums(j) / totalVar,
+        reconFrac)
+    }.toDF("component", "eigenvalue", "explained_frac",
+      "cum_explained_frac", "recon_error_frac_at_k")
+      .orderBy(col("component"))
+  }
 }

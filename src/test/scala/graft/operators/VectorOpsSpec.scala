@@ -909,4 +909,113 @@ class VectorOpsSpec extends SparkSuite
         (exact intersect ivf1).size.toLong)),
       s"report row must equal the set computation; got $r1")
   }
+
+  // ---- PCA (x36): GramMatrix aggregate + Jacobi + Parseval pass ----
+
+  test("GramMatrix: hand-checked sums/gram on two vectors, identical " +
+      "across partitionings (mergeable)") {
+    import graft.functions.GraftFunctions
+    def stats(parts: Int) = vecDf(Seq(
+        (1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 0)))
+      .repartition(parts)
+      .agg(GraftFunctions.gramMatrix(col("embedding")).as("g"))
+      .select(col("g.n"), col("g.sums"), col("g.gram")).head()
+    for (parts <- Seq(1, 3)) {
+      val r = stats(parts)
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getSeq[Double](r.fieldIndex("sums")).toList ==
+        List(4.0, 6.0))
+      // upper triangle row-major: xx=1+9, xy=2+12, yy=4+16
+      assert(r.getSeq[Double](r.fieldIndex("gram")).toList ==
+        List(10.0, 14.0, 20.0))
+    }
+  }
+
+  test("GramMatrix: ragged input raises") {
+    import graft.functions.GraftFunctions
+    val df = vecDf(Seq((1L, Seq(1f, 2f), 0), (2L, Seq(3f), 0)))
+      .coalesce(1)
+      .agg(GraftFunctions.gramMatrix(col("embedding")).as("g"))
+    val e = intercept[Exception] { df.head() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged")), s"got: ${msgs(e)}")
+  }
+
+  test("pcaReport: analytic 2-d golden — rank-1 data recovers the " +
+      "direction's variance; second component ~0") {
+    // points t·(0.6, 0.8), t ∈ {−2,−1,1,2}: mean 0, top eigenvalue
+    // mean(t²) = 2.5, second exactly 0
+    val df = vecDf(Seq(-2f, -1f, 1f, 2f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(0.6f * t, 0.8f * t), 0) })
+    val rep = VectorOps.pcaReport(df, k = 2).collect()
+    assert(rep.length == 2)
+    val e1 = rep(0).getAs[Double]("eigenvalue")
+    val e2 = rep(1).getAs[Double]("eigenvalue")
+    assert(math.abs(e1 - 2.5) < 1e-6, s"top eigenvalue $e1")
+    assert(math.abs(e2) < 1e-9, s"second eigenvalue $e2")
+    assert(math.abs(rep(0).getAs[Double]("explained_frac") - 1.0) < 1e-9)
+    assert(math.abs(
+      rep(1).getAs[Double]("recon_error_frac_at_k")) < 1e-6)
+  }
+
+  test("pcaReport: trace identity (Σλ = total variance) and " +
+      "residual == 1 − cumulative explained, on harness embeddings") {
+    val emb = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val d = 64
+    val rep = VectorOps.pcaReport(emb, k = d).collect()
+      .sortBy(_.getAs[Int]("component"))
+    assert(rep.length == d)
+    // full-rank cumulative explained reaches 1
+    assert(math.abs(
+      rep.last.getAs[Double]("cum_explained_frac") - 1.0) < 1e-9)
+    // eigenvalues descend
+    val evs = rep.map(_.getAs[Double]("eigenvalue"))
+    evs.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"eigenvalues not descending: $a < $b") }
+    // trace identity: Σλ equals the summed per-dim variance (q153's
+    // quantity), computed independently here in one exact pass
+    val sl = evs.sum
+    val vr = emb.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(avg(col("v").cast("double")).as("m"),
+        avg(col("v").cast("double") * col("v").cast("double")).as("m2"))
+      .select(sum(col("m2") - col("m") * col("m")).as("tv")).head()
+      .getAs[Double]("tv")
+    assert(math.abs(sl - vr) / vr < 1e-9, s"trace $sl vs variance $vr")
+    // the measured rank-8 residual equals the spectral prediction
+    val rep8 = VectorOps.pcaReport(emb, k = 8).collect()
+      .sortBy(_.getAs[Int]("component"))
+    val cum8 = rep8.last.getAs[Double]("cum_explained_frac")
+    val recon8 = rep8.last.getAs[Double]("recon_error_frac_at_k")
+    assert(math.abs(recon8 - (1.0 - cum8)) < 1e-3,
+      s"Parseval check: recon $recon8 vs 1-cum ${1.0 - cum8}")
+  }
+
+  test("jacobiEigen: eigenvectors orthonormal on a random symmetric " +
+      "matrix; V diagonalizes A back to the eigenvalues") {
+    val d = 16
+    val rnd = new scala.util.Random(7)
+    val upper = Array.fill(d * (d + 1) / 2)(rnd.nextDouble() - 0.5)
+    val (evals, evecs) = VectorOps.jacobiEigen(d, upper)
+    // orthonormality
+    for (i <- 0 until d; j <- i until d) {
+      val dotp = evecs(i).zip(evecs(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotp - expect) < 1e-9, s"v${i}.v$j = $dotp")
+    }
+    // vᵀAv = λ for each pair
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val (r, c) = if (i <= j) (i, j) else (j, i)
+      upper(r * d - r * (r - 1) / 2 + (c - r))
+    }
+    for (i <- 0 until d) {
+      val av = a.map(row => row.zip(evecs(i)).map { case (x, y) => x * y }
+        .sum)
+      val vav = av.zip(evecs(i)).map { case (x, y) => x * y }.sum
+      assert(math.abs(vav - evals(i)) < 1e-9,
+        s"vᵀAv=${vav} != λ=${evals(i)} for component $i")
+    }
+  }
 }
