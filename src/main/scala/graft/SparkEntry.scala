@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{col, concat, count, lit, when}
 
 import graft.functions.ExactNum
 import graft.operators.{Analytics, Classifier, Curation, EventOps, Layout, Multimodal, NearDup, RelationalOps, TextOps, Upsert, VectorOps}
@@ -996,6 +996,27 @@ object SparkEntry {
     // VectorOpsSpec.
     "x36_pca_report" -> ((s, d) =>
       VectorOps.pcaReport(t(s, d, "embeddings"), k = 8)),
+    // Corpus snapshot diff by content fingerprint: the join carries
+    // (doc_id, source, md5) — never text; snapshots derived
+    // deterministically (old = id%10≠9; new = id%10≠0 with id%7=3
+    // docs revised) so the oracle reproduces them exactly.
+    "q186_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.snapshotDiff(
+        docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3,
+              concat(col("text"), lit(" rev2")))
+              .otherwise(col("text"))))
+    }),
+    // Right-to-be-forgotten propagation audit: broadcast request list,
+    // one fact scan with a map-side membership flag, |types|-row fold.
+    "q187_forget_users" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventOps.forgetUsersAudit(ev,
+        ev.filter(col("user_id") % 97 === 0).select(col("user_id")))
+    }),
   )
 
   // DuckDB-exactness conventions used below:
@@ -4062,5 +4083,52 @@ object SparkEntry {
            round(CAST(sum(score) AS DOUBLE) /
              CAST(count(*) AS DOUBLE), 12) AS mean_score
          FROM sc GROUP BY source ORDER BY source""",
+    // Snapshot reconciliation on md5 fingerprints (identical hex on
+    // both engines); snapshots derived by the same mod rules.
+    "q186_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source, md5(text) AS h
+           FROM documents WHERE doc_id % 10 != 9),
+         n AS (SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
+                 ELSE text END) AS h
+           FROM documents WHERE doc_id % 10 != 0),
+         j AS (SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'unchanged'
+                  ELSE 'changed' END AS st
+           FROM o FULL OUTER JOIN n USING (doc_id))
+         SELECT source,
+           CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT)
+             AS n_added,
+           CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT)
+             AS n_removed,
+           CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT)
+             AS n_changed,
+           CAST(count(*) FILTER (WHERE st = 'unchanged') AS BIGINT)
+             AS n_unchanged,
+           round(CAST(count(*) FILTER (WHERE st != 'unchanged')
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+             AS churn_frac
+         FROM j GROUP BY source ORDER BY source""",
+    // Deletion-request audit: request list joined left, conditional
+    // counts + exact decimal value sum per event type.
+    "q187_forget_users" ->
+      """WITH req AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id % 97 = 0),
+         e AS (SELECT ev.event_type, ev.value, ev.user_id,
+             CASE WHEN r.user_id IS NOT NULL THEN 1 END AS f
+           FROM events ev LEFT JOIN req r USING (user_id))
+         SELECT event_type,
+           CAST(count(*) FILTER (WHERE f IS NOT NULL) AS BIGINT)
+             AS n_removed,
+           CAST(count(*) FILTER (WHERE f IS NULL) AS BIGINT)
+             AS n_retained,
+           COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE f IS NOT NULL) AS DOUBLE), 0)
+             AS value_removed,
+           CAST(count(DISTINCT CASE WHEN f IS NOT NULL THEN user_id END)
+             AS BIGINT) AS n_users_removed
+         FROM e GROUP BY event_type ORDER BY event_type""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -772,4 +772,45 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Corpus snapshot diff (q186): reconcile two corpus versions by
+    * content FINGERPRINT and report per source how many documents were
+    * added / removed / changed / unchanged plus the churn fraction —
+    * the pre-flight a retraining run reads to decide whether a new
+    * crawl drop warrants re-deduplication (high churn) or an
+    * incremental append (low churn). md5 rather than raw text equality
+    * because at 100 TB the reconciliation join must carry a 16-byte
+    * fingerprint per doc, never the document bodies.
+    *
+    * Scale shape: each side is ONE scan projected to (doc_id, source,
+    * md5) — the full-outer join shuffles 3 narrow columns keyed on
+    * doc_id (co-locatable under bucketing for repeated diffs), then one
+    * bounded |sources|-row aggregate. Classification is a map-side CASE
+    * over null-ness + hash equality. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame, tag: String): DataFrame =
+      df.select(col("doc_id"),
+        col("source").as(s"_src_$tag"),
+        md5(col("text")).as(s"_h_$tag"))
+    fp(oldDocs, "o").join(fp(newDocs, "n"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("_src_n"), col("_src_o")).as("source"),
+        when(col("_h_o").isNull, "added")
+          .when(col("_h_n").isNull, "removed")
+          .when(col("_h_o") === col("_h_n"), "unchanged")
+          .otherwise("changed").as("_st"))
+      .groupBy(col("source"))
+      .agg(count(when(col("_st") === "added", lit(1))).as("n_added"),
+        count(when(col("_st") === "removed", lit(1))).as("n_removed"),
+        count(when(col("_st") === "changed", lit(1))).as("n_changed"),
+        count(when(col("_st") === "unchanged", lit(1)))
+          .as("n_unchanged"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        round((col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") /
+          (col("n_added") + col("n_removed") + col("n_changed") +
+            col("n_unchanged")).cast("double"), 12).as("churn_frac"))
+      .orderBy(col("source"))
+  }
+
 }

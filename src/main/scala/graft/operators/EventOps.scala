@@ -744,4 +744,37 @@ object EventOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("week"))
   }
+
+  /** Right-to-be-forgotten propagation audit (q187): given a deletion
+    * request list (user ids), report per event type what a compliance
+    * sweep would remove vs retain — event counts, the exact decimal
+    * value total leaving the corpus, and how many distinct requesting
+    * users actually had rows of that type. The transform itself is the
+    * trivial anti join; the AUDIT is what a deletion pipeline reviews
+    * and archives before destroying data, and what this operator
+    * produces deterministically.
+    *
+    * Scale shape: the request list is bounded (requests are human-scale
+    * even when the corpus is not) → it broadcasts, the fact table is
+    * scanned ONCE with a map-side membership flag (left broadcast join,
+    * zero fact shuffle), and one partial+final aggregate folds to
+    * |event types| rows. count(distinct user) per type re-shuffles only
+    * the flagged slice's (type, user) pairs — bounded by the request
+    * list × types, not the corpus. */
+  def forgetUsersAudit(events: DataFrame, requests: DataFrame)
+      : DataFrame = {
+    val req = broadcast(requests.select(col("user_id")).distinct()
+      .withColumn("_forget", lit(1)))
+    events
+      .join(req, Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("_forget").isNotNull, lit(1))).as("n_removed"),
+        count(when(col("_forget").isNull, lit(1))).as("n_retained"),
+        coalesce(dsum(when(col("_forget").isNotNull, col("value"))),
+          lit(0d)).as("value_removed"),
+        countDistinct(when(col("_forget").isNotNull, col("user_id")))
+          .as("n_users_removed"))
+      .orderBy(col("event_type"))
+  }
 }

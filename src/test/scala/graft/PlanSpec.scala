@@ -1068,4 +1068,35 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       .linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected exactly one documents scan, got $scans")
   }
+
+  test("q187 forget-users: the request list broadcasts — the fact " +
+      "scan is never shuffled for the membership join") {
+    val df = q("q187_forget_users")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "request list must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "fact side must not sort-merge for a human-scale request list")
+  }
+
+  test("q186 snapshot diff: fingerprint reconciliation is a keyed " +
+      "full-outer join — no product joins; the join input carries md5 " +
+      "projections, not text") {
+    val df = q("q186_snapshot_diff")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "reconciliation must stay a keyed join")
+    assert(plan.contains("FullOuter"), "full-outer reconciliation")
+    // projection pruning: the exchanges feeding the join must not
+    // carry the raw text column (the md5 is computed pre-shuffle)
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchangeLines = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text#")),
+      s"join shuffle must carry fingerprints, not text: $exchangeLines")
+  }
 }

@@ -573,4 +573,37 @@ class CurationSpec extends SparkSuite {
     // cluster {1,2}: canonical 1, dropped 2 (6 tokens)
     assert(out == Seq(("s0", 1L, 6L), ("s1", 0L, 0L)), s"got $out")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified per " +
+      "source; churn fraction hand-checked") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s1", "gamma"),
+      (9L, "s2", "delta")
+    ).toDF("doc_id", "source", "text")
+    val nw = Seq(
+      (2L, "s1", "beta"),       // unchanged
+      (3L, "s1", "gamma v2"),   // changed
+      (4L, "s1", "epsilon")     // added; 1 removed; s2's 9 removed
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.snapshotDiff(old, nw).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_added"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_changed"),
+        r.getAs[Long]("n_unchanged"),
+        r.getAs[Double]("churn_frac"))).toSeq
+    assert(out == Seq(
+      ("s1", 1L, 1L, 1L, 1L, 0.75),
+      ("s2", 0L, 1L, 0L, 0L, 1.0)), s"got $out")
+  }
+
+  test("snapshotDiff: identical snapshots are all-unchanged with zero " +
+      "churn") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "alpha"), (2L, "s1", "beta"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.snapshotDiff(docs, docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_unchanged") == 2L)
+    assert(out.head.getAs[Double]("churn_frac") == 0.0)
+  }
 }

@@ -406,4 +406,36 @@ class EventOpsSpec extends SparkSuite {
         r.getAs[Long]("new_users"), r.getAs[Long]("cum_users"))).toSeq
     assert(out == Seq((2L, 2L, 2L), (2L, 1L, 3L)), s"got $out")
   }
+
+  test("forgetUsersAudit: hand-checked removal/retention split, value " +
+      "leaving the corpus, and distinct requesting users per type") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "click", 1.50), (2L, 2L, "click", 2.25),
+      (3L, 2L, "click", 0.25), (4L, 3L, "view", 5.00),
+      (5L, 2L, "view", 1.00), (6L, 1L, "view", 0.75)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val requests = Seq(2L, 99L).toDF("user_id") // 99 has no events
+    val out = EventOps.forgetUsersAudit(events, requests).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_retained"),
+        r.getAs[Double]("value_removed"),
+        r.getAs[Long]("n_users_removed"))).toSeq
+    assert(out == Seq(
+      ("click", 2L, 1L, 2.50, 1L),
+      ("view", 1L, 2L, 1.00, 1L)), s"got $out")
+  }
+
+  test("forgetUsersAudit: empty request list removes nothing; " +
+      "value_removed is 0.0, not null") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, "click", 1.50))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = EventOps.forgetUsersAudit(events,
+      Seq.empty[Long].toDF("user_id")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_removed") == 0L)
+    assert(out.head.getAs[Double]("value_removed") == 0.0)
+    assert(out.head.getAs[Long]("n_users_removed") == 0L)
+  }
 }
