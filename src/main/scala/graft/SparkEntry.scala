@@ -1017,6 +1017,11 @@ object SparkEntry {
       EventOps.forgetUsersAudit(ev,
         ev.filter(col("user_id") % 97 === 0).select(col("user_id")))
     }),
+    // Gopher-rule repeated-bigram-run removal: native map-side
+    // expression (zero shuffle) vs the oracle's 3-window form —
+    // identical by construction on original positions.
+    "q188_collapse_ngram_runs" -> ((s, d) =>
+      TextOps.collapseNgramRuns(t(s, d, "documents"), n = 2)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -4130,5 +4135,46 @@ object SparkEntry {
            CAST(count(DISTINCT CASE WHEN f IS NOT NULL THEN user_id END)
              AS BIGINT) AS n_users_removed
          FROM e GROUP BY event_type ORDER BY event_type""",
+    // The window form of the aligned n-gram-run rule (n=2): flag =
+    // token equals the token n back; a block END is n consecutive
+    // flags; a block end at e removes positions e-n+1..e. Same rule
+    // the native expression evaluates map-side.
+    "q188_collapse_ngram_runs" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(range(1, len(lst) + 1)) AS p,
+             unnest(lst) AS token
+           FROM t WHERE len(lst) > 0),
+         f AS (SELECT doc_id, p, token,
+             CASE WHEN token = lag(token, 2) OVER w THEN 1 ELSE 0 END
+               AS flag
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         re AS (SELECT doc_id, p, token, flag,
+             CASE WHEN min(flag) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 1
+               THEN 1 ELSE 0 END AS red_end
+           FROM f),
+         rm AS (SELECT doc_id, p, token,
+             max(red_end) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS removed
+           FROM re),
+         agg AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(removed) AS BIGINT) AS n_removed,
+             string_agg(token, ' ' ORDER BY p)
+               FILTER (WHERE removed = 0) AS text_clean
+           FROM rm GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           CASE WHEN COALESCE(a.n_tokens, 0) > 0
+             THEN round(CAST(a.n_removed AS DOUBLE) /
+               CAST(a.n_tokens AS DOUBLE), 12) ELSE 0 END
+             AS removed_frac,
+           COALESCE(a.text_clean, '') AS text_clean
+         FROM t d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

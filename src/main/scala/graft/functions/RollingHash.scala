@@ -94,6 +94,7 @@ object GraftFunctions {
   val JARO_WINKLER = "graft_jaro_winkler"
   val DEFLATE_SIZE = "graft_deflate_size"
   val GRAM_MATRIX = "graft_gram_matrix"
+  val COLLAPSE_NGRAM_RUNS = "graft_collapse_ngram_runs"
 
   /** Exact-arity guard for registered builders: without it SQL callers
     * passing EXTRA arguments would have them silently dropped
@@ -228,6 +229,11 @@ object GraftFunctions {
       GRAM_MATRIX,
       exprs => arity(GRAM_MATRIX, 1, exprs)(e => GramMatrix(e.head)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      COLLAPSE_NGRAM_RUNS,
+      exprs => arity(COLLAPSE_NGRAM_RUNS, 2, exprs)(e =>
+        CollapseNgramRuns(e(0), e(1))),
+      "built-in")
   }
 
   private def registered(name: String, cols: Column*): Column = {
@@ -248,6 +254,11 @@ object GraftFunctions {
     * gram[d(d+1)/2]> — the PCA sufficient statistic with d²-bounded
     * partial state (see GramMatrix). */
   def gramMatrix(vec: Column): Column = registered(GRAM_MATRIX, vec)
+
+  /** Aligned repeated n-gram RUN removal in one map-side pass:
+    * struct<clean, n_raw, n_removed> (see CollapseNgramRuns). */
+  def collapseNgramRuns(text: Column, n: Int): Column =
+    registered(COLLAPSE_NGRAM_RUNS, text, lit(n))
 
   /** MinHash signature of a hash array under fixed seed pairs. */
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =

@@ -2421,4 +2421,33 @@ object TextOps {
           count(lit(1)).cast("double")).as("avg_logp10"))
       .orderBy(col("doc_id"))
   }
+
+  /** Intra-document repeated n-gram run removal (q188) — the Gopher
+    * curation TRANSFORM the q62 repetition profile only measures:
+    * aligned n-block repeats of the immediately preceding block are
+    * dropped and the text rebuilt ("a b a b a b" → "a b"; n = 1 is
+    * q54's single-token run collapse). The rule is positional on the
+    * ORIGINAL sequence, so it is exactly three fixed-frame window
+    * functions over (doc, pos) — the form the DuckDB oracle runs —
+    * while the engine evaluates it as ONE native map-side expression
+    * (functions.CollapseNgramRuns): at 100 TB the windowed plan pays a
+    * full corpus shuffle on doc_id; this plan pays zero shuffle beyond
+    * the output sort. PlanSpec pins the no-window, no-exchange shape.
+    *
+    * Output per doc: original token count, removed count, removed
+    * fraction (round 12), and the rebuilt text. Empty docs survive
+    * with zero counts and empty clean text. */
+  def collapseNgramRuns(docs: DataFrame, n: Int = 2): DataFrame =
+    docs
+      .select(col("doc_id"),
+        GraftFunctions.collapseNgramRuns(col("text"), n).as("_c"))
+      .select(col("doc_id"),
+        col("_c.n_raw").as("n_tokens"),
+        col("_c.n_removed").as("n_removed"),
+        when(col("_c.n_raw") > 0,
+          round(col("_c.n_removed").cast("double") /
+            col("_c.n_raw").cast("double"), 12))
+          .otherwise(lit(0d)).as("removed_frac"),
+        col("_c.clean").as("text_clean"))
+      .orderBy(col("doc_id"))
 }

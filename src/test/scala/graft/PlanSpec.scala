@@ -1099,4 +1099,19 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!exchangeLines.exists(_.contains("text#")),
       s"join shuffle must carry fingerprints, not text: $exchangeLines")
   }
+
+  test("q188 n-gram run removal: the native expression keeps the plan " +
+      "window-free — zero shuffles beyond the output sort") {
+    val df = q("q188_collapse_ngram_runs")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Window"),
+      "the positional rule must run as a map-side expression, not " +
+        "the oracle's 3-window plan")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 1,
+      s"expected ≤1 shuffle (output sort only), got ${exchanges.size}")
+  }
 }

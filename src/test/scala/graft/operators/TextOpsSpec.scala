@@ -1551,4 +1551,54 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L)._2 == "train")
     assert(out(2L)._3 == r6(math.log10(1.0 / 3.0)))
   }
+
+  test("collapseNgramRuns: aligned bigram-run goldens — repeats " +
+      "collapse, unaligned echoes survive, empties pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),        // → "a b"
+      (2L, "a b a"),              // no aligned bigram repeat → kept
+      (3L, "x a b a b a b y"),    // → "x a b y"
+      (4L, "a a a"),              // no bigram repeat at n=2 → kept
+      (5L, "")                    // empty → zeros
+    ).toDF("doc_id", "text")
+    val out = TextOps.collapseNgramRuns(docs, n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed"),
+          r.getAs[Double]("removed_frac")))).toMap
+    assert(out(1L) == (("a b", 6L, 4L,
+      BigDecimal(4.0 / 6.0).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == (("a b a", 3L, 0L, 0.0)))
+    assert(out(3L) == (("x a b y", 8L, 4L, 0.5)))
+    assert(out(4L) == (("a a a", 3L, 0L, 0.0)))
+    assert(out(5L) == (("", 0L, 0L, 0.0)))
+  }
+
+  test("collapseNgramRuns: trigram runs at n=3; chained repeats all " +
+      "fold to the first block") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r p q r p q r s")).toDF("doc_id", "text")
+    val r = TextOps.collapseNgramRuns(docs, n = 3).collect().head
+    assert(r.getAs[String]("text_clean") == "p q r s")
+    assert(r.getAs[Long]("n_removed") == 6L)
+  }
+
+  test("collapseNgramRuns at n=1 equals q54's CollapseRuns on the " +
+      "harness corpus (clean text + counts)") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val a = TextOps.collapseNgramRuns(docs, n = 1)
+      .select(col("doc_id"), col("text_clean"), col("n_tokens"),
+        col("n_removed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val b = TextOps.collapseTokenRuns(docs)
+      .select(col("doc_id"), col("clean_text"), col("n_tokens_raw"),
+        col("n_collapsed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(a == b)
+  }
 }
