@@ -1022,6 +1022,11 @@ object SparkEntry {
     // identical by construction on original positions.
     "q188_collapse_ngram_runs" -> ((s, d) =>
       TextOps.collapseNgramRuns(t(s, d, "documents"), n = 2)),
+    // Kendall tau-a between the token-volume and mean-quality source
+    // rankings — exact BIGINT + round-12 double keys, |sources|² pair
+    // compare over the metadata frame only.
+    "q189_rank_stability" -> ((s, d) =>
+      Classifier.sourceRankStability(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -4176,5 +4181,64 @@ object SparkEntry {
            COALESCE(a.text_clean, '') AS text_clean
          FROM t d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
+    // q185's feature/score CTEs extended with per-doc token counts;
+    // rank keys are exact BIGINT volume + round-12 mean score, so
+    // every pairwise comparison is engine-identical.
+    "q189_rank_stability" ->
+      """WITH tk AS (SELECT source, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t,
+             CAST(length(text) AS BIGINT) AS nc
+           FROM documents),
+         feat AS (SELECT source,
+             CAST(length(t) AS BIGINT) AS ntok,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_distinct(t)) AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_ttr,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it',
+                    'for','on','with','as','was','at','by'], x)))
+                   AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_stop,
+             CAST(CASE WHEN nc > 0 THEN round(
+                 CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                   'g')) AS DOUBLE) /
+                 CAST(nc AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_digit,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(nc AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_cpt
+           FROM tk),
+         sc AS (SELECT source, ntok,
+             CAST(CAST(-1.5000 AS DECIMAL(6,4)) AS DECIMAL(19,10))
+               + f_ttr * CAST(2.0000 AS DECIMAL(6,4))
+               + f_stop * CAST(6.0000 AS DECIMAL(6,4))
+               + f_digit * CAST(-8.0000 AS DECIMAL(6,4))
+               + f_cpt * CAST(-0.1000 AS DECIMAL(6,4)) AS score
+           FROM feat),
+         per AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS toks,
+             round(CAST(sum(score) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 12) AS mscore
+           FROM sc GROUP BY source),
+         p AS (SELECT a.toks AS ta, a.mscore AS qa, b.toks AS tb,
+             b.mscore AS qb
+           FROM per a JOIN per b ON a.source < b.source)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE (ta > tb AND qa > qb) OR
+             (ta < tb AND qa < qb)) AS BIGINT) AS concordant,
+           CAST(count(*) FILTER (WHERE (ta > tb AND qa < qb) OR
+             (ta < tb AND qa > qb)) AS BIGINT) AS discordant,
+           CAST(count(*) - count(*) FILTER (WHERE (ta > tb AND qa > qb)
+             OR (ta < tb AND qa < qb)) - count(*) FILTER (WHERE
+             (ta > tb AND qa < qb) OR (ta < tb AND qa > qb)) AS BIGINT)
+             AS tied,
+           round(CAST(count(*) FILTER (WHERE (ta > tb AND qa > qb) OR
+             (ta < tb AND qa < qb)) - count(*) FILTER (WHERE
+             (ta > tb AND qa < qb) OR (ta < tb AND qa > qb)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 12) AS tau_a
+         FROM p""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

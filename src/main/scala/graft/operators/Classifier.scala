@@ -119,6 +119,53 @@ object Classifier {
           col("n_docs").cast("double"), 12).as("mean_score"))
       .orderBy(col("source"))
 
+  /** q189: Kendall tau-a rank stability between two per-source
+    * orderings — by token VOLUME and by mean QUALITY score. The
+    * curation question it answers: does spending more budget on a
+    * source buy more quality, or are the two rankings uncorrelated
+    * (τ≈0) / inverted (τ<0)? A mix designed on volume alone (q172's
+    * α-weights) should be re-examined when τ diverges from the value
+    * this audit pinned at design time.
+    *
+    * Determinism: volume is an exact BIGINT; the quality key is the
+    * round-12 mean score (bit-identical cross-engine — q185's proven
+    * value), so every pairwise comparison is exact. Scale shape: ONE
+    * corpus scan folds to |sources| rows; the pair comparison is a
+    * |sources|² broadcast nested-loop over that METADATA frame (20
+    * sources → 190 pairs), never data-sized. */
+  def sourceRankStability(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("_nt"),
+        scoreCol(DefaultWeights).as("_score"))
+      .groupBy(col("source"))
+      .agg(sum(col("_nt")).as("toks"), count(lit(1)).as("_n"),
+        sum(col("_score")).as("_ss"))
+      .select(col("source"), col("toks"),
+        round(col("_ss").cast("double") / col("_n").cast("double"), 12)
+          .as("mscore"))
+    val a = per.select(col("source").as("sa"), col("toks").as("ta"),
+      col("mscore").as("qa"))
+    val b = per.select(col("source").as("sb"), col("toks").as("tb"),
+      col("mscore").as("qb"))
+    a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
+      .select(
+        (col("ta") > col("tb")).as("_agt"),
+        (col("ta") < col("tb")).as("_alt"),
+        (col("qa") > col("qb")).as("_bgt"),
+        (col("qa") < col("qb")).as("_blt"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when((col("_agt") && col("_bgt")) ||
+          (col("_alt") && col("_blt")), lit(1))).as("concordant"),
+        count(when((col("_agt") && col("_blt")) ||
+          (col("_alt") && col("_bgt")), lit(1))).as("discordant"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant"))
+          .as("tied"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double"), 12).as("tau_a"))
+  }
+
   /** x35: full-batch logistic-regression TRAINING on the corpus with
     * weak labels (default: lang == "en"), returning the per-iteration
     * training curve plus the final weights as one tidy frame:

@@ -91,6 +91,38 @@ class ClassifierSpec extends SparkSuite {
     assert(hist.last.getAs[Double]("w_digit") < 0)
   }
 
+  test("sourceRankStability: hand-built 3-source fixture — one " +
+      "quality/volume inversion gives tau = 1/3") {
+    import spark.implicits._
+    // volumes: sA 2 < sB 6 < sC 9 tokens; mean scores: sA (digit
+    // wall) < sC < sB (pure distinct stopwords) — so (B,C) is the
+    // only discordant pair: tau = (2-1)/3
+    val docs = Seq(
+      (1L, "sA", "11111 22222"),
+      (2L, "sB", "the of and to in is"),
+      (3L, "sC", "the of and to the of and to the")
+    ).toDF("doc_id", "source", "text")
+    val r = Classifier.sourceRankStability(docs).collect().head
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("concordant") == 2L)
+    assert(r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Long]("tied") == 0L)
+    assert(math.abs(r.getAs[Double]("tau_a") - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("sourceRankStability: equal-volume sources count as tied " +
+      "pairs, excluded from tau's numerator") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sA", "one two three"),
+      (2L, "sB", "the of and")
+    ).toDF("doc_id", "source", "text") // both 3 tokens → volume tie
+    val r = Classifier.sourceRankStability(docs).collect().head
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("tied") == 1L)
+    assert(r.getAs[Double]("tau_a") == 0.0)
+  }
+
   test("trainQualityLogit: runs on the harness documents table and " +
       "improves over the iter-0 baseline") {
     val docs = graft.sources.Tables.load(spark,
