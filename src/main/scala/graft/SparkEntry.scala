@@ -996,6 +996,12 @@ object SparkEntry {
     // VectorOpsSpec.
     "x36_pca_report" -> ((s, d) =>
       VectorOps.pcaReport(t(s, d, "embeddings"), k = 8)),
+    // x36's APPLY side: center → project on top-k axes → 1/√λ scale;
+    // map-side transform with eigenvector literals in the scan.
+    // Engine-dependent signs/order → rows-only; unit-variance +
+    // decorrelation pinned in VectorOpsSpec.
+    "x37_pca_whiten" -> ((s, d) =>
+      VectorOps.whitenEmbeddings(t(s, d, "embeddings"), k = 8)),
     // Corpus snapshot diff by content fingerprint: the join carries
     // (doc_id, source, md5) — never text; snapshots derived
     // deterministically (old = id%10≠9; new = id%10≠0 with id%7=3

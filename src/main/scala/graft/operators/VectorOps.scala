@@ -1170,18 +1170,24 @@ object VectorOps {
     * engine/float-order-dependent → registered rows-only; VectorOpsSpec
     * pins analytic 2-d goldens, orthonormality, the trace identity
     * (Σλ = Σ per-dim variance, ties to q153) and residual==1−cum. */
-  def pcaReport(emb: DataFrame, k: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
+  /** The fitted PCA basis: row count, mean vector, eigenvalues (desc)
+    * and matching eigenvectors — driver-side bounded metadata. */
+  private[operators] final case class PcaBasis(n: Long,
+      mean: Array[Double], evals: Array[Double],
+      evecs: Array[Array[Double]])
+
+  /** ONE GramMatrix pass + driver covariance + Jacobi (shared by the
+    * x36 report and the x37 whitening transform). */
+  private[operators] def pcaBasis(emb: DataFrame): PcaBasis = {
     val stats = emb.agg(
       graft.functions.GraftFunctions.gramMatrix(col("embedding"))
         .as("_g")).select(col("_g.n"), col("_g.sums"), col("_g.gram"))
       .head()
     val n = stats.getAs[Long]("n")
-    require(n > 1, s"pcaReport needs at least 2 vectors, got $n")
+    require(n > 1, s"PCA needs at least 2 vectors, got $n")
     val sums = stats.getSeq[Double](stats.fieldIndex("sums")).toArray
     val gram = stats.getSeq[Double](stats.fieldIndex("gram")).toArray
     val d = sums.length
-    val kk = math.min(k, d)
     val mean = sums.map(_ / n)
     val cov = new Array[Double](d * (d + 1) / 2)
     var idx = 0
@@ -1195,6 +1201,14 @@ object VectorOps {
       i += 1
     }
     val (evals, evecs) = jacobiEigen(d, cov)
+    PcaBasis(n, mean, evals, evecs)
+  }
+
+  def pcaReport(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val PcaBasis(n, mean, evals, evecs) = pcaBasis(emb)
+    val d = mean.length
+    val kk = math.min(k, d)
     val totalVar = evals.sum
     // pass 2: measured rank-k reconstruction error via Parseval
     // projections use x·v − μ·v (linearity); literals ride as
@@ -1225,5 +1239,39 @@ object VectorOps {
     }.toDF("component", "eigenvalue", "explained_frac",
       "cum_explained_frac", "recon_error_frac_at_k")
       .orderBy(col("component"))
+  }
+
+  /** PCA WHITENING transform (x37) — x36's apply side: each embedding
+    * is centered, projected onto the top-k principal axes and scaled by
+    * 1/√λ, yielding decorrelated unit-variance coordinates (the
+    * preprocessing SemDeDup-style embedding dedup and ANN quantizers
+    * assume). Emits the first min(4,k) whitened coordinates as scalar
+    * columns plus the full whitened norm — scalars because downstream
+    * tabular tooling (and the driver's compare) can't order list
+    * columns; callers needing the full vector compose the same
+    * projection columns.
+    *
+    * Scale shape: the fit is x36's one GramMatrix pass; the transform
+    * is k VectorDot projections per row with eigenvector LITERALS in
+    * the scan — map-side only, zero shuffle beyond the output sort.
+    * Components with λ ≤ 1e-12·λ₁ are dropped (whitening a dead
+    * direction divides by ~0). */
+  def whitenEmbeddings(emb: DataFrame, k: Int = 8): DataFrame = {
+    val PcaBasis(_, mean, evals, evecs) = pcaBasis(emb)
+    val kept = math.min(k, evals.count(_ > evals.headOption.getOrElse(0.0) * 1e-12))
+    require(kept > 0, "no components with positive variance")
+    def flit(xs: Array[Double]): Column =
+      array(xs.map(x => lit(x.toFloat)): _*)
+    val ys = (0 until kept).map { j =>
+      val muDotV = mean.zip(evecs(j)).map { case (m, v) => m * v }.sum
+      ((dot(col("embedding"), flit(evecs(j))) - lit(muDotV)) /
+        lit(math.sqrt(evals(j)))).as(s"y${j + 1}")
+    }
+    val normSq = ys.map(y => y * y).reduce(_ + _)
+    val head = ys.take(4)
+    emb.select(
+      (col("vec_id") +: col("label") +: head :+
+        sqrt(normSq).as("whitened_norm")): _*)
+      .orderBy(col("vec_id"))
   }
 }

@@ -993,6 +993,48 @@ class VectorOpsSpec extends SparkSuite
       s"Parseval check: recon $recon8 vs 1-cum ${1.0 - cum8}")
   }
 
+  test("whitenEmbeddings: whitened coordinates have ~unit variance, " +
+      "~zero pairwise covariance, and E[norm²] ≈ k on harness " +
+      "embeddings") {
+    val emb = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val out = VectorOps.whitenEmbeddings(emb, k = 8)
+    val ys = (1 to 4).map(j => s"y$j")
+    val aggs = ys.map(y => (avg(col(y)).as(s"m_$y"),
+      avg(col(y) * col(y)).as(s"v_$y"))) // population moments
+    val covs = for (i <- ys.indices; j <- i + 1 until ys.length)
+      yield avg(col(ys(i)) * col(ys(j))).as(s"c_${i}_$j")
+    val r = out.agg(
+      (aggs.flatMap(t => Seq(t._1, t._2)) ++ covs ++
+        Seq(avg(col("whitened_norm") * col("whitened_norm"))
+          .as("mn2"))).head,
+      (aggs.flatMap(t => Seq(t._1, t._2)) ++ covs ++
+        Seq(avg(col("whitened_norm") * col("whitened_norm"))
+          .as("mn2"))).tail: _*).head()
+    ys.foreach { y =>
+      assert(math.abs(r.getAs[Double](s"m_$y")) < 1e-2,
+        s"mean($y) = ${r.getAs[Double](s"m_$y")}")
+      assert(math.abs(r.getAs[Double](s"v_$y") - 1.0) < 1e-2,
+        s"var($y) = ${r.getAs[Double](s"v_$y")}")
+    }
+    for (i <- ys.indices; j <- i + 1 until ys.length)
+      assert(math.abs(r.getAs[Double](s"c_${i}_$j")) < 1e-2,
+        s"cov(y${i + 1},y${j + 1}) = ${r.getAs[Double](s"c_${i}_$j")}")
+    assert(math.abs(r.getAs[Double]("mn2") - 8.0) < 0.1,
+      s"E[norm²] = ${r.getAs[Double]("mn2")}, expected ≈ 8")
+  }
+
+  test("whitenEmbeddings: dead directions are dropped — rank-1 input " +
+      "keeps one component with unit variance") {
+    val df = vecDf(Seq(-2f, -1f, 1f, 2f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(0.6f * t, 0.8f * t), 0) })
+    val out = VectorOps.whitenEmbeddings(df, k = 2)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "label", "y1", "whitened_norm"))
+    val v = out.agg(avg(col("y1") * col("y1"))).head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-6, s"var(y1) = $v")
+  }
+
   test("jacobiEigen: eigenvectors orthonormal on a random symmetric " +
       "matrix; V diagonalizes A back to the eigenvalues") {
     val d = 16
