@@ -119,6 +119,16 @@ object Classifier {
           col("n_docs").cast("double"), 12).as("mean_score"))
       .orderBy(col("source"))
 
+  /** Model-based gate: keep documents whose exact decimal quality
+    * score exceeds `threshold` — the filter form of q185's scorer, a
+    * pure map-side predicate (no join, no aggregate) that
+    * Curation.pipeline stacks after its rule gate (CCNet's rules-then-
+    * model ordering). */
+  def filterByScore(docs: DataFrame, threshold: BigDecimal,
+      weights: Seq[(String, BigDecimal)] = DefaultWeights): DataFrame =
+    docs.filter(scoreCol(weights) >
+      lit(threshold.underlying()).cast(DecimalType(19, 10)))
+
   /** q189: Kendall tau-a rank stability between two per-source
     * orderings — by token VOLUME and by mean QUALITY score. The
     * curation question it answers: does spending more budget on a

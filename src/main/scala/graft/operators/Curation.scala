@@ -55,13 +55,14 @@ object Curation {
 
   def pipeline(docs: DataFrame, packTokens: Long = 256L,
       minJ: Double = 0.7, bands: Int = 16,
-      stripBoilerplateMinDocs: Option[Int] = None): DataFrame = {
+      stripBoilerplateMinDocs: Option[Int] = None,
+      classifierGate: Option[BigDecimal] = None): DataFrame = {
     // Optional line-level boilerplate removal (q168's transform)
     // BETWEEN scrub and dedup — RefinedWeb's stage order: strip the
     // recurring headers/footers first so near-dup similarity is
     // computed over content, not shared boilerplate. None (the
     // default, and x15's registered form) skips the stage entirely.
-    val base = stripBoilerplateMinDocs match {
+    val base0 = stripBoilerplateMinDocs match {
       case None => prepare(docs)
       case Some(m) =>
         val p = prepare(docs)
@@ -69,6 +70,16 @@ object Curation {
           TextOps.stripBoilerplateLines(p, minDocs = m)
             .select(col("doc_id"), col("text_clean").as("text")),
           Seq("doc_id"), "inner")
+    }
+    // Optional model-based gate (q185's linear score) stacked AFTER
+    // the rule gate and boilerplate strip, so the model scores the
+    // text the corpus will actually train on — the CCNet ordering
+    // (rules first, model second). Map-side filter: the score is a
+    // row expression; no extra pass, no join. None (the default, and
+    // x15's registered form) keeps the pipeline rule-only.
+    val base = classifierGate match {
+      case None => base0
+      case Some(thr) => Classifier.filterByScore(base0, thr)
     }
     // persisted: the scrubbed frame feeds three plan consumers (LSH
     // signatures, candidate verification re-shingle, final anti-join) —

@@ -574,6 +574,46 @@ class CurationSpec extends SparkSuite {
     assert(out == Seq(("s0", 1L, 6L), ("s1", 0L, 0L)), s"got $out")
   }
 
+  test("pipeline: classifier gate drops a digit-wall doc the rule " +
+      "gate passes; equals the by-hand composition") {
+    import spark.implicits._
+    // doc 2: 39 distinct 5-digit tokens + one "the" — passes every
+    // RULE (length, sw=0.025 ≥ 0.01, mtl≈4.9, no runs) but its linear
+    // quality score is ≈ −6.5 (digit density ~0.82): the model gate
+    // catches what the rules cannot.
+    val digitWall = ("the" +: (10001 to 10039).map(_.toString))
+      .mkString(" ")
+    // digit-free filler (mkDoc's w1..w39 carry digits, which the
+    // model gate would — correctly — also penalize)
+    val wordDoc = ("the" +: (0 until 39).map(i =>
+      s"${('a' + i % 26).toChar}${('a' + i / 26).toChar}x"))
+      .mkString(" ") + " alpha beta"
+    val docs = Seq(
+      (1L, "s1", wordDoc),
+      (2L, "s1", digitWall)
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.pipeline(docs, packTokens = 16L,
+      classifierGate = Some(BigDecimal(0)))
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L),
+      s"expected the digit wall (2) model-gated; got $ids")
+    // without the gate both survive (the rules alone pass the wall)
+    val noGate = Curation.pipeline(docs, packTokens = 16L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(noGate == Set(1L, 2L), s"got $noGate")
+    // composition == running the stages by hand
+    val byHand = {
+      val q = Classifier.filterByScore(Curation.prepare(docs),
+        BigDecimal(0))
+      val pairs = NearDup.minHashLshPairs(q)
+        .select(col("a_id"), col("b_id"))
+      TextOps.packSequences(
+        NearDup.dedupByClusters(q, NearDup.duplicateClusters(pairs)),
+        16L)
+    }
+    assert(out.collect().toSeq == byHand.collect().toSeq)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged classified per " +
       "source; churn fraction hand-checked") {
     import spark.implicits._
