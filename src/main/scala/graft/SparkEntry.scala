@@ -1002,6 +1002,13 @@ object SparkEntry {
     // decorrelation pinned in VectorOpsSpec.
     "x37_pca_whiten" -> ((s, d) =>
       VectorOps.whitenEmbeddings(t(s, d, "embeddings"), k = 8)),
+    // q185's streaming twin: per-micro-batch quality audit at the
+    // door (one bounded aggregate per batch), ledger returned.
+    // Temp-dir checkpoints → rows-only; ledger==direct parity and
+    // the junk-batch alert pinned in StreamingSpec.
+    "x38_streaming_quality_gate" -> ((s, d) =>
+      graft.streaming.StreamingQuality.qualityGateStatic(
+        s, t(s, d, "documents"), nBatches = 3)),
     // Corpus snapshot diff by content fingerprint: the join carries
     // (doc_id, source, md5) — never text; snapshots derived
     // deterministically (old = id%10≠9; new = id%10≠0 with id%7=3

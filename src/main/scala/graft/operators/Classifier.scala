@@ -119,6 +119,12 @@ object Classifier {
           col("n_docs").cast("double"), 12).as("mean_score"))
       .orderBy(col("source"))
 
+  /** The exact decimal score as a reusable Column (the streaming
+    * quality monitor scores batches at the door with it). */
+  def scoreColumn(
+      weights: Seq[(String, BigDecimal)] = DefaultWeights): Column =
+    scoreCol(weights)
+
   /** Model-based gate: keep documents whose exact decimal quality
     * score exceeds `threshold` — the filter form of q185's scorer, a
     * pure map-side predicate (no join, no aggregate) that

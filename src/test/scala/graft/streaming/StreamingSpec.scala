@@ -693,4 +693,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch,
       s"incremental state must equal from-scratch: $streamed vs $batch")
   }
+
+  test("qualityGateStatic: ledger rows equal the direct per-slice " +
+      "audit; a junk batch fires the alert, an empty batch audits as " +
+      "a zero-rate alert") {
+    import graft.streaming.StreamingQuality
+    import spark.implicits._
+    // direct auditBatch goldens first: all-stopword batch passes,
+    // digit-wall batch alerts
+    val good = Seq((1L, "the of and to in is")).toDF("doc_id", "text")
+    val g = StreamingQuality.auditBatch(good, 0L, minPassRate = 0.5)
+    assert(g.n_docs == 1L && g.n_pass == 1L && !g.alert)
+    val junk = Seq((1L, "11111 22222 33333")).toDF("doc_id", "text")
+    val j = StreamingQuality.auditBatch(junk, 1L, minPassRate = 0.5)
+    assert(j.n_pass == 0L && j.alert)
+    val empty = good.filter(col("doc_id") < 0L)
+    val e = StreamingQuality.auditBatch(empty, 2L, minPassRate = 0.5)
+    assert(e.n_docs == 0L && e.pass_rate == 0.0 && e.alert)
+    // end-to-end static harness on the harness corpus: ledger ==
+    // direct audit of each doc_id-mod slice
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ledger = StreamingQuality.qualityGateStatic(spark, docs,
+      nBatches = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(ledger.map(_._1) == Seq(0L, 1L, 2L))
+    (0 until 3).foreach { i =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === i)
+      val direct = StreamingQuality.auditBatch(slice, i.toLong, 0.02)
+      assert(ledger(i) == ((direct.batch_id, direct.n_docs,
+        direct.n_pass, direct.pass_rate, direct.mean_score,
+        direct.alert)),
+        s"batch $i: ledger ${ledger(i)} != direct $direct")
+    }
+  }
 }
