@@ -1009,6 +1009,22 @@ object SparkEntry {
     "x38_streaming_quality_gate" -> ((s, d) =>
       graft.streaming.StreamingQuality.qualityGateStatic(
         s, t(s, d, "documents"), nBatches = 3)),
+    // Cross-modal audit: Pearson between text quality score and
+    // embedding peakedness (max abs coordinate) per label — both
+    // variables exact integers before aggregation, one keyed join.
+    "q190_quality_peak_corr" -> ((s, d) =>
+      Classifier.qualityPeakCorrelation(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
+    // Incremental PCA refresh: the 90% slice's persisted sufficient
+    // statistic merged with the 10% drop's — the old corpus is never
+    // re-read. Engine-dependent eigen floats → rows-only;
+    // incremental == from-scratch pinned in VectorOpsSpec.
+    "x39_pca_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.pcaReportIncremental(
+        VectorOps.gramStats(emb.filter(col("vec_id") % 10 =!= 0)),
+        emb.filter(col("vec_id") % 10 === 0), k = 8)
+    }),
     // Corpus snapshot diff by content fingerprint: the join carries
     // (doc_id, source, md5) — never text; snapshots derived
     // deterministically (old = id%10≠9; new = id%10≠0 with id%7=3
@@ -4253,5 +4269,67 @@ object SparkEntry {
              (ta > tb AND qa < qb) OR (ta < tb AND qa > qb)) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 12) AS tau_a
          FROM p""",
+    // Both variables integer-scaled pre-aggregation (score·1e10 via
+    // double round-trip, exact; peak round-6 · 1e6); moments
+    // are exact DECIMAL(18,0)-product sums; corr is q95's one double
+    // chain (scale factors cancel in Pearson).
+    "q190_quality_peak_corr" ->
+      """WITH tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t,
+             CAST(length(text) AS BIGINT) AS nc
+           FROM documents),
+         feat AS (SELECT doc_id,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_distinct(t)) AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_ttr,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(length(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it',
+                    'for','on','with','as','was','at','by'], x)))
+                   AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_stop,
+             CAST(CASE WHEN nc > 0 THEN round(
+                 CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                   'g')) AS DOUBLE) /
+                 CAST(nc AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_digit,
+             CAST(CASE WHEN length(t) > 0 THEN round(
+                 CAST(nc AS DOUBLE) /
+                 CAST(length(t) AS DOUBLE), 6) ELSE 0 END
+               AS DECIMAL(12,6)) AS f_cpt
+           FROM tk),
+         x AS (SELECT doc_id, CAST(round(CAST(
+             CAST(CAST(-1.5000 AS DECIMAL(6,4)) AS DECIMAL(19,10))
+               + f_ttr * CAST(2.0000 AS DECIMAL(6,4))
+               + f_stop * CAST(6.0000 AS DECIMAL(6,4))
+               + f_digit * CAST(-8.0000 AS DECIMAL(6,4))
+               + f_cpt * CAST(-0.1000 AS DECIMAL(6,4))
+             AS DOUBLE) * 10000000000.0) AS BIGINT) AS xi
+           FROM feat),
+         y AS (SELECT vec_id AS doc_id, label,
+             CAST(CAST(round(list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE)))), 6)
+               AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS yi
+           FROM embeddings),
+         j AS (SELECT label, CAST(xi AS DECIMAL(19,0)) AS xd,
+             CAST(yi AS DECIMAL(19,0)) AS yd
+           FROM x JOIN y USING (doc_id)),
+         m AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xd) AS DOUBLE) AS sx,
+             CAST(sum(yd) AS DOUBLE) AS sy,
+             CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+             CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+             CAST(sum(yd * yd) AS DOUBLE) AS syy
+           FROM j GROUP BY label)
+         SELECT label, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
+             ELSE NULL END AS corr_quality_peak,
+           round(sx / n / 10000000000.0, 12) AS mean_score,
+           round(sy / n / 1000000.0, 12) AS mean_peak
+         FROM m ORDER BY label""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

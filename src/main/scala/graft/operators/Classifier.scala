@@ -182,6 +182,67 @@ object Classifier {
           col("n_pairs").cast("double"), 12).as("tau_a"))
   }
 
+  /** q190: cross-modal audit — Pearson correlation between the TEXT
+    * quality score and the EMBEDDING peakedness (max |coordinate|),
+    * per label. On a unit-normalized corpus the norm is a constant, so
+    * peakedness is the natural per-vector health scalar: near-one-hot
+    * vectors (peak → 1) usually mean a degenerate encoder output; if
+    * peak correlates with the text-side quality score, one gate
+    * partially subsumes the other, and if corr ≈ 0 they are
+    * independent signals worth stacking.
+    *
+    * Determinism: both variables become exact INTEGERS before any
+    * aggregation — the decimal score scaled by 1e10 (it is exact at
+    * scale 10 by construction; the double round-trip's absolute error
+    * ≪ 0.5 so round() recovers it), the peak (exact float→double max)
+    * rounded to 6dp and scaled by 1e6 — so the five moments are exact
+    * DECIMAL(38,0) sums and the correlation (scale-invariant, so the
+    * 1e10/1e6 factors cancel) is one fixed double chain, round 12
+    * (q95's discipline). Scale shape: one scan per side projected to
+    * (id, int), a doc_id-keyed equi-join carrying two integers, and a
+    * |labels|-row moment fold. */
+  def qualityPeakCorrelation(docs: DataFrame, emb: DataFrame)
+      : DataFrame = {
+    val d0 = DecimalType(18, 0)
+    // score is exact at scale 10; ×1e10 is an integer ≤ ~1e12, and the
+    // double round-trip's relative error (~1e-16·1e12 = 1e-4) is far
+    // below 0.5, so round() recovers the exact integer on both engines
+    // (a direct DECIMAL multiply overflows DuckDB's int64 internal)
+    val xi = round(scoreCol(DefaultWeights).cast("double") *
+      lit(1.0e10)).cast("long")
+    val peak = array_max(transform(col("embedding"),
+      v => abs(v.cast("double"))))
+    val yi = (round(peak, 6).cast(DecimalType(12, 6)) * lit(1000000L))
+      .cast("long")
+    val dd = docs.select(col("doc_id"), xi.as("_xi"))
+    val ee = emb.select(col("vec_id").as("doc_id"), col("label"),
+      yi.as("_yi"))
+    dd.join(ee, Seq("doc_id"))
+      .select(col("label"), col("_xi").cast(d0).as("_x"),
+        col("_yi").cast(d0).as("_y"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).cast("double").as("sx"),
+        sum(col("_y")).cast("double").as("sy"),
+        sum(col("_x") * col("_y")).cast("double").as("sxy"),
+        sum(col("_x") * col("_x")).cast("double").as("sxx"),
+        sum(col("_y") * col("_y")).cast("double").as("syy"))
+      .select(col("label"), col("n"),
+        // degenerate groups (n=1 or a zero-variance side) have no
+        // defined correlation → NULL, mirrored in the oracle's CASE
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 12))
+          .as("corr_quality_peak"),
+        round(col("sx") / col("n") / lit(10000000000.0), 12)
+          .as("mean_score"),
+        round(col("sy") / col("n") / lit(1000000.0), 12)
+          .as("mean_peak"))
+      .orderBy(col("label"))
+  }
+
   /** x35: full-batch logistic-regression TRAINING on the corpus with
     * weak labels (default: lang == "en"), returning the per-iteration
     * training curve plus the final weights as one tidy frame:

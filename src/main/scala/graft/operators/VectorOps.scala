@@ -1176,17 +1176,23 @@ object VectorOps {
       mean: Array[Double], evals: Array[Double],
       evecs: Array[Array[Double]])
 
-  /** ONE GramMatrix pass + driver covariance + Jacobi (shared by the
-    * x36 report and the x37 whitening transform). */
-  private[operators] def pcaBasis(emb: DataFrame): PcaBasis = {
-    val stats = emb.agg(
+  /** The GramMatrix sufficient statistic as a 1-row frame (n, sums,
+    * gram) — persistable (write it next to the corpus snapshot) and
+    * mergeable by pure array addition, which is what makes PCA
+    * maintenance INCREMENTAL: a new drop's statistic folds into the
+    * stored one without ever re-reading the old corpus. */
+  def gramStats(emb: DataFrame): DataFrame =
+    emb.agg(
       graft.functions.GraftFunctions.gramMatrix(col("embedding"))
-        .as("_g")).select(col("_g.n"), col("_g.sums"), col("_g.gram"))
-      .head()
-    val n = stats.getAs[Long]("n")
+        .as("_g"))
+      .select(col("_g.n").as("n"), col("_g.sums").as("sums"),
+        col("_g.gram").as("gram"))
+
+  /** Covariance + Jacobi from raw moments (shared by the one-shot and
+    * incremental fits). */
+  private def basisFromMoments(n: Long, sums: Array[Double],
+      gram: Array[Double]): PcaBasis = {
     require(n > 1, s"PCA needs at least 2 vectors, got $n")
-    val sums = stats.getSeq[Double](stats.fieldIndex("sums")).toArray
-    val gram = stats.getSeq[Double](stats.fieldIndex("gram")).toArray
     val d = sums.length
     val mean = sums.map(_ / n)
     val cov = new Array[Double](d * (d + 1) / 2)
@@ -1202,6 +1208,54 @@ object VectorOps {
     }
     val (evals, evecs) = jacobiEigen(d, cov)
     PcaBasis(n, mean, evals, evecs)
+  }
+
+  /** ONE GramMatrix pass + driver covariance + Jacobi (shared by the
+    * x36 report and the x37 whitening transform). */
+  private[operators] def pcaBasis(emb: DataFrame): PcaBasis = {
+    val stats = gramStats(emb).head()
+    basisFromMoments(stats.getAs[Long]("n"),
+      stats.getSeq[Double](stats.fieldIndex("sums")).toArray,
+      stats.getSeq[Double](stats.fieldIndex("gram")).toArray)
+  }
+
+  /** Incremental PCA refresh (x39): merge a PERSISTED sufficient
+    * statistic (a [[gramStats]] frame — in practice read back from the
+    * corpus snapshot's sidecar) with a new batch's statistic and
+    * re-solve — the old corpus is never re-read. The merge is array
+    * addition of d²-bounded metadata; the only data pass is over the
+    * new batch. Emits the x36 spectrum columns (no measured-residual
+    * column: the verification pass would need the full corpus, which
+    * is exactly what incremental maintenance avoids — VectorOpsSpec
+    * pins incremental == from-scratch on the union instead). */
+  def pcaReportIncremental(oldStats: DataFrame, newBatch: DataFrame,
+      k: Int = 8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val o = oldStats.select(col("n"), col("sums"), col("gram")).head()
+    val b = gramStats(newBatch).head()
+    def arr(r: org.apache.spark.sql.Row, f: String): Array[Double] =
+      r.getSeq[Double](r.fieldIndex(f)).toArray
+    val (on, os, og) = (o.getAs[Long]("n"), arr(o, "sums"), arr(o, "gram"))
+    val (bn, bs, bg) = (b.getAs[Long]("n"), arr(b, "sums"), arr(b, "gram"))
+    val (n, sums, gram) =
+      if (on == 0) (bn, bs, bg)
+      else if (bn == 0) (on, os, og)
+      else {
+        require(os.length == bs.length,
+          s"dimension mismatch: stored d=${os.length}, batch d=${bs.length}")
+        (on + bn, os.zip(bs).map { case (x, y) => x + y },
+          og.zip(bg).map { case (x, y) => x + y })
+      }
+    val PcaBasis(_, _, evals, _) = basisFromMoments(n, sums, gram)
+    val kk = math.min(k, sums.length)
+    val totalVar = evals.sum
+    val cums = evals.scanLeft(0.0)(_ + _).drop(1)
+    import spark.implicits._
+    (0 until kk).map { j =>
+      (j + 1, evals(j), evals(j) / totalVar, cums(j) / totalVar)
+    }.toDF("component", "eigenvalue", "explained_frac",
+      "cum_explained_frac")
+      .orderBy(col("component"))
   }
 
   def pcaReport(emb: DataFrame, k: Int = 8): DataFrame = {

@@ -123,6 +123,32 @@ class ClassifierSpec extends SparkSuite {
     assert(r.getAs[Double]("tau_a") == 0.0)
   }
 
+  test("qualityPeakCorrelation: two-point labels give corr exactly " +
+      "±1; means hand-checked") {
+    import spark.implicits._
+    // label 0: score order (doc1 low, doc2 high) matches peak order
+    // → corr 1; label 1: same scores, peak order inverted → corr −1
+    val docs = Seq(
+      (1L, "s1", "12345 67890"), (2L, "s1", "the the of data"),
+      (3L, "s1", "12345 67890"), (4L, "s1", "the the of data")
+    ).toDF("doc_id", "source", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(2f, 0f), 1), (4L, Seq(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Classifier.qualityPeakCorrelation(docs, emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("corr_quality_peak"),
+          r.getAs[Double]("mean_score"),
+          r.getAs[Double]("mean_peak")))).toMap
+    assert(out(0)._1 == 2L)
+    assert(math.abs(out(0)._2 - 1.0) < 1e-12, s"corr ${out(0)._2}")
+    assert(math.abs(out(1)._2 + 1.0) < 1e-12, s"corr ${out(1)._2}")
+    // mean score = (−7.322728 + 4.125)/2 (the first test's values)
+    assert(math.abs(out(0)._3 - (-1.598864)) < 1e-9)
+    assert(out(0)._4 == 1.5 && out(1)._4 == 1.5)
+  }
+
   test("trainQualityLogit: runs on the harness documents table and " +
       "improves over the iter-0 baseline") {
     val docs = graft.sources.Tables.load(spark,

@@ -1035,6 +1035,39 @@ class VectorOpsSpec extends SparkSuite
     assert(math.abs(v - 1.0) < 1e-6, s"var(y1) = $v")
   }
 
+  test("pcaReportIncremental: merged sufficient statistics equal the " +
+      "from-scratch fit on the union; empty sides degrade gracefully") {
+    val emb = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    val inc = VectorOps.pcaReportIncremental(
+      VectorOps.gramStats(old), fresh, k = 8).collect()
+      .sortBy(_.getAs[Int]("component"))
+    val full = VectorOps.pcaReport(emb, k = 8).collect()
+      .sortBy(_.getAs[Int]("component"))
+    assert(inc.length == 8 && full.length == 8)
+    inc.zip(full).foreach { case (a, b) =>
+      val (ea, eb) = (a.getAs[Double]("eigenvalue"),
+        b.getAs[Double]("eigenvalue"))
+      assert(math.abs(ea - eb) / eb < 1e-9,
+        s"component ${a.getAs[Int]("component")}: $ea vs $eb")
+      assert(math.abs(a.getAs[Double]("cum_explained_frac") -
+        b.getAs[Double]("cum_explained_frac")) < 1e-9)
+    }
+    // an empty old statistic reduces to the batch-only fit
+    val none = VectorOps.gramStats(emb.filter(col("vec_id") < 0))
+    val only = VectorOps.pcaReportIncremental(none, emb, k = 3)
+      .collect().sortBy(_.getAs[Int]("component"))
+    val direct = VectorOps.pcaReport(emb, k = 3).collect()
+      .sortBy(_.getAs[Int]("component"))
+    only.zip(direct).foreach { case (a, b) =>
+      assert(math.abs(a.getAs[Double]("eigenvalue") -
+        b.getAs[Double]("eigenvalue")) /
+        b.getAs[Double]("eigenvalue") < 1e-9)
+    }
+  }
+
   test("jacobiEigen: eigenvectors orthonormal on a random symmetric " +
       "matrix; V diagonalizes A back to the eigenvalues") {
     val d = 16
