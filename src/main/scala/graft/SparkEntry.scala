@@ -1015,6 +1015,18 @@ object SparkEntry {
     "q190_quality_peak_corr" -> ((s, d) =>
       Classifier.qualityPeakCorrelation(t(s, d, "documents"),
         t(s, d, "embeddings"))),
+    // DSIR importance selection: vocab-bounded target/corpus LM ratio
+    // tables, one token-keyed join-back, exact-decimal weight gate.
+    "q191_dsir_selection" -> ((s, d) =>
+      Curation.dsirSelection(t(s, d, "documents"))),
+    // CCNet per-source head/middle/tail tertiles on the unigram-LM
+    // score; only the |docs| metadata frame enters the window sort.
+    "q192_perplexity_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(t(s, d, "documents"))),
+    // Poisson-bootstrap spread for per-source mean length: B=32
+    // replicates from ONE scan via counter-based LCG weights.
+    "q193_bootstrap_length_ci" -> ((s, d) =>
+      Analytics.bootstrapLengthCi(t(s, d, "documents"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4331,5 +4343,104 @@ object SparkEntry {
            round(sx / n / 10000000000.0, 12) AS mean_score,
            round(sy / n / 1000000.0, 12) AS mean_peak
          FROM m ORDER BY label""",
+    // Shared corpus vocabulary; per-TYPE log ratio rounds to 6dp into
+    // DECIMAL(18,6) before any sum (q113's libm discipline); the
+    // selection gate compares the exact decimal sum to 0.
+    "q191_dsir_selection" ->
+      """WITH tok AS (SELECT doc_id, source, lang = 'en' AS tgt,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token FROM documents),
+         f AS (SELECT token, CAST(count(*) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+           FROM tok GROUP BY token),
+         t AS (SELECT CAST(sum(cr) AS BIGINT) AS Nr,
+             CAST(sum(ct) AS BIGINT) AS Nt,
+             CAST(count(*) AS BIGINT) AS V FROM f),
+         term AS (SELECT token, CAST(round(
+             log10(CAST(ct + 1 AS DOUBLE) / CAST(Nt + V AS DOUBLE)) -
+             log10(CAST(cr + 1 AS DOUBLE) / CAST(Nr + V AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS lr FROM f, t),
+         pd AS (SELECT doc_id, source, sum(lr) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM tok JOIN term USING (token) GROUP BY doc_id, source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE s > 0) AS BIGINT) AS n_selected,
+           round(CAST(count(*) FILTER (WHERE s > 0) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS sel_rate,
+           round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 12)
+             AS mean_lr_token,
+           CASE WHEN sum(CASE WHEN s > 0 THEN n END) > 0 THEN
+             round(CAST(sum(CASE WHEN s > 0 THEN s END) AS DOUBLE) /
+               CAST(sum(CASE WHEN s > 0 THEN n END) AS DOUBLE), 12)
+             END AS mean_lr_selected
+         FROM pd GROUP BY source ORDER BY source""",
+    // ntile ORDER key is one correctly-rounded IEEE division of the
+    // exact decimal sum by the exact count, doc_id tiebreak — the
+    // tertile cut is bit-reproducible cross-engine.
+    "q192_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token FROM documents),
+         f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         t AS (SELECT sum(c) AS N, count(*) AS V FROM f),
+         pd AS (SELECT doc_id, source, sum(lp) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT doc_id, source,
+                   CAST(round(log10(CAST(c + 1 AS DOUBLE) /
+                     CAST(N + V AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+                 FROM tok JOIN f USING (token), t)
+           GROUP BY doc_id, source),
+         r AS (SELECT source, s, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avgp,
+             ntile(3) OVER (PARTITION BY source
+               ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) DESC,
+                 doc_id) AS t3
+           FROM pd)
+         SELECT source,
+           CASE WHEN t3 = 1 THEN 'head' WHEN t3 = 2 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 12)
+             AS mean_logp10,
+           round(min(avgp), 12) AS lo_logp10,
+           round(max(avgp), 12) AS hi_logp10
+         FROM r GROUP BY source, t3 ORDER BY source, bucket""",
+    // Counter-based LCG replication weights (all arithmetic BIGINT mod
+    // 2^31 — products <= 2^61, no overflow on either engine); bounds
+    // are order statistics of the 32 rounded replicate means.
+    "q193_bootstrap_length_ci" ->
+      """WITH base AS (SELECT source, doc_id,
+             CAST(n_chars AS BIGINT) AS len FROM documents),
+         ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(len) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 12) AS mean_len
+           FROM base GROUP BY source),
+         rep AS (SELECT source, b, len,
+             ((((doc_id % 2147483648) * 1103515245 + b * 12345 + 12345)
+               % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+           FROM base, (SELECT unnest(range(32)) AS b)),
+         kk AS (SELECT source, b, len,
+             CASE WHEN h < 790015084 THEN 0
+                  WHEN h < 1580030168 THEN 1
+                  WHEN h < 1975037710 THEN 2 ELSE 3 END AS k FROM rep),
+         rm AS (SELECT source, b, CAST(sum(k) AS BIGINT) AS kn,
+             CAST(sum(k * len) AS BIGINT) AS ks
+           FROM kk GROUP BY source, b),
+         mm AS (SELECT source, b,
+             round(CAST(ks AS DOUBLE) / CAST(kn AS DOUBLE), 12) AS mv
+           FROM rm WHERE kn > 0),
+         r AS (SELECT source, b, mv,
+             row_number() OVER (PARTITION BY source ORDER BY mv, b)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS nv
+           FROM mm)
+         SELECT r.source, n_docs, mean_len,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           min(mv) AS boot_min,
+           max(CASE WHEN rn = CAST(floor(CAST(nv + 1 AS DOUBLE) / 2.0)
+             AS BIGINT) THEN mv END) AS boot_med,
+           max(mv) AS boot_max
+         FROM r JOIN ps USING (source)
+         GROUP BY r.source, n_docs, mean_len ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -107,6 +107,81 @@ object Analytics {
         col("n_matched").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** q193: Poisson-bootstrap uncertainty for a per-source corpus
+    * statistic (mean document length) — the single-pass bootstrap of
+    * Chamandy et al. 2012 ("Estimating uncertainty for massive data
+    * streams", the production pattern at terabyte scale): instead of
+    * resampling the corpus B times, each row draws a Poisson(1)
+    * replication count per replicate from a counter-based hash of
+    * (doc_id, replicate), so all B resampled means come out of ONE
+    * scan as weighted aggregates. The spread of the B replicate means
+    * is the sampling-noise yardstick a drift monitor (q139/q140)
+    * needs before calling a shift real.
+    *
+    * Engine-portable randomness: a two-step LCG (Knuth/glibc constants
+    * 1103515245/12345) on (doc_id mod 2^31, replicate), all arithmetic
+    * in BIGINT mod 2^31 (products ≤ 2^61 — no overflow under ANSI on
+    * either engine), thresholded at floor(cdf·2^31) into k ∈ {0,1,2,3}
+    * — the Poisson(1) pmf with the ≥3 tail lumped at 3 (mass 0.0803;
+    * truncation shifts the mean replication to 0.98, immaterial for a
+    * spread estimate and identical on both engines). Replicate means
+    * divide exact integer sums once (round 12); the published bounds
+    * are ORDER STATISTICS of the B rounded means (min / lower-median /
+    * max — never a float re-sum, so no association-order hazard).
+    * With B=32, min..max spans ≈ the central 94% of the bootstrap
+    * distribution.
+    *
+    * Scale shape: the replicate explode widens the scan by B rows of
+    * four narrow columns (source, b, k, len), partial-aggregates
+    * map-side to |sources|·B rows, and everything after — the window
+    * rank over replicate means included — is metadata-sized. */
+  def bootstrapLengthCi(docs: DataFrame, reps: Int = 32): DataFrame = {
+    val two31 = 2147483648L
+    // floor(cdf_Poisson(1)(k) * 2^31) for k = 0, 1, 2
+    val (t0, t1, t2) = (790015084L, 1580030168L, 1975037710L)
+    val base = docs.select(col("source"), col("doc_id"), col("n_chars"))
+    val perSource = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("_sc"))
+      .select(col("source"), col("n_docs"),
+        round(col("_sc").cast("double") /
+          col("n_docs").cast("double"), 12).as("mean_len"))
+    val s1 = pmod(pmod(col("doc_id"), lit(two31)) * lit(1103515245L) +
+      col("b") * lit(12345L) + lit(12345L), lit(two31))
+    val h = pmod(s1 * lit(1103515245L) + lit(12345L), lit(two31))
+    val k = when(h < t0, lit(0L)).when(h < t1, lit(1L))
+      .when(h < t2, lit(2L)).otherwise(lit(3L))
+    val repMeans = base
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .select(col("source"), col("b"), k.as("_k"), col("n_chars"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("_k")).as("_kn"),
+        sum(col("_k") * col("n_chars")).as("_ks"))
+      .filter(col("_kn") > 0)
+      .select(col("source"), col("b"),
+        round(col("_ks").cast("double") /
+          col("_kn").cast("double"), 12).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_m"), col("b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    repMeans
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_nv", count(lit(1)).over(wAll))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(col("_m")).as("boot_min"),
+        max(when(col("_rn") ===
+            floor((col("_nv") + 1).cast("double") / 2.0).cast("long"),
+          col("_m"))).as("boot_med"),
+        max(col("_m")).as("boot_max"))
+      .join(perSource, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_len"),
+        col("n_reps"), col("boot_min"), col("boot_med"),
+        col("boot_max"))
+      .orderBy(col("source"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))

@@ -797,6 +797,77 @@ object Curation {
     * doc_id (co-locatable under bucketing for repeated diffs), then one
     * bounded |sources|-row aggregate. Classification is a map-side CASE
     * over null-ness + hash equality. */
+  /** q191: DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") with
+    * word-unigram features: train add-one-smoothed unigram LMs over a
+    * TARGET slice (docs whose `lang` matches `targetLang` — the
+    * practitioner's "domain I want more of") and over the RAW corpus,
+    * weight every document by its summed per-token log-likelihood
+    * ratio, and gate on weight > 0 ("more target-like than
+    * corpus-like"). Reported per source: docs, selected docs, selection
+    * rate, and token-weighted mean log-ratio overall / selected — the
+    * audit of which sources the importance weights would up/down-weight
+    * before committing a resampled mix. (True DSIR resamples
+    * proportionally to the weight; the deterministic gate is the
+    * oracle-checkable core — a sampled variant would ride the q126
+    * systematic-sampling machinery with these weights as input.)
+    *
+    * Determinism (oracle hash-compares): both probabilities share one
+    * vocabulary (the corpus's), each per-TYPE log ratio rounds to 6
+    * decimals into DECIMAL(18,6) before any sum (q113's libm
+    * discipline — a 1-ulp libm divergence only matters within ~1e-16
+    * of a rounding boundary), per-doc and per-source sums are exact
+    * decimal folds, and the gate compares the exact decimal sum to 0.
+    * Docs with zero tokens never enter the token stream and are
+    * excluded (q113's semantics).
+    *
+    * Scale shape: q52/q113's — the frequency aggregate is map-side
+    * combined and vocab-bounded, the totals row broadcasts, the
+    * per-type ratio table is vocab-bounded, and the token stream
+    * shuffles ONCE on token for the join-back, then folds to |docs|
+    * and |sources| rows. Nothing downstream of the scan is wider than
+    * the token stream; no global sort. */
+  def dsirSelection(docs: DataFrame, targetLang: String = "en")
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        (col("lang") === lit(targetLang)).as("_tgt"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("_cr"),
+        count(when(col("_tgt"), lit(1))).as("_ct"))
+    val tot = freq.agg(sum(col("_cr")).as("_Nr"),
+      sum(col("_ct")).as("_Nt"), count(lit(1)).as("_V"))
+    val lr = round(
+      log10((col("_ct") + 1).cast("double") /
+        (col("_Nt") + col("_V")).cast("double")) -
+      log10((col("_cr") + 1).cast("double") /
+        (col("_Nr") + col("_V")).cast("double")), 6).cast(dec)
+    val term = freq.crossJoin(broadcast(tot))
+      .select(col("token"), lr.as("_lr"))
+    toks
+      .join(term, "token")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("_lr")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_s") > 0, lit(1))).as("n_selected"),
+        sum(col("_s")).as("_sw_all"), sum(col("_n")).as("_nt_all"),
+        sum(when(col("_s") > 0, col("_s"))).as("_sw_sel"),
+        sum(when(col("_s") > 0, col("_n"))).as("_nt_sel"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        round(col("n_selected").cast("double") /
+          col("n_docs").cast("double"), 12).as("sel_rate"),
+        round(col("_sw_all").cast("double") /
+          col("_nt_all").cast("double"), 12).as("mean_lr_token"),
+        when(col("_nt_sel") > 0,
+          round(col("_sw_sel").cast("double") /
+            col("_nt_sel").cast("double"), 12)).as("mean_lr_selected"))
+      .orderBy(col("source"))
+  }
+
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fp(df: DataFrame, tag: String): DataFrame =
       df.select(col("doc_id"),

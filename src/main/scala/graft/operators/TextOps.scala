@@ -1053,6 +1053,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q192: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3)
+    * on the corpus-unigram LM: score every document by its summed
+    * per-token log10 p (q113's exact-decimal machinery), then cut each
+    * SOURCE's documents into equal-count head/middle/tail thirds by
+    * score — CCNet's per-language tertile split, the standard way a
+    * curation run turns a continuous LM score into keep/maybe/drop
+    * tiers without committing to a global threshold. Reported per
+    * (source, bucket): docs, token-weighted mean log10 p, and the
+    * bucket's score range.
+    *
+    * Determinism: per-type logs round to 6dp into DECIMAL(18,6) before
+    * the per-doc sum (q113's libm discipline); the ntile ORDER key is
+    * (exact-decimal-sum ÷ exact count — one correctly-rounded IEEE
+    * division, identical cross-engine) with doc_id tiebreak, so the
+    * tertile cut is bit-reproducible; bucket means divide exact sums
+    * once, round 12. Empty-token docs never enter (q113 semantics).
+    *
+    * Scale shape: q113's vocab-bounded LM + one token-keyed join-back,
+    * folding to |docs| metadata rows (doc_id, source, decimal, count)
+    * — and ONLY that metadata frame enters the per-source window sort
+    * (partitionBy source: parallel across sources; CCNet ran exactly
+    * this per-language sort corpus-wide). Output is |sources|×3. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = freq.agg(sum(col("_c")).as("_N"), count(lit(1)).as("_V"))
+    val lp = round(log10((col("_c") + 1).cast("double") /
+        (col("_N") + col("_V")).cast("double")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val perDoc = toks
+      .join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), lp.as("_lp"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("_lp")).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_avg",
+        col("_s").cast("double") / col("_n").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("_avg").desc, col("doc_id"))
+    perDoc
+      .withColumn("_t", ntile(3).over(w))
+      .groupBy(col("source"), col("_t"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_s")).as("_ss"), sum(col("_n")).as("_sn"),
+        min(col("_avg")).as("_lo"), max(col("_avg")).as("_hi"))
+      .select(col("source"),
+        when(col("_t") === 1, lit("head"))
+          .when(col("_t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_docs"),
+        round(col("_ss").cast("double") / col("_sn").cast("double"), 12)
+          .as("mean_logp10"),
+        round(col("_lo"), 12).as("lo_logp10"),
+        round(col("_hi"), 12).as("hi_logp10"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Language-label noise audit: per declared `lang`, how often the
     * content-based marker heuristic (L16's langIdHeuristic) agrees —
     * the label-quality check a multilingual mix needs before trusting

@@ -603,4 +603,39 @@ class AnalyticsSpec extends SparkSuite {
         r.getAs[Long]("numwait"))).toSeq
     assert(out == Seq((1L, 1L)), s"got $out")
   }
+
+  test("bootstrapLengthCi: constant lengths collapse every replicate " +
+      "mean onto the true mean") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, "s1", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Analytics.bootstrapLengthCi(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_reps") == 32L)
+    assert(row.getAs[Double]("mean_len") == 10.0)
+    assert(row.getAs[Double]("boot_min") == 10.0)
+    assert(row.getAs[Double]("boot_med") == 10.0)
+    assert(row.getAs[Double]("boot_max") == 10.0)
+  }
+
+  test("bootstrapLengthCi: varying lengths give ordered, spread-out " +
+      "order statistics per source") {
+    import spark.implicits._
+    val docs = ((1 to 200).map(i => (i.toLong, "sA", (i % 50 + 1).toLong))
+      ++ (201 to 400).map(i => (i.toLong, "sB", (i % 9 + 1).toLong)))
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Analytics.bootstrapLengthCi(docs).collect()
+    assert(rows.length == 2)
+    rows.foreach { row =>
+      val (lo, med, hi) = (row.getAs[Double]("boot_min"),
+        row.getAs[Double]("boot_med"), row.getAs[Double]("boot_max"))
+      assert(lo <= med && med <= hi)
+      assert(lo < hi, "varying lengths must produce replicate spread")
+      assert(row.getAs[Long]("n_reps") == 32L)
+      // the point estimate sits inside the bootstrap envelope
+      val m = row.getAs[Double]("mean_len")
+      assert(m >= lo && m <= hi, s"mean $m outside [$lo, $hi]")
+    }
+  }
 }

@@ -646,4 +646,46 @@ class CurationSpec extends SparkSuite {
     assert(out.head.getAs[Long]("n_unchanged") == 2L)
     assert(out.head.getAs[Double]("churn_frac") == 0.0)
   }
+
+  test("dsirSelection: hand-computed log-ratio gate on a two-doc " +
+      "fixture — target-only token selects, non-target rejects") {
+    import spark.implicits._
+    // corpus: cr(aa)=2 cr(bb)=2, Nr=4, V=2; target (en): ct(aa)=2,
+    // ct(bb)=0, Nt=2.
+    // lr(aa) = r6(log10(3/4) - log10(3/6)) = r6(0.17609126) = 0.176091
+    // lr(bb) = r6(log10(1/4) - log10(3/6)) = r6(-0.30103000) = -0.301030
+    // docA (en, "aa aa"): s = 0.352182 > 0 -> selected
+    // docB (de, "bb bb"): s = -0.602060 < 0 -> rejected
+    val docs = Seq(
+      (1L, "en", "sA", "aa aa"),
+      (2L, "de", "sB", "bb bb")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Curation.dsirSelection(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("sA")
+    assert(a.getAs[Long]("n_docs") == 1L &&
+      a.getAs[Long]("n_selected") == 1L)
+    assert(a.getAs[Double]("sel_rate") == 1.0)
+    assert(math.abs(a.getAs[Double]("mean_lr_token") - 0.176091) < 1e-9)
+    assert(math.abs(a.getAs[Double]("mean_lr_selected") - 0.176091)
+      < 1e-9)
+    val b = out("sB")
+    assert(b.getAs[Long]("n_selected") == 0L)
+    assert(math.abs(b.getAs[Double]("mean_lr_token") + 0.301030) < 1e-9)
+    assert(b.isNullAt(b.fieldIndex("mean_lr_selected")),
+      "no selected docs -> mean_lr_selected must be NULL")
+  }
+
+  test("dsirSelection: runs on the harness table — rates in [0,1], " +
+      "target-language sources select at a higher rate than average") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val out = Curation.dsirSelection(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getAs[Double]("sel_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -1601,4 +1601,43 @@ class TextOpsSpec extends SparkSuite {
         r.getLong(3))).toSeq
     assert(a == b)
   }
+
+  test("perplexityBuckets: identical docs split by doc_id tiebreak " +
+      "into equal thirds with equal means") {
+    import spark.implicits._
+    val docs = (1 to 6).map(i => (i.toLong, "s1", "the quick fox"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.perplexityBuckets(docs).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mean_logp10"))))
+      .toMap
+    assert(out.keySet == Set("head", "middle", "tail"))
+    assert(out.values.forall(_._1 == 2L), s"uneven thirds: $out")
+    // all docs share one score -> all bucket means identical
+    assert(out.values.map(_._2).toSet.size == 1)
+  }
+
+  test("perplexityBuckets: common-token doc lands in head, " +
+      "rare-token doc in tail; means strictly ordered") {
+    import spark.implicits._
+    // 'the' is corpus-frequent (appears 5x), qq/ww/zz are singletons:
+    // doc 1 (all common) scores highest, doc 3 (all rare) lowest
+    val docs = Seq(
+      (1L, "sC", "the the"),
+      (2L, "sC", "the zz"),
+      (3L, "sC", "qq ww"),
+      (4L, "sD", "the the the")
+    ).toDF("doc_id", "source", "text")
+    val rows = TextOps.perplexityBuckets(docs).collect()
+    val c = rows.filter(_.getAs[String]("source") == "sC")
+      .map(r => r.getAs[String]("bucket") ->
+        r.getAs[Double]("mean_logp10")).toMap
+    assert(c("head") > c("middle") && c("middle") > c("tail"),
+      s"bucket means not ordered: $c")
+    // the single-doc source still yields three buckets? ntile(3) over
+    // one row assigns tile 1 only -> head alone
+    val d = rows.filter(_.getAs[String]("source") == "sD")
+    assert(d.map(_.getAs[String]("bucket")).toSeq == Seq("head"))
+    assert(d.head.getAs[Long]("n_docs") == 1L)
+  }
 }
