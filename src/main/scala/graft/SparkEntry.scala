@@ -1027,6 +1027,28 @@ object SparkEntry {
     // replicates from ONE scan via counter-based LCG weights.
     "q193_bootstrap_length_ci" -> ((s, d) =>
       Analytics.bootstrapLengthCi(t(s, d, "documents"))),
+    // k-anonymity release audit: (type, hour) QI groups banded by
+    // distinct-user count; group table bounded by |types|·|hours|.
+    "q194_k_anonymity" -> ((s, d) =>
+      EventOps.kAnonymityAudit(t(s, d, "events"))),
+    // Quality-rule co-occurrence: per-doc fail-pair fan-out inside the
+    // projection (≤21 pairs), never a doc_id self-join.
+    "q195_rule_cooccurrence" -> ((s, d) =>
+      TextOps.ruleCooccurrence(t(s, d, "documents"))),
+    // Bot-likeness triage: per-user gap CV from exact integer moments,
+    // folded to 4 bands.
+    "q196_bot_regularity" -> ((s, d) =>
+      EventOps.botRegularity(t(s, d, "events"))),
+    // kNN hubness: in-degree histogram of the exact top-k graph over a
+    // broadcast query panel (q30's ranking contract).
+    "q197_knn_hubness" -> ((s, d) =>
+      VectorOps.knnHubness(t(s, d, "embeddings"))),
+    // Markov stationary mix: driver power iteration on the |types|²
+    // q74 transition matrix — float association order is engine-side,
+    // so rows-only; πP=π, Σπ=1 and a 2-state golden pinned in
+    // EventOpsSpec.
+    "x40_markov_stationary" -> ((s, d) =>
+      EventOps.markovStationary(t(s, d, "events"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4442,5 +4464,140 @@ object SparkEntry {
            max(mv) AS boot_max
          FROM r JOIN ps USING (source)
          GROUP BY r.source, n_docs, mean_len ORDER BY source""",
+    // QI groups bounded by |types|·|hours|; banding is integer compare
+    // on exact counts; row_frac one division of exact sums.
+    "q194_k_anonymity" ->
+      """WITH g AS (SELECT event_type, date_trunc('hour', ts) AS qh,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT CASE WHEN n_users = 1 THEN 'unique'
+               WHEN n_users < 5 THEN 'small'
+               ELSE 'anonymous' END AS k_band, n_rows, n_users FROM g),
+         a AS (SELECT k_band, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             min(n_users) AS min_users, max(n_users) AS max_users
+           FROM b GROUP BY 1)
+         SELECT k_band, n_groups, n_rows,
+           round(CAST(n_rows AS DOUBLE) /
+             CAST(sum(n_rows) OVER () AS DOUBLE), 12) AS row_frac,
+           min_users, max_users
+         FROM a ORDER BY k_band""",
+    // The six atomic rules reuse q64's exact metric CTEs verbatim so
+    // the flag booleans cannot drift from the gate they decompose.
+    "q195_rule_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst
+           FROM documents),
+         mr AS (SELECT doc_id, max(c) AS max_run FROM (
+                  SELECT doc_id, tok, isl, count(*) AS c FROM (
+                    SELECT doc_id, tok, pos,
+                      pos - row_number() OVER (
+                        PARTITION BY doc_id, tok ORDER BY pos) AS isl
+                    FROM (SELECT doc_id, unnest(lst) AS tok,
+                            generate_subscripts(lst, 1) AS pos FROM t))
+                  GROUP BY doc_id, tok, isl)
+                GROUP BY doc_id),
+         p AS (SELECT t.doc_id,
+           len(lst) AS n_tok,
+           [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+            for i in range(1, len(lst) - 1)] AS tg,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(lst, x -> list_contains(
+                  ['the','a','of','and','to','in','is','on','for','with'],
+                  x))) AS DOUBLE) / len(lst) END AS sw,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(lst, x -> CAST(len(x) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE) / len(lst) END AS mtl,
+           coalesce(mr.max_run, 0) AS max_run
+           FROM t LEFT JOIN mr ON t.doc_id = mr.doc_id),
+         f AS (SELECT doc_id, list_filter([
+             CASE WHEN n_tok < 30 THEN 'too_short' END,
+             CASE WHEN n_tok > 90 THEN 'too_long' END,
+             CASE WHEN (CASE WHEN len(tg) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) /
+                    len(tg) END) > 0.05 THEN 'dup_trigram' END,
+             CASE WHEN max_run > 3 THEN 'long_run' END,
+             CASE WHEN sw < 0.01 OR sw > 0.5 THEN 'stopword_oob' END,
+             CASE WHEN mtl < 2.0 OR mtl > 8.0 THEN 'mtl_oob' END],
+             x -> x IS NOT NULL) AS fails FROM p),
+         fl AS (SELECT doc_id, unnest(fails) AS rule FROM f
+                WHERE len(fails) > 0),
+         pr AS (SELECT a.rule AS rule_a, b.rule AS rule_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM fl a JOIN fl b
+             ON a.doc_id = b.doc_id AND a.rule <= b.rule GROUP BY 1, 2),
+         s AS (SELECT rule_a AS r, n_both AS n FROM pr
+               WHERE rule_a = rule_b),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS total_docs
+                FROM documents)
+         SELECT rule_a, rule_b, n_both, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_both AS DOUBLE) * total_docs / (sa.n * sb.n), 12)
+             AS lift
+         FROM pr JOIN s sa ON pr.rule_a = sa.r
+           JOIN s sb ON pr.rule_b = sb.r, nn
+         ORDER BY rule_a, rule_b""",
+    // Gaps are integer micros; moments are exact BIGINT/DECIMAL sums;
+    // the CV chain and banding mirror EventOps.botRegularity exactly.
+    "q196_bot_regularity" ->
+      """WITH g AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+               AS sgg
+           FROM g WHERE gap IS NOT NULL GROUP BY 1),
+         c AS (SELECT user_id, n,
+             round(sqrt(greatest(
+               CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) -
+                 CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0)) /
+               CAST(sg AS DOUBLE), 12) AS cv
+           FROM u),
+         b AS (SELECT CASE WHEN n < 20 THEN 'low_activity'
+               WHEN cv <= 0.5 THEN 'bot_like'
+               WHEN cv <= 1.0 THEN 'regular'
+               ELSE 'bursty' END AS band, n, cv FROM c)
+         SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_gaps,
+           round(min(cv), 12) AS min_cv,
+           round(CAST(sum(CAST(cv AS DECIMAL(26,12))) AS DOUBLE) /
+             count(*), 12) AS mean_cv,
+           round(max(cv), 12) AS max_cv
+         FROM b GROUP BY band ORDER BY band""",
+    // Top-k membership is q30's contract (cosine desc, n_id tiebreak);
+    // in-degrees are integers, so the histogram hash-matches exactly.
+    "q197_knn_hubness" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+               (x, y) -> x + y)) AS nrm FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < 100),
+         s AS (SELECT q.q_id, c.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+               i -> q.qv[i] * c.v[i]), (x, y) -> x + y) /
+               (q.qn * c.nrm) AS cosine
+           FROM q, n c WHERE c.vec_id != q.q_id),
+         r AS (SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, n_id) AS rank
+           FROM s),
+         d AS (SELECT n_id, CAST(count(*) AS BIGINT) AS deg FROM r
+               WHERE rank <= 10 GROUP BY 1),
+         h AS (SELECT deg AS in_degree,
+               CAST(count(*) AS BIGINT) AS n_vectors FROM d GROUP BY 1
+               UNION ALL
+               SELECT CAST(0 AS BIGINT) AS in_degree,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e) -
+                 (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_vectors),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS N FROM e)
+         SELECT in_degree, n_vectors,
+           round(CAST(n_vectors AS DOUBLE) / N, 12) AS frac_vectors
+         FROM h, t WHERE n_vectors > 0 ORDER BY in_degree""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

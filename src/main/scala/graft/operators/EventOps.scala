@@ -777,4 +777,174 @@ object EventOps {
           .as("n_users_removed"))
       .orderBy(col("event_type"))
   }
+
+  /** q194: k-anonymity audit (Sweeney 2002) over the event log — the
+    * OTHER half of the q187 compliance pair: q187 audits what a
+    * deletion removes; this audits what a RELEASE would re-identify.
+    * Quasi-identifier = (event_type, activity hour): every row in a
+    * QI group whose DISTINCT-USER count is below k is re-identifiable
+    * by an adversary who knows when and what a target did. Groups
+    * band into `unique` (one user), `small` (2..k−1) and `anonymous`
+    * (≥ k); per band: QI groups, rows, the row fraction, and the
+    * user-count range — the table a privacy review reads before
+    * approving an export.
+    *
+    * Determinism: banding is pure integer compare on exact counts;
+    * the row fraction is one division of exact counts, round 12.
+    *
+    * Scale shape: ONE fact aggregate on (type, hour) with a two-phase
+    * distinct-user count (partial (type,hour,user) dedup map-side);
+    * the QI-group table is bounded by |types|·|hours-of-history| —
+    * metadata even at 100 TB — and everything after (banding, the
+    * total-rows window for the fraction) runs on that bounded table. */
+  def kAnonymityAudit(events: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val groups = events
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).as("_qh"), col("user_id"))
+      .groupBy(col("event_type"), col("_qh"))
+      .agg(count(lit(1)).as("_rows"),
+        countDistinct(col("user_id")).as("_users"))
+    val banded = groups
+      .select(
+        when(col("_users") === 1, lit("unique"))
+          .when(col("_users") < k, lit("small"))
+          .otherwise(lit("anonymous")).as("k_band"),
+        col("_rows"), col("_users"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_rows")).as("n_rows"),
+        min(col("_users")).as("min_users"),
+        max(col("_users")).as("max_users"))
+    banded
+      .select(col("k_band"), col("n_groups"), col("n_rows"),
+        round(col("n_rows").cast("double") /
+          sum(col("n_rows")).over(Window.partitionBy()).cast("double"),
+          12).as("row_frac"),
+        col("min_users"), col("max_users"))
+      .orderBy(col("k_band"))
+  }
+
+  /** q196: bot-likeness audit — per-user inter-arrival REGULARITY.
+    * Organic users are bursty (coefficient of variation of the gap
+    * near or above 1, the exponential's signature); schedulers and
+    * scrapers tick (CV near 0). Each user's gap CV comes from exact
+    * integer moments, then users band into `bot_like` (n ≥ minEvents
+    * and CV ≤ cvMax), `regular` (CV ≤ 1), `bursty` (CV > 1) and
+    * `low_activity` (too few gaps to judge); per band: users, events,
+    * and the CV range + mean — the triage table a data-cleaning run
+    * reviews before excluding automated traffic from behavioral
+    * analytics (q74/q79/q84 are all distorted by bots).
+    *
+    * Determinism: gaps are integer microseconds; n, Σg, Σg² are exact
+    * BIGINT/DECIMAL sums (g cast DECIMAL(18,0) before squaring here —
+    * product DECIMAL(37,0); the oracle casts to DECIMAL(19,0) because
+    * DuckDB multiplies DECIMAL(≤18) in int64 and overflows on µs-scale
+    * gaps — both sides are exact integers, so the sums agree);
+    * population CV = √(n·Σg² − (Σg)²) / Σg is one fixed IEEE chain on
+    * identical inputs, round 12. Band means are exact-decimal sums of
+    * the rounded CVs divided once.
+    *
+    * Scale shape: one shuffle on user_id for the lag window (linear
+    * per user), fold to |users| metadata rows (n, Σg, Σg² — 3 numbers
+    * per user), then a bounded 4-row band aggregate. The per-user
+    * frame never carries event payloads. */
+  def botRegularity(events: DataFrame, minEvents: Int = 20,
+      cvMax: Double = 0.5): DataFrame = {
+    require(minEvents >= 2, "minEvents must be at least 2")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_gap",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("_gap").isNotNull)
+    val perUser = gaps
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_gap")).as("_sg"),
+        sum(col("_gap").cast(dec) * col("_gap").cast(dec)).as("_sgg"))
+      .select(col("user_id"), col("_n"),
+        // CV = std/mean = sqrt(n*Sgg - Sg^2)/Sg: one double chain over
+        // exact sums (Sg > 0 — gaps are strictly positive micros).
+        // greatest(·, 0): n·Sgg − Sg² ≥ 0 exactly (Cauchy–Schwarz) but
+        // the double casts can land an ulp under 0 at variance ≈ 0,
+        // and sqrt(−ε) would NaN the band on both engines
+        round(
+          sqrt(greatest(
+            col("_n").cast("double") * col("_sgg").cast("double") -
+              col("_sg").cast("double") * col("_sg").cast("double"),
+            lit(0.0))) /
+            col("_sg").cast("double"), 12).as("_cv"))
+    perUser
+      .select(
+        when(col("_n") < minEvents, lit("low_activity"))
+          .when(col("_cv") <= cvMax, lit("bot_like"))
+          .when(col("_cv") <= 1.0, lit("regular"))
+          .otherwise(lit("bursty")).as("band"),
+        col("_n"), col("_cv"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_n")).as("n_gaps"),
+        round(min(col("_cv")), 12).as("min_cv"),
+        round(sum(col("_cv").cast(
+            org.apache.spark.sql.types.DecimalType(26, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 12)
+          .as("mean_cv"),
+        round(max(col("_cv")), 12).as("max_cv"))
+      .orderBy(col("band"))
+  }
+
+  /** x40: stationary distribution of the q74 event-transition Markov
+    * chain — where user behavior settles if today's transition
+    * dynamics persist, and the principled "expected long-run mix" a
+    * drift monitor (q148/x30) compares tomorrow's arrivals against
+    * (the EMPIRICAL type mix is contaminated by where users happen to
+    * be mid-journey; the stationary π is not). Power iteration
+    * π ← πP from the uniform start on the |types|² matrix — DRIVER
+    * arithmetic on metadata (the matrix is bounded by the type
+    * vocabulary however large the corpus), so this is engine-seeded
+    * only in float association order → rows-only; πP = π, Σπ = 1 and
+    * a hand-solvable 2-state chain are pinned in EventOpsSpec.
+    *
+    * Scale shape: ONE corpus pass (q74's transition aggregate) folds
+    * to |types|² rows; the collect pulls only that bounded matrix;
+    * iteration cost is |types|²·iters driver flops. Types absent a
+    * successor row (corpus-final events only) self-loop so P stays
+    * row-stochastic. */
+  def markovStationary(events: DataFrame, iters: Int = 64): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = events.sparkSession
+    val trans = eventTransitions(events)
+      .select(col("prev_type"), col("event_type"), col("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val types = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val n = types.length
+    val p = Array.fill(n, n)(0.0)
+    trans.foreach { case (a, b, v) => p(idx(a))(idx(b)) = v }
+    // rows with no observed successor self-loop (row-stochastic guard)
+    (0 until n).foreach { i =>
+      if (p(i).sum == 0.0) p(i)(i) = 1.0
+    }
+    var pi = Array.fill(n)(1.0 / n)
+    (1 to iters).foreach { _ =>
+      val next = Array.fill(n)(0.0)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { next(j) += pi(i) * p(i)(j); j += 1 }
+        i += 1
+      }
+      val s = next.sum // re-normalize: absorbs float drift per step
+      pi = next.map(_ / s)
+    }
+    import spark.implicits._
+    types.zipWithIndex
+      .map { case (t, i) => (t, pi(i)) }.toSeq
+      .toDF("event_type", "stationary_p")
+      .orderBy(col("event_type"))
+  }
 }

@@ -1629,6 +1629,75 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q195: quality-rule co-occurrence matrix — which of the six atomic
+    * q64 rules fire TOGETHER (Gopher-style filter-ablation evidence):
+    * a pair with lift ≫ 1 is redundant (tuning one threshold moves
+    * both), a pair with lift ≈ 1 rejects independent failure modes,
+    * and the diagonal is each rule's raw fail count. This is the
+    * table read before adding/retiring a filter — q64 reports how
+    * many docs each FAMILY rejects, never whether two rules reject
+    * the SAME docs.
+    *
+    * Atomic rules (the q64 families split at their conjunctions, same
+    * thresholds, same exact-integer-ratio metrics): too_short /
+    * too_long / dup_trigram / long_run / stopword_oob / mtl_oob.
+    * lift(a,b) = n_both·N / (n_a·n_b), round 12 — one double chain on
+    * exact counts, engine-identical.
+    *
+    * Scale shape: rule flags are map-side (one scan, same projection
+    * as q64); each failing doc fans out to ≤ 21 rule pairs INSIDE the
+    * projection (array transform — never a self-join on doc_id), the
+    * pair aggregate partial-combines to ≤ 21 rows, and the marginal /
+    * total joins run on that metadata. Caching note: the pair table
+    * persists (MEMORY_AND_DISK) because the marginals re-read it; it
+    * is |rules|²-bounded, so the entry is negligible and evictable. */
+  def ruleCooccurrence(docs: DataFrame,
+      minTokens: Long = 30L, maxTokens: Long = 90L,
+      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
+      swLo: Double = 0.01, swHi: Double = 0.5,
+      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+    val toks = col(QToks)
+    val st = col(QSt)
+    val nTok = size(toks).cast("long")
+    val sw = TextFunctions.stopwordRatioOf(toks, DefaultStopwords)
+    val mtl = TextFunctions.meanTokenLengthOf(toks)
+    val dupFrac = when(st.getField("n_trigrams") === 0L, lit(0.0))
+      .otherwise(lit(1.0) -
+        st.getField("n_distinct_trigrams").cast("double") /
+          st.getField("n_trigrams"))
+    val fails = array_compact(array(
+      when(nTok < minTokens, lit("too_short")),
+      when(nTok > maxTokens, lit("too_long")),
+      when(dupFrac > maxDupFrac, lit("dup_trigram")),
+      when(st.getField("max_run") > maxRun, lit("long_run")),
+      when(sw < swLo || sw > swHi, lit("stopword_oob")),
+      when(mtl < mtlLo || mtl > mtlHi, lit("mtl_oob"))))
+    val pairs = withRuleColumns(docs)
+      .select(fails.as("_fails"))
+      .filter(size(col("_fails")) > 0)
+      .select(explode(flatten(transform(col("_fails"), a =>
+        transform(filter(col("_fails"), b => b >= a), b =>
+          struct(a.as("rule_a"), b.as("rule_b")))))).as("_p"))
+      .select(col("_p.rule_a").as("rule_a"), col("_p.rule_b").as("rule_b"))
+      .groupBy(col("rule_a"), col("rule_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = pairs.filter(col("rule_a") === col("rule_b"))
+      .select(col("rule_a").as("_r"), col("n_both").as("_n"))
+    val total = docs.agg(count(lit(1)).as("_N"))
+    pairs
+      .join(broadcast(singles.select(col("_r").as("rule_a"),
+        col("_n").as("n_a"))), Seq("rule_a"))
+      .join(broadcast(singles.select(col("_r").as("rule_b"),
+        col("_n").as("n_b"))), Seq("rule_b"))
+      .crossJoin(broadcast(total))
+      .select(col("rule_a"), col("rule_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") * col("_N") /
+          (col("n_a") * col("n_b")), 12).as("lift"))
+      .orderBy(col("rule_a"), col("rule_b"))
+  }
+
   /** Per-source quality QUOTA — keep the top-n docs per source by
     * lexical diversity (distinct-token ratio, ties broken by doc_id):
     * the "per-domain cap" a curation pipeline applies so one crawl

@@ -1328,4 +1328,59 @@ object VectorOps {
         sqrt(normSq).as("whitened_norm")): _*)
       .orderBy(col("vec_id"))
   }
+
+  /** q197: kNN-graph hubness audit (Radovanović et al. 2010) — the
+    * in-degree distribution of the exact cosine top-k graph over a
+    * bounded query panel. High-dimensional embedding spaces grow
+    * HUBS: vectors that appear in everyone's neighbor list (skewing
+    * dedup, retrieval and kNN label votes toward a few points) and
+    * anti-hubs retrieval can never reach. The histogram (how many
+    * vectors are retrieved 0×, 1×, 2×, … across the panel) is the
+    * embedding-health check that catches this before x19 SemDeDup or
+    * q56 kNN voting inherit the skew — a healthy space concentrates
+    * near in-degree ≈ k·|panel|/N; a hubby one grows a long tail.
+    *
+    * Determinism: membership in a top-k list is the q30 contract
+    * (cosine desc, n_id tiebreak, identical double chains), so the
+    * integer in-degrees — and the zero-retrieval row derived as
+    * N − |retrieved| — hash-match the oracle exactly.
+    *
+    * Scale shape: the panel (vec_id < nQueries) broadcasts; scoring
+    * is map-side over ONE corpus scan; the bounded-heap top-k
+    * aggregate ships ≤ k rows per query; every aggregate after runs
+    * on the k·|panel| pair list — metadata. For a corpus-sized panel,
+    * run the same histogram over the x04 IVF index's results. */
+  def knnHubness(emb: DataFrame, nQueries: Long = 100L, k: Int = 10)
+      : DataFrame = {
+    require(nQueries > 0, "nQueries must be positive")
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_nrm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"),
+          col("_nrm")).as("cosine"))
+    val inDeg = rankTopK(scored, k)
+      .groupBy(col("n_id"))
+      .agg(count(lit(1)).as("_deg"))
+    val hist = inDeg
+      .groupBy(col("_deg").as("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = emb.agg(count(lit(1)).as("_N"))
+    val reached = inDeg.agg(count(lit(1)).as("_R"))
+    val zeroRow = total.crossJoin(reached)
+      .select(lit(0L).as("in_degree"),
+        (col("_N") - col("_R")).as("n_vectors"))
+      .filter(col("n_vectors") > 0)
+    hist.unionByName(zeroRow)
+      .crossJoin(broadcast(total))
+      .select(col("in_degree"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("_N"), 12)
+          .as("frac_vectors"))
+      .orderBy(col("in_degree"))
+  }
 }

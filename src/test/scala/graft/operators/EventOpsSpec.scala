@@ -438,4 +438,92 @@ class EventOpsSpec extends SparkSuite {
     assert(out.head.getAs[Double]("value_removed") == 0.0)
     assert(out.head.getAs[Long]("n_users_removed") == 0L)
   }
+
+  test("kAnonymityAudit: hand-built QI groups band by distinct-user " +
+      "count, not row count") {
+    import spark.implicits._
+    // group (view, 10:00): 5 users -> anonymous; (click, 10:00):
+    // 2 users over 4 rows -> small (row count must not promote it);
+    // (buy, 11:00): 1 user -> unique
+    val rows =
+      (1 to 5).map(i => (i.toLong, i.toLong, "view", ts("2024-01-01 10:00:0" + i))) ++
+      Seq((6L, 1L, "click", ts("2024-01-01 10:10:00")),
+        (7L, 1L, "click", ts("2024-01-01 10:11:00")),
+        (8L, 2L, "click", ts("2024-01-01 10:12:00")),
+        (9L, 2L, "click", ts("2024-01-01 10:13:00")),
+        (10L, 3L, "buy", ts("2024-01-01 11:00:00")))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.kAnonymityAudit(df, k = 5).collect()
+      .map(r => r.getAs[String]("k_band") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("row_frac")))).toMap
+    assert(out.keySet == Set("anonymous", "small", "unique"))
+    assert(out("anonymous") == ((1L, 5L, 0.5)))
+    assert(out("small") == ((1L, 4L, 0.4)))
+    assert(out("unique") == ((1L, 1L, 0.1)))
+  }
+
+  test("botRegularity: a metronome user is bot_like (CV 0), a bursty " +
+      "user is not, a sparse user is low_activity") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // user 1: 25 events exactly 60 s apart -> 24 gaps, CV = 0
+    val bot = (0 until 25).map(i =>
+      (i.toLong, 1L, new Timestamp(base + i * 60000L)))
+    // user 2: 25 events with alternating 1 s / 1000 s gaps -> CV ~ 1
+    var t2 = base
+    val bursty = (0 until 25).map { i =>
+      t2 += (if (i % 2 == 0) 1000L else 1000000L); (100L + i, 2L, new Timestamp(t2))
+    }
+    // user 3: 3 events -> 2 gaps < minEvents
+    val sparse = (0 until 3).map(i =>
+      (200L + i, 3L, new Timestamp(base + i * 3600000L)))
+    val df = (bot ++ bursty ++ sparse)
+      .toDF("event_id", "user_id", "ts")
+    val out = EventOps.botRegularity(df, minEvents = 20, cvMax = 0.5)
+      .collect().map(r => r.getAs[String]("band") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_gaps"),
+          r.getAs[Double]("min_cv"), r.getAs[Double]("max_cv")))).toMap
+    assert(out.keySet == Set("bot_like", "regular", "low_activity") ||
+      out.keySet == Set("bot_like", "bursty", "low_activity"),
+      s"bands: $out")
+    val (nb, gb, lob, hib) = out("bot_like")
+    assert(nb == 1L && gb == 24L && lob == 0.0 && hib == 0.0)
+    assert(out("low_activity")._1 == 1L && out("low_activity")._2 == 2L)
+    val burstyBand = out.getOrElse("bursty", out("regular"))
+    assert(burstyBand._3 > 0.9 && burstyBand._4 < 1.1,
+      s"alternating-gap CV should sit near 1: $burstyBand")
+  }
+
+  test("markovStationary: Eulerian fixture with P=[[.5,.5],[.25,.75]] " +
+      "converges to pi=(1/3, 2/3); pi is a distribution") {
+    import spark.implicits._
+    // one user's path A A A B B B B A B yields bigram counts
+    // AA=2 AB=2 BA=1 BB=3 -> P(A->A)=.5 P(A->B)=.5 P(B->A)=.25 P(B->B)=.75
+    val path = Seq("A", "A", "A", "B", "B", "B", "B", "A", "B")
+    val base = ts("2024-01-01 00:00:00").getTime
+    val df = path.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, t, new Timestamp(base + i * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.markovStationary(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("stationary_p")).toMap
+    assert(math.abs(out("A") - 1.0 / 3) < 1e-9, s"pi(A)=${out("A")}")
+    assert(math.abs(out("B") - 2.0 / 3) < 1e-9, s"pi(B)=${out("B")}")
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+  }
+
+  test("markovStationary: a terminal type self-loops and absorbs " +
+      "all mass") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val df = Seq(("A", 0), ("B", 1)).map { case (t, i) =>
+      (i.toLong, 1L, t, new Timestamp(base + i * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.markovStationary(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("stationary_p")).toMap
+    assert(out("B") > 1.0 - 1e-12 && out("A") < 1e-12,
+      s"absorbing B must take all mass: $out")
+  }
 }

@@ -1640,4 +1640,49 @@ class TextOpsSpec extends SparkSuite {
     assert(d.map(_.getAs[String]("bucket")).toSeq == Seq("head"))
     assert(d.head.getAs[Long]("n_docs") == 1L)
   }
+
+  test("ruleCooccurrence: hand-built fail sets give the expected " +
+      "pair counts, marginals and lift") {
+    import spark.implicits._
+    // doc 1 "aa bb": 2 tokens -> too_short; sw = 0 < 0.01 ->
+    // stopword_oob; mtl = 2.0 passes; no trigrams, no runs.
+    // doc 2: 30 distinct tokens incl. one stopword -> passes all six.
+    val clean = ("the" +: (1 to 29).map(i => f"tok$i%02d")).mkString(" ")
+    val docs = Seq((1L, "s1", "aa bb"), (2L, "s1", clean))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.ruleCooccurrence(docs).collect()
+      .map(r => (r.getAs[String]("rule_a"), r.getAs[String]("rule_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("lift")))).toMap
+    assert(out.keySet == Set(
+      ("stopword_oob", "stopword_oob"),
+      ("stopword_oob", "too_short"),
+      ("too_short", "too_short")), s"got ${out.keySet}")
+    // N=2, n_a=n_b=n_both=1 -> lift = 1*2/(1*1) = 2
+    assert(out(("stopword_oob", "too_short")) == ((1L, 1L, 1L, 2.0)))
+    assert(out(("too_short", "too_short")) == ((1L, 1L, 1L, 2.0)))
+  }
+
+  test("ruleCooccurrence: independent rules across disjoint docs " +
+      "co-occur never; diagonal counts are the q64-style fail counts") {
+    import spark.implicits._
+    // doc 1 fails ONLY length (too_short, stopwords/mtl in range):
+    // 3 tokens, one stopword -> sw=1/3, mtl=(3+2+2)/3=2.33
+    // doc 2 fails ONLY repetition: 30 tokens, 'xx' repeated 28x
+    // (max_run 28 > 3, dup_trigram), stopword 'the' x2 -> sw=2/30,
+    // mtl=2.03
+    val d1 = "the aa bb"
+    val d2 = (Seq("the", "the") ++ Seq.fill(28)("xx")).mkString(" ")
+    val docs = Seq((1L, "s1", d1), (2L, "s1", d2))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.ruleCooccurrence(docs).collect()
+      .map(r => (r.getAs[String]("rule_a"), r.getAs[String]("rule_b")) ->
+        r.getAs[Long]("n_both")).toMap
+    assert(out(("too_short", "too_short")) == 1L)
+    assert(out(("dup_trigram", "long_run")) == 1L,
+      "doc 2's two repetition rules must co-occur")
+    assert(!out.contains(("long_run", "too_short")) &&
+      !out.contains(("dup_trigram", "too_short")),
+      "rules failing on DIFFERENT docs must not pair")
+  }
 }

@@ -1093,4 +1093,41 @@ class VectorOpsSpec extends SparkSuite
         s"vᵀAv=${vav} != λ=${evals(i)} for component $i")
     }
   }
+
+  test("knnHubness: hand-built hub dominates the in-degree histogram " +
+      "and the zero row accounts for unreached vectors") {
+    // v0 is everyone's nearest neighbor (the hub); queries 1..3 (k=1)
+    // all retrieve v0; v4/v5 sit far off-axis and are never retrieved.
+    val df = vecDf(Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.99f, -0.1f, 0.0f), 0),
+      (3L, Seq(0.98f, 0.0f, 0.1f), 0),
+      (4L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.0f, 1.0f), 1)))
+    val out = VectorOps.knnHubness(df, nQueries = 4L, k = 1)
+      .collect().map(r => r.getAs[Long]("in_degree") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Double]("frac_vectors"))))
+      .toMap
+    // q0's top-1 is one of v1..v3 (cosine tie broken by n_id -> v1);
+    // q1/q2/q3 each retrieve v0 -> v0 in-degree 3, v1 in-degree 1,
+    // v2..v5 unreached -> zero row n=4
+    assert(out(3L)._1 == 1L, s"hub row: $out")
+    assert(out(1L)._1 == 1L)
+    assert(out(0L) == ((4L, 0.666666666667)), s"zero row: $out")
+    assert(out.values.map(_._1).sum == 6L,
+      "histogram must partition the corpus")
+  }
+
+  test("knnHubness: identical vectors tie-break by n_id and the " +
+      "fractions sum to 1") {
+    val df = vecDf((0 until 5).map(i =>
+      (i.toLong, Seq(1.0f, 0.0f), 0)))
+    val out = VectorOps.knnHubness(df, nQueries = 5L, k = 1)
+      .collect().map(r => r.getAs[Long]("in_degree") ->
+        r.getAs[Long]("n_vectors")).toMap
+    // every query's candidates are all cosine-1 ties -> lowest n_id
+    // wins: q0 retrieves v1; q1..q4 retrieve v0
+    assert(out == Map(0L -> 3L, 1L -> 1L, 4L -> 1L), s"got $out")
+  }
 }
