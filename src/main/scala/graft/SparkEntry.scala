@@ -1049,6 +1049,19 @@ object SparkEntry {
     // EventOpsSpec.
     "x40_markov_stationary" -> ((s, d) =>
       EventOps.markovStationary(t(s, d, "events"))),
+    // Model-vs-rules calibration: per-source score deciles (exact
+    // decimal key), rule-gate agreement per bin; only the |docs|
+    // metadata frame enters the partitioned ntile window.
+    "q198_classifier_calibration" -> ((s, d) =>
+      Classifier.calibrationReport(t(s, d, "documents"), nBins = 4)),
+    // Truncation-loss audit: |contexts| map-side fan-out, no join.
+    // Context candidates sized to the 30-90-token harness docs.
+    "q199_truncation_loss" -> ((s, d) =>
+      TextOps.truncationLoss(t(s, d, "documents"))),
+    // Robust location: exact per-type quantile cuts broadcast back
+    // over one more scan (q107's shape); sketch swap documented.
+    "q200_trimmed_mean" -> ((s, d) =>
+      EventOps.trimmedMeanByType(t(s, d, "events"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4599,5 +4612,122 @@ object SparkEntry {
          SELECT in_degree, n_vectors,
            round(CAST(n_vectors AS DOUBLE) / N, 12) AS frac_vectors
          FROM h, t WHERE n_vectors > 0 ORDER BY in_degree""",
+    // Rule flags reuse q64's CTEs, the score q185's — both carried
+    // per-doc; the bin key is the exact decimal score, doc_id tiebreak.
+    "q198_classifier_calibration" ->
+      """WITH t AS (SELECT doc_id, source, text,
+           list_filter(string_split(text, ' '), x -> x != '') AS lst,
+           CAST(length(text) AS BIGINT) AS nc
+           FROM documents),
+         mr AS (SELECT doc_id, max(c) AS max_run FROM (
+                  SELECT doc_id, tok, isl, count(*) AS c FROM (
+                    SELECT doc_id, tok, pos,
+                      pos - row_number() OVER (
+                        PARTITION BY doc_id, tok ORDER BY pos) AS isl
+                    FROM (SELECT doc_id, unnest(lst) AS tok,
+                            generate_subscripts(lst, 1) AS pos FROM t))
+                  GROUP BY doc_id, tok, isl)
+                GROUP BY doc_id),
+         p AS (SELECT t.doc_id, t.source,
+           len(lst) AS n_tok,
+           [lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+            for i in range(1, len(lst) - 1)] AS tg,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(lst, x -> list_contains(
+                  ['the','a','of','and','to','in','is','on','for','with'],
+                  x))) AS DOUBLE) / len(lst) END AS sw,
+           CASE WHEN len(lst) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(lst, x -> CAST(len(x) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE) / len(lst) END AS mtl,
+           coalesce(mr.max_run, 0) AS max_run,
+           CAST(CASE WHEN len(lst) > 0 THEN round(
+               CAST(len(list_distinct(lst)) AS DOUBLE) /
+               CAST(len(lst) AS DOUBLE), 6) ELSE 0 END
+             AS DECIMAL(12,6)) AS f_ttr,
+           CAST(CASE WHEN len(lst) > 0 THEN round(
+               CAST(len(list_filter(lst, x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it',
+                  'for','on','with','as','was','at','by'], x)))
+                 AS DOUBLE) /
+               CAST(len(lst) AS DOUBLE), 6) ELSE 0 END
+             AS DECIMAL(12,6)) AS f_stop,
+           CAST(CASE WHEN nc > 0 THEN round(
+               CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                 'g')) AS DOUBLE) /
+               CAST(nc AS DOUBLE), 6) ELSE 0 END
+             AS DECIMAL(12,6)) AS f_digit,
+           CAST(CASE WHEN len(lst) > 0 THEN round(
+               CAST(nc AS DOUBLE) /
+               CAST(len(lst) AS DOUBLE), 6) ELSE 0 END
+             AS DECIMAL(12,6)) AS f_cpt
+           FROM t LEFT JOIN mr ON t.doc_id = mr.doc_id),
+         sc AS (SELECT doc_id, source,
+           ((n_tok >= 30 AND n_tok <= 90) AND
+            ((CASE WHEN len(tg) = 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) /
+                     len(tg) END) <= 0.05 AND max_run <= 3) AND
+            (sw >= 0.01 AND sw <= 0.5 AND mtl >= 2.0 AND mtl <= 8.0))
+             AS rule_pass,
+           CAST(CAST(-1.5000 AS DECIMAL(6,4)) AS DECIMAL(19,10))
+             + f_ttr * CAST(2.0000 AS DECIMAL(6,4))
+             + f_stop * CAST(6.0000 AS DECIMAL(6,4))
+             + f_digit * CAST(-8.0000 AS DECIMAL(6,4))
+             + f_cpt * CAST(-0.1000 AS DECIMAL(6,4)) AS score
+           FROM p),
+         r AS (SELECT source, rule_pass, score,
+           ntile(4) OVER (PARTITION BY source
+             ORDER BY score DESC, doc_id) AS bin
+           FROM sc)
+         SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(score) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS mean_score,
+           round(CAST(count(*) FILTER (WHERE rule_pass) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS rule_pass_rate,
+           round(CAST(min(score) AS DOUBLE), 12) AS lo_score,
+           round(CAST(max(score) AS DOUBLE), 12) AS hi_score
+         FROM r GROUP BY source, bin ORDER BY source, bin""",
+    // Token counts are exact integers; each doc fans out to
+    // |contexts| rows; fractions divide exact sums once.
+    "q199_truncation_loss" ->
+      """WITH n AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+             x -> x != '')) AS BIGINT) AS nt FROM documents),
+         e AS (SELECT nt, unnest([CAST(32 AS BIGINT),
+             CAST(64 AS BIGINT), CAST(128 AS BIGINT)]) AS context_len
+           FROM n)
+         SELECT context_len, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE nt > context_len) AS BIGINT)
+             AS n_docs_truncated,
+           round(CAST(count(*) FILTER (WHERE nt > context_len)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+             AS frac_docs_truncated,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(nt - context_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           round(CAST(sum(greatest(nt - context_len, 0)) AS DOUBLE) /
+             CAST(sum(nt) AS DOUBLE), 12) AS frac_tokens_lost
+         FROM e GROUP BY context_len ORDER BY context_len""",
+    // Cuts are q32's quantile_cont pairing; kept sums are exact
+    // 2-decimal decimals divided once.
+    "q200_trimmed_mean" ->
+      """WITH v AS (SELECT event_type, value FROM events
+                    WHERE value IS NOT NULL),
+         c AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM v GROUP BY 1)
+         SELECT v.event_type, CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) FILTER (WHERE value < lo OR value > hi)
+             AS BIGINT) AS n_trimmed,
+           round(lo, 12) AS lo_cut, round(hi, 12) AS hi_cut,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS mean_all,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE value >= lo AND value <= hi) AS DOUBLE) /
+             CAST(count(*) FILTER (WHERE value >= lo AND value <= hi)
+               AS DOUBLE), 12) AS trimmed_mean
+         FROM v JOIN c USING (event_type)
+         GROUP BY v.event_type, lo, hi ORDER BY event_type""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

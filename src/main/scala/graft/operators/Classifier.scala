@@ -314,4 +314,50 @@ object Classifier {
         .orderBy(col("iter"))
     } finally feats.unpersist()
   }
+
+  /** q198: model-vs-rules calibration table — q185's classifier score
+    * cut into per-source deciles (score desc, doc_id tiebreak), each
+    * bin reporting how often the INDEPENDENT q64 rule gate agrees.
+    * A calibrated model shows rule_pass_rate falling monotonically
+    * from bin 1 to bin nBins; a flat column means the score carries
+    * no signal the rules see, and an inversion means the threshold
+    * sits on the wrong side — the reliability diagram (Niculescu-
+    * Mizil & Caruana 2005) with the rule gate standing in for labels,
+    * read before replacing rules with the model in the pipeline gate.
+    *
+    * Determinism: the bin ORDER key is the exact decimal score with
+    * doc_id tiebreak (bit-reproducible); bin means divide exact
+    * decimal sums once, round 12; agreement rates are exact-count
+    * divisions, round 12.
+    *
+    * Scale shape: flags + score are ONE map-side projection (q64's
+    * scan); only the |docs| metadata frame (doc_id, source, decimal,
+    * boolean) enters the per-source ntile window — partitioned by
+    * source, so it parallelizes (q192's CCNet argument); output is
+    * |sources|·nBins rows. */
+  def calibrationReport(docs: DataFrame, nBins: Int = 10,
+      weights: Seq[(String, BigDecimal)] = DefaultWeights): DataFrame = {
+    require(nBins >= 2, "nBins must be at least 2")
+    val scored = TextOps.withQualityPass(docs)
+      .select(col("doc_id"), col("source"), col("rule_pass"),
+        scoreCol(weights).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("_score").desc, col("doc_id"))
+    scored
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_score")).as("_ss"),
+        count(when(col("rule_pass"), lit(1))).as("_np"),
+        min(col("_score")).as("_lo"), max(col("_score")).as("_hi"))
+      .select(col("source"), col("bin"), col("n_docs"),
+        round(col("_ss").cast("double") /
+          col("n_docs").cast("double"), 12).as("mean_score"),
+        round(col("_np").cast("double") /
+          col("n_docs").cast("double"), 12).as("rule_pass_rate"),
+        round(col("_lo").cast("double"), 12).as("lo_score"),
+        round(col("_hi").cast("double"), 12).as("hi_score"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

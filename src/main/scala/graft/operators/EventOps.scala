@@ -896,6 +896,49 @@ object EventOps {
       .orderBy(col("band"))
   }
 
+  /** q200: trimmed mean per event type — the robust location estimate
+    * between q83's mean/σ (0% breakdown) and q107's median/MAD (50%):
+    * drop everything outside the [loQ, hiQ] exact quantile band and
+    * average the rest, reporting both means so the gap ITSELF is the
+    * signal (a trimmed mean far from the raw mean = the tails carry
+    * the money — alert on the gap, not just the level).
+    *
+    * Determinism: the cuts are q32's quantile_cont/percentile pairing
+    * (proven hash-identical cross-engine); membership compares the
+    * raw double against that cut (same doubles both sides); kept sums
+    * are exact 2-decimal sums divided once, round 12.
+    *
+    * Scale shape: q107's — one bounded per-type percentile aggregate
+    * (exact percentile is the correctness baseline; the documented
+    * 100 TB swap is the x07/x12 mergeable sketch), the |types|-row
+    * cut table broadcasts back, and ONE more scan folds to |types|
+    * rows. The fact table is never shuffled wide. */
+  def trimmedMeanByType(events: DataFrame, loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val vals = events.filter(col("value").isNotNull)
+    val cuts = vals.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(loQ)).as("_lo"),
+        percentile(col("value"), lit(hiQ)).as("_hi"))
+    val kept = col("value") >= col("_lo") && col("value") <= col("_hi")
+    vals
+      .join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"), col("_lo"), col("_hi"))
+      .agg(count(lit(1)).as("n_values"),
+        count(when(!kept, lit(1))).as("n_trimmed"),
+        dsum(col("value")).as("_sum_all"),
+        sum(when(kept, dec2(col("value")))).cast("double").as("_sum_kept"),
+        count(when(kept, lit(1))).as("_n_kept"))
+      .select(col("event_type"), col("n_values"), col("n_trimmed"),
+        round(col("_lo"), 12).as("lo_cut"),
+        round(col("_hi"), 12).as("hi_cut"),
+        round(col("_sum_all") / col("n_values").cast("double"), 12)
+          .as("mean_all"),
+        round(col("_sum_kept") / col("_n_kept").cast("double"), 12)
+          .as("trimmed_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** x40: stationary distribution of the q74 event-transition Markov
     * chain — where user behavior settles if today's transition
     * dynamics persist, and the principled "expected long-run mix" a

@@ -1574,6 +1574,70 @@ object TextOps {
       .withColumn(QSt, GraftFunctions.repetitionStats(col("text")))
   }
 
+  /** The q64 rule-gate verdict as a schema-preserving projection: the
+    * input plus one boolean `rule_pass` (true iff all three families
+    * pass at the given thresholds). The bridge the q198 calibration
+    * audit uses to compare the RULE gate against the MODEL gate
+    * per document — filterQuality drops the rejects, which is exactly
+    * what a calibration table must not do. Map-side (same observe
+    * pushdown barrier as filterQuality, for the same
+    * evaluate-the-flags-once reason). */
+  def withQualityPass(docs: DataFrame,
+      minTokens: Long = 30L, maxTokens: Long = 90L,
+      maxDupFrac: Double = 0.05, maxRun: Long = 3L,
+      swLo: Double = 0.01, swHi: Double = 0.5,
+      mtlLo: Double = 2.0, mtlHi: Double = 8.0): DataFrame = {
+    val (okLen, okRep, okQual) = qualityFlags(minTokens, maxTokens,
+      maxDupFrac, maxRun, swLo, swHi, mtlLo, mtlHi)
+    val gateName = "rule_pass_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    withRuleColumns(docs)
+      .observe(gateName, count(lit(1)).as("rows_in"))
+      .withColumn("rule_pass", okLen && okRep && okQual)
+      .drop(QToks, QSt)
+  }
+
+  /** q199: truncation-loss audit across candidate context lengths —
+    * the table read when choosing a training sequence length: for
+    * each candidate C, how many documents exceed it and what fraction
+    * of the corpus's tokens a truncate-at-C policy would discard
+    * (the alternative to q53's concat-and-chunk packing, which loses
+    * nothing but splits documents). Defaults sized to the harness
+    * corpus's 30–90-token documents; a real run passes its tokenizer
+    * context candidates (2k/4k/8k).
+    *
+    * Determinism: token counts are exact integers; fractions are one
+    * division of exact sums, round 12.
+    *
+    * Scale shape: ONE scan; each row fans out to |contexts| narrow
+    * rows inside the projection, partial-aggregating map-side to
+    * |contexts| output rows. No join, no window. */
+  def truncationLoss(docs: DataFrame,
+      contexts: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    require(contexts.nonEmpty, "need at least one context length")
+    docs
+      .select(TextFunctions.tokenCount(col("text")).as("_n"))
+      .select(col("_n"),
+        explode(array(contexts.map(c => lit(c.toLong)): _*))
+          .as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_n") > col("context_len"), lit(1)))
+          .as("n_docs_truncated"),
+        sum(col("_n")).as("_total_tokens"),
+        sum(greatest(col("_n") - col("context_len"), lit(0L)))
+          .as("tokens_lost"))
+      .select(col("context_len"), col("n_docs"),
+        col("n_docs_truncated"),
+        round(col("n_docs_truncated").cast("double") /
+          col("n_docs").cast("double"), 12).as("frac_docs_truncated"),
+        col("_total_tokens").as("total_tokens"), col("tokens_lost"),
+        round(col("tokens_lost").cast("double") /
+          col("_total_tokens").cast("double"), 12)
+          .as("frac_tokens_lost"))
+      .orderBy(col("context_len"))
+  }
+
   /** Per-doc quality FILTER — the pipeline-stage form of the q64 gate:
     * keeps exactly the docs the gate counts as n_pass, preserving the
     * input schema. Map-side; composes in front of dedup/ingestion

@@ -1114,4 +1114,48 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 1,
       s"expected ≤1 shuffle (output sort only), got ${exchanges.size}")
   }
+
+  test("q195 rule co-occurrence: pair fan-out stays inside the " +
+      "projection — no join touches the document stream") {
+    val df = q("q195_rule_cooccurrence")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "rule pairs must never be a product join")
+    assert(!plan.contains("SortMergeJoin"),
+      "every join runs on the |rules|²-bounded pair/marginal tables " +
+        "and must broadcast — a sort-merge means a data-sized join " +
+        "crept in")
+    assert(plan.contains("HashAggregate"),
+      "pair counts must partial-aggregate before the exchange")
+  }
+
+  test("q197 kNN hubness: the query panel broadcasts (nested-loop on " +
+      "the broadcast side only) and ranking is the bounded-heap " +
+      "aggregate, never a window") {
+    val df = q("q197_knn_hubness")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "panel scoring must broadcast, never a partitioned product")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the bounded panel must ride a broadcast nested loop")
+    assert(!plan.contains("Window"),
+      "top-k must be the bounded-heap aggregate (graft_row_top_k), " +
+        "never a data-sized rank window")
+  }
+
+  test("q196 bot regularity: one user-keyed window pass, then only " +
+      "bounded aggregates — no join anywhere") {
+    val df = q("q196_bot_regularity")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the triage is window + aggregates")
+    // AQE's toString appends the initial plan — count the final only
+    val windows = plan.split("== Initial Plan ==").head.linesIterator
+      .count(l => l.contains("Window") && l.contains("lag("))
+    assert(windows == 1, s"exactly one lag window expected, got $windows")
+    assert(plan.contains("HashAggregate"),
+      "per-user moments must partial-aggregate")
+  }
 }

@@ -159,4 +159,55 @@ class ClassifierSpec extends SparkSuite {
     assert(hist.last.getAs[Double]("loss") <
       hist.head.getAs[Double]("loss"))
   }
+
+  test("calibrationReport: hand-built high/low-score pair splits into " +
+      "bins with the expected agreement and hand-computed mean") {
+    import spark.implicits._
+    // docA: 3 stopwords + 27 distinct fillers -> rules pass; score =
+    // -1.5 + 2*f_ttr + 6*f_stop - 8*f_digit - 0.1*f_cpt
+    //     = -1.5 + 2*1.0 + 6*0.1 - 0 - 0.1*round(116/30, 6)
+    //     = 0.7133333
+    // docB: a 2-token digit wall -> too_short fails; score ~ -8
+    // letter-only 3-char fillers: a digit in a filler would charge
+    // f_digit and sink the score
+    val docA = ("the a of" +: (1 to 27).map(i =>
+      s"x${('a' + (i - 1) / 26).toChar}${('a' + (i - 1) % 26).toChar}"))
+      .mkString(" ")
+    val docB = "9999 9999"
+    val docs = Seq((1L, "s1", docA), (2L, "s1", docB))
+      .toDF("doc_id", "source", "text")
+    val out = Classifier.calibrationReport(docs, nBins = 2).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("rule_pass_rate")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (n1, m1, p1) = out(1L)
+    val (n2, m2, p2) = out(2L)
+    assert(n1 == 1L && n2 == 1L)
+    assert(math.abs(m1 - 0.7133333) < 1e-6, s"bin-1 mean: $m1")
+    assert(p1 == 1.0 && p2 == 0.0,
+      "the rule gate must agree with the model's ordering here")
+    assert(m1 > m2, "bin 1 must hold the higher scores")
+  }
+
+  test("calibrationReport: harness corpus — bins partition each " +
+      "source near-equally, rates bounded, means non-increasing") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val rows = Classifier.calibrationReport(docs, nBins = 4).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byBin = rs.sortBy(_.getAs[Long]("bin"))
+      val sizes = byBin.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src ntile sizes: $sizes")
+      val means = byBin.map(_.getAs[Double]("mean_score"))
+      assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+        s"$src bin means must not increase: ${means.toSeq}")
+      byBin.foreach { r =>
+        val rate = r.getAs[Double]("rule_pass_rate")
+        assert(rate >= 0.0 && rate <= 1.0)
+        assert(r.getAs[Double]("lo_score") <= r.getAs[Double]("hi_score"))
+      }
+    }
+  }
 }

@@ -526,4 +526,41 @@ class EventOpsSpec extends SparkSuite {
     assert(out("B") > 1.0 - 1e-12 && out("A") < 1e-12,
       s"absorbing B must take all mass: $out")
   }
+
+  test("trimmedMeanByType: hand-computed interpolated cuts drop the " +
+      "planted outlier; the raw mean keeps it") {
+    import spark.implicits._
+    // values 1..19 plus outlier 1000 (n=20): p05 cut = 1.95 (between
+    // v1 and v2), p95 cut = 19 + 0.05*(1000-19) = 68.05 -> kept =
+    // 2..19; trimmed mean = 189/18 = 10.5; raw mean = 1190/20 = 59.5
+    val base = ts("2024-01-01 00:00:00").getTime
+    val df = ((1 to 19).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1L, "A", new Timestamp(base + i * 1000L), v)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.trimmedMeanByType(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_values") == 20L)
+    assert(r.getAs[Long]("n_trimmed") == 2L)
+    assert(math.abs(r.getAs[Double]("lo_cut") - 1.95) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hi_cut") - 68.05) < 1e-9)
+    assert(r.getAs[Double]("mean_all") == 59.5)
+    assert(r.getAs[Double]("trimmed_mean") == 10.5)
+  }
+
+  test("trimmedMeanByType: symmetric data leaves the mean unchanged " +
+      "and null values never count") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 9).map(i =>
+      (i.toLong, 1L, "B", new Timestamp(base + i * 1000L),
+        Some(i.toDouble))) :+
+      (10L, 1L, "B", new Timestamp(base + 10000L), Option.empty[Double])
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.trimmedMeanByType(df).collect().head
+    assert(out.getAs[Long]("n_values") == 9L, "null row must not count")
+    assert(out.getAs[Double]("mean_all") == 5.0)
+    assert(out.getAs[Double]("trimmed_mean") == 5.0,
+      "symmetric trim preserves the mean")
+  }
 }

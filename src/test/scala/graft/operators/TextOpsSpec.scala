@@ -1685,4 +1685,21 @@ class TextOpsSpec extends SparkSuite {
       !out.contains(("dup_trigram", "too_short")),
       "rules failing on DIFFERENT docs must not pair")
   }
+
+  test("truncationLoss: hand-computed losses at a binding and a " +
+      "non-binding context length") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val out = TextOps.truncationLoss(docs, contexts = Seq(3, 10))
+      .collect().map(r => r.getAs[Long]("context_len") ->
+        ((r.getAs[Long]("n_docs_truncated"),
+          r.getAs[Double]("frac_docs_truncated"),
+          r.getAs[Long]("tokens_lost"),
+          r.getAs[Double]("frac_tokens_lost")))).toMap
+    // C=3: doc 2 (5 tokens) loses 2 of the corpus's 7 tokens
+    assert(out(3L) == ((1L, 0.5, 2L, 0.285714285714)), s"got $out")
+    // C=10: nothing truncates
+    assert(out(10L) == ((0L, 0.0, 0L, 0.0)))
+  }
 }
