@@ -1062,6 +1062,20 @@ object SparkEntry {
     // over one more scan (q107's shape); sketch swap documented.
     "q200_trimmed_mean" -> ((s, d) =>
       EventOps.trimmedMeanByType(t(s, d, "events"))),
+    // RFM grid: global quartile CUTOFFS (bounded percentile agg +
+    // broadcast), never a global ntile window; map-side coding.
+    "q201_rfm_segments" -> ((s, d) =>
+      EventOps.rfmSegments(t(s, d, "events"))),
+    // Seasonal volume anomalies: slot counts z-scored against the
+    // (type, dow, hour) baseline; all frames after the first
+    // aggregate are |types|·168-bounded.
+    "q202_seasonal_anomaly" -> ((s, d) =>
+      EventOps.seasonalAnomaly(t(s, d, "events"))),
+    // q50's funnel + Wilson 95% intervals on each step conversion;
+    // interval arithmetic runs on |steps| metadata rows.
+    "q203_funnel_ci" -> ((s, d) =>
+      EventOps.funnelWithCi(t(s, d, "events"),
+        Seq("signup", "click", "purchase"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4729,5 +4743,121 @@ object SparkEntry {
                AS DOUBLE), 12) AS trimmed_mean
          FROM v JOIN c USING (event_type)
          GROUP BY v.event_type, lo, hi ORDER BY event_type""",
+    // Cuts via quantile_cont (q32 pairing); R in integer days; codes
+    // compare the same doubles; segment means divide exact sums once.
+    "q201_rfm_segments" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+         u AS (SELECT user_id,
+             (m - max(epoch_us(ts))) // 86400000000 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+               AS DOUBLE), 0.0) AS mv
+           FROM events, mx GROUP BY user_id, m),
+         c AS (SELECT
+             quantile_cont(CAST(r AS DOUBLE), 0.25) AS r1,
+             quantile_cont(CAST(r AS DOUBLE), 0.5) AS r2,
+             quantile_cont(CAST(r AS DOUBLE), 0.75) AS r3,
+             quantile_cont(CAST(f AS DOUBLE), 0.25) AS f1,
+             quantile_cont(CAST(f AS DOUBLE), 0.5) AS f2,
+             quantile_cont(CAST(f AS DOUBLE), 0.75) AS f3,
+             quantile_cont(mv, 0.25) AS m1,
+             quantile_cont(mv, 0.5) AS m2,
+             quantile_cont(mv, 0.75) AS m3
+           FROM u),
+         k AS (SELECT r, f, mv,
+             1 + CAST(CAST(r AS DOUBLE) > r1 AS INT)
+               + CAST(CAST(r AS DOUBLE) > r2 AS INT)
+               + CAST(CAST(r AS DOUBLE) > r3 AS INT) AS r_code,
+             1 + CAST(CAST(f AS DOUBLE) > f1 AS INT)
+               + CAST(CAST(f AS DOUBLE) > f2 AS INT)
+               + CAST(CAST(f AS DOUBLE) > f3 AS INT) AS f_code,
+             1 + CAST(mv > m1 AS INT) + CAST(mv > m2 AS INT)
+               + CAST(mv > m3 AS INT) AS m_code
+           FROM u, c)
+         SELECT CAST(r_code AS BIGINT) AS r_code,
+           CAST(f_code AS BIGINT) AS f_code,
+           CAST(m_code AS BIGINT) AS m_code,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+             AS mean_recency_days,
+           round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+             AS mean_frequency,
+           round(CAST(sum(CAST(mv AS DECIMAL(18,2))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_monetary
+         FROM k GROUP BY r_code, f_code, m_code
+         ORDER BY r_code, f_code, m_code""",
+    // dow/hour are pure integer arithmetic on epoch hours; slot counts
+    // exact; squares in DECIMAL(19,0) (DuckDB multiplies DECIMAL(<=18)
+    // in int64 — q196's quirk); z chain mirrors EventOps exactly.
+    "q202_seasonal_anomaly" ->
+      """WITH s AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS eh,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         sl AS (SELECT event_type, eh, n,
+             ((eh // 24) + 4) % 7 AS dow, eh % 24 AS hr FROM s),
+         p AS (SELECT event_type, dow, hr,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s1,
+             sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+               AS s2
+           FROM sl GROUP BY 1, 2, 3),
+         z AS (SELECT sl.event_type,
+             CASE WHEN sqrt(greatest(
+                 CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)) > 0
+               THEN abs(CAST(n * k - s1 AS DOUBLE) /
+                 sqrt(greatest(
+                   CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                     CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)))
+               END AS az
+           FROM sl JOIN p USING (event_type, dow, hr))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(count(*) FILTER (WHERE az > 3.0) AS BIGINT)
+             AS n_anomalous,
+           round(max(az), 12) AS max_abs_z
+         FROM z GROUP BY event_type ORDER BY event_type""",
+    // Counts from q50's funnel CTEs; the Wilson chain is written
+    // op-for-op as in EventOps (z² spelled 1.96*1.96 on both sides).
+    "q203_funnel_ci" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING(user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 USING(user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+         cnt AS (SELECT
+             (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+              FROM events) AS n0,
+             (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3),
+         steps AS (
+           SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+             n0 AS n_eligible, n1 AS n_reached FROM cnt
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'click', n1, n2 FROM cnt
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'purchase', n2, n3 FROM cnt),
+         w AS (SELECT step, event_type, n_eligible, n_reached,
+             CAST(n_eligible AS DOUBLE) AS nd,
+             CAST(n_reached AS DOUBLE) / CAST(n_eligible AS DOUBLE)
+               AS p
+           FROM steps)
+         SELECT step, event_type, n_eligible, n_reached,
+           CASE WHEN n_eligible > 0 THEN round(p, 12) END AS conversion,
+           CASE WHEN n_eligible > 0 THEN round(greatest(
+             (p + 1.96*1.96 / (2.0 * nd)) / (1.0 + 1.96*1.96 / nd) -
+             (1.96 / (1.0 + 1.96*1.96 / nd)) *
+               sqrt(p * (1.0 - p) / nd +
+                 1.96*1.96 / (4.0 * nd * nd)), 0.0), 12) END AS ci_lo,
+           CASE WHEN n_eligible > 0 THEN round(least(
+             (p + 1.96*1.96 / (2.0 * nd)) / (1.0 + 1.96*1.96 / nd) +
+             (1.96 / (1.0 + 1.96*1.96 / nd)) *
+               sqrt(p * (1.0 - p) / nd +
+                 1.96*1.96 / (4.0 * nd * nd)), 1.0), 12) END AS ci_hi
+         FROM w ORDER BY step""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -896,6 +896,177 @@ object EventOps {
       .orderBy(col("band"))
   }
 
+  /** q201: RFM segmentation — the classic customer-value grid: per
+    * user Recency (days since last event, relative to the corpus max
+    * so the report is reproducible), Frequency (events) and Monetary
+    * (exact value sum), each quartile-coded 1..4 against GLOBAL
+    * quartile cuts, then folded to the segment grid (≤64 rows) with
+    * per-segment means. Codes are raw quartile indexes of the metric
+    * (r_code 1 = most recent quartile, f_code/m_code 4 = most
+    * active/valuable).
+    *
+    * Determinism: R is integer days; cuts are q32's exact
+    * quantile_cont/percentile pairing over the per-user frame; code
+    * assignment compares the same doubles on both engines; segment
+    * means divide exact sums once, round 12.
+    *
+    * Scale shape: one user-keyed aggregate (|users| rows of 3
+    * numbers), ONE bounded percentile aggregate over that frame
+    * (9 cut doubles — NOT a global ntile window: rank-binning via
+    * cutoffs is the q94-documented corpus-scale form), the 1-row cut
+    * table broadcasts back, coding is map-side, and the final fold is
+    * ≤64 rows. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val maxTs = events.agg(max(unix_micros(col("ts"))).as("_mx"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("_last"),
+        count(lit(1)).as("_f"),
+        coalesce(dsum(col("value")), lit(0d)).as("_m"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        expr(s"(_mx - _last) div $dayUs").as("_r"),
+        col("_f"), col("_m"))
+    val cuts = perUser.agg(
+      percentile(col("_r").cast("double"), lit(0.25)).as("_r1"),
+      percentile(col("_r").cast("double"), lit(0.5)).as("_r2"),
+      percentile(col("_r").cast("double"), lit(0.75)).as("_r3"),
+      percentile(col("_f").cast("double"), lit(0.25)).as("_f1"),
+      percentile(col("_f").cast("double"), lit(0.5)).as("_f2"),
+      percentile(col("_f").cast("double"), lit(0.75)).as("_f3"),
+      percentile(col("_m"), lit(0.25)).as("_m1"),
+      percentile(col("_m"), lit(0.5)).as("_m2"),
+      percentile(col("_m"), lit(0.75)).as("_m3"))
+    def code(v: org.apache.spark.sql.Column, c1: String, c2: String,
+        c3: String): org.apache.spark.sql.Column =
+      lit(1L) + when(v > col(c1), 1L).otherwise(0L) +
+        when(v > col(c2), 1L).otherwise(0L) +
+        when(v > col(c3), 1L).otherwise(0L)
+    perUser
+      .crossJoin(broadcast(cuts))
+      .select(
+        code(col("_r").cast("double"), "_r1", "_r2", "_r3").as("r_code"),
+        code(col("_f").cast("double"), "_f1", "_f2", "_f3").as("f_code"),
+        code(col("_m"), "_m1", "_m2", "_m3").as("m_code"),
+        col("_r"), col("_f"), col("_m"))
+      .groupBy(col("r_code"), col("f_code"), col("m_code"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_r")).as("_sr"), sum(col("_f")).as("_sf"),
+        sum(col("_m").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).as("_sm"))
+      .select(col("r_code"), col("f_code"), col("m_code"),
+        col("n_users"),
+        round(col("_sr").cast("double") /
+          col("n_users").cast("double"), 12).as("mean_recency_days"),
+        round(col("_sf").cast("double") /
+          col("n_users").cast("double"), 12).as("mean_frequency"),
+        // round 6, not 12: the exact DECIMAL sum converts to double
+        // via different paths (JVM direct vs DuckDB int128 + scale
+        // divide) and at 10^3-10^4 magnitudes a last-ulp gap is wider
+        // than the round-12 grid
+        round(col("_sm").cast("double") /
+          col("n_users").cast("double"), 6).as("mean_monetary"))
+      .orderBy(col("r_code"), col("f_code"), col("m_code"))
+  }
+
+  /** q202: seasonality-adjusted volume anomaly audit — per event type,
+    * each OBSERVED (epoch-hour) slot's count z-scored against that
+    * type's (day-of-week, hour-of-day) baseline, the standard way to
+    * catch a traffic spike without alerting on every Monday morning
+    * (q83 z-scores values against a global mean; this z-scores VOLUME
+    * against its seasonal cell). Reported per type: slots, anomalous
+    * slots (|z| > zThresh), and the worst |z| — a max that is useful
+    * even when nothing crosses the threshold.
+    *
+    * Determinism: slot counts are exact integers; dow/hour are pure
+    * integer arithmetic on epoch hours ((days + 4) mod 7 — no
+    * engine dayofweek() convention involved); z = (n·k − Σn) /
+    * √(k·Σn² − (Σn)²) is one double chain on exact sums (squares in
+    * DECIMAL, q196's discipline), round 12 at the max.
+    *
+    * Scale shape: one (type, hour-slot) count aggregate (bounded by
+    * |types|·|hours-of-history| — metadata), a (type, dow, hour) fold
+    * of that (≤ |types|·168 rows) broadcast back, and a |types|-row
+    * final fold. The fact table is scanned once. */
+  def seasonalAnomaly(events: DataFrame, zThresh: Double = 3.0)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val slots = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("_eh"))
+      .groupBy(col("event_type"), col("_eh"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("event_type"), col("_eh"), col("_n"),
+        pmod(expr("_eh div 24") + 4L, lit(7L)).as("_dow"),
+        pmod(col("_eh"), lit(24L)).as("_hour"))
+    val profile = slots
+      .groupBy(col("event_type"), col("_dow"), col("_hour"))
+      .agg(count(lit(1)).as("_k"), sum(col("_n")).as("_s1"),
+        sum(col("_n").cast(dec) * col("_n").cast(dec)).as("_s2"))
+    val den = sqrt(greatest(
+      col("_k").cast("double") * col("_s2").cast("double") -
+        col("_s1").cast("double") * col("_s1").cast("double"),
+      lit(0.0)))
+    val z = when(den > 0,
+      (col("_n") * col("_k") - col("_s1")).cast("double") / den)
+    slots
+      .join(broadcast(profile), Seq("event_type", "_dow", "_hour"))
+      .select(col("event_type"), abs(z).as("_az"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_slots"),
+        count(when(col("_az") > zThresh, lit(1))).as("n_anomalous"),
+        round(max(col("_az")), 12).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q203: the q50 funnel with Wilson 95% score intervals on each
+    * step's conversion — q193's statistical-honesty discipline applied
+    * to funnels: a step-2 conversion of 38% over 40 users and over
+    * 40,000 are different facts, and the Wilson interval (the
+    * recommended small-n binomial interval — Brown/Cai/DasGupta 2001)
+    * says which. Per step: eligible users (reached the previous
+    * step), reached users, conversion, and [ci_lo, ci_hi].
+    *
+    * Determinism: counts come from the q50 funnel (exact); the Wilson
+    * chain is fixed IEEE arithmetic on those counts — z² written as
+    * 1.96·1.96 on BOTH engines (a 3.8416 literal is a different
+    * double) — round 12.
+    *
+    * Scale shape: q50's per-step pruned scans fold to ONE row of
+    * step counts; the per-step explode and the interval arithmetic
+    * run on |steps| metadata rows. */
+  def funnelWithCi(events: DataFrame, steps: Seq[String])
+      : DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val f = funnel(events, steps)
+    val counts = f.agg(count(lit(1)).as("_n0"),
+      steps.indices.map(i =>
+        count(when(col("steps_reached") >= i + 1, lit(1)))
+          .as(s"_n${i + 1}")): _*)
+    val rows = counts.select(explode(array(
+      steps.zipWithIndex.map { case (s, i) =>
+        struct(lit((i + 1).toLong).as("step"), lit(s).as("event_type"),
+          col(s"_n$i").as("n_eligible"),
+          col(s"_n${i + 1}").as("n_reached"))
+      }: _*)).as("_s")).select(col("_s.*"))
+    val zz = lit(1.96) * lit(1.96)
+    val nd = col("n_eligible").cast("double")
+    val p = col("n_reached").cast("double") / nd
+    val denom = lit(1.0) + zz / nd
+    val center = (p + zz / (lit(2.0) * nd)) / denom
+    val half = (lit(1.96) / denom) *
+      sqrt(p * (lit(1.0) - p) / nd + zz / (lit(4.0) * nd * nd))
+    rows.select(col("step"), col("event_type"), col("n_eligible"),
+      col("n_reached"),
+      when(col("n_eligible") > 0, round(p, 12)).as("conversion"),
+      when(col("n_eligible") > 0,
+        round(greatest(center - half, lit(0.0)), 12)).as("ci_lo"),
+      when(col("n_eligible") > 0,
+        round(least(center + half, lit(1.0)), 12)).as("ci_hi"))
+      .orderBy(col("step"))
+  }
+
   /** q200: trimmed mean per event type — the robust location estimate
     * between q83's mean/σ (0% breakdown) and q107's median/MAD (50%):
     * drop everything outside the [loQ, hiQ] exact quantile band and

@@ -548,6 +548,109 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getAs[Double]("trimmed_mean") == 10.5)
   }
 
+  test("rfmSegments: four users with strictly separated R/F/M land " +
+      "in four distinct diagonal segments with exact means") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val day = 86400000L
+    // user u: u events on consecutive days, LAST at day 30-5(u-1),
+    // each valued u.0 -> R = 0/5/10/15 days, F = 1..4, M = u^2
+    val rows = (1 to 4).flatMap { u =>
+      val lastDay = 30 - 5 * (u - 1)
+      (0 until u).map { k =>
+        (u * 100L + k, u.toLong, "e",
+          new Timestamp(base + (lastDay - k) * day), u.toDouble)
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.rfmSegments(df).collect()
+      .map(r => (r.getAs[Long]("r_code"), r.getAs[Long]("f_code"),
+        r.getAs[Long]("m_code")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("mean_recency_days"),
+          r.getAs[Double]("mean_frequency"),
+          r.getAs[Double]("mean_monetary")))).toMap
+    // user u: recency quartile code u (R grows with u), frequency and
+    // monetary code u as well (F, M grow with u)
+    assert(out.keySet == Set((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),
+      (4L, 4L, 4L)), s"got ${out.keySet}")
+    (1 to 4).foreach { u =>
+      val (n, r, f, m) = out((u.toLong, u.toLong, u.toLong))
+      assert(n == 1L)
+      assert(r == 5.0 * (u - 1), s"user $u recency: $r")
+      assert(f == u.toDouble && m == u.toDouble * u)
+    }
+  }
+
+  test("seasonalAnomaly: a 10x spike week z-scores past 3 in its " +
+      "(dow,hour) cell; a uniform type reports no anomaly and NULL z") {
+    import spark.implicits._
+    val base = ts("2024-01-01 09:00:00").getTime
+    val week = 7L * 86400000L
+    // type A: 13 weekly slots at the same (dow, hour) — twelve with
+    // 10 events, the last with 100: z = 1080/sqrt(97200) = 3.4641 > 3
+    val a = (0 until 13).flatMap { w =>
+      val n = if (w == 12) 100 else 10
+      (0 until n).map(i =>
+        (w * 1000L + i, 1L, "A", new Timestamp(base + w * week + i)))
+    }
+    // type B: 4 weekly slots, 7 events each -> variance 0 -> NULL z
+    val b = (0 until 4).flatMap { w =>
+      (0 until 7).map(i =>
+        (90000L + w * 100 + i, 2L, "B",
+          new Timestamp(base + w * week + i)))
+    }
+    val df = (a ++ b).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.seasonalAnomaly(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ra = out("A")
+    assert(ra.getAs[Long]("n_slots") == 13L)
+    assert(ra.getAs[Long]("n_anomalous") == 1L)
+    val expected = 1080.0 / math.sqrt(13.0 * 11200.0 - 220.0 * 220.0)
+    assert(math.abs(ra.getAs[Double]("max_abs_z") - expected) < 1e-9)
+    val rb = out("B")
+    assert(rb.getAs[Long]("n_slots") == 4L)
+    assert(rb.getAs[Long]("n_anomalous") == 0L)
+    assert(rb.isNullAt(rb.fieldIndex("max_abs_z")),
+      "zero-variance cells must yield NULL z, not 0 or NaN")
+  }
+
+  test("funnelWithCi: eligibility chains through the steps and the " +
+      "Wilson interval brackets each conversion") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 4 signups; users 1,2 click after; user 1 purchases after
+    val rows =
+      (1 to 4).map(u => (u * 10L, u.toLong, "signup",
+        new Timestamp(base + u * 1000L))) ++
+      Seq((100L, 1L, "click", new Timestamp(base + 100000L)),
+        (101L, 2L, "click", new Timestamp(base + 100000L)),
+        (200L, 1L, "purchase", new Timestamp(base + 200000L)))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.funnelWithCi(df,
+      Seq("signup", "click", "purchase")).collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(out.map(r => (r.getAs[Long]("n_eligible"),
+      r.getAs[Long]("n_reached"))).toSeq ==
+      Seq((4L, 4L), (4L, 2L), (2L, 1L)))
+    assert(out.map(_.getAs[Double]("conversion")).toSeq ==
+      Seq(1.0, 0.5, 0.5))
+    out.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("conversion"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= p && p <= hi, s"interval must bracket: $lo $p $hi")
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(hi - lo > 0.2, "n=4 must yield a WIDE interval")
+    }
+    // hand-check step 1 (p=1, n=4): hi clamps to 1, lo = Wilson lower
+    val zz = 1.96 * 1.96
+    val nd = 4.0
+    val denom = 1.0 + zz / nd
+    val lo1 = (1.0 + zz / (2.0 * nd)) / denom -
+      (1.96 / denom) * math.sqrt(zz / (4.0 * nd * nd))
+    assert(out.head.getAs[Double]("ci_hi") == 1.0)
+    assert(math.abs(out.head.getAs[Double]("ci_lo") - lo1) < 1e-9)
+  }
+
   test("trimmedMeanByType: symmetric data leaves the mean unchanged " +
       "and null values never count") {
     import spark.implicits._
