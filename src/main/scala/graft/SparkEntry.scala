@@ -1076,6 +1076,11 @@ object SparkEntry {
     "q203_funnel_ci" -> ((s, d) =>
       EventOps.funnelWithCi(t(s, d, "events"),
         Seq("signup", "click", "purchase"))),
+    // Z-order cell locality: quantile buckets (bounded agg + 1-row
+    // broadcast) -> map-side Morton interleave -> <=256-row fold.
+    // The physical writer (Layout.zOrderWrite) is LayoutSpec-measured.
+    "q204_zorder_cells" -> ((s, d) =>
+      Layout.zOrderCells(t(s, d, "lineitem"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4859,5 +4864,38 @@ object SparkEntry {
                sqrt(p * (1.0 - p) / nd +
                  1.96*1.96 / (4.0 * nd * nd)), 1.0), 12) END AS ci_hi
          FROM w ORDER BY step""",
+    // Quantile cuts via the q32 pairing (k/16 fractions are exact
+    // dyadic doubles); bucket = cutoffs strictly below; interleave is
+    // pure integer div/mod arithmetic mirroring Layout.zOrderCode.
+    "q204_zorder_cells" ->
+      """WITH c AS (SELECT
+           quantile_cont(CAST(l_orderkey AS DOUBLE),
+             [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375, 0.5,
+              0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375])
+             AS co,
+           quantile_cont(CAST(l_partkey AS DOUBLE),
+             [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375, 0.5,
+              0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375])
+             AS cp
+           FROM lineitem),
+         b AS (SELECT l_orderkey, l_partkey,
+           CAST(len(list_filter(co,
+             x -> CAST(l_orderkey AS DOUBLE) > x)) AS BIGINT) AS bo,
+           CAST(len(list_filter(cp,
+             x -> CAST(l_partkey AS DOUBLE) > x)) AS BIGINT) AS bp
+           FROM lineitem, c),
+         z AS (SELECT l_orderkey, l_partkey,
+           ((bo // 1) % 2) * 2 + ((bp // 1) % 2) * 1 +
+           ((bo // 2) % 2) * 8 + ((bp // 2) % 2) * 4 +
+           ((bo // 4) % 2) * 32 + ((bp // 4) % 2) * 16 +
+           ((bo // 8) % 2) * 128 + ((bp // 8) % 2) * 64 AS z_code
+           FROM b)
+         SELECT CAST(z_code AS BIGINT) AS z_code,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey,
+           min(l_partkey) AS min_partkey,
+           max(l_partkey) AS max_partkey
+         FROM z GROUP BY 1 ORDER BY 1""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

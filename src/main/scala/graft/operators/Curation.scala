@@ -783,20 +783,6 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  /** Corpus snapshot diff (q186): reconcile two corpus versions by
-    * content FINGERPRINT and report per source how many documents were
-    * added / removed / changed / unchanged plus the churn fraction —
-    * the pre-flight a retraining run reads to decide whether a new
-    * crawl drop warrants re-deduplication (high churn) or an
-    * incremental append (low churn). md5 rather than raw text equality
-    * because at 100 TB the reconciliation join must carry a 16-byte
-    * fingerprint per doc, never the document bodies.
-    *
-    * Scale shape: each side is ONE scan projected to (doc_id, source,
-    * md5) — the full-outer join shuffles 3 narrow columns keyed on
-    * doc_id (co-locatable under bucketing for repeated diffs), then one
-    * bounded |sources|-row aggregate. Classification is a map-side CASE
-    * over null-ness + hash equality. */
   /** q191: DSIR-style importance selection (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling") with
     * word-unigram features: train add-one-smoothed unigram LMs over a
@@ -868,6 +854,20 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Corpus snapshot diff (q186): reconcile two corpus versions by
+    * content FINGERPRINT and report per source how many documents were
+    * added / removed / changed / unchanged plus the churn fraction —
+    * the pre-flight a retraining run reads to decide whether a new
+    * crawl drop warrants re-deduplication (high churn) or an
+    * incremental append (low churn). md5 rather than raw text equality
+    * because at 100 TB the reconciliation join must carry a 16-byte
+    * fingerprint per doc, never the document bodies.
+    *
+    * Scale shape: each side is ONE scan projected to (doc_id, source,
+    * md5) — the full-outer join shuffles 3 narrow columns keyed on
+    * doc_id (co-locatable under bucketing for repeated diffs), then one
+    * bounded |sources|-row aggregate. Classification is a map-side CASE
+    * over null-ness + hash equality. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fp(df: DataFrame, tag: String): DataFrame =
       df.select(col("doc_id"),

@@ -104,4 +104,51 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(counts.length == 16, "all 16 salt buckets populated")
     assert(counts.max < 1000 / 16 * 3, "no salt bucket dominates")
   }
+
+  test("zOrderCode: every cell is a bounded rectangle and codes cover " +
+      "the full grid on uniform keys") {
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong, ((i * 2654435761L) %
+      n).toLong)).toDF("l_orderkey", "l_partkey")
+    val cells = Layout.zOrderCells(df).collect()
+    assert(cells.length == 256, s"16x16 grid expected: ${cells.length}")
+    cells.foreach { r =>
+      val so = r.getAs[Long]("max_orderkey") - r.getAs[Long]("min_orderkey")
+      val sp = r.getAs[Long]("max_partkey") - r.getAs[Long]("min_partkey")
+      // each cell is one quantile bucket per dimension: span <= ~n/16
+      assert(so <= n / 16 && sp <= n / 16,
+        s"cell ${r.getAs[Long]("z_code")} spans $so x $sp")
+    }
+  }
+
+  test("zOrderWrite: per-file spans stay narrow on BOTH dimensions " +
+      "where a single-column sort leaves the second dimension " +
+      "file-spanning") {
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong, ((i * 2654435761L) %
+      n).toLong)).toDF("l_orderkey", "l_partkey")
+    val zDir = "/tmp/graft_zorder_test"
+    val sDir = "/tmp/graft_sorted_test"
+    Layout.zOrderWrite(df, Seq("l_orderkey", "l_partkey"), zDir,
+      files = 8)
+    df.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sDir)
+    def avgPartkeySpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("l_partkey")) - min(col("l_partkey")))
+          .as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val zSpan = avgPartkeySpan(zDir)
+    val sSpan = avgPartkeySpan(sDir)
+    // hash-scattered partkey: a range-sort on orderkey leaves every
+    // file spanning ~the full partkey range; z-order halves+ it
+    assert(sSpan > 0.9 * n,
+      s"baseline files should span partkey fully: $sSpan")
+    assert(zSpan < 0.7 * sSpan,
+      s"z-order must shrink the second dimension: $zSpan vs $sSpan")
+  }
 }
