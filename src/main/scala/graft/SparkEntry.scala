@@ -1081,6 +1081,20 @@ object SparkEntry {
     // The physical writer (Layout.zOrderWrite) is LayoutSpec-measured.
     "q204_zorder_cells" -> ((s, d) =>
       Layout.zOrderCells(t(s, d, "lineitem"))),
+    // First-touch windowed funnel: q50's pruned per-step scans with a
+    // 12 h conversion deadline folded into each stage filter.
+    "q205_funnel_windowed" -> ((s, d) =>
+      EventOps.funnelWindowed(t(s, d, "events"),
+        Seq("signup", "click", "purchase"), windowHours = 12)),
+    // kNN label-noise screen: broadcast panel, q30 ranking contract,
+    // exact-count disagreement folds on k·|panel| metadata.
+    "q206_label_noise" -> ((s, d) =>
+      VectorOps.labelNoise(t(s, d, "embeddings"))),
+    // Quantile-sketch self-evaluation: exact vs percentile_approx at
+    // an accuracy sweep — sketch values are merge-order-seeded →
+    // rows-only; error bounds pinned in QueriesSpec.
+    "x41_quantile_sketch_eval" -> ((s, d) =>
+      RelationalOps.quantileSketchEval(t(s, d, "orders"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4897,5 +4911,62 @@ object SparkEntry {
            min(l_partkey) AS min_partkey,
            max(l_partkey) AS max_partkey
          FROM z GROUP BY 1 ORDER BY 1""",
+    // q50's CTEs with the 12 h (43200000000 us) deadline folded into
+    // each stage's WHERE — first-touch semantics on both engines.
+    "q205_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING(user_id)
+           WHERE e.event_type = 'click'
+             AND epoch_us(e.ts) > epoch_us(s1.t1)
+             AND epoch_us(e.ts) <= epoch_us(s1.t1) + 43200000000
+           GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 USING(user_id)
+           WHERE e.event_type = 'purchase'
+             AND epoch_us(e.ts) > epoch_us(s2.t2)
+             AND epoch_us(e.ts) <= epoch_us(s2.t2) + 43200000000
+           GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+           CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+             + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS steps_reached,
+           t3 AS completed_at
+         FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+           LEFT JOIN s3 USING(user_id)
+         ORDER BY user_id""",
+    // Neighbor membership is q30's contract; disagreement is an
+    // exact-count ratio; label means sum exact decimals.
+    "q206_label_noise" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+               (x, y) -> x + y)) AS nrm FROM e),
+         q AS (SELECT vec_id AS q_id, label AS ql, v AS qv, nrm AS qn
+               FROM n WHERE vec_id < 100),
+         s AS (SELECT q.q_id, q.ql, c.vec_id AS n_id, c.label AS nl,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+               i -> q.qv[i] * c.v[i]), (x, y) -> x + y) /
+               (q.qn * c.nrm) AS cosine
+           FROM q, n c WHERE c.vec_id != q.q_id),
+         r AS (SELECT q_id, ql, nl,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, n_id) AS rank
+           FROM s),
+         d AS (SELECT q_id, ql, CAST(count(*) AS BIGINT) AS k,
+             CAST(count(*) FILTER (WHERE nl != ql) AS BIGINT) AS dd
+           FROM r WHERE rank <= 10 GROUP BY 1, 2),
+         f AS (SELECT ql AS label,
+             round(CAST(dd AS DOUBLE) / CAST(k AS DOUBLE), 12) AS frac,
+             dd * 2 > k AS suspect
+           FROM d)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(frac AS DECIMAL(18,12))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 12) AS mean_disagreement,
+           CAST(count(*) FILTER (WHERE suspect) AS BIGINT) AS n_suspect
+         FROM f GROUP BY label ORDER BY label""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

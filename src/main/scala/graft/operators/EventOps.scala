@@ -1067,6 +1067,50 @@ object EventOps {
       .orderBy(col("step"))
   }
 
+  /** q205: first-touch WINDOWED funnel — q50 with a conversion
+    * deadline: step i+1 counts only within `windowHours` of step i's
+    * completion. Semantics are FIRST-TOUCH (the Amplitude-style
+    * default): step 1 anchors at its earliest occurrence and each
+    * later step at its earliest in-window occurrence; a user who
+    * misses a window does NOT get to re-anchor on a later step-1
+    * event. Deterministic and one-pass — the exists-any-chain
+    * alternative must re-try every anchor and is quadratic per user.
+    * Output matches q50's shape (user_id, steps_reached,
+    * completed_at).
+    *
+    * Scale shape: q50's — one pruned scan + per-user min-aggregate
+    * per step, each join carrying one row per user; the window bound
+    * is an extra filter inside each stage, nothing else changes. */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+      windowHours: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowHours > 0, "window must be positive")
+    val windowUs = windowHours * 3600L * 1000000L
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_t1"))
+    val stages = steps.zipWithIndex.drop(1)
+      .scanLeft(first) { case (prev, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(unix_micros(col("ts")) >
+              unix_micros(col(s"_t$i")) &&
+            unix_micros(col("ts")) <=
+              unix_micros(col(s"_t$i")) + windowUs)
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as(s"_t${i + 1}"))
+      }
+    val base = events.select(col("user_id")).distinct()
+    val joined = stages.zipWithIndex.foldLeft(base) { case (acc, (s, i)) =>
+      acc.join(s.select(col("user_id"),
+        col(s"_t${i + 1}").as(s"_r${i + 1}")), Seq("user_id"), "left")
+    }
+    joined.select(col("user_id"),
+      steps.indices.map(i => when(col(s"_r${i + 1}").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _).as("steps_reached"),
+      col(s"_r${steps.size}").as("completed_at"))
+      .orderBy(col("user_id"))
+  }
+
   /** q200: trimmed mean per event type — the robust location estimate
     * between q83's mean/σ (0% breakdown) and q107's median/MAD (50%):
     * drop everything outside the [loQ, hiQ] exact quantile band and

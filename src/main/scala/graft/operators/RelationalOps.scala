@@ -266,6 +266,46 @@ object RelationalOps {
       .select(col("_q")(0).as("p25"), col("_q")(1).as("p50"),
         col("_q")(2).as("p75"), col("_q")(3).as("p90"))
 
+  /** x41: quantile-sketch accuracy self-evaluation — the x31/x34
+    * measure-your-own-approximation discipline applied to the x07
+    * sketch: exact and percentile_approx quantiles computed SIDE BY
+    * SIDE at an accuracy sweep, reporting the relative error per
+    * (accuracy, quantile). The table that justifies the documented
+    * "swap exact percentile for the sketch at 100 TB" advice with
+    * numbers instead of faith: rank error is ≤ 1/accuracy by
+    * construction, and this reports what that means in VALUE terms
+    * on the actual distribution.
+    *
+    * Engine-seeded (sketch results depend on partition merge order)
+    * → rows-only; error bounds and the within-[min,max] property are
+    * pinned in QueriesSpec.
+    *
+    * Scale shape: ONE aggregate computes every exact and sketch
+    * column (the exact side is the sf-scale correctness anchor; at
+    * real scale you'd run the sweep sketch-only); the explode +
+    * error arithmetic run on |accuracies|·|quantiles| metadata. */
+  def quantileSketchEval(orders: DataFrame,
+      accuracies: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(accuracies.nonEmpty, "need at least one accuracy")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val fr = array(qs.map(lit): _*)
+    val agg = orders.agg(
+      percentile(col("o_totalprice"), fr).as("_ex"),
+      accuracies.map(a =>
+        percentile_approx(col("o_totalprice").cast("double"), fr,
+          lit(a)).as(s"_ap_$a")): _*)
+    agg.select(explode(array(accuracies.flatMap(a =>
+      qs.zipWithIndex.map { case (q, i) =>
+        struct(lit(a.toLong).as("accuracy"), lit(q).as("quantile"),
+          col("_ex").getItem(i).as("exact"),
+          col(s"_ap_$a").getItem(i).cast("double").as("approx"))
+      }): _*)).as("_s"))
+      .select(col("_s.*"))
+      .withColumn("rel_err",
+        round(abs(col("approx") - col("exact")) / col("exact"), 12))
+      .orderBy(col("accuracy"), col("quantile"))
+  }
+
   /** CUBE: all 4 grouping combinations in one pass (Expand + hash agg —
     * the input is read once and expanded 4×, not re-scanned). */
   def cubeStatusPriority(orders: DataFrame): DataFrame =

@@ -1350,6 +1350,59 @@ object VectorOps {
     * aggregate ships ≤ k rows per query; every aggregate after runs
     * on the k·|panel| pair list — metadata. For a corpus-sized panel,
     * run the same histogram over the x04 IVF index's results. */
+  /** q206: label-noise audit via kNN disagreement (the confident-
+    * learning / cleanlab screen): for each panel vector, the fraction
+    * of its exact cosine top-k neighbors carrying a DIFFERENT label;
+    * per label: panel size, mean disagreement, and suspects
+    * (disagreement > 1/2 — the majority of the neighborhood votes
+    * against the assigned label). The pre-training screen that
+    * catches mislabeled embeddings before q56's kNN voting or a
+    * classifier inherits them.
+    *
+    * Determinism: neighbor membership is q30's contract; the
+    * disagreement is an exact-count ratio (÷k), per-label means
+    * divide exact decimal sums once, round 12.
+    *
+    * Scale shape: q197's — the panel broadcasts, scoring is map-side
+    * over ONE corpus scan, the bounded-heap top-k ships ≤k rows per
+    * query, and the disagreement/label folds run on k·|panel|
+    * metadata. For a corpus-sized panel, run the same fold over the
+    * x04 IVF index's neighbor lists. */
+  def labelNoise(emb: DataFrame, nQueries: Long = 100L, k: Int = 10)
+      : DataFrame = {
+    require(nQueries > 0, "nQueries must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("_ql"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("_qn"))
+    val scored = emb.select(col("vec_id"), col("label"),
+        col("embedding"), norm(col("embedding")).as("_nrm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosPre(dot(col("q_emb"), col("embedding")), col("_qn"),
+          col("_nrm")).as("cosine"))
+    val perQuery = rankTopK(scored, k)
+      .join(broadcast(queries.select(col("q_id"), col("_ql"))), "q_id")
+      .join(emb.select(col("vec_id").as("n_id"),
+        col("label").as("_nl")), "n_id")
+      .groupBy(col("q_id"), col("_ql"))
+      .agg(count(lit(1)).as("_k"),
+        count(when(col("_nl") =!= col("_ql"), lit(1))).as("_d"))
+      .select(col("_ql").as("label"),
+        round(col("_d").cast("double") / col("_k").cast("double"), 12)
+          .as("_frac"),
+        (col("_d") * 2 > col("_k")).as("_suspect"))
+    perQuery
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("_frac").cast(dec)).cast("double") /
+          count(lit(1)).cast("double"), 12).as("mean_disagreement"),
+        count(when(col("_suspect"), lit(1))).as("n_suspect"))
+      .orderBy(col("label"))
+  }
+
   def knnHubness(emb: DataFrame, nQueries: Long = 100L, k: Int = 10)
       : DataFrame = {
     require(nQueries > 0, "nQueries must be positive")

@@ -88,4 +88,26 @@ class QueriesSpec extends SparkSuite {
         s"$c: approx $a vs exact $e exceeds 1% relative error")
     }
   }
+
+  test("x41 quantile-sketch self-evaluation: sweep is complete, errors " +
+      "are tight at high accuracy and approx values stay in-range") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("x41_quantile_sketch_eval")(spark, sf01)
+      .collect()
+    assert(rows.length == 12, "3 accuracies x 4 quantiles")
+    val range = spark.read.parquet(s"$sf01/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min("o_totalprice"),
+        org.apache.spark.sql.functions.max("o_totalprice"))
+      .head()
+    val (lo, hi) = (range.getDouble(0), range.getDouble(1))
+    rows.foreach { r =>
+      val ap = r.getAs[Double]("approx")
+      assert(ap >= lo && ap <= hi, "sketch value must be a data value")
+      assert(r.getAs[Double]("rel_err") >= 0.0)
+    }
+    rows.filter(_.getAs[Long]("accuracy") == 10000L).foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.01,
+        s"accuracy 10000 must be within 1%: $r")
+    }
+  }
 }

@@ -527,6 +527,43 @@ class EventOpsSpec extends SparkSuite {
       s"absorbing B must take all mass: $out")
   }
 
+  test("funnelWindowed: deadlines cut chains q50 would complete, and " +
+      "a second step-1 event never re-anchors (first-touch)") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val h = 3600000L
+    val rows = Seq(
+      // user 1: everything within 12 h windows -> 3 steps
+      (10L, 1L, "signup", new Timestamp(base)),
+      (11L, 1L, "click", new Timestamp(base + 1 * h)),
+      (12L, 1L, "purchase", new Timestamp(base + 2 * h)),
+      // user 2: purchase 13 h after click -> stops at 2
+      (20L, 2L, "signup", new Timestamp(base)),
+      (21L, 2L, "click", new Timestamp(base + 1 * h)),
+      (22L, 2L, "purchase", new Timestamp(base + 14 * h)),
+      // user 3: click 13 h after signup -> stops at 1
+      (30L, 3L, "signup", new Timestamp(base)),
+      (31L, 3L, "click", new Timestamp(base + 13 * h)),
+      // user 4: second signup at +10 h; click at +20 h is within 12 h
+      // of the SECOND signup but first-touch anchors at the first ->
+      // stops at 1
+      (40L, 4L, "signup", new Timestamp(base)),
+      (41L, 4L, "signup", new Timestamp(base + 10 * h)),
+      (42L, 4L, "click", new Timestamp(base + 20 * h)))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.funnelWindowed(df,
+      Seq("signup", "click", "purchase"), windowHours = 12)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("steps_reached")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"got $out")
+    // the unwindowed funnel completes users 2 and 3 (sanity contrast)
+    val plain = EventOps.funnel(df, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("steps_reached")).toMap
+    assert(plain(2L) == 3L && plain(3L) == 2L)
+  }
+
   test("trimmedMeanByType: hand-computed interpolated cuts drop the " +
       "planted outlier; the raw mean keeps it") {
     import spark.implicits._

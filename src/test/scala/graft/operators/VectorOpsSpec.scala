@@ -1119,6 +1119,28 @@ class VectorOpsSpec extends SparkSuite
       "histogram must partition the corpus")
   }
 
+  test("labelNoise: a mislabeled vector inside the wrong cluster is " +
+      "the only suspect; per-label means are exact") {
+    // axis-x cluster labeled 0 (v0..v2); axis-y cluster labeled 1
+    // (v3, v4) plus v5 — ON axis y but labeled 0 (the planted noise)
+    val df = vecDf(Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.0f, 1.0f), 0)))
+    val out = VectorOps.labelNoise(df, nQueries = 6L, k = 2)
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_queries"),
+          r.getAs[Double]("mean_disagreement"),
+          r.getAs[Long]("n_suspect")))).toMap
+    // label 0: v0/v1/v2 disagree 0; v5's two neighbors are v3/v4
+    // (label 1) -> disagreement 1 -> mean 0.25, one suspect
+    assert(out(0) == ((4L, 0.25, 1L)), s"label 0: $out")
+    // label 1: v3/v4 each see one same-label and the mislabeled v5
+    // -> 0.5 each, but 1*2 > 2 is false -> no suspects
+    assert(out(1) == ((2L, 0.5, 0L)), s"label 1: $out")
+  }
+
   test("knnHubness: identical vectors tie-break by n_id and the " +
       "fractions sum to 1") {
     val df = vecDf((0 until 5).map(i =>
