@@ -1095,6 +1095,14 @@ object SparkEntry {
     // rows-only; error bounds pinned in QueriesSpec.
     "x41_quantile_sketch_eval" -> ((s, d) =>
       RelationalOps.quantileSketchEval(t(s, d, "orders"))),
+    // Source-lang mutual information: one bounded-grid aggregate; MI
+    // and marginal entropies from 9dp-rounded exact-decimal terms.
+    "q207_source_lang_mi" -> ((s, d) =>
+      TextOps.sourceLangMi(t(s, d, "documents"))),
+    // Token Lorenz deciles: global quantile CUTOFFS + map-side
+    // binning (never a global rank window); 10-row fold.
+    "q208_token_lorenz" -> ((s, d) =>
+      TextOps.tokenLorenz(t(s, d, "documents"))),
     // Incremental PCA refresh: the 90% slice's persisted sufficient
     // statistic merged with the 10% drop's — the old corpus is never
     // re-read. Engine-dependent eigen floats → rows-only;
@@ -4968,5 +4976,57 @@ object SparkEntry {
              CAST(count(*) AS DOUBLE), 12) AS mean_disagreement,
            CAST(count(*) FILTER (WHERE suspect) AS BIGINT) AS n_suspect
          FROM f GROUP BY label ORDER BY label""",
+    // Bounded (source, lang) grid; each cell/marginal term rounds 9dp
+    // into DECIMAL(18,9) before the exact sum; final rounds 12.
+    "q207_source_lang_mi" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                    FROM documents GROUP BY 1, 2),
+         s AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM c
+               GROUP BY 1),
+         l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM c
+               GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS N,
+               CAST(count(*) AS BIGINT) AS n_cells FROM c),
+         mi AS (SELECT sum(CAST(round(
+             (CAST(c AS DOUBLE) / CAST(N AS DOUBLE)) *
+             log2((CAST(c AS DOUBLE) * CAST(N AS DOUBLE)) /
+               (CAST(cs AS DOUBLE) * CAST(cl AS DOUBLE))), 9)
+             AS DECIMAL(18,9))) AS m
+           FROM c JOIN s USING (source) JOIN l USING (lang), t),
+         hs AS (SELECT sum(CAST(round(
+             (CAST(cs AS DOUBLE) / CAST(N AS DOUBLE)) *
+             log2(CAST(N AS DOUBLE) / CAST(cs AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS hsv FROM s, t),
+         hl AS (SELECT sum(CAST(round(
+             (CAST(cl AS DOUBLE) / CAST(N AS DOUBLE)) *
+             log2(CAST(N AS DOUBLE) / CAST(cl AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS hlv FROM l, t)
+         SELECT N AS n_docs, n_cells,
+           round(CAST(m AS DOUBLE), 12) AS mi_bits,
+           round(CAST(hsv AS DOUBLE), 12) AS h_source_bits,
+           round(CAST(hlv AS DOUBLE), 12) AS h_lang_bits
+         FROM t, mi, hs, hl""",
+    // Cuts are the q32 pairing over exact token counts; binning
+    // compares the same doubles; the cumulative window runs over the
+    // 10-row decile table.
+    "q208_token_lorenz" ->
+      """WITH b AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+             x -> x != '')) AS BIGINT) AS n FROM documents),
+         c AS (SELECT quantile_cont(CAST(n AS DOUBLE),
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+           FROM b),
+         d AS (SELECT n, 1 + CAST(len(list_filter(cuts,
+             x -> CAST(n AS DOUBLE) > x)) AS BIGINT) AS decile
+           FROM b, c),
+         g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM b)
+         SELECT decile, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(T AS DOUBLE), 12)
+             AS token_share,
+           round(CAST(sum(n_tokens) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             CAST(T AS DOUBLE), 12) AS cum_token_share
+         FROM g, t ORDER BY decile""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1114,6 +1114,104 @@ object TextOps {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** q207: mutual information between source and language — the
+    * association strength (in bits) between the two main mixture
+    * dimensions: MI ≈ 0 means language mix is uniform across sources
+    * (per-source language quotas are redundant); high MI means
+    * sources ARE language silos (a per-source mix decision implicitly
+    * decides the language mix, and q172/q184-style weights must be
+    * set jointly). Complements q137's chi-square (a yes/no
+    * independence test) with the magnitude on an interpretable scale,
+    * and q121's per-doc label audit with the corpus-level summary.
+    *
+    * Determinism: cell/marginal counts are exact; each cell term
+    * p·log2(cN/(cs·cl)) rounds to 9dp into DECIMAL(18,9) before the
+    * sum (q113's libm discipline); the ratio is computed as
+    * (c·N)/(cs·cl) in doubles (each product/division correctly
+    * rounded on identical inputs). Output also carries both marginal
+    * entropies so NMI is one reader-side division.
+    *
+    * Scale shape: ONE (source, lang) aggregate — the grid is bounded
+    * by |sources|·|langs| — and every later join/fold runs on that
+    * metadata. */
+  def sourceLangMi(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySource = cells.groupBy(col("source"))
+      .agg(sum(col("_c")).as("_cs"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("_c")).as("_cl"))
+    val total = cells.agg(sum(col("_c")).as("_N"),
+      count(lit(1)).as("n_cells"))
+    def entropyTerm(c: Column, n: Column): Column =
+      round((c.cast("double") / n.cast("double")) *
+        log2(n.cast("double") / c.cast("double")), 9).cast(dec)
+    val miTerm = round(
+      (col("_c").cast("double") / col("_N").cast("double")) *
+        log2((col("_c").cast("double") * col("_N").cast("double")) /
+          (col("_cs").cast("double") * col("_cl").cast("double"))), 9)
+      .cast(dec)
+    val mi = cells
+      .join(broadcast(bySource), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .agg(sum(miTerm).as("_mi"))
+    val hs = bySource.crossJoin(broadcast(total))
+      .agg(sum(entropyTerm(col("_cs"), col("_N"))).as("_hs"))
+    val hl = byLang.crossJoin(broadcast(total))
+      .agg(sum(entropyTerm(col("_cl"), col("_N"))).as("_hl"))
+    total.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hs)).crossJoin(broadcast(hl))
+      .select(col("_N").as("n_docs"), col("n_cells"),
+        round(col("_mi").cast("double"), 12).as("mi_bits"),
+        round(col("_hs").cast("double"), 12).as("h_source_bits"),
+        round(col("_hl").cast("double"), 12).as("h_lang_bits"))
+  }
+
+  /** q208: token Lorenz deciles — where the corpus's token mass
+    * lives: documents binned by GLOBAL token-count deciles (quantile
+    * cutoffs, never a global rank window), per bin: docs, tokens,
+    * token share and the cumulative share. The long-doc-dominance
+    * check behind q46/q53 budget decisions — "the longest 10% of
+    * documents carry X% of the training tokens" falls straight out
+    * of the last row.
+    *
+    * Determinism: cuts are the q32 quantile pairing over exact token
+    * counts; binning compares the same doubles; shares divide exact
+    * sums once, round 12; the cumulative window runs over ≤10 rows.
+    *
+    * Scale shape: one scan to count tokens, ONE bounded percentile
+    * aggregate (9 cut doubles) broadcast back, map-side binning,
+    * ≤10-row fold + metadata window. */
+  def tokenLorenz(docs: DataFrame): DataFrame = {
+    val nTok = TextFunctions.tokenCount(col("text"))
+    val base = docs.select(nTok.as("_n"))
+    val fracs = array((1 to 9).map(k => lit(k.toDouble / 10)): _*)
+    val cuts = base.agg(
+      percentile(col("_n").cast("double"), fracs).as("_cuts"))
+    val bin = aggregate(col("_cuts"), lit(1L),
+      (acc, cut) => acc +
+        when(col("_n").cast("double") > cut, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.crossJoin(broadcast(cuts))
+      .select(bin.as("decile"), col("_n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"))
+      .crossJoin(broadcast(
+        base.agg(sum(col("_n")).as("_T"))))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("_T").cast("double"), 12).as("token_share"),
+        round(sum(col("n_tokens")).over(w).cast("double") /
+          col("_T").cast("double"), 12).as("cum_token_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Language-label noise audit: per declared `lang`, how often the
     * content-based marker heuristic (L16's langIdHeuristic) agrees —
     * the label-quality check a multilingual mix needs before trusting

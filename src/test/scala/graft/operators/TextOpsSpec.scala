@@ -1686,6 +1686,49 @@ class TextOpsSpec extends SparkSuite {
       "rules failing on DIFFERENT docs must not pair")
   }
 
+  test("sourceLangMi: perfect source-language silos give MI = 1 bit; " +
+      "proportional mixes give MI = 0") {
+    import spark.implicits._
+    val silo = Seq((1L, "en", "s1", "x"), (2L, "en", "s1", "x"),
+      (3L, "de", "s2", "x"), (4L, "de", "s2", "x"))
+      .toDF("doc_id", "lang", "source", "text")
+    val r1 = TextOps.sourceLangMi(silo).collect().head
+    assert(r1.getAs[Long]("n_docs") == 4L)
+    assert(r1.getAs[Double]("mi_bits") == 1.0)
+    assert(r1.getAs[Double]("h_source_bits") == 1.0 &&
+      r1.getAs[Double]("h_lang_bits") == 1.0)
+    val indep = Seq(
+      (1L, "en", "s1"), (2L, "de", "s1"), (3L, "en", "s1"),
+      (4L, "de", "s1"), (5L, "en", "s2"), (6L, "de", "s2"),
+      (7L, "en", "s2"), (8L, "de", "s2"))
+      .map { case (i, l, s) => (i, l, s, "x") }
+      .toDF("doc_id", "lang", "source", "text")
+    val r2 = TextOps.sourceLangMi(indep).collect().head
+    assert(r2.getAs[Double]("mi_bits") == 0.0,
+      s"independent grid must carry zero MI: $r2")
+  }
+
+  test("tokenLorenz: 1..10-token docs land one per decile with exact " +
+      "shares and a cumulative share reaching 1") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(k => s"t$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.tokenLorenz(docs).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_docs") == 1L)
+      assert(r.getAs[Long]("n_tokens") == i + 1L)
+    }
+    val top = rows.last
+    assert(math.abs(top.getAs[Double]("token_share") - 10.0 / 55) < 1e-9)
+    assert(top.getAs[Double]("cum_token_share") == 1.0)
+    // Lorenz monotonicity: shares rise with the decile
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
   test("truncationLoss: hand-computed losses at a binding and a " +
       "non-binding context length") {
     import spark.implicits._
