@@ -1145,6 +1145,56 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         "never a data-sized rank window")
   }
 
+  test("q201 RFM: rank-binning via broadcast quantile CUTOFFS — no " +
+      "ntile window anywhere in the plan") {
+    val df = q("q201_rfm_segments")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "RFM codes must come from cutoff compares, never a rank window")
+    assert(plan.contains("BroadcastExchange"),
+      "the 9-double cut table must broadcast")
+  }
+
+  test("q204 z-order cells: one bounded cut aggregate broadcast back; " +
+      "no join wider than the broadcast, no window") {
+    val df = q("q204_zorder_cells")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "morton binning is map-side")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the only join is the 1-row cut broadcast")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "cuts must ride a broadcast")
+  }
+
+  test("q198 calibration: flags+score are one projection — the ntile " +
+      "window is source-partitioned, never unpartitioned") {
+    val df = q("q198_classifier_calibration")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPart = plan.split("== Initial Plan ==").head
+    val unpartitioned = finalPart.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("ntile") &&
+        !l.contains("source"))
+    assert(!unpartitioned,
+      "calibration bins must partition by source (parallel windows)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q207 source-lang MI: every join after the grid aggregate is " +
+      "a broadcast — no data-sized exchange beyond the first") {
+    val df = q("q207_source_lang_mi")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "marginal/total joins run on the bounded grid and must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q196 bot regularity: one user-keyed window pass, then only " +
       "bounded aggregates — no join anywhere") {
     val df = q("q196_bot_regularity")
