@@ -812,7 +812,11 @@ object Curation {
     * per-type ratio table is vocab-bounded, and the token stream
     * shuffles ONCE on token for the join-back, then folds to |docs|
     * and |sources| rows. Nothing downstream of the scan is wider than
-    * the token stream; no global sort. */
+    * the token stream; no global sort. Caching contract: the token
+    * stream persists (MEMORY_AND_DISK, evictable) because the LM
+    * build and the join-back both read it; the returned frame is lazy
+    * over that entry, so a long-lived session unpersists after
+    * consuming the result. */
   def dsirSelection(docs: DataFrame, targetLang: String = "en")
       : DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -1074,7 +1074,11 @@ object TextOps {
     * folding to |docs| metadata rows (doc_id, source, decimal, count)
     * — and ONLY that metadata frame enters the per-source window sort
     * (partitionBy source: parallel across sources; CCNet ran exactly
-    * this per-language sort corpus-wide). Output is |sources|×3. */
+    * this per-language sort corpus-wide). Output is |sources|×3.
+    * Caching contract: the token stream persists (MEMORY_AND_DISK,
+    * evictable) for the LM build + join-back reuse; the returned
+    * frame is lazy over that entry — unpersist after consuming in a
+    * long-lived session. */
   def perplexityBuckets(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"),
