@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * sample-rate/duration/RMS summaries over actual samples. MOTION-JPEG
   * video decodes FOR REAL (`MjpegCodec` — SOI/EOI marker-scan container
   * parse + per-frame javax.imageio): frame counts, dimensions and luma
-  * statistics over actual decoded pixels. Only non-MJPEG video and
+  * statistics over actual decoded pixels. ANIMATED GIF decodes FOR REAL
+  * too (`GifCodec` — the JDK GIF reader's per-frame index; stills are
+  * the 1-frame case). Only no-JDK-codec video (MP4/H.264-class) and
   * non-media payloads still go through the deterministic `StubCodec`
   * fake (no ffmpeg in this environment); the stub boundary is marked,
   * and the operator signatures, schemas and batch shapes are shared by
@@ -58,11 +60,25 @@ object Multimodal {
 
     /** None when the bytes are not a decodable image (corrupt row —
       * callers degrade to the stub rather than failing the partition,
-      * the same per-item error isolation the JSON ingest applies). */
+      * the same per-item error isolation the JSON ingest applies).
+      *
+      * The stream is wrapped in a MemoryCacheImageInputStream
+      * EXPLICITLY: `ImageIO.read(InputStream)` defaults to a
+      * FileCacheImageInputStream, i.e. one temp FILE created and
+      * deleted in java.io.tmpdir per decode — at 32 concurrent tasks
+      * × 3 frames × every document that is ~200k tmpfs syscalls per
+      * sf0.1 pass, a fixed cost that scales with filesystem load,
+      * not data (the bytes are ALREADY in memory; disk spooling buys
+      * nothing). The in-memory wrapper cut x27's interleaved median
+      * ~3× on a loaded box. */
     def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(content)))
-      catch { case _: java.io.IOException => None }
+      try {
+        // no explicit close: ImageIO.read(ImageInputStream) closes the
+        // stream itself, and a second close() throws on the JDK impl
+        Option(javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(content))))
+      } catch { case _: java.io.IOException => None }
 
     /** Luminance histogram over REAL pixels, folded to `dim` buckets and
       * L1-normalized — same output contract as StubCodec.features (sums
@@ -104,7 +120,12 @@ object Multimodal {
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
+      // in-memory output stream for the same reason decode() wraps its
+      // input: ImageIO's OutputStream overload spools through a temp
+      // FILE per call by default
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(out, "png", ios)
+      finally ios.close() // flushes the cache into bos
       val bytes = bos.toByteArray
       r.copy(content = bytes, format = "image/png",
         n_bytes = bytes.length.toLong, width = w, height = h)
@@ -236,6 +257,53 @@ object Multimodal {
     }
   }
 
+  /** REAL multi-frame codec for GIF — the other video-adjacent format
+    * the JDK decodes natively: javax.imageio's GIF reader exposes every
+    * frame of an animated GIF via `reader.read(i)` (plain stills are
+    * the 1-frame case). Frame count comes from `getNumImages(true)` —
+    * an exact container scan, the authoritative equivalent of the
+    * MJPEG marker scan. Per-frame decode errors skip the frame (the
+    * same per-item isolation as every other codec); a payload that is
+    * not GIF at all yields zero frames and callers degrade/drop per
+    * their contract. After this, the stub boundary covers only true
+    * no-JDK-codec formats (MP4/H.264-class). */
+  object GifCodec {
+    def isGif(format: String): Boolean = format == "image/gif"
+
+    /** (container frame count, decoded frames) — decoded may be
+      * shorter than the count when individual frames are corrupt. */
+    def decodeFrames(content: Array[Byte])
+        : (Int, Seq[java.awt.image.BufferedImage]) = {
+      val readers =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return (0, Seq.empty)
+      val reader = readers.next()
+      // in-memory stream, same rationale as ImageIoCodec.decode
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        // seekForwardOnly=false: getNumImages(true) needs random access
+        reader.setInput(iis, false, true)
+        val n =
+          try reader.getNumImages(true)
+          catch { case _: java.io.IOException => 0 }
+        val frames = (0 until n).flatMap { i =>
+          try Option(reader.read(i))
+          catch {
+            case _: java.io.IOException => None
+            case _: IndexOutOfBoundsException => None
+          }
+        }
+        (n, frames)
+      } catch {
+        case _: java.io.IOException => (0, Seq.empty)
+      } finally {
+        reader.dispose()
+        try iis.close() catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   // ------------------------------------------------------------ STUB codec
 
   /** ======================= STUB BOUNDARY =======================
@@ -293,7 +361,10 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         val imageFeats =
-          if (ImageIoCodec.isImage(r.format))
+          // GIFs route to the multi-frame branch below (an animated
+          // GIF's features must cover every frame, not just frame 0;
+          // the 1-frame still case gives the identical histogram)
+          if (ImageIoCodec.isImage(r.format) && !GifCodec.isGif(r.format))
             ImageIoCodec.decode(r.content).map(img =>
               MediaFeatures(r.doc_id, img.getWidth, img.getHeight,
                 ImageIoCodec.features(img, dim)))
@@ -307,9 +378,12 @@ object Multimodal {
           else None
         val videoFeats =
           if (imageFeats.isEmpty && audioFeats.isEmpty &&
-              MjpegCodec.isMjpeg(r.format)) {
-            val decoded = MjpegCodec.splitFrames(r.content)
-              .flatMap(ImageIoCodec.decode)
+              (MjpegCodec.isMjpeg(r.format) || GifCodec.isGif(r.format))) {
+            val decoded =
+              if (MjpegCodec.isMjpeg(r.format))
+                MjpegCodec.splitFrames(r.content)
+                  .flatMap(ImageIoCodec.decode)
+              else GifCodec.decodeFrames(r.content)._2
             if (decoded.isEmpty) None
             else {
               // mean of the per-frame luma histograms: same contract
@@ -415,12 +489,96 @@ object Multimodal {
             }
             y += 1
           }
-          javax.imageio.ImageIO.write(img, "jpg", bos)
+          // in-memory image output: the OutputStream overload spools
+          // through a temp file per frame (same rationale as decode())
+          val ios =
+            new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try javax.imageio.ImageIO.write(img, "jpg", ios)
+          finally ios.close()
           f += 1
         }
         val content = bos.toByteArray
         MediaRecord(id, content, "video/x-motion-jpeg",
           content.length.toLong, w, h)
+      })
+  }
+
+  /** Encode frames as ONE animated GIF via the JDK's sequence writer —
+    * executor-side pure function (used by gifFromDocuments and directly
+    * by tests building known-pixel goldens).
+    *
+    * Interlace is DISABLED explicitly: the JDK writer defaults to
+    * interlaced GIF output, and the JDK's own interlaced round-trip is
+    * broken for small rasters (a 2×2 frame comes back with row 1
+    * zeroed — measured on this JDK via a write/read probe). Plain
+    * sequential scan order round-trips bit-exactly. */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** A 256-gray IndexColorModel: palette index i IS gray level i, so
+    * indexed GIF frames round-trip each pixel exactly (TYPE_BYTE_GRAY
+    * would re-map through the linear-gray color space — decoded RGB
+    * 0x6e6e6e for sample 40 — which makes goldens non-obvious). */
+  def grayPalette(): java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Derive an animated-GIF media table from the documents table — the
+    * GIF twin of mjpegFromDocuments: per doc, `nFrames` w×h GRAYSCALE
+    * frames (indexed through grayPalette(), so every pixel round-trips
+    * exactly — no quantization drift in goldens) whose pixels derive
+    * from the doc's own UTF-8 bytes, REALLY encoded as one animated
+    * GIF through the JDK sequence writer. Same map-side batch shape as
+    * every codec operator. */
+  def gifFromDocuments(spark: SparkSession, docs: DataFrame,
+      nFrames: Int = 3, w: Int = 16, h: Int = 16): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val icm = grayPalette()
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val v =
+                if (bytes.isEmpty) 0
+                else bytes(((i * 31) + f * 7) % bytes.length) & 0xff
+              raster.setSample(x, y, 0, v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        val content = encodeGif(frames)
+        MediaRecord(id, content, "image/gif", content.length.toLong, w, h)
       })
   }
 
@@ -435,12 +593,20 @@ object Multimodal {
       media: DataFrame): Dataset[VideoSummary] = {
     import spark.implicits._
     media.as[MediaRecord].flatMap { r =>
-      if (!MjpegCodec.isMjpeg(r.format)) None
-      else {
-        val frames = MjpegCodec.splitFrames(r.content)
-        val decoded = frames.flatMap(ImageIoCodec.decode)
+      // container parse per format: MJPEG by SOI/EOI marker scan,
+      // (animated) GIF by the JDK reader's exact frame index — both
+      // land in the same per-frame decode + summary fold
+      val parsed: Option[(Long, Seq[java.awt.image.BufferedImage])] =
+        if (MjpegCodec.isMjpeg(r.format)) {
+          val frames = MjpegCodec.splitFrames(r.content)
+          Some((frames.length.toLong, frames.flatMap(ImageIoCodec.decode)))
+        } else if (GifCodec.isGif(r.format)) {
+          val (n, decoded) = GifCodec.decodeFrames(r.content)
+          Some((n.toLong, decoded))
+        } else None
+      parsed.flatMap { case (nFrames, decoded) =>
         if (decoded.isEmpty)
-          Some(VideoSummary(r.doc_id, frames.length.toLong, 0L, 0, 0, 0.0))
+          Some(VideoSummary(r.doc_id, nFrames, 0L, 0, 0, 0.0))
         else {
           var acc = 0.0
           var n = 0L
@@ -459,7 +625,7 @@ object Multimodal {
               y += 1
             }
           }
-          Some(VideoSummary(r.doc_id, frames.length.toLong,
+          Some(VideoSummary(r.doc_id, nFrames,
             decoded.length.toLong, decoded.head.getWidth,
             decoded.head.getHeight, acc / n))
         }
