@@ -33,9 +33,9 @@ object SparkEntry {
     * final path by ONE atomic rename, so two fresh JVMs racing on the
     * same key can never interleave a read with a partial overwrite
     * (the loser just deletes its copy — same key ⇒ equivalent bytes).
-    * Bump the version tag if mjpegFromDocuments' synthesis changes. */
-  private def mjpegFixture(s: SparkSession, d: String): DataFrame = {
-    val tag = "v1_f3_16x16"
+    * Bump the version tag if the synthesis changes. */
+  private def mediaFixture(s: SparkSession, d: String, label: String,
+      tag: String)(build: DataFrame => DataFrame): DataFrame = {
     val src = new java.io.File(d, "documents.parquet")
     val parts =
       if (src.isDirectory)
@@ -45,14 +45,13 @@ object SparkEntry {
     val fing = parts.foldLeft(d.hashCode.toLong) { (acc, f) =>
       (acc * 1000003L) ^ (f.length() * 31L + f.lastModified()) }
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_x27_${tag}_${java.lang.Long.toHexString(fing)}")
+      s"graft_${label}_${tag}_${java.lang.Long.toHexString(fing)}")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".tmp-" + java.util.UUID.randomUUID())
       val nPart = s.sessionState.conf.numShufflePartitions
-      Multimodal.mjpegFromDocuments(s,
-        t(s, d, "documents").repartition(nPart))
-        .toDF().write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      build(t(s, d, "documents").repartition(nPart))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -66,6 +65,15 @@ object SparkEntry {
     s.read.parquet(dir.getAbsolutePath)
   }
 
+  private def mjpegFixture(s: SparkSession, d: String): DataFrame =
+    mediaFixture(s, d, "x27", "v1_f3_16x16")(docs =>
+      Multimodal.mjpegFromDocuments(s, docs).toDF())
+
+  /** x42's animated-GIF payload table — same cache protocol. */
+  private def gifFixture(s: SparkSession, d: String): DataFrame =
+    mediaFixture(s, d, "x42", "v1_f3_16x16")(docs =>
+      Multimodal.gifFromDocuments(s, docs).toDF())
+
   /** Untimed fixture materialization — Bench calls this BEFORE its
     * measured passes so x27's reported wall is the decode pipeline,
     * not the one-time JPEG-encode scaffolding a fresh JVM would
@@ -73,6 +81,7 @@ object SparkEntry {
     * fixture cache is keyed on input fingerprint + codec version). */
   def prepare(s: SparkSession, d: String): Unit = {
     mjpegFixture(s, d)
+    gifFixture(s, d)
     ()
   }
 
@@ -318,6 +327,18 @@ object SparkEntry {
       val nPart = s.sessionState.conf.numShufflePartitions
       Multimodal.videoSummary(s,
         mjpegFixture(s, d).repartition(nPart))
+        .toDF().orderBy("doc_id")
+    }),
+    // Animated-GIF twin of x27: same scan → container-parse →
+    // per-frame decode → summary pipeline through the JDK GIF reader's
+    // frame index instead of the MJPEG marker scan. Binary payloads +
+    // engine codec → rows-only; exact-pixel goldens in MultimodalSpec.
+    // The payload table is untimed scaffolding (gifFixture/prepare —
+    // x27's discipline).
+    "x42_gif_video_summary" -> ((s, d) => {
+      val nPart = s.sessionState.conf.numShufflePartitions
+      Multimodal.videoSummary(s,
+        gifFixture(s, d).repartition(nPart))
         .toDF().orderBy("doc_id")
     }),
     // Bloom-filter contamination (q51's 100 TB shape): train vocabulary
@@ -4492,7 +4513,8 @@ object SparkEntry {
                CAST(count(*) AS DOUBLE), 12) AS mean_len
            FROM base GROUP BY source),
          rep AS (SELECT source, b, len,
-             ((((doc_id % 2147483648) * 1103515245 + b * 12345 + 12345)
+             ((((abs(doc_id) % 2147483648) * 1103515245
+                 + b * 12345 + 12345)
                % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
            FROM base, (SELECT unnest(range(32)) AS b)),
          kk AS (SELECT source, b, len,

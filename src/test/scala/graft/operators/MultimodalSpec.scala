@@ -256,4 +256,81 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(s => s.doc_id -> s.mean_luma).toMap
     assert(a == out.map(s => s.doc_id -> s.mean_luma).toMap)
   }
+
+  /** A solid-gray indexed frame over the identity gray palette — GIF
+    * preserves indexed pixels EXACTLY (no JPEG loss), so these goldens
+    * assert equality, not tolerance. */
+  private def grayFrame(gray: Int, w: Int = 2, h: Int = 2) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+      Multimodal.grayPalette())
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.getRaster.setSample(x, y, 0, gray)))
+    img
+  }
+
+  test("GifCodec: a REAL 2-frame animated GIF decodes to exactly its " +
+      "known frames; videoSummary reports exact frame count and luma") {
+    import spark.implicits._
+    val bytes = Multimodal.encodeGif(Seq(grayFrame(40), grayFrame(200)))
+    val (n, frames) = Multimodal.GifCodec.decodeFrames(bytes)
+    assert(n == 2 && frames.length == 2)
+    // grayscale GIF round-trips losslessly: every pixel exact
+    assert(((frames(0).getRGB(1, 1) >> 16) & 0xff) == 40)
+    assert(((frames(1).getRGB(0, 0) >> 16) & 0xff) == 200)
+    val df = Seq(Multimodal.MediaRecord(11L, bytes, "image/gif",
+      bytes.length.toLong, 2, 2)).toDF()
+    val s = Multimodal.videoSummary(spark, df).collect().head
+    assert(s.doc_id == 11L && s.n_frames == 2L && s.n_decoded == 2L)
+    assert(s.width == 2 && s.height == 2)
+    // mean luma is the exact mid-point of the two solid frames
+    assert(math.abs(s.mean_luma - 120.0 / 255.0) < 1e-12)
+  }
+
+  test("extractFeatures on animated GIF covers EVERY frame (not just " +
+      "frame 0) and a 1-frame still matches the plain image path") {
+    import spark.implicits._
+    val anim = Multimodal.encodeGif(Seq(grayFrame(40), grayFrame(200)))
+    val df = Seq(Multimodal.MediaRecord(21L, anim, "image/gif",
+      anim.length.toLong, 2, 2)).toDF()
+    val f = Multimodal.extractFeatures(spark, df, dim = 16).collect().head
+    assert(f.width == 2 && f.height == 2)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3f)
+    // both frames' luma buckets get exactly half the mass each — a
+    // frame-0-only decode would put everything in bucket 40*16/256
+    assert(math.abs(f.features(40 * 16 / 256) - 0.5f) < 1e-6f)
+    assert(math.abs(f.features(200 * 16 / 256) - 0.5f) < 1e-6f)
+    // a single-frame GIF through the multi-frame branch equals the
+    // histogram of its only frame
+    val still = Multimodal.encodeGif(Seq(grayFrame(40)))
+    val sf = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRecord(22L, still, "image/gif",
+        still.length.toLong, 2, 2)).toDF(), dim = 16).collect().head
+    assert(sf.features(40 * 16 / 256) == 1.0f)
+  }
+
+  test("gifFromDocuments: every doc yields a decodable nFrames animated " +
+      "GIF, deterministic across partitionings; corrupt bytes degrade " +
+      "to zero-frame rows in videoSummary") {
+    val g = Multimodal.gifFromDocuments(spark, sfDocs.limit(12)).toDF()
+    val out = Multimodal.videoSummary(spark, g).collect()
+    assert(out.length == 12)
+    out.foreach { s =>
+      assert(s.n_frames == 3L && s.n_decoded == 3L)
+      assert(s.width == 16 && s.height == 16)
+      assert(s.mean_luma >= 0.0 && s.mean_luma <= 1.0)
+    }
+    val b = Multimodal.videoSummary(spark,
+        Multimodal.gifFromDocuments(spark, sfDocs.limit(12)).toDF()
+          .repartition(5))
+      .collect().map(s => s.doc_id -> s.mean_luma).toMap
+    assert(b == out.map(s => s.doc_id -> s.mean_luma).toMap)
+    // corrupt payload: parses to zero frames, summarized not dropped
+    import spark.implicits._
+    val junk = Array[Byte](1, 2, 3, 4)
+    val z = Multimodal.videoSummary(spark,
+      Seq(Multimodal.MediaRecord(31L, junk, "image/gif", 4L, 2, 2))
+        .toDF()).collect().head
+    assert(z.n_frames == 0L && z.n_decoded == 0L && z.mean_luma == 0.0)
+  }
 }
