@@ -259,17 +259,57 @@ object Upsert {
        |  updated_at = CURRENT_TIMESTAMP""".stripMargin
   }
 
+  /** The SQL:2003 MERGE equivalent of upsertSql — the dialect for
+    * databases without Postgres' ON CONFLICT (Derby, Oracle, SQL
+    * Server, DB2). Same semantics as mergeParquet's sink-managed
+    * stamps: matched rows take every non-key staging column and a
+    * re-stamped updated_at (created_at untouched → preserved);
+    * unmatched rows insert the staging columns plus BOTH stamps
+    * explicitly. The stamps are explicit rather than left to the
+    * target's column DEFAULTs because Derby's MERGE NPEs when the
+    * INSERT arm omits a TIMESTAMP DEFAULT CURRENT_TIMESTAMP column
+    * (bisected in this sandbox: a default-omitting MERGE INSERT dies
+    * in TypeId.getJDBCTypeId; the explicit form runs) — and explicit
+    * stamps are dialect-portable anyway. Pure string builder,
+    * golden-tested like upsertSql; runs END-TO-END in UpsertSpec. */
+  def upsertSqlMerge(table: String, cols: Seq[String], key: String)
+      : String = {
+    require(cols.contains(key), s"key $key missing from columns")
+    val staging = s"${table}_staging"
+    val updates = cols.filterNot(_ == key)
+      .map(c => s"$c = s.$c").mkString(", ")
+    s"""MERGE INTO $table t
+       |USING $staging s ON t.$key = s.$key
+       |WHEN MATCHED THEN UPDATE SET $updates,
+       |  updated_at = CURRENT_TIMESTAMP
+       |WHEN NOT MATCHED THEN INSERT
+       |  (${cols.mkString(", ")}, created_at, updated_at)
+       |  VALUES (${cols.map(c => s"s.$c").mkString(", ")},
+       |    CURRENT_TIMESTAMP, CURRENT_TIMESTAMP)""".stripMargin
+  }
+
   /** JDBC variant (reference target: PostgreSQL): executors write the batch
     * to a staging table in parallel, then the driver issues ONE
-    * INSERT..SELECT..ON CONFLICT statement — single round-trip merge,
-    * identical conflict semantics to etl/etl.py:467-488. The connection
-    * path is untestable in this environment (no database); the statement
-    * text is golden-tested via upsertSql. */
+    * merge statement — single round-trip, identical conflict semantics
+    * to etl/etl.py:467-488. `dialect` picks the statement: "postgres"
+    * (default) issues the reference's INSERT..ON CONFLICT; "merge"
+    * issues the SQL:2003 MERGE INTO (Derby/Oracle/SQL Server class).
+    * The merge leg runs END-TO-END in UpsertSpec against embedded
+    * Derby (the JDBC engine Spark ships for its Hive metastore), so
+    * staging write → merge → row-state semantics are
+    * integration-tested, not just golden-tested; the Postgres
+    * STATEMENT stays golden-tested (no Postgres server exists here —
+    * the two texts differ only in conflict syntax). */
   def mergeJdbc(incoming: DataFrame, url: String, table: String, key: String,
-      props: java.util.Properties): Unit = {
+      props: java.util.Properties, dialect: String = "postgres"): Unit = {
     incoming.write.mode(SaveMode.Overwrite)
       .jdbc(url, s"${table}_staging", props)
-    val sql = upsertSql(table, incoming.columns.toSeq, key)
+    val sql = dialect match {
+      case "postgres" => upsertSql(table, incoming.columns.toSeq, key)
+      case "merge" => upsertSqlMerge(table, incoming.columns.toSeq, key)
+      case other => sys.error(
+        s"unknown upsert dialect '$other' (postgres | merge)")
+    }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try { conn.createStatement().execute(sql) } finally conn.close()
   }

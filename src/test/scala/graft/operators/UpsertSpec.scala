@@ -150,6 +150,111 @@ class UpsertSpec extends SparkSuite {
     assert(row.getAs[Timestamp]("updated_at").after(created))
   }
 
+  test("upsertSqlMerge golden: the SQL:2003 MERGE INTO mirror of the " +
+      "ON CONFLICT form") {
+    val sql = Upsert.upsertSqlMerge("job_postings",
+      Seq("position_uri", "position_title"), "position_uri")
+    assert(sql ==
+      """MERGE INTO job_postings t
+        |USING job_postings_staging s ON t.position_uri = s.position_uri
+        |WHEN MATCHED THEN UPDATE SET position_title = s.position_title,
+        |  updated_at = CURRENT_TIMESTAMP
+        |WHEN NOT MATCHED THEN INSERT
+        |  (position_uri, position_title, created_at, updated_at)
+        |  VALUES (s.position_uri, s.position_title,
+        |    CURRENT_TIMESTAMP, CURRENT_TIMESTAMP)""".stripMargin)
+    intercept[IllegalArgumentException] {
+      Upsert.upsertSqlMerge("t", Seq("a", "b"), "missing")
+    }
+  }
+
+  test("mergeJdbc END-TO-END on embedded Derby: staging write, merge, " +
+      "insert/update row states, created_at preserved, updated_at " +
+      "bumped (the reference's test_integration.py:70-151 semantics)") {
+    // Derby ships in /opt/spark/jars (Spark's metastore engine) — a
+    // REAL JDBC database, in-process, no server needed. In-memory URL
+    // so nothing touches disk; local-mode executors share the JVM so
+    // the parallel staging write reaches the same store.
+    val url = "jdbc:derby:memory:graft_upsert_it;create=true"
+    val props = new java.util.Properties()
+    // staging is CREATED by the Spark JDBC writer; force VARCHAR keys
+    // (the default String mapping is CLOB, which Derby cannot compare
+    // in the MERGE's ON clause). Column names are UPPERCASE throughout:
+    // the Spark writer QUOTES identifiers at CREATE time, so staged
+    // columns keep the DataFrame's exact case, while the merge text
+    // references them unquoted — on Derby unquoted folds to uppercase,
+    // so the DataFrame case must match that fold
+    props.setProperty("createTableColumnTypes",
+      "POSITION_URI VARCHAR(256), POSITION_TITLE VARCHAR(256)")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // no DEFAULT CURRENT_TIMESTAMP on the stamps: upsertSqlMerge
+      // manages both explicitly (mergeParquet's sink-managed-stamp
+      // contract), and Derby's MERGE has a bug — an UPDATE arm
+      // assigning CURRENT_TIMESTAMP to a column whose DEFAULT is
+      // CURRENT_TIMESTAMP dies in an engine NPE (bisected here;
+      // default-free targets and explicit inserts run fine)
+      conn.createStatement().execute(
+        """CREATE TABLE job_postings (
+          |  POSITION_URI VARCHAR(256) PRIMARY KEY,
+          |  POSITION_TITLE VARCHAR(256),
+          |  created_at TIMESTAMP,
+          |  updated_at TIMESTAMP)""".stripMargin)
+
+      val b1 = Seq(("https://x.gov/1", "Data Engineer"),
+        ("https://x.gov/2", "Analyst"))
+        .toDF("POSITION_URI", "POSITION_TITLE")
+      Upsert.mergeJdbc(b1, url, "job_postings", "POSITION_URI", props,
+        dialect = "merge")
+      def snapshot(): Map[String, (String, Timestamp, Timestamp)] = {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT position_uri, position_title, created_at, updated_at " +
+            "FROM job_postings")
+        val out = scala.collection.mutable.Map
+          .empty[String, (String, Timestamp, Timestamp)]
+        while (rs.next()) out(rs.getString(1)) =
+          (rs.getString(2), rs.getTimestamp(3), rs.getTimestamp(4))
+        out.toMap
+      }
+      val s1 = snapshot()
+      assert(s1.size == 2)
+      assert(s1("https://x.gov/1")._1 == "Data Engineer")
+      assert(s1("https://x.gov/2")._1 == "Analyst")
+      val created1 = s1("https://x.gov/1")._2
+
+      Thread.sleep(50) // make the updated_at bump observable
+      val b2 = Seq(("https://x.gov/1", "Senior Data Engineer"),
+        ("https://x.gov/3", "Scientist"))
+        .toDF("POSITION_URI", "POSITION_TITLE")
+      Upsert.mergeJdbc(b2, url, "job_postings", "POSITION_URI", props,
+        dialect = "merge")
+      val s2 = snapshot()
+      assert(s2.size == 3, "1 update + 1 insert on a 2-row table")
+      assert(s2("https://x.gov/1")._1 == "Senior Data Engineer")
+      assert(s2("https://x.gov/2")._1 == "Analyst", "untouched row")
+      assert(s2("https://x.gov/1")._2 == created1,
+        "created_at preserved on update")
+      assert(s2("https://x.gov/1")._3.after(s2("https://x.gov/1")._2),
+        "updated_at bumped past created_at")
+      // idempotence: re-merging the same batch keeps the row count
+      Upsert.mergeJdbc(b2, url, "job_postings", "POSITION_URI", props,
+        dialect = "merge")
+      assert(snapshot().size == 3)
+      // the unknown-dialect guard
+      val e = intercept[RuntimeException] {
+        Upsert.mergeJdbc(b2, url, "job_postings", "POSITION_URI", props,
+          dialect = "nope")
+      }
+      assert(e.getMessage.contains("unknown upsert dialect"))
+    } finally {
+      conn.close()
+      // drop the in-memory database so reruns in the same JVM start clean
+      try java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:graft_upsert_it;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" by design
+    }
+  }
+
   test("upsertSql golden: the reference's ON CONFLICT form verbatim") {
     // mirrors etl/etl.py:467-488 — the one correct Postgres merge shape
     val sql = Upsert.upsertSql("job_postings",
