@@ -29,6 +29,42 @@ class BenchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("q99_broken"))
   }
 
+  test("fittedLine fits the driver's capture window, keeps the slowest " +
+      "entries, and stays valid JSON") {
+    // 300 synthetic queries — more than any round has shipped — with
+    // medians 0.001..3.00 s: the full map cannot fit, the tail must
+    val results = (1 to 300).map(i =>
+      (f"q$i%03d_synthetic_name" -> i * 0.01))
+    val line = Bench.fittedLine(results, iters = 3, sfDir = "/sf", 1850)
+    assert(line.length <= 1850, s"line is ${line.length} chars")
+    // structurally valid JSON (the driver json.loads's it)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
+    // headline stats present
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"n_queries\":300"))
+    assert(line.contains("\"median_query\":1.505") ||
+      line.contains("\"median_query\":1.51"))
+    // the slowest query always survives; the fastest is the one cut
+    assert(line.contains("\"q300\":3.000"))
+    assert(!line.contains("\"q001\":"))
+    // omitted count is consistent with the entries actually present
+    val omitted = "\"omitted_fastest\":(\\d+)".r
+      .findFirstMatchIn(line).get.group(1).toInt
+    val kept = "\"q\\d{3}\":".r.findAllIn(line).size
+    assert(kept + omitted == 300)
+  }
+
+  test("fittedLine with a small result set keeps everything and omits " +
+      "nothing") {
+    val results = Seq("q01_a" -> 1.5, "q02_b" -> 0.5, "x01_c" -> 2.5)
+    val line = Bench.fittedLine(results, iters = 5, sfDir = "/sf", 1850)
+    assert(line.contains("\"q01\":1.500") && line.contains("\"q02\":0.500")
+      && line.contains("\"x01\":2.500"))
+    assert(line.contains("\"omitted_fastest\":0"))
+    assert(line.contains("\"value\":4.500"))
+  }
+
   test("assertPositive rejects zero and negative timings") {
     Bench.assertPositive(Seq("a" -> 0.001, "b" -> 12.0)) // fine
     intercept[IllegalArgumentException] {

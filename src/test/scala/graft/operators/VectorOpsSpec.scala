@@ -804,15 +804,17 @@ class VectorOpsSpec extends SparkSuite
       VectorOps.cosineLshJoin(d, 0.95, maxBandFreq = 100)
         .write.format("noop").mode("overwrite").save()
     }
-    def timeMedian(d: DataFrame): Double = {
-      val ts = (0 until 3).map { _ =>
+    // BEST of 3 (same rationale as NearDupSpec's skew guard): load
+    // only ever inflates a wall-clock sample, so min is the stable
+    // estimator of what the plan shape can do; the functional cap
+    // assertions above carry the actual guarantee
+    def timeBest(d: DataFrame): Double =
+      (0 until 3).map { _ =>
         val t0 = System.nanoTime(); run(d); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
-    }
-    timeMedian(unskewed) // JIT warm-up pass
-    val base = timeMedian(unskewed)
-    val hot = timeMedian(skewed)
+      }.min
+    timeBest(unskewed) // JIT warm-up pass
+    val base = timeBest(unskewed)
+    val hot = timeBest(skewed)
     assert(hot <= base * 2.0 + 1.0,
       s"guarded skewed run ${hot}s vs unskewed ${base}s — the caps " +
         "must keep the hot cell from dominating wall-time")
