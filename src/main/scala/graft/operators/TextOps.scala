@@ -330,7 +330,12 @@ object TextOps {
     * Scale shape: both rankers share the one exploded tf aggregate
     * (shuffle ∝ query-term postings, q92's bound); each pool is ≤poolK
     * rows after a TakeOrdered, so the rank windows and the full-outer
-    * fusion join run on driver-trivial row counts. */
+    * fusion join run on driver-trivial row counts.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def rankFusion(docs: DataFrame, terms: Seq[String], poolK: Int = 50,
       k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
@@ -513,16 +518,39 @@ object TextOps {
     * previous shape — one argmax job + localCheckpoint per merge —
     * was the round-7 verdict's top defect.) Word order in the
     * collected table cannot affect the output: pair counts are
-    * commutative sums and the argmax tie-break is a total order. */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    * commutative sums and the argmax tie-break is a total order.
+    *
+    * `maxVocab` bounds the DRIVER-side collect: on 100 TB web text
+    * the distinct-"word" set (URLs, typos, hex blobs) is billions of
+    * rows, and an uncapped collect is a driver OOM. The cap keeps the
+    * `maxVocab` highest-count words (ties broken by word, so the kept
+    * set is deterministic) via TakeOrdered — only `maxVocab` rows ever
+    * reach the driver. Truncation contract: pair counts are then
+    * exact over the kept mass, and each dropped word w with count c
+    * can shift any pair's count by at most c·(|w|−1) — so every merge
+    * decision whose winning margin exceeds the total dropped mass
+    * Σ c·(|w|−1) is IDENTICAL to the uncapped result (frequency-tail
+    * words cannot win merges they couldn't influence). At the
+    * default (Int.MaxValue) no limit is applied and the output is
+    * bit-identical to the historical behavior; TextOpsSpec pins
+    * capped-vs-uncapped equality on a fixture whose cap really drops
+    * words. */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
+    require(maxVocab > 0, "maxVocab must be positive")
     val spark = docs.sparkSession
-    // the ONLY Spark job: corpus -> bounded (word, count) table
-    val wordCounts: Array[(String, Long)] = docs
+    // the ONLY Spark job: corpus -> bounded (word, count) table,
+    // TakeOrdered-capped to maxVocab rows BEFORE the collect
+    val counted = docs
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
+    val bounded =
+      if (maxVocab == Int.MaxValue) counted
+      else counted.orderBy(col("cnt").desc, col("w")).limit(maxVocab)
+    val wordCounts: Array[(String, Long)] = bounded
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] =
@@ -962,7 +990,12 @@ object TextOps {
     * replaced, which held ALL of a doc's bigrams in ONE non-spillable
     * aggregation buffer (O(doc length) heap per doc = OOM risk on
     * book-length docs at 100×). Docs with fewer than 2 tokens have no
-    * bigrams and are excluded. */
+    * bigrams and are excluded.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def bigramFluency(docs: DataFrame): DataFrame = {
     // tokens are MATERIALIZED as a column before the pair lambda: a
     // lambda that referenced the tokens() TREE would inline (and
@@ -1029,7 +1062,12 @@ object TextOps {
     * the join-back shuffles the token stream on token exactly once.
     * The token table persists across its two consumers (freq + score);
     * hot function words are heavy keys but the post-join state is one
-    * decimal per row — no per-key aggregate skew. */
+    * decimal per row — no per-key aggregate skew.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
@@ -1137,7 +1175,12 @@ object TextOps {
     *
     * Scale shape: ONE (source, lang) aggregate — the grid is bounded
     * by |sources|·|langs| — and every later join/fold runs on that
-    * metadata. */
+    * metadata.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def sourceLangMi(docs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)
     val cells = docs.groupBy(col("source"), col("lang"))
@@ -1187,7 +1230,12 @@ object TextOps {
     *
     * Scale shape: one scan to count tokens, ONE bounded percentile
     * aggregate (9 cut doubles) broadcast back, map-side binning,
-    * ≤10-row fold + metadata window. */
+    * ≤10-row fold + metadata window.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def tokenLorenz(docs: DataFrame): DataFrame = {
     val nTok = TextFunctions.tokenCount(col("text"))
     val base = docs.select(nTok.as("_n"))
@@ -1247,7 +1295,12 @@ object TextOps {
     * bounded) frequency aggregate and BROADCASTS back — the token
     * stream never shuffles for membership; the only data-sized
     * exchange is the per-source partial+final aggregate on a
-    * |sources|-bounded key. */
+    * |sources|-bounded key.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def oovRateBySource(docs: DataFrame, vocabK: Int = 100): DataFrame = {
     val toks = docs
       .select(col("source"),
@@ -1289,7 +1342,12 @@ object TextOps {
     * aggregate filtered to vocab membership (shuffle key bounded by
     * |sources|·vocabK), and a |sources|×vocabK grid for the smoothed
     * zeros — everything past the two token aggregates is metadata-
-    * sized. */
+    * sized.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def sourceDivergence(docs: DataFrame, vocabK: Int = 100): DataFrame = {
     require(vocabK > 0, "vocabK must be positive")
     val toks = docs
@@ -1458,7 +1516,12 @@ object TextOps {
     * shingles are by definition the heavy keys, a per-key window
     * serializes each through one reducer AQE cannot split, while the
     * join's hot keys carry ≤ n_docs rows each and AQE skew-splits them
-    * (same reasoning as bigramFluency's count join-backs). */
+    * (same reasoning as bigramFluency's count join-backs).
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def boilerplateFraction(docs: DataFrame, n: Int = 3,
       minDocs: Int = 3): DataFrame = {
     // persisted: feeds both the df aggregate and the join-back probe —
@@ -1494,7 +1557,12 @@ object TextOps {
     * shingle hashes end-to-end (narrower than strings in the df
     * exchange). One-sided error: might_contain never misses a member,
     * so per-doc n_boiler is a superset count (approx ≥ exact, pinned in
-    * TextOpsSpec); false positives are governed by numBits. */
+    * TextOpsSpec); false positives are governed by numBits.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def boilerplateFractionApprox(docs: DataFrame, n: Int = 3,
       minDocs: Int = 3, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
@@ -1932,6 +2000,10 @@ object TextOps {
       minCount: Long = 2L): DataFrame =
     substrProfileImpl(docs, n, minCount, hashed = true)
 
+  /** Caching contract: the returned frame is LAZY over the persisted
+    * position-indexed gram table (evictable MEMORY_AND_DISK) —
+    * one-shot runners sweep it; long-lived sessions clearCache()
+    * between workloads (sourceOverlap's note). */
   private def substrProfileImpl(docs: DataFrame, n: Int,
       minCount: Long, hashed: Boolean): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
@@ -2635,7 +2707,12 @@ object TextOps {
     * Scale shape: distinct (source, token) pairs fold with map-side
     * partials (vocabulary-shaped); token source-counts are one more
     * vocab-sized aggregate; the join-back keys on token over the same
-    * frames. Nothing corpus-sized past the first projection. */
+    * frames. Nothing corpus-sized past the first projection.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * intermediate (evictable MEMORY_AND_DISK) — one-shot runners
+    * (Bench/Verify) sweep the entry after execution; long-lived
+    * sessions clearCache() between workloads (sourceOverlap's note). */
   def sourceTokenNovelty(docs: DataFrame): DataFrame = {
     val st = docs
       .select(col("source"),

@@ -677,6 +677,45 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpeTrain maxVocab: capped table that really drops words still " +
+      "reproduces the uncapped merge table when the drop mass is below " +
+      "every decision margin; the cap bounds what reaches the driver") {
+    import spark.implicits._
+    // the classic fixture plus 12 SINGLETON junk words ("AB".."WX":
+    // uppercase, so they share no symbol pair with the lowercase
+    // fixture, and pairwise-disjoint, so each junk pair has count 1).
+    // The per-pair truncation condition holds: every dropped word's
+    // pair mass (1) is below every winning merge's count (≥3), so the
+    // capped table must equal the uncapped one
+    val junk = (0 until 12).map(i =>
+      "" + ('A' + 2 * i).toChar + ('B' + 2 * i).toChar)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ junk
+    val docs = words.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val uncapped = TextOps.bpeTrain(docs, nMerges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // cap keeps the 4 real words (counts 6,5,3,2) and drops ALL junk
+    // (count-1 tail, tie-broken deterministically by word)
+    val capped = TextOps.bpeTrain(docs, nMerges = 8, maxVocab = 4)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(capped == uncapped,
+      s"cap must not change the merge table here: $capped vs $uncapped")
+    // and the capped variant matches the no-junk corpus exactly (the
+    // kept set IS the 4 fixture words)
+    val clean = words.filterNot(junk.contains)
+    val cleanDocs = clean.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val cleanTrained = TextOps.bpeTrain(cleanDocs, nMerges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(capped == cleanTrained)
+  }
+
   test("bpeFertility: per-source ratios equal the bpeSegment " +
       "composition; a source the merges fit has lower fertility than " +
       "one they never saw") {
