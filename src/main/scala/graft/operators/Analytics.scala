@@ -145,7 +145,12 @@ object Analytics {
       .select(col("source"), col("n_docs"),
         round(col("_sc").cast("double") /
           col("n_docs").cast("double"), 12).as("mean_len"))
-    val s1 = pmod(pmod(col("doc_id"), lit(two31)) * lit(1103515245L) +
+    // abs() before the modulus: Spark's pmod and the oracle's `%`
+    // agree only on non-negative seeds (pmod wraps negatives up,
+    // `%` keeps their sign), so the seed is made non-negative the
+    // same way on BOTH engines — the pairing is sign-robust instead
+    // of relying on the harness' non-negative doc_ids (r12 advisor)
+    val s1 = pmod(pmod(abs(col("doc_id")), lit(two31)) * lit(1103515245L) +
       col("b") * lit(12345L) + lit(12345L), lit(two31))
     val h = pmod(s1 * lit(1103515245L) + lit(12345L), lit(two31))
     val k = when(h < t0, lit(0L)).when(h < t1, lit(1L))

@@ -270,9 +270,14 @@ object Classifier {
     require(iters > 0, "iters must be positive")
     val spark = docs.sparkSession
     val names = "f_ttr" :: "f_stop" :: "f_digit" :: "f_cpt" :: Nil
+    // null-label rows are excluded BEFORE the persist: sum() skips
+    // nulls, so a null _y would contribute nothing to the gradient or
+    // loss while still counting in n — silently damping the effective
+    // step size and deflating loss/accuracy (r12 advisor finding)
     val feats = docs.select(
       (featureCols.map { case (n, c) => c.cast("double").as(n) } :+
         label.as("_y")): _*)
+      .filter(col("_y").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val d = names.length

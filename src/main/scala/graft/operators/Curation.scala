@@ -609,6 +609,8 @@ object Curation {
     require(budget >= 0, "budget must be non-negative")
     // |sources| rows, but derived from a full corpus scan — persist so
     // the total/leftover re-reads hit the tiny aggregate, not the scan
+    // Caching contract: the returned frame is lazy over this
+    // |sources|-row entry — evictable, swept by one-shot runners
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -707,6 +709,9 @@ object Curation {
         sqrt((col("_s2").cast("double") -
           col("_s1").cast("double") * col("_s1").cast("double") /
             col("n_docs")) / col("n_docs")).as("_std"))
+    // persisted (|sources| rows): feeds the Σw fold AND the returned
+    // frame. Caching contract: returned frame is lazy over the entry —
+    // evictable, swept by one-shot runners (sourceOverlap's note)
     val st = stats.select(col("source"), col("n_docs"),
       round(col("_std"), 12).as("std_chars"),
       (round(col("n_docs") * col("_std"), 6) * lit(1000000))

@@ -596,6 +596,9 @@ object EventOps {
     val userDays = events
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
+      // persisted: the (day, user) presence table feeds the day spine
+      // AND the window count. Caching contract: the returned frame is
+      // lazy over the entry — evictable, swept by one-shot runners
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val activeDays = userDays.select(col("day")).distinct()
     userDays
@@ -984,6 +987,18 @@ object EventOps {
     * engine dayofweek() convention involved); z = (n·k − Σn) /
     * √(k·Σn² − (Σn)²) is one double chain on exact sums (squares in
     * DECIMAL, q196's discipline), round 12 at the max.
+    *
+    * Statistical caveat (by design): each slot is z-scored against a
+    * baseline that INCLUDES the slot itself — the plain population
+    * z over the cell, not a leave-one-out score. For well-observed
+    * cells (k ≥ ~10 weeks of history) the self-inclusion dampens |z|
+    * by at most ~1/k and is the conventional seasonal-baseline read;
+    * for SPARSE cells it dampens hard — a k=1 cell always gets a
+    * null z (den = 0) yet still counts in n_slots — so low-k cells'
+    * non-anomalous verdicts deserve no trust. Callers needing
+    * sparse-cell honesty should filter on a minimum _k before
+    * alerting; the report deliberately keeps the raw convention so
+    * its numbers match the standard dashboards it audits.
     *
     * Scale shape: one (type, hour-slot) count aggregate (bounded by
     * |types|·|hours-of-history| — metadata), a (type, dow, hour) fold

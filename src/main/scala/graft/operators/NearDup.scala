@@ -201,6 +201,9 @@ object NearDup {
     * row for singletons (membership table is far sub-corpus). */
   def dupClusterSizes(docs: DataFrame, n: Int = 3, minJ: Double = 0.7)
       : DataFrame = {
+    // persisted: the cluster table feeds the histogram AND the
+    // singleton anti-join. Caching contract: the returned frame is
+    // lazy over the entry — evictable, swept by one-shot runners
     val clusters = duplicateClusters(
       jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -958,6 +961,10 @@ object NearDup {
     * graphs the skew guard is degree-capping the hub nodes first
     * (same bound capBandGroups applies to LSH buckets). */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // persisted: the edge list feeds the degree fold, the wedge join
+    // and the triangle count. Caching contract: the returned one-row
+    // frame is lazy over the entry — evictable, swept by one-shot
+    // runners (sourceOverlap's note)
     val e = edges.select(col("a_id"), col("b_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a_id").as("id"))

@@ -1280,8 +1280,14 @@ object VectorOps {
     val muDotMu = mean.map(m => m * m).sum
     val normSq = dot(col(centered), col(centered)) -
       lit(2.0) * dot(col(centered), flit(mean)) + lit(muDotMu)
+    // clamped at 0 (same guard as botRegularity's variance): the dot
+    // products use float-cast eigenvector/mean literals while muDotV/
+    // muDotMu are full-double constants, so a per-row Parseval
+    // residual can land epsilon-negative near k=d and push
+    // recon_error_frac_at_k marginally below 0 (r12 advisor finding)
     val resid = emb.select(
-      (normSq - projCols.reduce(_ + _)).as("_r"), normSq.as("_n2"))
+      greatest(normSq - projCols.reduce(_ + _), lit(0.0)).as("_r"),
+      normSq.as("_n2"))
       .agg(sum(col("_r")).as("_sr"), sum(col("_n2")).as("_sn"))
       .head()
     val reconFrac = resid.getAs[Double]("_sr") / resid.getAs[Double]("_sn")

@@ -182,35 +182,42 @@ object StreamingEvents {
     val baseTotal = baselineRows.map(_._2).sum.toDouble
     val baseline = baselineRows.map { case (t, n) => t -> (n / baseTotal) }
       .toMap
-    (0 until nBatches).foreach { i =>
-      // ONE file per drop + maxFilesPerTrigger=1 on the reader makes
-      // "each AvailableNow pass = exactly one micro-batch" an ENFORCED
-      // invariant (the ledger's batch_id ↔ drop-id identity that the
-      // spec pins), not an accident of the file source's default
-      // 1000-file trigger cap.
-      src.filter(pmod(col("event_id"), lit(nBatches.toLong)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-      spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val ledgerRow = auditBatch(batch, batchId, baseline)
-          val sp = batch.sparkSession
-          import sp.implicits._
-          Seq(ledgerRow).toDS().write.mode("append").parquet(ledger)
-          ()
+    // try/finally: a failing stream or collect must still dispose the
+    // scratch dirs (same r13 fix as StreamingQuality.qualityGateStatic)
+    val rows =
+      try {
+        (0 until nBatches).foreach { i =>
+          // ONE file per drop + maxFilesPerTrigger=1 on the reader makes
+          // "each AvailableNow pass = exactly one micro-batch" an ENFORCED
+          // invariant (the ledger's batch_id ↔ drop-id identity that the
+          // spec pins), not an accident of the file source's default
+          // 1000-file trigger cap.
+          src.filter(pmod(col("event_id"), lit(nBatches.toLong)) === i)
+            .coalesce(1).write.mode("append").parquet(landing)
+          spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1").parquet(landing)
+            .writeStream
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val ledgerRow = auditBatch(batch, batchId, baseline)
+              val sp = batch.sparkSession
+              import sp.implicits._
+              Seq(ledgerRow).toDS().write.mode("append").parquet(ledger)
+              ()
+            }
+            .start().awaitTermination()
         }
-        .start().awaitTermination()
-    }
-    // the ledger is |batches| rows of metadata — pull it to the driver
-    // and delete the scratch dirs NOW rather than leaking them until
-    // JVM exit (the returned frame must not read lazily from scratch)
+        // the ledger is |batches| rows of metadata — pull it to the
+        // driver and delete the scratch dirs NOW rather than leaking
+        // them until JVM exit (the returned frame must not read lazily
+        // from scratch)
+        import spark.implicits._
+        spark.read.parquet(ledger).as[MixDrift]
+          .collect().sortBy(_.batch_id).toSeq
+      } finally Scratch.dispose(base)
     import spark.implicits._
-    val rows = spark.read.parquet(ledger).as[MixDrift]
-      .collect().sortBy(_.batch_id).toSeq
-    Scratch.dispose(base)
     rows.toDS().toDF().orderBy(col("batch_id"))
   }
 
@@ -261,42 +268,46 @@ object StreamingEvents {
     val ledger = base + "/ledger"
     val ckpt = base + "/ckpt"
     val src = docs.select(col("doc_id"), col("source"), col("text"))
-    (0 until nBatches).foreach { i =>
-      // one file per drop + one-file trigger: batch ↔ drop identity
-      // enforced, same reasoning as mixDriftStatic
-      src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-      spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.functions.TextFunctions.tokenCount(col("text")))
-            .as("n_tokens"),
-          sum(length(col("text")).cast("long")).as("n_chars"))
-        .writeStream
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("_batch_id", lit(batchId))
-            .write.mode("append").parquet(ledger)
-          ()
+    // try/finally: dispose the scratch dirs on ANY exit (same r13 fix
+    // as StreamingQuality.qualityGateStatic)
+    val (rows, schema) =
+      try {
+        (0 until nBatches).foreach { i =>
+          // one file per drop + one-file trigger: batch ↔ drop identity
+          // enforced, same reasoning as mixDriftStatic
+          src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+            .coalesce(1).write.mode("append").parquet(landing)
+          spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1").parquet(landing)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(graft.functions.TextFunctions.tokenCount(col("text")))
+                .as("n_tokens"),
+              sum(length(col("text")).cast("long")).as("n_chars"))
+            .writeStream
+            .outputMode("update")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.withColumn("_batch_id", lit(batchId))
+                .write.mode("append").parquet(ledger)
+              ()
+            }
+            .start().awaitTermination()
         }
-        .start().awaitTermination()
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("_batch_id").desc)
-    // |sources|-bounded snapshot — collect it and delete the scratch
-    // dirs eagerly (see mixDriftStatic; the frame returned to the
-    // caller must not depend on the scratch parquet)
-    val snap = spark.read.parquet(ledger)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("n_chars"))
-    val rows = snap.collect().toSeq
-    val schema = snap.schema
-    Scratch.dispose(base)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("_batch_id").desc)
+        // |sources|-bounded snapshot — collect it and delete the
+        // scratch dirs eagerly (see mixDriftStatic; the frame returned
+        // to the caller must not depend on the scratch parquet)
+        val snap = spark.read.parquet(ledger)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chars"))
+        (snap.collect().toSeq, snap.schema)
+      } finally Scratch.dispose(base)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema).orderBy(col("source"))
   }

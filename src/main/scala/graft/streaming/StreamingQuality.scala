@@ -65,27 +65,34 @@ object StreamingQuality {
     val ledger = base + "/ledger"
     val ckpt = base + "/ckpt"
     val src = docs.select(col("doc_id"), col("text"))
-    (0 until nBatches).foreach { i =>
-      src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
-        .coalesce(1).write.mode("append").parquet(landing)
-      spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val row = auditBatch(batch, batchId, minPassRate)
-          val sp = batch.sparkSession
-          import sp.implicits._
-          Seq(row).toDS().write.mode("append").parquet(ledger)
-          ()
+    // try/finally: a failing stream or collect must still dispose the
+    // landing/ledger/checkpoint scratch (r12 advisor — the success-
+    // path-only dispose leaked the directory tree on any error)
+    val rows =
+      try {
+        (0 until nBatches).foreach { i =>
+          src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+            .coalesce(1).write.mode("append").parquet(landing)
+          spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1").parquet(landing)
+            .writeStream
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val row = auditBatch(batch, batchId, minPassRate)
+              val sp = batch.sparkSession
+              import sp.implicits._
+              Seq(row).toDS().write.mode("append").parquet(ledger)
+              ()
+            }
+            .start().awaitTermination()
         }
-        .start().awaitTermination()
-    }
+        import spark.implicits._
+        spark.read.parquet(ledger).as[QualityBatch]
+          .collect().sortBy(_.batch_id).toSeq
+      } finally Scratch.dispose(base)
     import spark.implicits._
-    val rows = spark.read.parquet(ledger).as[QualityBatch]
-      .collect().sortBy(_.batch_id).toSeq
-    Scratch.dispose(base)
     rows.toDS().toDF().orderBy(col("batch_id"))
   }
 }
