@@ -1165,6 +1165,50 @@ object SparkEntry {
     // compare over the metadata frame only.
     "q189_rank_stability" -> ((s, d) =>
       Classifier.sourceRankStability(t(s, d, "documents"))),
+    // Efraimidis-Spirakis weighted sample (counter-LCG u, w=n_chars+1)
+    // through the LOSSLESS two-phase shard prune — output identical to
+    // the naive per-source window (pinned in CurationSpec), reducer
+    // rows bounded at any scale.
+    "q209_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(t(s, d, "documents"))),
+    // Exact audience overlap per event-type pair: one distinct
+    // presence fold, user-keyed pair join with |types|-bounded
+    // fan-out, C(|types|,2) output rows.
+    "q210_type_audience_overlap" -> ((s, d) =>
+      EventOps.typeAudienceOverlap(t(s, d, "events"))),
+    // HLL twin of q210: |types| fixed-size DataSketches unioned
+    // pairwise, intersection by inclusion-exclusion. Sketch estimates
+    // are engine-seeded -> rows-only; within-HLL-error-of-exact and
+    // identical pair list pinned in EventOpsSpec.
+    "x43_hll_type_overlap" -> ((s, d) =>
+      EventOps.typeAudienceOverlapApprox(t(s, d, "events"))),
+    // Incremental Z-order maintenance: append a narrow-key delta into
+    // an indexed z-order table, rewriting ONLY the curve tiles the
+    // delta touches. Filesystem side effects + file accounting ->
+    // rows-only; incremental == full-rebuild row multiset and
+    // clean-file untouchedness pinned in LayoutSpec.
+    "x44_zorder_incremental" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_x44")
+        .toFile.getAbsolutePath
+      val table = dir + "/ztable"
+      try {
+        Layout.zOrderWriteIndexed(
+          li.filter(col("l_orderkey") > 1000L),
+          Seq("l_orderkey", "l_partkey"), table)
+        // the delta clusters in the low-orderkey curve tiles, so only
+        // those files go dirty - the incremental win the report shows
+        Layout.zOrderAppend(s,
+          li.filter(col("l_orderkey") <= 1000L), table)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5050,5 +5094,37 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              CAST(T AS DOUBLE), 12) AS cum_token_share
          FROM g, t ORDER BY decile""",
+    // Same counter-LCG as q193 (abs + % — sign-robust on both
+    // engines); pow is the only float step, published key rounds 12.
+    "q209_weighted_sample" ->
+      """WITH k AS (SELECT source, doc_id, n_chars,
+             pow(CAST(((abs(doc_id) % 2147483648) * 1103515245 + 12345)
+                 % 2147483648 + 1 AS DOUBLE) / 2147483649.0,
+               1.0 / CAST(n_chars + 1 AS DOUBLE)) AS key
+           FROM documents),
+         r AS (SELECT source, doc_id, n_chars, key,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+           FROM k)
+         SELECT source, doc_id, n_chars, round(key, 12) AS sample_key,
+           rank
+         FROM r WHERE rank <= 50 ORDER BY source, rank""",
+    // Distinct presence fold, self-join on user, exact counts;
+    // Jaccard one division of exact integers.
+    "q210_type_audience_overlap" ->
+      """WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY 1),
+         j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM p a JOIN p b USING (user_id)
+           WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT type_a, type_b, na.n AS n_users_a, nb.n AS n_users_b,
+           n_both,
+           round(CAST(n_both AS DOUBLE) /
+             CAST(na.n + nb.n - n_both AS DOUBLE), 12) AS jaccard
+         FROM j JOIN n na ON na.event_type = j.type_a
+           JOIN n nb ON nb.event_type = j.type_b
+         ORDER BY type_a, type_b""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -904,4 +904,79 @@ object Curation {
       .orderBy(col("source"))
   }
 
+
+  /** q209: deterministic quality-weighted corpus sample — the
+    * Efraimidis–Spirakis A-ES scheme (Efraimidis & Spirakis 2006):
+    * each doc draws u ~ Uniform(0,1] and ranks by key = u^(1/w); the
+    * per-source top-k by key is a weighted sample WITHOUT replacement
+    * where selection probability is proportional to weight. Weight
+    * here is n_chars+1 (longer docs proportionally likelier — the
+    * shape used to bias a pretraining mix toward substantive pages;
+    * +1 keeps empty docs drawable). u comes from the engine-shared
+    * counter LCG convention (q193): u = (h+1)/(2^31+1) with
+    * h = (abs(doc_id)·1103515245 + 12345) mod 2^31 — no RNG state, so
+    * the "sample" is a pure function of the table and replays
+    * identically on both engines and any partitioning.
+    *
+    * Determinism: integer LCG exactly mirrored in SQL; the ONLY
+    * float steps are one pow per row and the rank compare — a rank
+    * flip needs two keys within ~1 ulp of each other, vanishing on
+    * 31-bit-distinct u values. Published key rounds to 12.
+    *
+    * Scale shape: the naive form (one window over each source
+    * partition) serializes every row of a source through one reducer.
+    * This runs the LOSSLESS two-phase prune instead: phase 1 ranks
+    * within (source, shard) — doc_id mod `shards`, map-parallel — and
+    * keeps k per shard (a global top-k member is necessarily top-k in
+    * its own shard, so the prune drops no candidate); phase 2
+    * exact-ranks the ≤ shards·k survivors per source. Output is
+    * IDENTICAL to the naive window (CurationSpec pins it); the
+    * per-source reducer sees bounded rows at any corpus size. */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+      shards: Int = 32): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(shards >= 1, "shards must be positive")
+    val two31 = 2147483648L
+    val h = pmod(pmod(abs(col("doc_id")), lit(two31)) * lit(1103515245L) +
+      lit(12345L), lit(two31))
+    val u = (h + lit(1L)).cast("double") / lit((two31 + 1).toDouble)
+    val key = pow(u, lit(1.0) / (col("n_chars") + lit(1L)).cast("double"))
+    val keyed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      key.as("_key"),
+      pmod(abs(col("doc_id")), lit(shards.toLong)).as("_shard"))
+    val wShard = Window.partitionBy(col("source"), col("_shard"))
+      .orderBy(col("_key").desc, col("doc_id"))
+    val pruned = keyed
+      .withColumn("_srk", row_number().over(wShard))
+      .filter(col("_srk") <= k)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_key").desc, col("doc_id"))
+    pruned
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .filter(col("_rk") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("_key"), 12).as("sample_key"), col("_rk").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** The naive single-window form of weightedSample — kept private
+    * as the spec's equality oracle for the two-phase prune. */
+  private[operators] def weightedSampleNaive(docs: DataFrame,
+      k: Int): DataFrame = {
+    val two31 = 2147483648L
+    val h = pmod(pmod(abs(col("doc_id")), lit(two31)) * lit(1103515245L) +
+      lit(12345L), lit(two31))
+    val u = (h + lit(1L)).cast("double") / lit((two31 + 1).toDouble)
+    val key = pow(u, lit(1.0) / (col("n_chars") + lit(1L)).cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_key").desc, col("doc_id"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"),
+        key.as("_key"))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .filter(col("_rk") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("_key"), 12).as("sample_key"), col("_rk").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
 }

@@ -1220,4 +1220,77 @@ object EventOps {
       .toDF("event_type", "stationary_p")
       .orderBy(col("event_type"))
   }
+
+  /** q210: exact audience overlap between event types — for every
+    * unordered type pair, how many distinct users perform BOTH (plus
+    * the Jaccard of the two audiences). The activation-analysis
+    * primitive behind "users who search also purchase": feature
+    * adoption overlap, funnel design, and the exact anchor for the
+    * x43 HLL-sketch twin.
+    *
+    * Determinism: exact distinct counts; Jaccard is one division of
+    * exact integers, round 12.
+    *
+    * Scale shape: the corpus folds ONCE to the distinct (user, type)
+    * presence table (≤ |users|·|types| rows, |types| tiny); the
+    * pair self-join keys on user_id with ≤ |types| rows per key —
+    * bounded fan-out, C(|types|,2) output rows. The per-type distinct
+    * counts ride the same presence table; nothing user-history-sized
+    * crosses a second shuffle. */
+  def typeAudienceOverlap(events: DataFrame): DataFrame = {
+    val present = events.select(col("user_id"), col("event_type"))
+      .distinct()
+    val perType = present.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"))
+    val a = present.select(col("user_id"), col("event_type").as("type_a"))
+    val b = present.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("_n").as("_na"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("_n").as("_nb"))), "type_b")
+      .select(col("type_a"), col("type_b"),
+        col("_na").as("n_users_a"), col("_nb").as("n_users_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("_na") + col("_nb") - col("n_both")).cast("double"), 12)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** x43: the sketch twin of q210 — per-type HLL sketches (Spark's
+    * DataSketches hll_sketch_agg) merged pairwise, intersection by
+    * inclusion–exclusion: |A∩B| ≈ |A| + |B| − |A∪B|. One pass builds
+    * |types| FIXED-SIZE sketches (vs the exact path's distinct
+    * presence shuffle); every later step is |types|²-bounded driver
+    * metadata — at 100 TB the sketches are kilobytes where the exact
+    * presence table is user-count-sized. Estimates are engine-seeded
+    * → registered rows-only; EventOpsSpec pins the estimates within
+    * HLL error of exact q210 and the pair list identical.
+    *
+    * The inclusion–exclusion difference of three estimates can go
+    * slightly negative on near-disjoint audiences — clamped at 0
+    * (the true intersection is a count). lgK=14 ⇒ ~0.8% relative
+    * standard error per sketch. */
+  def typeAudienceOverlapApprox(events: DataFrame): DataFrame = {
+    val sk = events.select(col("user_id"), col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("_sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("_sk").as("_ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("_sk").as("_skb"))
+    a.crossJoin(broadcast(b)) // |types|-row side — the pinned tiny-side rule
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("hll_sketch_estimate(_ska)").as("_ea"),
+        expr("hll_sketch_estimate(_skb)").as("_eb"),
+        expr("hll_sketch_estimate(hll_union(_ska, _skb))").as("_eu"))
+      .select(col("type_a"), col("type_b"),
+        col("_ea").as("est_users_a"), col("_eb").as("est_users_b"),
+        greatest(col("_ea") + col("_eb") - col("_eu"), lit(0L))
+          .as("est_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -166,4 +166,160 @@ object Layout {
       .sortWithinPartitions(col("z_code"))
       .drop("z_code")
       .write.mode("overwrite").parquet(path)
+
+  /** Frozen-cuts metadata for incrementally-maintained Z-order tables
+    * (underscore prefix: parquet readers ignore it). */
+  private val ZCUTS_FILE = "_graft_zcuts"
+
+  /** The quantile cut grid zOrderCode derives — collected (bounded:
+    * |cols| × (2^bits − 1) doubles) so an INDEXED table can freeze it
+    * at write time and code later appends against the ORIGINAL grid
+    * (codes from different grids are not comparable). */
+  private def collectCuts(df: DataFrame, cols: Seq[String], bits: Int)
+      : Seq[(String, Seq[Double])] = {
+    val nCuts = (1 << bits) - 1
+    val fracs = array((1 to nCuts).map(k =>
+      lit(k.toDouble / (1 << bits))): _*)
+    val row = df.agg(
+      percentile(col(cols.head).cast("double"), fracs)
+        .as(s"_c_${cols.head}"),
+      cols.tail.map(c =>
+        percentile(col(c).cast("double"), fracs).as(s"_c_$c")): _*)
+      .head()
+    cols.map(c => c -> row.getSeq[Double](row.fieldIndex(s"_c_$c")))
+  }
+
+  /** Map-side Morton coding against a FROZEN cut grid — no percentile
+    * pass, the cuts ride as array literals inside codegen. */
+  private def codeWithCuts(df: DataFrame,
+      cuts: Seq[(String, Seq[Double])]): DataFrame = {
+    val cols = cuts.map(_._1)
+    def bucket(c: String, cs: Seq[Double]): Column =
+      aggregate(array(cs.map(lit): _*), lit(0L),
+        (acc, cut) => acc +
+          when(col(c).cast("double") > cut, 1L).otherwise(0L))
+    val n = cuts.head._2.size + 1
+    require((n & (n - 1)) == 0, "cut count must be 2^bits - 1")
+    val bits = java.lang.Integer.numberOfTrailingZeros(n)
+    val morton = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        val weight = 1L << (i.toLong * cols.size + (cols.size - 1 - j))
+        expr(s"((_b_$c div ${1L << i}) % 2) * ${weight}L")
+      }
+    }.reduce(_ + _)
+    cuts.foldLeft(df) { case (acc, (c, cs)) =>
+      acc.withColumn(s"_b_$c", bucket(c, cs))
+    }
+      .withColumn("z_code", morton)
+      .drop(cols.map(c => s"_b_$c"): _*)
+  }
+
+  /** Z-order write for a table that will take INCREMENTAL appends:
+    * same range-partitioned curve tiling as zOrderWrite, but the
+    * z_code column is KEPT in the files (per-file code ranges are
+    * then one bounded aggregate away — on a lakehouse they come from
+    * footer stats) and the quantile cut grid is FROZEN beside the
+    * table, so appends code new rows against the original grid. */
+  def zOrderWriteIndexed(df: DataFrame, cols: Seq[String], path: String,
+      bits: Int = 4, files: Int = 8): Unit = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62, "code must fit a long")
+    val cuts = collectCuts(df, cols, bits)
+    codeWithCuts(df, cuts)
+      .repartitionByRange(files, col("z_code"))
+      .sortWithinPartitions(col("z_code"))
+      .write.mode("overwrite").parquet(path)
+    val text = cuts.map { case (c, cs) =>
+      c + ":" + cs.mkString(",") }.mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path).resolve(ZCUTS_FILE),
+      text.getBytes("UTF-8"))
+  }
+
+  private def readCuts(path: String): Seq[(String, Seq[Double])] = {
+    val f = java.nio.file.Paths.get(path).resolve(ZCUTS_FILE)
+    require(java.nio.file.Files.exists(f),
+      s"$path is not an indexed z-order table (no $ZCUTS_FILE — " +
+        "write it with zOrderWriteIndexed)")
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .split("\n").toSeq.map { line =>
+        val Array(c, cs) = line.split(":", 2)
+        c -> cs.split(",").toSeq.map(_.toDouble)
+      }
+  }
+
+  /** x44: INCREMENTAL Z-order maintenance — the OPTIMIZE-incremental
+    * a lakehouse table needs: merge an append batch into an indexed
+    * Z-order table while rewriting ONLY the files whose code range
+    * the batch actually touches. Full re-clustering pays one sort of
+    * the WHOLE table per append; this pays one sort of (delta +
+    * dirty files), and a delta that lands in a narrow key rectangle
+    * dirties a narrow set of curve tiles — the whole point of
+    * range-tiling the curve at write time.
+    *
+    * Mechanics: the delta codes map-side against the frozen cut grid;
+    * per-file [min,max] code ranges come from ONE bounded aggregate
+    * over the z_code column (file-count rows — a lakehouse reads
+    * them from footer stats instead); a file is dirty iff its range
+    * contains one of the delta's ≤ 2^(bits·|cols|) distinct codes.
+    * Dirty rows + delta re-sort and land as fresh curve-sorted files
+    * (staged write, then swap — a crash before the swap leaves the
+    * original table intact, the stale staging dir is overwrite-
+    * reclaimed on retry). Clean files are NOT rewritten or read past
+    * their bounded range aggregate.
+    *
+    * Returns the one-row maintenance report (file and row
+    * accounting) — the spec pins incremental == full-rebuild row
+    * multiset and clean-file untouchedness. */
+  def zOrderAppend(spark: SparkSession, delta: DataFrame, path: String)
+      : DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cuts = readCuts(path)
+    val coded = codeWithCuts(delta, cuts)
+    val deltaCodes = coded.select(col("z_code")).distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ 2^(bits·|cols|) values
+    val existing = spark.read.parquet(path)
+      .withColumn("_f", input_file_name())
+    val ranges = existing.groupBy(col("_f"))
+      .agg(min(col("z_code")).as("_lo"), max(col("z_code")).as("_hi"),
+        count(lit(1)).as("_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val dirty = ranges.filter { case (_, lo, hi, _) =>
+      deltaCodes.exists(c => c >= lo && c <= hi) }.map(_._1).toSet
+    val nDeltaRows = coded.count()
+    val dirtyRows = existing.filter(col("_f").isin(dirty.toSeq: _*))
+      .drop("_f")
+    val merged = dirtyRows.unionByName(coded)
+    val nRewritten = nDeltaRows +
+      ranges.filter(r => dirty(r._1)).map(_._4).sum
+    val staging = path + ".zappend-staging"
+    val newFiles = math.max(1, dirty.size)
+    merged
+      .repartitionByRange(newFiles, col("z_code"))
+      .sortWithinPartitions(col("z_code"))
+      .write.mode("overwrite").parquet(staging)
+    // swap: remove the dirty files, move the staged parts in
+    dirty.foreach { uri =>
+      Files.deleteIfExists(Paths.get(new java.net.URI(uri).getPath))
+    }
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(staging)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach { p =>
+        Files.move(p,
+          Paths.get(path).resolve(
+            "zappend-" + java.util.UUID.randomUUID() + ".parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    Files.walk(Paths.get(staging)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    import spark.implicits._
+    Seq((ranges.length.toLong, dirty.size.toLong,
+        (ranges.length - dirty.size).toLong, nDeltaRows,
+        nRewritten))
+      .toDF("n_files_before", "n_dirty", "n_clean", "n_delta_rows",
+        "n_rewritten_rows")
+  }
 }

@@ -688,4 +688,33 @@ class CurationSpec extends SparkSuite {
       assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("weightedSample: the two-phase shard prune is EXACTLY the naive " +
+      "per-source window; weight bias holds on a planted fixture") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Curation.weightedSample(docs, k = 20)
+      .collect().map(_.toSeq).toSeq
+    val naive = Curation.weightedSampleNaive(docs, k = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == naive,
+      "lossless prune: shard-local top-k must reproduce the global " +
+        "window exactly")
+    // two shard counts, same answer (the prune cannot depend on S)
+    val other = Curation.weightedSample(docs, k = 20, shards = 7)
+      .collect().map(_.toSeq).toSeq
+    assert(other == naive)
+    // weight bias: 5 huge docs among 200 tiny ones — u^(1/w) with
+    // w ~ 10^6 sits within ~3e-5 of 1, a tiny doc needs u > 0.99997
+    // to compete; on the fixed LCG draws all heavies are selected
+    val planted = ((1L to 200L).map(i => (i, "s", 2L)) ++
+      (1001L to 1005L).map(i => (i, "s", 2000000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val sel = Curation.weightedSample(planted, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(sel == (1001L to 1005L).toSet,
+      s"heavy docs must win the k=5 sample, got $sel")
+  }
+
 }

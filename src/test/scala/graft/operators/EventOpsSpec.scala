@@ -703,4 +703,54 @@ class EventOpsSpec extends SparkSuite {
     assert(out.getAs[Double]("trimmed_mean") == 5.0,
       "symmetric trim preserves the mean")
   }
+
+  test("typeAudienceOverlap: hand-counted golden — co-occurring pairs " +
+      "only, exact Jaccard") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, "a"), (2L, 100L, "b"),
+      (3L, 200L, "a"),
+      (4L, 300L, "b"), (5L, 300L, "c"), (6L, 300L, "b")
+    ).map { case (e, u, t) =>
+      (e, u, t, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.typeAudienceOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_both"),
+        r.getAs[Double]("jaccard"))).toSeq
+    // audiences: a={100,200}, b={100,300}, c={300}
+    // a-b share {100}: J = 1/(2+2-1); b-c share {300}: J = 1/(2+1-1);
+    // a-c share nothing -> absent
+    assert(out == Seq(
+      ("a", "b", 1L, math.round(1.0 / 3.0 * 1e12) / 1e12),
+      ("b", "c", 1L, 0.5)))
+  }
+
+  test("typeAudienceOverlapApprox: all pairs present, estimates within " +
+      "HLL error of the exact counts on the harness events") {
+    val ev = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
+    val exact = EventOps.typeAudienceOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_users_a"), r.getAs[Long]("n_users_b"),
+          r.getAs[Long]("n_both"))).toMap
+    val approx = EventOps.typeAudienceOverlapApprox(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("est_users_a"), r.getAs[Long]("est_users_b"),
+          r.getAs[Long]("est_both"))).toMap
+    // the approx emits every pair; every exact (co-occurring) pair is
+    // among them
+    assert(exact.keySet.subsetOf(approx.keySet))
+    exact.foreach { case (pair, (na, nb, both)) =>
+      val (ea, eb, eboth) = approx(pair)
+      // lgK=14 -> ~0.8% RSE per sketch; inclusion-exclusion compounds
+      // three estimates, give 3-sigma-ish headroom plus small-n slack
+      def ok(est: Long, ex: Long): Boolean =
+        math.abs(est - ex) <= math.max(5.0, 0.05 * ex)
+      assert(ok(ea, na) && ok(eb, nb),
+        s"$pair per-type estimates off: ($ea,$eb) vs ($na,$nb)")
+      assert(math.abs(eboth - both) <=
+        math.max(10.0, 0.05 * (na + nb)),
+        s"$pair intersection estimate $eboth vs exact $both")
+    }
+  }
 }

@@ -151,4 +151,77 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(zSpan < 0.7 * sSpan,
       s"z-order must shrink the second dimension: $zSpan vs $sSpan")
   }
+
+  test("zOrderAppend: rewrites ONLY the curve tiles the delta touches; " +
+      "incremental result == full membership; clean files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zappend")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    val base = li.filter(col("l_orderkey") > 1000L)
+    val delta = li.filter(col("l_orderkey") <= 1000L)
+    assert(delta.count() > 0 && base.count() > 0)
+    Layout.zOrderWriteIndexed(base, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 6)
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(table))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = files()
+    val report = Layout.zOrderAppend(spark, delta, table).head()
+    assert(report.getAs[Long]("n_files_before") == 6L)
+    val nDirty = report.getAs[Long]("n_dirty")
+    val nClean = report.getAs[Long]("n_clean")
+    assert(nDirty >= 1L, "the delta must touch at least one tile")
+    assert(nClean >= 1L,
+      "a narrow-key delta must leave some curve tiles clean — " +
+        s"dirty=$nDirty clean=$nClean")
+    assert(report.getAs[Long]("n_delta_rows") == delta.count())
+    // clean files survive by identity (same name, same mtime)
+    val after = files()
+    val untouched = before.keySet.intersect(after.keySet)
+      .count(k => before(k) == after(k))
+    assert(untouched == nClean,
+      s"clean files must not be rewritten: $untouched vs $nClean")
+    // incremental result == full membership (the table keeps z_code —
+    // compare the payload columns as sorted multisets)
+    val got = spark.read.parquet(table)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = base.unionByName(delta)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == want.length)
+    assert(got.sameElements(want), "row multiset must match base+delta")
+    // a second append of an ALREADY-covered code range is idempotent
+    // in accounting terms: still bounded by the file count
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("zOrderAppend refuses a table without frozen cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zplain")
+      .toFile.getAbsolutePath
+    val table = dir + "/plain"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    Layout.zOrderWrite(li, Seq("l_orderkey", "l_partkey"), table)
+    val e = intercept[IllegalArgumentException] {
+      Layout.zOrderAppend(spark, li.limit(5), table)
+    }
+    assert(e.getMessage.contains("zOrderWriteIndexed"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 }
