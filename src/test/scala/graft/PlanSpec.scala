@@ -1208,4 +1208,50 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("HashAggregate"),
       "per-user moments must partial-aggregate")
   }
+
+  test("q209 weighted sample: both rank windows are (source[, shard])-" +
+      "partitioned — no unpartitioned global window; no join at all") {
+    val df = q("q209_weighted_sample")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPart = plan.split("== Initial Plan ==").head
+    // every Window node must carry a partition spec (the two-phase
+    // prune: (source, _shard) then (source)) — an unpartitioned window
+    // would serialize the corpus through one reducer
+    val unpartitioned = finalPart.linesIterator.exists(l =>
+      l.contains("Window") && !l.contains("windowspecdefinition(source"))
+    assert(!unpartitioned,
+      "every rank window must partition by source (or source, shard)")
+    assert(!plan.contains("Join"), "the sample is hash + windows only")
+  }
+
+  test("q210 audience overlap: the pair join keys on user_id after ONE " +
+      "distinct presence fold; per-type counts ride broadcasts") {
+    val df = q("q210_type_audience_overlap")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the pair space comes from the user-keyed equi-join")
+    assert(plan.contains("BroadcastExchange"),
+      "the |types|-row count table must broadcast back")
+  }
+
+  test("x43 HLL overlap: one sketch aggregate over the corpus; the " +
+      "pairwise stage is a broadcast nested loop on |types| rows — " +
+      "nothing corpus-sized past the sketches") {
+    val df = q("x43_hll_type_overlap")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hll_sketch_agg") ||
+      plan.contains("HllSketchAgg"),
+      "the DataSketches aggregate must be in the plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the |types|-row pair stage must not shuffle-join")
+    // exactly one data-sized exchange: the sketch aggregate's partial
+    // -> final (everything after runs on |types| rows)
+    val exchanges = plan.split("== Initial Plan ==").head.linesIterator
+      .count(l => l.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"only the sketch aggregate may shuffle, got $exchanges")
+  }
 }
