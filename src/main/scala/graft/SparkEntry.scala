@@ -1182,6 +1182,11 @@ object SparkEntry {
     // identical pair list pinned in EventOpsSpec.
     "x43_hll_type_overlap" -> ((s, d) =>
       EventOps.typeAudienceOverlapApprox(t(s, d, "events"))),
+    // Corpus bigram entropy rate: H(W2|W1) vs H(W1) per source — the
+    // formulaic-text collapse signal; one scan, vocab-bounded tables,
+    // 9dp-decimal term sums (q140 libm discipline).
+    "q211_bigram_entropy" -> ((s, d) =>
+      TextOps.bigramEntropyRate(t(s, d, "documents"))),
     // Incremental Z-order maintenance: append a narrow-key delta into
     // an indexed z-order table, rewriting ONLY the curve tiles the
     // delta touches. Filesystem side effects + file accounting ->
@@ -5126,5 +5131,44 @@ object SparkEntry {
          FROM j JOIN n na ON na.event_type = j.type_a
            JOIN n nb ON nb.event_type = j.type_b
          ORDER BY type_a, type_b""",
+    // Adjacent bigrams WITH multiplicity via 1-based list positions;
+    // conditional counts derive from the bigram table; each
+    // c*(log2 c - log2 c1) term rounds to 9dp into DECIMAL before the
+    // exact sum (q140 discipline), final divisions round 12.
+    "q211_bigram_entropy" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         b AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         c1 AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1, 2),
+         ct AS (SELECT c12.source,
+             CAST(round(CAST(c12.c AS DOUBLE) *
+               (log2(CAST(c12.c AS DOUBLE)) -
+                log2(CAST(c1.c1 AS DOUBLE))), 9) AS DECIMAL(28,9))
+               AS term
+           FROM c12 JOIN c1 ON c12.source = c1.source
+             AND c12.w1 = c1.w1),
+         cs AS (SELECT source, sum(term) AS s12,
+             CAST(count(*) AS BIGINT) AS n_bigram_types
+           FROM ct GROUP BY 1),
+         ut AS (SELECT source, c1,
+             CAST(round(CAST(c1 AS DOUBLE) * log2(CAST(c1 AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS t1
+           FROM c1),
+         us AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n_bigrams,
+             sum(t1) AS s1 FROM ut GROUP BY 1)
+         SELECT cs.source, n_bigrams, n_bigram_types,
+           round(-CAST(s12 AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 12)
+             AS h_cond_bits,
+           round(log2(CAST(n_bigrams AS DOUBLE)) -
+             CAST(s1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 12)
+             AS h_unigram_bits
+         FROM cs JOIN us ON cs.source = us.source
+         ORDER BY cs.source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

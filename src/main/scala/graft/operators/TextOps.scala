@@ -2823,4 +2823,69 @@ object TextOps {
           .otherwise(lit(0d)).as("removed_frac"),
         col("_c.clean").as("text_clean"))
       .orderBy(col("doc_id"))
+
+  /** q211: corpus bigram entropy rate per source — the conditional
+    * entropy H(W₂|W₁) in bits/token of the adjacent-bigram model,
+    * reported beside the unigram entropy H(W₁). The GAP between them
+    * is the formulaic-text signal one level above letter entropy
+    * (q140) and orthogonal to perplexity-vs-self (q52): natural prose
+    * keeps H(W₂|W₁) high relative to H(W₁); template floods and
+    * boilerplate mills collapse it (each word strongly determines the
+    * next) even when their unigram mix looks normal. Shannon's
+    * classic estimate, per source.
+    *
+    * Determinism (the q140/q113 libm discipline): counts are exact;
+    * each c·(log₂c − log₂c₁) term rounds to 9 dp into DECIMAL(28,9)
+    * BEFORE the order-free exact sum; the final divisions round 12.
+    *
+    * Scale shape: ONE corpus scan explodes adjacent pairs (with
+    * multiplicity — shingles() is set-semantics, counts here must
+    * not be); everything after runs on the (source, w1, w2) count
+    * table (vocabulary²-bounded, far sub-corpus in practice): the
+    * conditional table derives by re-aggregating the bigram counts
+    * (the corpus is NOT rescanned for unigrams), totals broadcast
+    * back, and the entropy folds are per-source metadata.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * bigram count table (evictable MEMORY_AND_DISK) — one-shot
+    * runners sweep it; long-lived sessions clearCache() between
+    * workloads (sourceOverlap's note). */
+  def bigramEntropyRate(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 9)
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          try_element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = docs
+      .select(col("source"), explode(pairs).as("p"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("source"), col("w1"))
+      .agg(sum(col("c")).as("c1"))
+    val condTerms = c12.join(c1, Seq("source", "w1"))
+      .select(col("source"),
+        round(col("c").cast("double") *
+          (log2(col("c").cast("double")) -
+            log2(col("c1").cast("double"))), 9).cast(dec).as("_t"))
+      .groupBy(col("source"))
+      .agg(sum(col("_t")).as("_s12"), count(lit(1)).as("n_bigram_types"))
+    val uniTerms = c1
+      .select(col("source"), col("c1"),
+        round(col("c1").cast("double") * log2(col("c1").cast("double")),
+          9).cast(dec).as("_t1"))
+      .groupBy(col("source"))
+      .agg(sum(col("c1")).as("n_bigrams"), sum(col("_t1")).as("_s1"))
+    condTerms.join(uniTerms, "source")
+      .select(col("source"), col("n_bigrams"), col("n_bigram_types"),
+        round(-col("_s12").cast("double") /
+          col("n_bigrams").cast("double"), 12).as("h_cond_bits"),
+        round(log2(col("n_bigrams").cast("double")) -
+          col("_s1").cast("double") / col("n_bigrams").cast("double"),
+          12).as("h_unigram_bits"))
+      .orderBy(col("source"))
+  }
 }

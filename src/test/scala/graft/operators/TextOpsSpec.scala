@@ -1784,4 +1784,34 @@ class TextOpsSpec extends SparkSuite {
     // C=10: nothing truncates
     assert(out(10L) == ((0L, 0.0, 0L, 0.0)))
   }
+
+  test("bigramEntropyRate: a fully deterministic chain has H(W2|W1) = 0; " +
+      "a fair binary continuation has exactly 1 bit") {
+    import spark.implicits._
+    val docs = Seq(
+      // src0: 'a b a b a b' — every continuation is forced
+      (1L, "src0", "a b a b a b"),
+      // src1: after 'x', 'y' and 'z' each once — one fair bit
+      (2L, "src1", "x y"),
+      (3L, "src1", "x z")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.bigramEntropyRate(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = out("src0")
+    assert(f.getAs[Long]("n_bigrams") == 5L)
+    assert(f.getAs[Long]("n_bigram_types") == 2L) // (a,b) and (b,a)
+    assert(f.getAs[Double]("h_cond_bits") == 0.0,
+      "forced continuations carry zero conditional entropy")
+    // w1 stream = a,b,a,b,a → counts 3,2:
+    // H1 = log2 5 − (3·log2 3 + 2·log2 2)/5
+    val h1 = math.log(5) / math.log(2) -
+      (3 * (math.log(3) / math.log(2)) + 2.0) / 5
+    assert(math.abs(f.getAs[Double]("h_unigram_bits") - h1) < 1e-9)
+    val u = out("src1")
+    assert(u.getAs[Long]("n_bigrams") == 2L)
+    assert(u.getAs[Double]("h_cond_bits") == 1.0,
+      "two equally likely continuations = exactly one bit")
+    assert(u.getAs[Double]("h_unigram_bits") == 0.0,
+      "w1 is always 'x' — no unigram surprise")
+  }
 }
