@@ -1182,6 +1182,10 @@ object SparkEntry {
     // identical pair list pinned in EventOpsSpec.
     "x43_hll_type_overlap" -> ((s, d) =>
       EventOps.typeAudienceOverlapApprox(t(s, d, "events"))),
+    // Flesch reading-ease per source: three exact map-side counters,
+    // one bounded aggregate, score from exact integer sums (round 12).
+    "q212_readability" -> ((s, d) =>
+      TextOps.readabilityBySource(t(s, d, "documents"))),
     // Corpus bigram entropy rate: H(W2|W1) vs H(W1) per source — the
     // formulaic-text collapse signal; one scan, vocab-bounded tables,
     // 9dp-decimal term sums (q140 libm discipline).
@@ -5170,5 +5174,30 @@ object SparkEntry {
              AS h_unigram_bits
          FROM cs JOIN us ON cs.source = us.source
          ORDER BY cs.source""",
+    // Sentence counter = terminal-punctuation runs via
+    // len(regexp_extract_all) (DuckDB has no regexp_count), min 1;
+    // syllable proxy = [aeiouy]+ runs on the lowered text; the score
+    // divides exact integer sums, round 12.
+    "q212_readability" ->
+      """WITH d AS (SELECT source,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x != '')) AS BIGINT) AS w,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT), 1) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS y
+           FROM documents),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_sentences,
+             CAST(sum(y) AS BIGINT) AS n_syllables
+           FROM d WHERE w > 0 GROUP BY 1)
+         SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           round(206.835 -
+             1.015 * (CAST(n_words AS DOUBLE) /
+               CAST(n_sentences AS DOUBLE)) -
+             84.6 * (CAST(n_syllables AS DOUBLE) /
+               CAST(n_words AS DOUBLE)), 12) AS flesch_score
+         FROM g ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

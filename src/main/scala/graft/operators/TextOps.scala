@@ -2888,4 +2888,43 @@ object TextOps {
           12).as("h_unigram_bits"))
       .orderBy(col("source"))
   }
+
+  /** q212: Flesch reading-ease audit per source — the classic
+    * readability screen (Flesch 1948) on crawl text: score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences counted as terminal-punctuation runs (min 1 per doc —
+    * headline fragments are one "sentence") and syllables by the
+    * vowel-group proxy (runs of [aeiouy], the standard cheap
+    * estimator). Word-salad and OCR noise crater the score; legal/SEO
+    * boilerplate inflates sentence length — a quality gate dimension
+    * the stopword/length rules (q64) don't see.
+    *
+    * Determinism: all three counters are exact integers per doc; the
+    * per-source score is computed from EXACT integer sums with two
+    * divisions and round 12 at the end — no per-doc float ever sums.
+    *
+    * Scale shape: three map-side regexp/token counters, ONE bounded
+    * per-source aggregate. */
+  def readabilityBySource(docs: DataFrame): DataFrame = {
+    val words = TextFunctions.tokenCount(col("text"))
+    val sentences = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables =
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs
+      .select(col("source"), words.as("_w"), sentences.as("_s"),
+        syllables.as("_y"))
+      .filter(col("_w") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_s")).as("n_sentences"), sum(col("_y")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 12).as("flesch_score"))
+      .orderBy(col("source"))
+  }
 }

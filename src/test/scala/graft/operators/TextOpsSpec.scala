@@ -1814,4 +1814,31 @@ class TextOpsSpec extends SparkSuite {
     assert(u.getAs[Double]("h_unigram_bits") == 0.0,
       "w1 is always 'x' — no unigram surprise")
   }
+
+  test("readabilityBySource: hand-computed Flesch on known text; " +
+      "fragment docs count one sentence; empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 words, 2 sentences, syllable-run counts by [aeiouy]+:
+      // "go on. we did." -> go(1) on(1) we(1) did(1) = 4
+      (1L, "srcA", "go on. we did."),
+      // headline fragment: no terminal punctuation -> 1 sentence;
+      // "big data rocks" -> big(1) data(2) rocks(1) = 4 syllable runs
+      (2L, "srcB", "big data rocks"),
+      (3L, "srcC", "")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.readabilityBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("srcC"), "zero-word docs contribute nothing")
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_words") == 4L &&
+      a.getAs[Long]("n_sentences") == 2L &&
+      a.getAs[Long]("n_syllables") == 4L)
+    val expectA = 206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (4.0 / 4.0)
+    assert(math.abs(a.getAs[Double]("flesch_score") - expectA) < 1e-9)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_sentences") == 1L,
+      "a fragment without terminal punctuation is one sentence")
+    assert(b.getAs[Long]("n_syllables") == 4L)
+  }
 }
