@@ -931,11 +931,24 @@ object Curation {
     * its own shard, so the prune drops no candidate); phase 2
     * exact-ranks the ≤ shards·k survivors per source. Output is
     * IDENTICAL to the naive window (CurationSpec pins it); the
-    * per-source reducer sees bounded rows at any corpus size. */
+    * per-source reducer sees bounded rows at any corpus size.
+    *
+    * The phase-2 bound is the PRODUCT shards·k, so `shards` is a
+    * ceiling, not a constant: the effective shard count is
+    * min(shards, max(1, PHASE2_CAP/k)), keeping the per-source
+    * phase-2 reducer under ~PHASE2_CAP rows for any k the caller
+    * asks for (at k ≥ PHASE2_CAP the prune degenerates to one shard
+    * = the naive window, which is also the correct trade there —
+    * a top-k that big IS the reducer's output). Output is shard-
+    * count-invariant (the prune is lossless), so the derivation
+    * never changes results, only the plan shape. */
   def weightedSample(docs: DataFrame, k: Int = 50,
       shards: Int = 32): DataFrame = {
     require(k >= 1, "k must be positive")
     require(shards >= 1, "shards must be positive")
+    // cap the phase-2 per-source reducer input at ~64k rows
+    val Phase2Cap = 65536
+    val effShards = math.min(shards, math.max(1, Phase2Cap / k))
     val two31 = 2147483648L
     val h = pmod(pmod(abs(col("doc_id")), lit(two31)) * lit(1103515245L) +
       lit(12345L), lit(two31))
@@ -943,7 +956,7 @@ object Curation {
     val key = pow(u, lit(1.0) / (col("n_chars") + lit(1L)).cast("double"))
     val keyed = docs.select(col("source"), col("doc_id"), col("n_chars"),
       key.as("_key"),
-      pmod(abs(col("doc_id")), lit(shards.toLong)).as("_shard"))
+      pmod(abs(col("doc_id")), lit(effShards.toLong)).as("_shard"))
     val wShard = Window.partitionBy(col("source"), col("_shard"))
       .orderBy(col("_key").desc, col("doc_id"))
     val pruned = keyed

@@ -1272,9 +1272,11 @@ object EventOps {
     * HLL error of exact q210 and the pair list identical.
     *
     * The inclusion–exclusion difference of three estimates can go
-    * slightly negative on near-disjoint audiences — clamped at 0
-    * (the true intersection is a count). lgK=14 ⇒ ~0.8% relative
-    * standard error per sketch. */
+    * slightly negative on near-disjoint audiences, or overshoot
+    * min(|A|,|B|) on tiny ones — clamped into the feasible interval
+    * [0, least(est_a, est_b)] (a true intersection can be neither
+    * negative nor larger than its smaller side). lgK=14 ⇒ ~0.8%
+    * relative standard error per sketch. */
   def typeAudienceOverlapApprox(events: DataFrame): DataFrame = {
     val sk = events.select(col("user_id"), col("event_type"))
       .groupBy(col("event_type"))
@@ -1289,8 +1291,8 @@ object EventOps {
         expr("hll_sketch_estimate(hll_union(_ska, _skb))").as("_eu"))
       .select(col("type_a"), col("type_b"),
         col("_ea").as("est_users_a"), col("_eb").as("est_users_b"),
-        greatest(col("_ea") + col("_eb") - col("_eu"), lit(0L))
-          .as("est_both"))
+        least(greatest(col("_ea") + col("_eb") - col("_eu"), lit(0L)),
+          least(col("_ea"), col("_eb"))).as("est_both"))
       .orderBy(col("type_a"), col("type_b"))
   }
 }

@@ -171,6 +171,122 @@ object Layout {
     * (underscore prefix: parquet readers ignore it). */
   private val ZCUTS_FILE = "_graft_zcuts"
 
+  /** Versioned live-file manifests — the table's commit pointer.
+    * `_graft_zmanifest-<version>` lists the data files a reader may
+    * see; the HIGHEST version is the table's current state, and a
+    * manifest becomes visible by ONE atomic rename, so a reader (or a
+    * crash) at any instant resolves to exactly one complete file set —
+    * never a table missing rows mid-swap. Underscore prefix: plain
+    * `spark.read.parquet(dir)` ignores the manifests (it sees live +
+    * any not-yet-vacuumed superseded files; the maintained-table read
+    * contract is readZOrdered). */
+  private val MANIFEST_PREFIX = "_graft_zmanifest-"
+
+  private def manifestVersion(name: String): Option[Long] =
+    if (name.startsWith(MANIFEST_PREFIX))
+      scala.util.Try(name.drop(MANIFEST_PREFIX.length).toLong).toOption
+    else None
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Write bytes to a dot-prefixed temp name, then publish by ONE
+    * rename — the manifest commit point (rename is atomic on HDFS and
+    * on the local FS; the destination name never pre-exists because
+    * versions only grow). */
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      "." + dst.getName + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, dst), s"atomic publish failed: $tmp -> $dst")
+  }
+
+  /** (current version, live data-file names) from the highest
+    * manifest. */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val versions = fs.listStatus(table).toSeq
+      .flatMap(s => manifestVersion(s.getPath.getName))
+    require(versions.nonEmpty,
+      s"$table has no $MANIFEST_PREFIX* commit pointer — not an " +
+        "incrementally-maintained table (write it with zOrderWriteIndexed)")
+    val v = versions.max
+    val text = readUtf8(fs,
+      new org.apache.hadoop.fs.Path(table, manifestName(v)))
+    (v, text.split("\n").toSeq.filter(_.nonEmpty))
+  }
+
+  private def manifestName(version: Long): String =
+    f"$MANIFEST_PREFIX$version%08d"
+
+  /** Read an incrementally-maintained Z-order table THROUGH its
+    * manifest — the consistent-snapshot read path: the file list comes
+    * from the highest committed manifest, so a concurrent zOrderAppend
+    * (or its crash debris) is invisible until its one-rename commit. */
+  def readZOrdered(spark: SparkSession, path: String): DataFrame = {
+    val (fs, table) = hadoopFs(spark, path)
+    val (_, live) = latestManifest(fs, table)
+    spark.read.parquet(live.map(n =>
+      new org.apache.hadoop.fs.Path(table, n).toString): _*)
+  }
+
+  /** Per-file [min,max] z_code range + row count from the parquet
+    * FOOTER — file-count metadata reads, ZERO data-row scans (the
+    * lakehouse contract x44's docstring promises: clean files are
+    * never read past their footer). A file whose z_code chunk lacks
+    * stats degrades to the always-dirty range (conservative: it gets
+    * rewritten, never silently skipped); an empty file reports the
+    * never-dirty empty range. */
+  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      var n = 0L
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var statsOk = true
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        n += b.getRowCount
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "z_code") match {
+          case Some(c) =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue)
+              statsOk = false
+            else {
+              lo = math.min(lo,
+                st.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+              hi = math.max(hi,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+          case None => statsOk = false
+        }
+      }
+      if (n == 0L) (Long.MaxValue, Long.MinValue, 0L)
+      else if (!statsOk) (Long.MinValue, Long.MaxValue, n)
+      else (lo, hi, n)
+    } finally reader.close()
+  }
+
   /** The quantile cut grid zOrderCode derives — collected (bounded:
     * |cols| × (2^bits − 1) doubles) so an INDEXED table can freeze it
     * at write time and code later appends against the ORIGINAL grid

@@ -284,19 +284,20 @@ object Multimodal {
       try {
         // seekForwardOnly=false: getNumImages(true) needs random access
         reader.setInput(iis, false, true)
+        // NonFatal, not just IOException: the JDK GIF plugin throws
+        // unchecked exceptions (ArrayIndexOutOfBounds, IllegalArgument)
+        // on malformed/truncated payloads, and one bad record must not
+        // fail the whole task — per-item isolation is the contract.
         val n =
           try reader.getNumImages(true)
-          catch { case _: java.io.IOException => 0 }
+          catch { case scala.util.control.NonFatal(_) => 0 }
         val frames = (0 until n).flatMap { i =>
           try Option(reader.read(i))
-          catch {
-            case _: java.io.IOException => None
-            case _: IndexOutOfBoundsException => None
-          }
+          catch { case scala.util.control.NonFatal(_) => None }
         }
         (n, frames)
       } catch {
-        case _: java.io.IOException => (0, Seq.empty)
+        case scala.util.control.NonFatal(_) => (0, Seq.empty)
       } finally {
         reader.dispose()
         try iis.close() catch { case _: java.io.IOException => () }

@@ -2899,6 +2899,14 @@ object TextOps {
     * boilerplate inflates sentence length — a quality gate dimension
     * the stopword/length rules (q64) don't see.
     *
+    * Proxy bias: the sentence counter treats ANY `[.!?]+` run as
+    * terminal, so decimals ("3.14"), URLs and abbreviations ("e.g.")
+    * each inflate the sentence count and deflate words/sentence —
+    * biasing the score UP on number/URL-heavy sources. The bias is
+    * systematic and shared by the oracle mirror (correctness holds);
+    * read per-source DELTAS, not absolute Flesch levels, on such
+    * corpora.
+    *
     * Determinism: all three counters are exact integers per doc; the
     * per-source score is computed from EXACT integer sums with two
     * divisions and round 12 at the end — no per-doc float ever sums.

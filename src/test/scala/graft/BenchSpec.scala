@@ -65,6 +65,27 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"value\":4.500"))
   }
 
+  test("fittedLine keeps EXACTLY a slowest-first prefix at any budget — " +
+      "a wide slow key can never be displaced by a narrower faster one") {
+    // mixed-width short keys: under the old keep-scanning packing, a
+    // budget that rejects the wide "wiiiiiiiiiiide" entry would still
+    // admit the faster narrow ones behind it, making omitted_fastest
+    // a lie. The fix stops at the first non-fit.
+    val results = Seq(
+      "s1_slowest" -> 9.0, "wiiiiiiiiiiiiiiiiiiiiiide_w" -> 8.0,
+      "n1_fast" -> 7.0, "n2_faster" -> 6.0, "n3_fastest" -> 5.0)
+    val order = Seq("s1", "wiiiiiiiiiiiiiiiiiiiiiide", "n1", "n2", "n3")
+    (120 to 420 by 7).foreach { budget =>
+      val line = Bench.fittedLine(results, iters = 3, sfDir = "/sf", budget)
+      val kept = order.filter(k => line.contains("\"" + k + "\":"))
+      assert(kept == order.take(kept.size),
+        s"budget=$budget kept $kept — not a slowest-first prefix")
+      val omitted = "\"omitted_fastest\":(\\d+)".r
+        .findFirstMatchIn(line).get.group(1).toInt
+      assert(omitted == results.size - kept.size)
+    }
+  }
+
   test("assertPositive rejects zero and negative timings") {
     Bench.assertPositive(Seq("a" -> 0.001, "b" -> 12.0)) // fine
     intercept[IllegalArgumentException] {

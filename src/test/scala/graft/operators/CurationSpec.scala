@@ -715,6 +715,16 @@ class CurationSpec extends SparkSuite {
       .collect().map(_.getLong(1)).toSet
     assert(sel == (1001L to 1005L).toSet,
       s"heavy docs must win the k=5 sample, got $sel")
+    // LARGE k: the shard count derives down from the Phase2Cap/k
+    // bound (k=100k > cap -> one shard = the naive window) and the
+    // answer is still exactly the naive one — the caller can ask for
+    // any k without the phase-2 reducer exceeding ~shards*k ~ 64k rows
+    val bigK = Curation.weightedSample(docs, k = 100000)
+      .collect().map(_.toSeq).toSeq
+    val bigKNaive = Curation.weightedSampleNaive(docs, k = 100000)
+      .collect().map(_.toSeq).toSeq
+    assert(bigK == bigKNaive,
+      "large-k sample must still equal the naive window")
   }
 
 }

@@ -751,6 +751,10 @@ class EventOpsSpec extends SparkSuite {
       assert(math.abs(eboth - both) <=
         math.max(10.0, 0.05 * (na + nb)),
         s"$pair intersection estimate $eboth vs exact $both")
+      // feasibility clamp: an intersection estimate can never be
+      // negative nor exceed its smaller side's estimate
+      assert(eboth >= 0L && eboth <= math.min(ea, eb),
+        s"$pair est_both $eboth outside [0, min($ea,$eb)]")
     }
   }
 }
