@@ -269,7 +269,8 @@ object Layout {
         b.getColumns.asScala
           .find(_.getPath.toDotString == "z_code") match {
           case Some(c) =>
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
             if (st == null || st.isEmpty || !st.hasNonNullValue)
               statsOk = false
             else {
@@ -333,9 +334,10 @@ object Layout {
   /** Z-order write for a table that will take INCREMENTAL appends:
     * same range-partitioned curve tiling as zOrderWrite, but the
     * z_code column is KEPT in the files (per-file code ranges are
-    * then one bounded aggregate away — on a lakehouse they come from
-    * footer stats) and the quantile cut grid is FROZEN beside the
-    * table, so appends code new rows against the original grid. */
+    * then a parquet-FOOTER read away — zero data rows), the quantile
+    * cut grid is FROZEN beside the table so appends code new rows
+    * against the original grid, and the live file set is committed
+    * as manifest version 0 (readZOrdered reads through it). */
   def zOrderWriteIndexed(df: DataFrame, cols: Seq[String], path: String,
       bits: Int = 4, files: Int = 8): Unit = {
     require(cols.size >= 2, "z-order needs at least two columns")
@@ -345,23 +347,44 @@ object Layout {
       .repartitionByRange(files, col("z_code"))
       .sortWithinPartitions(col("z_code"))
       .write.mode("overwrite").parquet(path)
+    val (fs, table) = hadoopFs(df.sparkSession, path)
     val text = cuts.map { case (c, cs) =>
       c + ":" + cs.mkString(",") }.mkString("\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path).resolve(ZCUTS_FILE),
-      text.getBytes("UTF-8"))
+    writeAtomic(fs, new org.apache.hadoop.fs.Path(table, ZCUTS_FILE), text)
+    val parts = fs.listStatus(table).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted
+    writeAtomic(fs, new org.apache.hadoop.fs.Path(table, manifestName(0L)),
+      parts.mkString("\n"))
   }
 
-  private def readCuts(path: String): Seq[(String, Seq[Double])] = {
-    val f = java.nio.file.Paths.get(path).resolve(ZCUTS_FILE)
-    require(java.nio.file.Files.exists(f),
-      s"$path is not an indexed z-order table (no $ZCUTS_FILE — " +
+  private def readCuts(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[(String, Seq[Double])] = {
+    val f = new org.apache.hadoop.fs.Path(table, ZCUTS_FILE)
+    require(fs.exists(f),
+      s"$table is not an indexed z-order table (no $ZCUTS_FILE — " +
         "write it with zOrderWriteIndexed)")
-    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    readUtf8(fs, f)
       .split("\n").toSeq.map { line =>
         val Array(c, cs) = line.split(":", 2)
         c -> cs.split(",").toSeq.map(_.toDouble)
       }
+  }
+
+  /** The append leg's range source, exposed for the spec: per live
+    * file (name, z_code min, z_code max, rows) — pure driver-side
+    * footer metadata, launches ZERO Spark jobs and reads ZERO data
+    * rows (LayoutSpec pins both, plus value-parity with a full-scan
+    * computation of the same ranges). */
+  private[graft] def liveFileRanges(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val (fs, table) = hadoopFs(spark, path)
+    val (_, live) = latestManifest(fs, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    live.map { name =>
+      val (lo, hi, n) =
+        footerRange(conf, new org.apache.hadoop.fs.Path(table, name))
+      (name, lo, hi, n)
+    }
   }
 
   /** x44: INCREMENTAL Z-order maintenance — the OPTIMIZE-incremental
@@ -374,63 +397,124 @@ object Layout {
     * range-tiling the curve at write time.
     *
     * Mechanics: the delta codes map-side against the frozen cut grid;
-    * per-file [min,max] code ranges come from ONE bounded aggregate
-    * over the z_code column (file-count rows — a lakehouse reads
-    * them from footer stats instead); a file is dirty iff its range
-    * contains one of the delta's ≤ 2^(bits·|cols|) distinct codes.
-    * Dirty rows + delta re-sort and land as fresh curve-sorted files
-    * (staged write, then swap — a crash before the swap leaves the
-    * original table intact, the stale staging dir is overwrite-
-    * reclaimed on retry). Clean files are NOT rewritten or read past
-    * their bounded range aggregate.
+    * per-file [min,max] code ranges come from the parquet FOOTERS of
+    * the manifest's live files (file-count metadata reads — clean
+    * files contribute ZERO data-row reads to an append, the
+    * lakehouse contract; LayoutSpec pins it with scan metrics). A
+    * file is dirty iff its range contains one of the delta's
+    * ≤ 2^(bits·|cols|) distinct codes — binary search of the sorted
+    * code set per file, O(files · log codes) on the driver (the
+    * file LIST is driver-resident either way; at a file count where
+    * that matters the listing itself moves to a metastore). Dirty
+    * rows + delta re-sort and land as fresh curve-sorted files.
+    *
+    * Commit protocol (single writer; readers any time): staged parts
+    * write to a UUID-suffixed staging dir → move into the table dir
+    * under fresh names (invisible: not in any manifest) → commit ONE
+    * atomic manifest rename → only then delete dirty files and
+    * superseded manifests. A reader through readZOrdered therefore
+    * sees the OLD complete table before the commit instant and the
+    * NEW complete table after it — never a table missing the dirty
+    * rows, never transient duplicates. A crash before the commit
+    * leaves the old manifest current (orphaned staged files are
+    * vacuumed by the next append); a crash after it leaves the new
+    * table current (undeleted dirty files are unreferenced and
+    * likewise vacuumed). All file ops go through the Hadoop
+    * FileSystem API — the same code path works on HDFS/object-store
+    * filesystems, not just file://.
     *
     * Returns the one-row maintenance report (file and row
     * accounting) — the spec pins incremental == full-rebuild row
-    * multiset and clean-file untouchedness. */
+    * multiset, clean-file untouchedness, zero clean-row reads, and
+    * reader-visible completeness at every injected crash point. */
   def zOrderAppend(spark: SparkSession, delta: DataFrame, path: String)
-      : DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val cuts = readCuts(path)
+      : DataFrame =
+    zOrderAppendImpl(spark, delta, path, failAt = "")
+
+  /** Test seam: `failAt` ∈ {"before-commit", "before-cleanup"} throws
+    * at that point so the spec can pin what a reader (and a retry)
+    * sees on either side of the commit instant. */
+  private[graft] def zOrderAppendImpl(spark: SparkSession,
+      delta: DataFrame, path: String, failAt: String): DataFrame = {
+    def maybeFail(point: String): Unit =
+      if (failAt == point)
+        throw new IllegalStateException(s"injected failpoint: $point")
+    val (fs, table) = hadoopFs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cuts = readCuts(fs, table)
+    val (version, live) = latestManifest(fs, table)
+    // vacuum debris from a crashed prior append: data files not in the
+    // current manifest (orphaned staged moves, undeleted dirty files,
+    // superseded manifests) and stale sibling staging dirs
+    val liveSet = live.toSet
+    fs.listStatus(table).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = manifestVersion(n).exists(_ < version)
+      val orphan = st.isFile && !liveSet(n) && !n.startsWith("_") &&
+        !n.startsWith(".")
+      if (superseded || orphan) fs.delete(st.getPath, false)
+    }
+    val stagingPrefix = table.getName + ".zappend-staging-"
+    Option(table.getParent).filter(p => fs.exists(p)).foreach { parent =>
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(stagingPrefix))
+          fs.delete(st.getPath, true)
+      }
+    }
     val coded = codeWithCuts(delta, cuts)
     val deltaCodes = coded.select(col("z_code")).distinct()
-      .collect().map(_.getLong(0)).toSet // ≤ 2^(bits·|cols|) values
-    val existing = spark.read.parquet(path)
-      .withColumn("_f", input_file_name())
-    val ranges = existing.groupBy(col("_f"))
-      .agg(min(col("z_code")).as("_lo"), max(col("z_code")).as("_hi"),
-        count(lit(1)).as("_n"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
+      .collect().map(_.getLong(0)).sorted // ≤ 2^(bits·|cols|) values
+    // per-file ranges from footers: metadata only, no row reads
+    val ranges = live.map { name =>
+      val (lo, hi, n) =
+        footerRange(conf, new org.apache.hadoop.fs.Path(table, name))
+      (name, lo, hi, n)
+    }
+    def touches(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(deltaCodes, lo)
+      val at = if (i >= 0) i else -i - 1 // first code >= lo
+      at < deltaCodes.length && deltaCodes(at) <= hi
+    }
     val dirty = ranges.filter { case (_, lo, hi, _) =>
-      deltaCodes.exists(c => c >= lo && c <= hi) }.map(_._1).toSet
+      touches(lo, hi) }.map(_._1).toSet
     val nDeltaRows = coded.count()
-    val dirtyRows = existing.filter(col("_f").isin(dirty.toSeq: _*))
-      .drop("_f")
-    val merged = dirtyRows.unionByName(coded)
+    val merged =
+      if (dirty.isEmpty) coded
+      else spark.read.parquet(dirty.toSeq.sorted.map(n =>
+          new org.apache.hadoop.fs.Path(table, n).toString): _*)
+        .unionByName(coded)
     val nRewritten = nDeltaRows +
       ranges.filter(r => dirty(r._1)).map(_._4).sum
-    val staging = path + ".zappend-staging"
+    val staging = new org.apache.hadoop.fs.Path(
+      path + ".zappend-staging-" + java.util.UUID.randomUUID())
     val newFiles = math.max(1, dirty.size)
     merged
       .repartitionByRange(newFiles, col("z_code"))
       .sortWithinPartitions(col("z_code"))
-      .write.mode("overwrite").parquet(staging)
-    // swap: remove the dirty files, move the staged parts in
-    dirty.foreach { uri =>
-      Files.deleteIfExists(Paths.get(new java.net.URI(uri).getPath))
-    }
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(staging)).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .foreach { p =>
-        Files.move(p,
-          Paths.get(path).resolve(
-            "zappend-" + java.util.UUID.randomUUID() + ".parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+      .write.mode("overwrite").parquet(staging.toString)
+    // move staged parts in under fresh names — invisible to readers
+    // (not in any committed manifest) until the commit rename below
+    val movedIn = fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .map { p =>
+        val dst = new org.apache.hadoop.fs.Path(table,
+          "zappend-" + java.util.UUID.randomUUID() + ".parquet")
+        require(fs.rename(p, dst), s"staging move failed: $p -> $dst")
+        dst.getName
       }
-    Files.walk(Paths.get(staging)).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    maybeFail("before-commit")
+    // THE commit instant: one atomic rename publishes the new file set
+    writeAtomic(fs,
+      new org.apache.hadoop.fs.Path(table, manifestName(version + 1)),
+      ((live.filterNot(dirty) ++ movedIn).sorted).mkString("\n"))
+    maybeFail("before-cleanup")
+    // cleanup AFTER the commit: everything deleted here is already
+    // unreferenced, so a crash mid-cleanup only leaves vacuumable debris
+    dirty.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(table, n), false))
+    fs.delete(new org.apache.hadoop.fs.Path(table, manifestName(version)),
+      false)
+    fs.delete(staging, true)
     import spark.implicits._
     Seq((ranges.length.toLong, dirty.size.toLong,
         (ranges.length - dirty.size).toLong, nDeltaRows,

@@ -191,16 +191,183 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(untouched == nClean,
       s"clean files must not be rewritten: $untouched vs $nClean")
     // incremental result == full membership (the table keeps z_code —
-    // compare the payload columns as sorted multisets)
-    val got = spark.read.parquet(table)
+    // compare the payload columns as sorted multisets). readZOrdered is
+    // the maintained-table read contract (through the manifest) …
+    val got = Layout.readZOrdered(spark, table)
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
       .collect().map(_.toSeq).sortBy(_.toString)
     val want = base.unionByName(delta)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(got.length == want.length)
     assert(got.sameElements(want), "row multiset must match base+delta")
+    // … and after a COMPLETED append (cleanup done) the plain directory
+    // read agrees — no debris outlives the append
+    assert(spark.read.parquet(table).count() == want.length.toLong)
     // a second append of an ALREADY-covered code range is idempotent
     // in accounting terms: still bounded by the file count
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("zOrderAppend range derivation is parquet-FOOTER metadata only: " +
+      "zero Spark jobs, values identical to a full scan of the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zranges")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    Layout.zOrderWriteIndexed(li, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 6)
+    // ground truth the expensive way: scan every row per file
+    val scanned = spark.read.parquet(table)
+      .withColumn("_f", input_file_name())
+      .groupBy(col("_f"))
+      .agg(min(col("z_code")).as("lo"), max(col("z_code")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => new java.io.File(
+          new java.net.URI(r.getString(0)).getPath).getName ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val ranges =
+      try {
+        val r = Layout.liveFileRanges(spark, table)
+        Thread.sleep(1000) // listener bus is async — let events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"footer range derivation must launch NO Spark jobs, saw ${jobs.get()}")
+    assert(ranges.size == 6)
+    ranges.foreach { case (name, lo, hi, n) =>
+      val (slo, shi, sn) = scanned(name)
+      assert(lo == slo && hi == shi && n == sn,
+        s"footer range for $name = ($lo,$hi,$n), scan says ($slo,$shi,$sn)")
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("zOrderAppend reads NO clean-file rows: total records read is " +
+      "bounded by the delta and the dirty tiles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscan")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    // a delta in the LOW CORNER of both key ranges — it codes to a few
+    // adjacent curve tiles, leaving most files clean
+    val isDelta = col("l_orderkey") <= 150L && col("l_partkey") <= 40L
+    val base = li.filter(!isDelta)
+    // pin the delta outside parquet: its own reads must not pollute the
+    // append's input metrics
+    val delta = li.filter(isDelta).localCheckpoint()
+    val nBase = base.count()
+    val nDelta = delta.count()
+    assert(nDelta > 0)
+    Layout.zOrderWriteIndexed(base, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 12)
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(te.taskMetrics).foreach(m =>
+          read.addAndGet(m.inputMetrics.recordsRead))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val report =
+      try {
+        val r = Layout.zOrderAppend(spark, delta, table).head()
+        Thread.sleep(1000) // async listener bus
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val dirtyRows =
+      report.getAs[Long]("n_rewritten_rows") - report.getAs[Long]("n_delta_rows")
+    val cleanRows = nBase - dirtyRows
+    // the append touches the delta a handful of times (distinct-code
+    // collect, count, range sampling, write) and each dirty row twice
+    // (range sampling + write); clean rows NEVER
+    val bound = 6 * nDelta + 3 * dirtyRows + 256
+    assert(read.get() <= bound,
+      s"append read ${read.get()} records — clean files were scanned " +
+        s"(delta=$nDelta dirty=$dirtyRows bound=$bound)")
+    // teeth: if the old full-table range scan were still in place, the
+    // clean rows alone would blow the bound
+    assert(cleanRows > bound,
+      s"test has no teeth: clean=$cleanRows <= bound=$bound — narrow " +
+        "the delta or add files")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("zOrderAppend commit protocol: a reader at EVERY injected crash " +
+      "point sees a complete table; retry converges and vacuums debris") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcrash")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    val base = li.filter(col("l_orderkey") > 1000L)
+    val delta1 = li.filter(col("l_orderkey") <= 500L)
+    val delta2 = li.filter(col("l_orderkey") > 500L &&
+      col("l_orderkey") <= 1000L)
+    def payload(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val baseRows = payload(base)
+    Layout.zOrderWriteIndexed(base, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 6)
+    // CRASH 1: after staged parts moved in, BEFORE the manifest commit.
+    // A reader sees the OLD table, complete — not one missing rows.
+    val e1 = intercept[IllegalStateException] {
+      Layout.zOrderAppendImpl(spark, delta1, table, "before-commit")
+    }
+    assert(e1.getMessage.contains("before-commit"))
+    assert(payload(Layout.readZOrdered(spark, table)) == baseRows,
+      "reader before the commit instant must see the old complete table")
+    // the moved-in orphans ARE on disk — exactly why the read contract
+    // goes through the manifest
+    assert(spark.read.parquet(table).count() > baseRows.length.toLong,
+      "crash debris should exist on disk (else this test tests nothing)")
+    // CRASH 2 (retry of the same delta): commit lands, crash BEFORE
+    // cleanup. A reader sees the NEW table, complete — dirty files are
+    // still on disk but unreferenced.
+    val e2 = intercept[IllegalStateException] {
+      Layout.zOrderAppendImpl(spark, delta1, table, "before-cleanup")
+    }
+    assert(e2.getMessage.contains("before-cleanup"))
+    val want1 = payload(base.unionByName(delta1))
+    assert(payload(Layout.readZOrdered(spark, table)) == want1,
+      "reader after the commit instant must see the new complete table")
+    // NORMAL append on top of the debris: vacuums it, converges
+    val report = Layout.zOrderAppend(spark, delta2, table).head()
+    assert(report.getAs[Long]("n_delta_rows") == delta2.count())
+    val want2 = payload(base.unionByName(delta1).unionByName(delta2))
+    assert(payload(Layout.readZOrdered(spark, table)) == want2,
+      "post-vacuum table must hold exactly base+delta1+delta2")
+    // cleanup ran: the directory holds ONLY the live files (+ metadata),
+    // so even a plain directory read agrees
+    assert(spark.read.parquet(table).count() == want2.length.toLong,
+      "vacuum + cleanup must leave no unreferenced data files")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .iterator().asScala.toSeq.reverse
