@@ -148,6 +148,10 @@ object Bench {
     // truncate per run: the log is append-mode within a run, and stale
     // failures from a previous (since-fixed) run must not outlive it
     java.nio.file.Files.deleteIfExists(errLog)
+    // same for the composite entries' per-stage journal (x26/x44):
+    // one line per pass per entry, this run only
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("target/stage_journal.jsonl"))
     def logFailure(name: String, pass: Int, e: Throwable): Unit = {
       val sw = new java.io.StringWriter()
       e.printStackTrace(new java.io.PrintWriter(sw))

@@ -36,7 +36,24 @@ object SparkEntry {
     * Bump the version tag if the synthesis changes. */
   private def mediaFixture(s: SparkSession, d: String, label: String,
       tag: String)(build: DataFrame => DataFrame): DataFrame = {
-    val src = new java.io.File(d, "documents.parquet")
+    val dir = cachedFixture(d, "documents", label, tag) { tmp =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      build(t(s, d, "documents").repartition(nPart))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    }
+    s.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** The fixture cache protocol (mediaFixture's, extracted for x44):
+    * key = (sf-dir, source table file sizes+mtimes, label, version
+    * tag); the build lands in a unique tmp dir and reaches the final
+    * path by ONE atomic rename, so racing JVMs can never interleave a
+    * read with a partial overwrite (the loser deletes its copy — same
+    * key ⇒ equivalent bytes). `build` must leave a `_SUCCESS` marker
+    * in its dir (Spark's committer does). */
+  private def cachedFixture(d: String, srcTable: String, label: String,
+      tag: String)(build: java.io.File => Unit): java.io.File = {
+    val src = new java.io.File(d, srcTable + ".parquet")
     val parts =
       if (src.isDirectory)
         Option(src.listFiles()).map(_.toSeq.sortBy(_.getName))
@@ -49,9 +66,7 @@ object SparkEntry {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".tmp-" + java.util.UUID.randomUUID())
-      val nPart = s.sessionState.conf.numShufflePartitions
-      build(t(s, d, "documents").repartition(nPart))
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      build(tmp)
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -62,7 +77,7 @@ object SparkEntry {
             .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    s.read.parquet(dir.getAbsolutePath)
+    dir
   }
 
   private def mjpegFixture(s: SparkSession, d: String): DataFrame =
@@ -74,6 +89,41 @@ object SparkEntry {
     mediaFixture(s, d, "x42", "v1_f3_16x16")(docs =>
       Multimodal.gifFromDocuments(s, docs).toDF())
 
+  /** x44's indexed Z-order BASE table — the base-table write is
+    * benchmark scaffolding (the APPEND is the measured operation;
+    * r13's 5.9 s ledger number was dominated by the in-entry base
+    * write, making the append leg's cost unreadable). Built once per
+    * (sf-dir, lineitem fingerprint, layout version); the entry copies
+    * the fixture tree per pass (the append MUTATES its table — a
+    * local file copy of a few MB, journaled separately from the
+    * append in stage_journal.jsonl). Bump the tag if the layout
+    * parameters or Layout's on-disk format change. */
+  private def zorderFixture(s: SparkSession, d: String): java.io.File =
+    cachedFixture(d, "lineitem", "x44", "v2_b4_manifest") { tmp =>
+      val base = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+        .filter(col("l_orderkey") > 1000L)
+      Layout.zOrderWriteIndexed(base, Seq("l_orderkey", "l_partkey"),
+        tmp.getAbsolutePath)
+    }
+
+  /** Recursive local copy of a fixture tree into a fresh per-pass
+    * table dir (x44's append mutates the table, so passes can't share
+    * one). Local-filesystem by contract — fixtures live in
+    * java.io.tmpdir. */
+  private def copyTree(from: java.io.File, to: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = from.toPath
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val dst = to.toPath.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Untimed fixture materialization — Bench calls this BEFORE its
     * measured passes so x27's reported wall is the decode pipeline,
     * not the one-time JPEG-encode scaffolding a fresh JVM would
@@ -82,6 +132,7 @@ object SparkEntry {
   def prepare(s: SparkSession, d: String): Unit = {
     mjpegFixture(s, d)
     gifFixture(s, d)
+    zorderFixture(s, d)
     ()
   }
 
@@ -1191,29 +1242,62 @@ object SparkEntry {
     // 9dp-decimal term sums (q140 libm discipline).
     "q211_bigram_entropy" -> ((s, d) =>
       TextOps.bigramEntropyRate(t(s, d, "documents"))),
+    // 100 TB shuffle twin of q211: w1/w2 xxhash64'd map-side, so the
+    // count-table shuffle carries two longs instead of two strings
+    // (~10x narrower). Hashes are engine-seeded -> rows-only;
+    // exact-equality-on-collision-free-corpus pinned in TextOpsSpec.
+    "x45_bigram_entropy_hashed" -> ((s, d) =>
+      TextOps.bigramEntropyRateHashed(t(s, d, "documents"))),
+    // Okapi BM25 ranked retrieval: saturated tf + length-normalized
+    // scoring over the q92 postings shapes; 9dp-decimal term sums.
+    "q213_bm25_search" -> ((s, d) =>
+      TextOps.bm25Search(t(s, d, "documents"),
+        Seq("merge", "scan", "window"))),
+    // Leakage-free split assignment: near-dup clusters assigned wholly
+    // to train/val/test by a portable multiplicative hash of the group
+    // id; per-split accounting report. No-straddling pinned in
+    // NearDupSpec.
+    "q214_leakage_free_split" -> ((s, d) =>
+      NearDup.leakageFreeSplit(t(s, d, "documents"))),
+    // Parquet footer statistics as a first-class input: per-(file,
+    // column) rows/nulls/min/max/bytes from FOOTER metadata only —
+    // executor-parallel footer reads, zero data rows. Stats rendering
+    // is engine/writer-shaped -> rows-only; footer==full-scan parity
+    // and prune-audit correctness pinned in LayoutSpec.
+    "x46_footer_stats" -> ((s, d) =>
+      Layout.footerStats(s, d + "/lineitem.parquet")),
     // Incremental Z-order maintenance: append a narrow-key delta into
     // an indexed z-order table, rewriting ONLY the curve tiles the
-    // delta touches. Filesystem side effects + file accounting ->
-    // rows-only; incremental == full-rebuild row multiset and
-    // clean-file untouchedness pinned in LayoutSpec.
+    // delta touches. The BASE table is an untimed prepare() fixture
+    // (the r13 ledger number was dominated by the in-entry base
+    // write); each pass copies the fixture tree (local file copy,
+    // journaled as its own stage) and measures the APPEND. Filesystem
+    // side effects + file accounting -> rows-only; incremental ==
+    // full-rebuild row multiset, clean-file untouchedness, zero
+    // clean-row reads and commit-protocol crash safety pinned in
+    // LayoutSpec.
     "x44_zorder_incremental" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"),
-          col("l_extendedprice"))
+      val stages = scala.collection.mutable.Buffer.empty[(String, Double)]
       val dir = java.nio.file.Files.createTempDirectory("graft_x44")
-        .toFile.getAbsolutePath
-      val table = dir + "/ztable"
+        .toFile
+      val table = new java.io.File(dir, "ztable")
       try {
-        Layout.zOrderWriteIndexed(
-          li.filter(col("l_orderkey") > 1000L),
-          Seq("l_orderkey", "l_partkey"), table)
+        StageJournal.time(stages, "copy_fixture")(
+          copyTree(zorderFixture(s, d), table))
         // the delta clusters in the low-orderkey curve tiles, so only
         // those files go dirty - the incremental win the report shows
-        Layout.zOrderAppend(s,
-          li.filter(col("l_orderkey") <= 1000L), table)
+        val report = StageJournal.time(stages, "append")(
+          Layout.zOrderAppend(s,
+            t(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"),
+                col("l_extendedprice"))
+              .filter(col("l_orderkey") <= 1000L),
+            table.getAbsolutePath))
+        StageJournal.record("x44_zorder_incremental", stages.toSeq)
+        report
       } finally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.walk(dir.toPath)
           .iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
@@ -5199,5 +5283,76 @@ object SparkEntry {
              84.6 * (CAST(n_syllables AS DOUBLE) /
                CAST(n_words AS DOUBLE)), 12) AS flesch_score
          FROM g ORDER BY source""",
+    // BM25: same tokenization/postings as q92; idf's ln and the
+    // composite constants written as the IDENTICAL literal arithmetic
+    // the Spark side evaluates ((1.2 + 1.0), (1.0 - 0.75)); each term
+    // rounds 9dp into DECIMAL(28,9), order-free sum, final round 12.
+    "q213_bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x != '')) AS BIGINT) AS dl
+           FROM documents),
+         corp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM d),
+         tok AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE token IN ('merge', 'scan', 'window')
+           GROUP BY doc_id, token),
+         dfp AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY token),
+         terms AS (SELECT tf.doc_id, d.dl,
+             CAST(round(
+               ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+                 (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+                   0.75 * CAST(d.dl AS DOUBLE) / avgdl))), 9)
+               AS DECIMAL(28,9)) AS t
+           FROM tf JOIN d ON tf.doc_id = d.doc_id
+             JOIN dfp USING (token), corp),
+         sc AS (SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+             sum(t) AS s
+           FROM terms GROUP BY doc_id, dl)
+         SELECT doc_id, dl, n_terms,
+           round(CAST(s AS DOUBLE), 12) AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    // Leakage-free split: q91's recursive-CTE connected components
+    // (min-id label), singletons self-grouped via LEFT JOIN coalesce,
+    // then the identical multiplicative-hash bucket arithmetic.
+    "q214_leakage_free_split" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           FROM r GROUP BY id),
+         g AS (SELECT d.doc_id,
+             coalesce(cl.cluster_id, d.doc_id) AS group_id
+           FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         a AS (SELECT doc_id, group_id,
+             CASE WHEN (group_id % 2147483647) * 2654435761 % 1000 < 800
+                    THEN 'train'
+                  WHEN (group_id % 2147483647) * 2654435761 % 1000 < 900
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM g)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+         FROM a GROUP BY split ORDER BY split""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -522,4 +522,183 @@ object Layout {
       .toDF("n_files_before", "n_dirty", "n_clean", "n_delta_rows",
         "n_rewritten_rows")
   }
+
+  /** x46: parquet footer statistics as a FIRST-CLASS INPUT — the
+    * per-(file, column) metadata table a lakehouse planner reads
+    * before touching any data: row/null counts, min/max (rendered as
+    * strings, plus nullable DOUBLE twins for numeric columns so
+    * pruning math composes), and compressed/uncompressed byte sizes.
+    * The general form of x44's footerRange: the whole audit costs one
+    * footer read per file — ZERO data rows — and feeds storage audits
+    * (per-column compression ratios), layout audits (clustered-column
+    * span per file), and scan-pruning decisions (pruneAudit).
+    *
+    * Scale shape: the driver holds only the FILE LIST (zOrderAppend's
+    * allowance — at a file count where the listing itself is too
+    * large, it comes from a metastore); the footer reads run ON
+    * EXECUTORS via mapPartitions over that list (one metadata
+    * round-trip per file, embarrassingly parallel — 100 k files are
+    * 100 k parallel footer fetches, never a driver loop), and
+    * row-group stats fold per (file, column) as they stream.
+    *
+    * Stats semantics: has_stats means min/max are USABLE (every row
+    * group carried non-empty stats with a non-null value); a column
+    * with missing or all-null stats reports has_stats=false and null
+    * min/max — conservative, never silently skippable. String min/max
+    * are as-written by the writer (the format spec allows truncation
+    * of long binary stats). n_nulls is null when any row group lacked
+    * stats. */
+  def footerStats(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (fs, dir) = hadoopFs(spark, path)
+    val dirIsFile = fs.getFileStatus(dir).isFile
+    val files: Seq[String] =
+      if (dirIsFile) Seq(dir.getName)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).sorted
+    val base = if (dirIsFile) dir.getParent.toString else dir.toString
+    val confKv = spark.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => e.getKey -> e.getValue).toVector
+    val bConf = spark.sparkContext.broadcast(confKv)
+    import spark.implicits._
+    val slots = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files)
+      .repartition(slots)
+      .mapPartitions { names =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bConf.value.foreach { case (k, v) => conf.set(k, v) }
+        names.flatMap(n => Layout.readFooterStats(conf, base, n))
+      }
+      .toDF()
+      .orderBy(col("file"), col("column"))
+  }
+
+  /** One file's footer → per-column stat rows (executor-side). */
+  private[operators] def readFooterStats(
+      conf: org.apache.hadoop.conf.Configuration, base: String,
+      name: String): Seq[FooterColStat] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(base, name)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, ColAcc]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val key = c.getPath.toDotString
+          val a = acc.getOrElseUpdate(key,
+            new ColAcc(c.getPrimitiveType))
+          a.add(c)
+        }
+      }
+      acc.toSeq.map { case (column, a) => a.result(name, column, rows) }
+    } finally reader.close()
+  }
+
+  /** Scan-pruning audit over footer stats: for a numeric column and a
+    * closed predicate range [lo, hi], which files a planner can SKIP
+    * outright (file max < lo or file min > hi — no row can possibly
+    * match) and what fraction of rows/bytes that saves. Files without
+    * usable stats are conservatively unskippable. Pure metadata —
+    * composes on footerStats' output, no data rows read; the
+    * correctness side (skipped files contain ZERO matching rows) is
+    * pinned in LayoutSpec by actually scanning the skipped files. */
+  def pruneAudit(spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val st = footerStats(spark, path)
+      .filter(col("column") === column)
+    val skip = coalesce(col("has_stats") &&
+      (col("max_num") < lit(lo) || col("min_num") > lit(hi)), lit(false))
+    st.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(skip, 1L).otherwise(0L)).as("n_skippable"),
+        sum(col("rows")).as("rows_total"),
+        sum(when(skip, col("rows")).otherwise(0L)).as("rows_skippable"),
+        sum(col("compressed_bytes")).as("bytes_total"),
+        sum(when(skip, col("compressed_bytes")).otherwise(0L))
+          .as("bytes_skippable"))
+      .select(lit(column).as("column"), lit(lo).as("lo"), lit(hi).as("hi"),
+        col("n_files"), col("n_skippable"), col("rows_total"),
+        col("rows_skippable"), col("bytes_total"), col("bytes_skippable"),
+        when(col("rows_total") > 0,
+          round(col("rows_skippable").cast("double") /
+            col("rows_total").cast("double"), 12))
+          .otherwise(lit(0d)).as("skippable_frac"))
+  }
+}
+
+/** One (file, column) row of the x46 footer-stats audit. */
+case class FooterColStat(file: String, column: String, rows: Long,
+    n_nulls: Option[Long], has_stats: Boolean, min_val: Option[String],
+    max_val: Option[String], min_num: Option[Double],
+    max_num: Option[Double], compressed_bytes: Long,
+    uncompressed_bytes: Long)
+
+/** Streaming per-column fold over a file's row-group chunks
+  * (executor-side, Layout.readFooterStats). */
+private[operators] final class ColAcc(
+    prim: org.apache.parquet.schema.PrimitiveType) {
+  private var merged: org.apache.parquet.column.statistics.Statistics[_] =
+    null
+  private var statsOk = true
+  private var compressed = 0L
+  private var uncompressed = 0L
+
+  def add(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Unit = {
+    compressed += c.getTotalSize
+    uncompressed += c.getTotalUncompressedSize
+    val st: org.apache.parquet.column.statistics.Statistics[_] =
+      c.getStatistics
+    if (st == null || st.isEmpty) statsOk = false
+    else if (merged == null) merged = st.copy()
+    else {
+      // Statistics[T <: Comparable[T]] with an existential T: the two
+      // chunks of ONE column always carry the same concrete T, so the
+      // raw-typed reflective-free cast below is safe by construction
+      type S = org.apache.parquet.column.statistics.Statistics[
+        java.lang.Long]
+      merged.asInstanceOf[S].mergeStatistics(st.asInstanceOf[S])
+    }
+  }
+
+  private def render(v: AnyRef): String = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      prim.getLogicalTypeAnnotation match {
+        case _: org.apache.parquet.schema.LogicalTypeAnnotation
+            .StringLogicalTypeAnnotation => b.toStringUsingUTF8
+        case _ => "0x" + b.getBytes.map(x => f"$x%02x").mkString
+      }
+    case x => String.valueOf(x)
+  }
+
+  private def asNum(v: AnyRef): Option[Double] = v match {
+    case n: java.lang.Long => Some(n.doubleValue)
+    case n: java.lang.Integer => Some(n.doubleValue)
+    case n: java.lang.Double => Some(n.doubleValue)
+    case n: java.lang.Float => Some(n.doubleValue)
+    case _ => None
+  }
+
+  def result(file: String, column: String, rows: Long): FooterColStat = {
+    val usable = statsOk && merged != null && merged.hasNonNullValue
+    FooterColStat(file, column, rows,
+      if (statsOk && merged != null) Some(merged.getNumNulls) else None,
+      usable,
+      if (usable) Some(render(merged.genericGetMin
+        .asInstanceOf[AnyRef])) else None,
+      if (usable) Some(render(merged.genericGetMax
+        .asInstanceOf[AnyRef])) else None,
+      if (usable) asNum(merged.genericGetMin.asInstanceOf[AnyRef])
+      else None,
+      if (usable) asNum(merged.genericGetMax.asInstanceOf[AnyRef])
+      else None,
+      compressed, uncompressed)
+  }
 }

@@ -108,6 +108,61 @@ object NearDup {
       .orderBy(col("source"))
   }
 
+  /** q214: leakage-free train/val/test split assignment — the split
+    * policy a training pipeline must apply AFTER near-dup analysis:
+    * every near-dup CLUSTER (q29 pairs + q47 connected components;
+    * singletons are their own group) is assigned WHOLLY to one split,
+    * so no two near-duplicate documents ever straddle a split boundary
+    * — the classic eval-contamination leak a doc-level random split
+    * produces (a val answer whose near-copy sits in train scores as
+    * memorization, not generalization).
+    *
+    * Assignment is a deterministic, engine-portable hash of the GROUP
+    * id: bucket = ((group_id mod (2³¹−1)) · 2654435761) mod 1000
+    * (Knuth's multiplicative constant; the mod-2³¹−1 prefold keeps the
+    * product inside 63 bits, so DuckDB's overflow-checked BIGINT and
+    * the JVM's wrap-free range agree exactly). bucket < trainPermille
+    * → train, < valPermille → val, else test. Non-negative doc ids
+    * assumed (the corpus contract).
+    *
+    * Returns the per-split accounting report (docs, groups) — the
+    * leakage-freeness itself (near-dup pairs never straddle splits)
+    * is pinned in NearDupSpec on the per-doc assignment.
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join and the
+    * pointer-jumping CC (membership table is far sub-corpus); the
+    * assignment is a map-side expression over one left join, and the
+    * report is a 3-key aggregate. */
+  def leakageFreeSplit(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
+      trainPermille: Int = 800, valPermille: Int = 900): DataFrame =
+    splitAssignments(docs, n, minJ, trainPermille, valPermille)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"))
+      .orderBy(col("split"))
+
+  /** The per-doc (doc_id, group_id, split) assignment behind q214 —
+    * exposed so the spec can pin the sharp property (no near-dup pair
+    * straddles a split) and so a pipeline can semi-join it against the
+    * corpus to materialize the splits. */
+  def splitAssignments(docs: DataFrame, n: Int = 3, minJ: Double = 0.7,
+      trainPermille: Int = 800, valPermille: Int = 900): DataFrame = {
+    require(0 <= trainPermille && trainPermille <= valPermille &&
+      valPermille <= 1000, "need 0 <= train <= val <= 1000 permille")
+    val clusters = duplicateClusters(
+      jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
+    val grouped = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val bucket = (col("group_id") % lit(2147483647L)) *
+      lit(2654435761L) % lit(1000L)
+    grouped.select(col("doc_id"), col("group_id"),
+      when(bucket < trainPermille, "train")
+        .when(bucket < valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Jaccard similarity histogram: near-dup pair counts per 0.1-wide
     * similarity bucket above `minJ` — the threshold-tuning input read
     * BEFORE committing a dedup run: a bimodal histogram (noise floor

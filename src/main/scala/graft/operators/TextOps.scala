@@ -312,6 +312,66 @@ object TextOps {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** q213: Okapi BM25 ranked retrieval (Robertson & Walker 1994; the
+    * Lucene-default scoring) — the dampened relevance score the q92
+    * undamped TF-IDF ranker approximates:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the never-negative robust
+    * form). Term saturation (k1) stops bulk term-stuffing from
+    * dominating; length normalization (b) stops long documents from
+    * winning on volume — the two retrieval failure modes raw TF-IDF
+    * (q92) keeps.
+    *
+    * Determinism (q140/q211's libm discipline): tf/df/dl/N are exact
+    * integers; avgdl is ONE double division of exact sums; each term
+    * score rounds to 9 dp into DECIMAL(28,9) before the order-free
+    * exact per-doc sum; the final score rounds 12. The k1+1 and 1−b
+    * composites are written as the same literal arithmetic in the
+    * DuckDB oracle so both engines evaluate identical IEEE chains.
+    *
+    * Scale shape: q92's — the explode filters to the query terms
+    * BEFORE the (doc, token) aggregate, so the shuffle carries only
+    * matching occurrences (∝ query postings, not the corpus); dl
+    * rides that groupBy as a grouping column (functionally dependent
+    * on doc_id — no second join against a lengths table); df and the
+    * one-row (N, avgdl) scalar broadcast; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val dec = DecimalType(28, 9)
+    val withDl = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        col("_toks"))
+    val corpus = withDl
+      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
+      .select(col("_n"),
+        (col("_sumdl").cast("double") / col("_n").cast("double"))
+          .as("_avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("_avgdl")))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("dl"),
+        round(idf * tfNorm, 9).cast(dec).as("_t"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_t")).as("_s"))
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        round(col("_s").cast("double"), 12).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Reciprocal-rank fusion of two retrieval rankers over the same query
     * terms — the standard ensemble for hybrid search (Cormack et al.,
     * "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
@@ -2850,7 +2910,39 @@ object TextOps {
     * bigram count table (evictable MEMORY_AND_DISK) — one-shot
     * runners sweep it; long-lived sessions clearCache() between
     * workloads (sourceOverlap's note). */
-  def bigramEntropyRate(docs: DataFrame): DataFrame = {
+  def bigramEntropyRate(docs: DataFrame): DataFrame =
+    entropyFromBigramPairs(docs, identity)
+
+  /** x45: the 100 TB shuffle twin of q211 — identical entropy
+    * computation, but w1/w2 are xxhash64'd to 64-bit longs AT the
+    * pair explode, so the only data-sized shuffle (the
+    * (source, w1, w2) count table) carries two fixed-width longs
+    * instead of two strings (~10× narrower on web text, where mean
+    * token length ≥ 5 UTF-8 bytes and string shuffle rows carry
+    * length headers). Entropy is invariant under INJECTIVE
+    * relabeling, so the only error source is 64-bit collisions
+    * merging two distinct types: by the birthday bound, a corpus
+    * with V distinct tokens has ≈ V²/2⁶⁵ expected colliding token
+    * pairs (V = 10⁹ → ~0.03 expected collisions), and each collision
+    * perturbs the entropy by O(c/N · log N) for the merged counts —
+    * far below the 12-dp report precision at any real vocabulary.
+    * Hash values are engine-seeded → rows-only entry; within-
+    * tolerance-of-q211 equality is pinned in TextOpsSpec (on a
+    * collision-free corpus the results are EXACT-equal because the
+    * count multisets coincide). */
+  def bigramEntropyRateHashed(docs: DataFrame): DataFrame =
+    entropyFromBigramPairs(docs,
+      _.select(col("source"), xxhash64(col("w1")).as("w1"),
+        xxhash64(col("w2")).as("w2")))
+
+  /** Shared q211/x45 pipeline: explode adjacent pairs (with
+    * multiplicity), apply the twin's relabeling (identity for the
+    * exact anchor, xxhash64 for the narrow-shuffle twin), then count,
+    * re-aggregate for conditionals, and fold the 9-dp-decimal entropy
+    * sums — the relabeling happens map-side BEFORE the groupBy, so
+    * the twin's shuffle never carries the strings. */
+  private def entropyFromBigramPairs(docs: DataFrame,
+      relabel: DataFrame => DataFrame): DataFrame = {
     val dec = DecimalType(28, 9)
     val toks = TextFunctions.tokens(col("text"))
     val pairs = when(size(toks) >= 2,
@@ -2858,9 +2950,9 @@ object TextOps {
         struct(try_element_at(toks, i + 1).as("w1"),
           try_element_at(toks, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val c12 = docs
+    val c12 = relabel(docs
       .select(col("source"), explode(pairs).as("p"))
-      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2")))
       .groupBy(col("source"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

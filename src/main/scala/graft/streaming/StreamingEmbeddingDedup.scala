@@ -129,7 +129,13 @@ object StreamingEmbeddingDedup {
     * driver's rows-only gate proves the maintained index still
     * answers; StreamingSpec pins the sharp property (search over
     * append+compact == search over a from-scratch rebuild of the same
-    * corpus). Engine-seeded layout + temp dirs → no SQL oracle. */
+    * corpus). Engine-seeded layout + temp dirs → no SQL oracle.
+    *
+    * Measurement: each lifecycle stage's wall time lands in
+    * target/stage_journal.jsonl (StageJournal) — the bench entry's
+    * composite number is only attributable with the breakdown; the
+    * returned search frame is lazy, so its cost is the entry wall
+    * minus the journaled stages. */
   def maintainStatic(spark: SparkSession, emb: DataFrame,
       threshold: Double = 0.9, k: Int = 5, nprobe: Int = 2): DataFrame = {
     // scratch lifecycle: see ingestStatic — deleted at JVM exit
@@ -139,6 +145,9 @@ object StreamingEmbeddingDedup {
     val bandIdx = base + "/bands"
     val ckpt = base + "/ckpt"
     val index = base + "/ivf"
+    val stages = scala.collection.mutable.Buffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A =
+      graft.StageJournal.time(stages, name)(f)
     def drop(mod: Int): Unit = {
       emb.filter(col("vec_id") % 3 === mod)
         .write.mode("append").parquet(landing)
@@ -147,25 +156,31 @@ object StreamingEmbeddingDedup {
     }
     def batchDir(id: Long): DataFrame =
       spark.read.parquet(StreamingDedup.subdir(corpus, id))
-    drop(0)
+    timed("ingest_b0")(drop(0))
     // codebook trained ONCE on the initial corpus, then held fixed —
     // the append==rebuild identity requires a shared codebook (the
     // standard IVF maintenance contract; retrain+rebuild is the
     // documented drift cadence, not part of the steady-state path)
-    val centroids = VectorOps.labelCentroids(batchDir(0L)).localCheckpoint()
-    VectorOps.writeIvfIndex(batchDir(0L), centroids, index)
-    drop(1)
-    VectorOps.appendToIvfIndex(batchDir(1L), centroids, index)
-    drop(2)
-    VectorOps.appendToIvfIndex(batchDir(2L), centroids, index)
-    StreamingDedup.compactAccumulated(spark, corpus)
+    val centroids = timed("train_codebook")(
+      VectorOps.labelCentroids(batchDir(0L)).localCheckpoint())
+    timed("index_build")(VectorOps.writeIvfIndex(batchDir(0L), centroids,
+      index))
+    timed("ingest_b1")(drop(1))
+    timed("index_append_b1")(
+      VectorOps.appendToIvfIndex(batchDir(1L), centroids, index))
+    timed("ingest_b2")(drop(2))
+    timed("index_append_b2")(
+      VectorOps.appendToIvfIndex(batchDir(2L), centroids, index))
+    timed("compact")(StreamingDedup.compactAccumulated(spark, corpus))
     val corpusAll = spark.read
       .option("recursiveFileLookup", "true").parquet(corpus)
     // bounded metadata: five query ids off the corpus head (the same
     // allowance as the IVF probe set)
-    val queryIds = corpusAll.select(col("vec_id"))
+    val queryIds = timed("query_ids")(corpusAll.select(col("vec_id"))
       .orderBy(col("vec_id")).limit(k)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq)
+    graft.StageJournal.record("x26_vector_store_maintenance",
+      stages.toSeq)
     VectorOps.annIvfIndexed(spark, index, corpusAll, queryIds, k,
       nprobe, centroids)
   }

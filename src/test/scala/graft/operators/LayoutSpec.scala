@@ -374,6 +374,107 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  test("footerStats (x46): per-(file, column) rows/nulls/min/max agree " +
+      "with a full scan; string columns render; bytes are positive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats")
+      .toFile.getAbsolutePath
+    val table = dir + "/t"
+    // multi-file table with a null-bearing long column and a string
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_totalprice").cast("long")).as("price_n"),
+        col("o_orderpriority"))
+      .repartition(4, col("o_orderkey"))
+      .write.parquet(table)
+    val stats = Layout.footerStats(spark, table).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[String]("column")) -> r)
+      .toMap
+    val scanned = spark.read.parquet(table)
+      .withColumn("_f", input_file_name())
+      .groupBy(col("_f"))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("price_n").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(col("price_n")).as("lo"), max(col("price_n")).as("hi"),
+        min(col("o_orderkey")).as("klo"), max(col("o_orderkey")).as("khi"),
+        min(col("o_orderpriority")).as("slo"),
+        max(col("o_orderpriority")).as("shi"))
+      .collect()
+      .map(r => new java.io.File(
+        new java.net.URI(r.getString(0)).getPath).getName -> r)
+      .toMap
+    assert(scanned.size == 4)
+    scanned.foreach { case (f, r) =>
+      val p = stats((f, "price_n"))
+      assert(p.getAs[Long]("rows") == r.getAs[Long]("rows"))
+      assert(p.getAs[Long]("n_nulls") == r.getAs[Long]("nulls"))
+      assert(p.getAs[Boolean]("has_stats"))
+      assert(p.getAs[Double]("min_num") == r.getAs[Long]("lo").toDouble)
+      assert(p.getAs[Double]("max_num") == r.getAs[Long]("hi").toDouble)
+      val k = stats((f, "o_orderkey"))
+      assert(k.getAs[Double]("min_num") == r.getAs[Long]("klo").toDouble)
+      assert(k.getAs[Double]("max_num") == r.getAs[Long]("khi").toDouble)
+      // string stats render as the scanned min/max (short values —
+      // no writer truncation) and carry NO numeric twin
+      val s = stats((f, "o_orderpriority"))
+      assert(s.getAs[String]("min_val") == r.getAs[String]("slo"))
+      assert(s.getAs[String]("max_val") == r.getAs[String]("shi"))
+      assert(s.isNullAt(s.fieldIndex("min_num")))
+      assert(p.getAs[Long]("compressed_bytes") > 0 &&
+        p.getAs[Long]("uncompressed_bytes") > 0)
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("pruneAudit: skippable files verifiably contain ZERO matching " +
+      "rows, and a clustered layout makes most files skippable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+      .toFile.getAbsolutePath
+    val table = dir + "/zt"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    Layout.zOrderWrite(li, Seq("l_orderkey", "l_partkey"), table,
+      files = 10)
+    val (lo, hi) = (100.0, 600.0) // narrow l_orderkey band
+    val audit = Layout.pruneAudit(spark, table, "l_orderkey", lo, hi)
+      .head()
+    assert(audit.getAs[Long]("n_files") == 10)
+    // teeth: the z-order layout must actually localize the band
+    assert(audit.getAs[Long]("n_skippable") >= 5,
+      s"clustered layout should skip most files, " +
+        s"skipped ${audit.getAs[Long]("n_skippable")}")
+    assert(audit.getAs[Double]("skippable_frac") > 0.0)
+    // correctness: files the audit calls skippable hold NO matching rows
+    val stats = Layout.footerStats(spark, table)
+      .filter(col("column") === "l_orderkey").collect()
+    val skippable = stats.filter { r =>
+      r.getAs[Boolean]("has_stats") &&
+        (r.getAs[Double]("max_num") < lo || r.getAs[Double]("min_num") > hi)
+    }.map(_.getAs[String]("file"))
+    assert(skippable.length == audit.getAs[Long]("n_skippable"))
+    val inSkipped = spark.read.parquet(skippable.map(table + "/" + _): _*)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      .count()
+    assert(inSkipped == 0L,
+      "a skippable file must contain zero rows matching the predicate")
+    // completeness: the matching rows all live in the kept files
+    val kept = stats.map(_.getAs[String]("file")).toSet -- skippable.toSet
+    val inKept = spark.read.parquet(kept.toSeq.map(table + "/" + _): _*)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      .count()
+    val total = li.filter(col("l_orderkey") >= lo &&
+      col("l_orderkey") <= hi).count()
+    assert(inKept == total, "kept files must hold every matching row")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("zOrderAppend refuses a table without frozen cuts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zplain")
       .toFile.getAbsolutePath

@@ -723,4 +723,44 @@ class NearDupSpec extends SparkSuite {
       "LSH pairs are exact-verified - precision must be 1")
     assert(rep.getAs[Double]("recall") >= 0.9)
   }
+
+  test("leakageFreeSplit (q214): assignments partition the corpus, NO " +
+      "near-dup pair straddles a split, and the report is the " +
+      "assignment rollup") {
+    val docs = sfDocs.select(col("doc_id"), col("text"))
+    val assign = NearDup.splitAssignments(docs)
+    val rows = assign.collect()
+    // a partition of the corpus: every doc exactly once
+    assert(rows.length == docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val splitOf = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splitOf.values.toSet.subsetOf(Set("train", "val", "test")))
+    // THE property: no near-dup pair straddles a split boundary
+    val pairs = NearDup.jaccardPairs(docs)
+      .select(col("a_id"), col("b_id")).collect()
+    assert(pairs.nonEmpty, "harness corpus must contain near-dup pairs " +
+      "(else this test has no teeth)")
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(splitOf(a) == splitOf(b),
+        s"near-dup pair ($a, $b) straddles splits " +
+          s"${splitOf(a)} / ${splitOf(b)}")
+    }
+    // a cluster shares ONE group id, and the hash really does spread:
+    // more than one split must be populated on the harness corpus
+    assert(splitOf.values.toSet.size >= 2,
+      "degenerate assignment - every doc landed in one split")
+    // report == assignment rollup
+    val report = NearDup.leakageFreeSplit(docs).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups")))).toMap
+    val byDocs = rows.groupBy(_.getAs[String]("split"))
+    byDocs.foreach { case (s, rs) =>
+      assert(report(s)._1 == rs.length.toLong)
+      assert(report(s)._2 ==
+        rs.map(_.getAs[Long]("group_id")).distinct.length.toLong)
+    }
+    assert(report.keySet == byDocs.keySet)
+  }
 }

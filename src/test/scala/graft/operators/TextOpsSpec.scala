@@ -1815,6 +1815,90 @@ class TextOpsSpec extends SparkSuite {
       "w1 is always 'x' — no unigram surprise")
   }
 
+  test("bigramEntropyRateHashed (x45): exact-equal to q211 on a " +
+      "collision-free corpus, and the strings are hashed BEFORE the " +
+      "count-table shuffle") {
+    // Entropy is invariant under injective relabeling: on any corpus
+    // where xxhash64 is collision-free over the vocabulary (certain
+    // here: ~10^3 distinct tokens vs 2^64 — P(collision) < 1e-12),
+    // the hashed count multiset EQUALS the string count multiset, so
+    // every output column must match q211 bit-for-bit.
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = TextOps.bigramEntropyRate(docs).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val hashed = TextOps.bigramEntropyRateHashed(docs).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(exact.keySet == hashed.keySet)
+    exact.foreach { case (src, want) =>
+      assert(hashed(src) == want,
+        s"x45 diverged from q211 on $src: ${hashed(src)} vs $want")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    // the narrow-shuffle claim: in the (pre-cache-substitution)
+    // analyzed plan the count-table Aggregate's grouping keys w1/w2
+    // are LONGs (the xxhash64 projection sits below the aggregate, so
+    // the shuffle that implements it carries fixed-width longs, not
+    // strings — Catalyst cannot hoist a projection above an aggregate
+    // that groups on its output)
+    import spark.implicits._
+    val tiny = Seq((1L, "s", "a b c")).toDF("doc_id", "source", "text")
+    val analyzed = TextOps.bigramEntropyRateHashed(tiny)
+      .queryExecution.analyzed
+    val countAggKeyTypes = analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.size == 3 =>
+        a.groupingExpressions.map(_.dataType)
+    }
+    assert(countAggKeyTypes.nonEmpty, "count-table aggregate not found")
+    countAggKeyTypes.foreach { types =>
+      assert(types.count(_ ==
+          org.apache.spark.sql.types.LongType) == 2,
+        s"w1/w2 must shuffle as LONGs, got $types")
+    }
+  }
+
+  test("bm25Search (q213): hand-computed scores on a tiny corpus; " +
+      "saturation and length normalization behave") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),   // dl 4: heavy tf(a), one b
+      (2L, "a c"),       // dl 2: short doc, one a
+      (3L, "d d d d d d") // dl 6: no query terms
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, Seq("a", "b"), k = 10).collect()
+    // doc 3 matches nothing and must be absent
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq.sorted == Seq(1L, 2L))
+    // replicate the engine's arithmetic exactly: idf = ln(1 + (N-df+.5)
+    // /(df+.5)); tfnorm = tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl));
+    // term rounds 9 (HALF_UP), per-doc decimal sum, final round 12
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 12.0 / 3.0
+    def idf(df: Long): Double = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, dl: Long): Double =
+      tf.toDouble * (k1 + 1.0) /
+        (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl))
+    val want1 = (r(idf(2) * tfn(3, 4), 9) + r(idf(1) * tfn(1, 4), 9))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = r(idf(2) * tfn(1, 2), 9)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = out.map(r_ => r_.getAs[Long]("doc_id") -> r_).toMap
+    assert(byDoc(1L).getAs[Double]("score") == want1, s"got $byDoc")
+    assert(byDoc(1L).getAs[Long]("n_terms") == 2L)
+    assert(byDoc(1L).getAs[Long]("dl") == 4L)
+    assert(byDoc(2L).getAs[Double]("score") == want2)
+    // ranking: doc 1 (two terms, heavy tf) outscores doc 2
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // saturation: tripling tf must gain LESS than 3x (vs undamped tf)
+    assert(tfn(3, 4) < 3.0 * tfn(1, 4))
+    // length normalization: same tf in a longer doc scores lower
+    assert(tfn(1, 6) < tfn(1, 2))
+  }
+
   test("readabilityBySource: hand-computed Flesch on known text; " +
       "fragment docs count one sentence; empty docs drop") {
     import spark.implicits._
