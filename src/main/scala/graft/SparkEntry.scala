@@ -1266,6 +1266,21 @@ object SparkEntry {
     // and prune-audit correctness pinned in LayoutSpec.
     "x46_footer_stats" -> ((s, d) =>
       Layout.footerStats(s, d + "/lineitem.parquet")),
+    // Training-mixture plan: per-source sampling schedule under
+    // alpha=0.5 temperature smoothing (target share ~ sqrt of natural
+    // token mass), scaled to a token budget; upsampling rate + epochs.
+    "q215_mixture_plan" -> ((s, d) =>
+      Curation.mixturePlan(t(s, d, "documents"), 1000000L)),
+    // Dedup-aware effective token count: raw vs surviving-the-near-dup-
+    // min-id-policy token mass per source, with retention ratio — the
+    // per-source size a data budget should actually consume.
+    "q216_effective_tokens" -> ((s, d) =>
+      NearDup.effectiveTokens(t(s, d, "documents"))),
+    // Embedding diversity via the centroid-norm identity: mean
+    // pairwise cosine per label in O(N*d), no pair join — the cheap
+    // collapsed-group pre-screen in front of the SemDeDup path.
+    "q217_embedding_diversity" -> ((s, d) =>
+      VectorOps.embeddingDiversity(t(s, d, "embeddings"))),
     // Incremental Z-order maintenance: append a narrow-key delta into
     // an indexed z-order table, rewriting ONLY the curve tiles the
     // delta touches. The BASE table is an untimed prepare() fixture
@@ -5354,5 +5369,101 @@ object SparkEntry {
          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
          FROM a GROUP BY split ORDER BY split""",
+    // Temperature-smoothed mixture plan: sqrt is correctly-rounded
+    // IEEE on both engines (no libm variance); sqrt rounds 9dp into
+    // DECIMAL(28,9) before the order-free sum; shares/rates round 12;
+    // planned tokens floor the identical double chain.
+    "q215_mixture_plan" ->
+      """WITH t AS (SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+               x -> x != ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS w
+           FROM t),
+         s AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ntot,
+             sum(w) AS wtot FROM w),
+         p AS (SELECT source, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE), 12)
+               AS natural_share,
+             round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 12)
+               AS target_share,
+             CAST(floor(1000000.0 * CAST(w AS DOUBLE) /
+               CAST(wtot AS DOUBLE)) AS BIGINT) AS planned_tokens
+           FROM w, s),
+         q AS (SELECT *, round(CAST(planned_tokens AS DOUBLE) /
+             CAST(n_tokens AS DOUBLE), 12) AS sample_rate FROM p)
+         SELECT source, n_tokens, natural_share, target_share,
+           planned_tokens, sample_rate,
+           CAST(ceil(sample_rate) AS BIGINT) AS epochs
+         FROM q ORDER BY source""",
+    // Effective tokens: q91's recursive-CTE CC + min-id survivor,
+    // token sums split by survivor membership, retention rounds 12.
+    "q216_effective_tokens" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         dropped AS (
+           SELECT id AS doc_id FROM (
+             SELECT id, min(lbl) AS cl FROM r GROUP BY id)
+           WHERE cl <> id),
+         d AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS BIGINT) AS tok
+           FROM documents)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens_raw,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN tok ELSE 0 END)
+             AS BIGINT) AS n_tokens_kept,
+           CASE WHEN sum(tok) > 0 THEN
+             round(CAST(sum(CASE WHEN dr.doc_id IS NULL THEN tok ELSE 0 END)
+               AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 12)
+           ELSE 0.0 END AS token_retention
+         FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+         GROUP BY d.source ORDER BY d.source""",
+    // Centroid-norm diversity: norm folds x² in array order (same
+    // IEEE chain), unit components round 9dp into DECIMAL(28,9),
+    // per-dim exact sums, ||Σu||² folds per-dim sums in dim order.
+    "q217_embedding_diversity" ->
+      """WITH nrm AS (SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+               (a, b) -> a + b)) AS nn
+           FROM embeddings),
+         comps AS (SELECT label, t.dim,
+             CAST(round(CAST(embedding[t.dim] AS DOUBLE) / nn, 9)
+               AS DECIMAL(28,9)) AS u
+           FROM nrm, unnest(generate_series(1, len(embedding)))
+             AS t(dim)),
+         ds AS (SELECT label, dim, sum(u) AS s FROM comps GROUP BY 1, 2),
+         ssq AS (SELECT label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) ORDER BY dim)),
+               (a, b) -> a + b) AS q
+           FROM ds GROUP BY 1),
+         n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM embeddings GROUP BY 1)
+         SELECT n.label, n_vecs,
+           CASE WHEN n_vecs > 1 THEN
+             round((q - CAST(n_vecs AS DOUBLE)) /
+               (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)), 12)
+           ELSE NULL END AS mean_pairwise_cosine
+         FROM ssq JOIN n ON ssq.label = n.label
+         ORDER BY n.label""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -992,4 +992,52 @@ object Curation {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q215: training-mixture plan with temperature smoothing — the
+    * per-source sampling schedule a multi-source pretraining run
+    * derives before the first batch: target share ∝ (natural token
+    * mass)^α with α = 0.5 (the multinomial temperature smoothing of
+    * multilingual LM training — mBERT/XLM-R's exponent: big sources
+    * are damped, small sources boosted, without ever inverting the
+    * order), scaled to a total token `budget`. Per source: natural
+    * tokens, natural vs target share, the planned token count, the
+    * sampling rate (> 1 means UPSAMPLING), and the epoch count
+    * (ceil of the rate — how many passes over the source the plan
+    * implies; the "how many times will we repeat the small corpus"
+    * number the data-repetition literature warns about).
+    *
+    * Determinism: token counts are exact integer sums; α = 0.5 makes
+    * the smoothing a SQRT — correctly rounded IEEE on every engine
+    * (no libm variance at all); each sqrt rounds 9 dp into
+    * DECIMAL(28,9) before the order-free Σ; shares and rates round
+    * 12; planned tokens floor an exact double chain.
+    *
+    * Scale shape: ONE map-side token-count scan folds to a bounded
+    * per-source aggregate; every derivation after runs on |sources|
+    * rows with the one-row Σ broadcast. */
+  def mixturePlan(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")), 9).cast(dec)
+          .as("_w"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("_ntot"),
+      sum(col("_w")).as("_wtot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("_ntot").cast("double"), 12).as("natural_share"),
+        round(col("_w").cast("double") /
+          col("_wtot").cast("double"), 12).as("target_share"),
+        floor(lit(budget.toDouble) * col("_w").cast("double") /
+          col("_wtot").cast("double")).cast("long").as("planned_tokens"))
+      .withColumn("sample_rate",
+        round(col("planned_tokens").cast("double") /
+          col("n_tokens").cast("double"), 12))
+      .withColumn("epochs", ceil(col("sample_rate")).cast("long"))
+      .orderBy(col("source"))
+  }
+
 }

@@ -163,6 +163,46 @@ object NearDup {
         .otherwise("test").as("split"))
   }
 
+  /** q216: dedup-aware effective token count per source — the corpus
+    * accountant's number: raw token mass vs the mass SURVIVING the
+    * near-dup min-id policy (q29 pairs + q47 components, q49's
+    * survivor rule), with the retention ratio. Raw counts overstate a
+    * crawl whose mass sits in duplicate clusters — a source at 60%
+    * retention contributes barely half the unique signal its raw size
+    * suggests, and a mixture plan (q215) consuming raw counts would
+    * over-weight it. THIS is the per-source size a data budget should
+    * consume.
+    *
+    * Scale shape: inherits jaccardPairs' inverted-index join and the
+    * pointer-jumping CC (membership far sub-corpus); the token scan is
+    * the same map-side counter every profile query uses; the final
+    * per-source aggregate is bounded. The dropped-membership join
+    * attaches one boolean to the corpus scan — broadcast-sized
+    * whenever the dup mass is (the usual case), shuffle otherwise. */
+  def effectiveTokens(docs: DataFrame, n: Int = 3, minJ: Double = 0.7)
+      : DataFrame = {
+    val clusters = duplicateClusters(
+      jaccardPairs(docs, n, minJ).select(col("a_id"), col("b_id")))
+    val dropped = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("_drop"))
+    docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("_tok"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens_raw"),
+        sum(when(col("_drop").isNull, col("_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens_raw"),
+        col("n_tokens_kept"),
+        when(col("n_tokens_raw") > 0,
+          round(col("n_tokens_kept").cast("double") /
+            col("n_tokens_raw").cast("double"), 12))
+          .otherwise(lit(0d)).as("token_retention"))
+      .orderBy(col("source"))
+  }
+
   /** Jaccard similarity histogram: near-dup pair counts per 0.1-wide
     * similarity bucket above `minJ` — the threshold-tuning input read
     * BEFORE committing a dedup run: a bimodal histogram (noise floor

@@ -2917,10 +2917,17 @@ object TextOps {
     * computation, but w1/w2 are xxhash64'd to 64-bit longs AT the
     * pair explode, so the only data-sized shuffle (the
     * (source, w1, w2) count table) carries two fixed-width longs
-    * instead of two strings (~10× narrower on web text, where mean
-    * token length ≥ 5 UTF-8 bytes and string shuffle rows carry
-    * length headers). Entropy is invariant under INJECTIVE
-    * relabeling, so the only error source is 64-bit collisions
+    * instead of two variable-length strings. Measured with
+    * graft.tools.ShuffleProbe on the harness sf0.1 corpus: 1.31×
+    * fewer shuffle bytes (0.94 vs 1.23 MB) at identical record
+    * counts — modest THERE because the synthetic tokens are short
+    * and lz4 compresses text well; the width gap grows with token
+    * length (UnsafeRow strings pay offset+length+padded bytes per
+    * value, longs are a fixed 8), so the twin is the right default
+    * where tokens are long or the shuffle is the network bottleneck,
+    * and the probe is the tool that decides. Entropy is invariant
+    * under INJECTIVE relabeling, so the only error source is 64-bit
+    * collisions
     * merging two distinct types: by the birthday bound, a corpus
     * with V distinct tokens has ≈ V²/2⁶⁵ expected colliding token
     * pairs (V = 10⁹ → ~0.03 expected collisions), and each collision

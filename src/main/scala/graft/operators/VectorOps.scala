@@ -361,6 +361,64 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
+  /** q217: per-label embedding diversity via the CENTROID-NORM
+    * identity — mean pairwise cosine over a group of N unit vectors
+    * WITHOUT the O(N²) pair join:
+    *   Σ_{i≠j} cos(uᵢ, uⱼ) = ‖Σᵢ uᵢ‖² − N  ⇒
+    *   mean = (‖Σu‖² − N) / (N·(N−1)).
+    * The O(N·d) aggregate answers the question the quadratic q31/x06
+    * pair mills answer per-pair: is a label/source/cluster COLLAPSED
+    * (mean cosine → 1: embedding-space template flood, the SemDeDup
+    * precondition) or diverse (→ 0)? Low diversity flags exactly the
+    * groups worth sending through the expensive dedup path — this is
+    * the cheap pre-screen in front of x19.
+    *
+    * Determinism: the per-row norm folds x² in ARRAY ORDER (same IEEE
+    * chain both engines, floats widened to double); each unit
+    * component rounds 9 dp into DECIMAL(28,9); per-dim sums are exact
+    * decimal; the final ‖Σu‖² folds the d per-dim sums in DIM ORDER
+    * (pinned sort_array fold). Documented bias: the identity uses
+    * Σ‖uᵢ‖² = N, but 9-dp-rounded components give ‖uᵢ‖² = 1 ± d·2e-9
+    * — a < 1e-7 additive bias at d = 64, IDENTICAL on both engines
+    * (the oracle computes the same chain), so cross-engine equality is
+    * exact even though the statistic carries the tiny rounding bias.
+    * Single-member groups report null (no pairs exist).
+    *
+    * Scale shape: ONE explode shuffle of N·d (label, dim) rows with
+    * map-side partial sums → |labels|·d rows; everything after is
+    * metadata. No pair join anywhere — the whole point. */
+  def embeddingDiversity(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val x = col("embedding")
+    val norm = sqrt(aggregate(x, lit(0.0),
+      (a, v) => a + v.cast("double") * v.cast("double")))
+    val n = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val dimSums = emb
+      .select(col("label"),
+        posexplode(transform(x,
+          v => round(v.cast("double") / norm, 9).cast(dec)))
+          .as(Seq("dim", "u")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("u")).as("s"))
+    dimSums
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("s"))))
+        .as("_ds"))
+      .select(col("label"),
+        aggregate(col("_ds"), lit(0.0), (a, e) =>
+          a + e.getField("s").cast("double") *
+            e.getField("s").cast("double")).as("_ssq"))
+      .join(n, "label")
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") > 1,
+          round((col("_ssq") - col("n_vecs").cast("double")) /
+            (col("n_vecs").cast("double") *
+              (col("n_vecs") - 1).cast("double")), 12))
+          .otherwise(lit(null).cast("double"))
+          .as("mean_pairwise_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Coarse centroids per `label` (stand-in for a sampled k-means
     * codebook): mean vector per label, computed by position explode +
     * group — one shuffle of n_vectors * dim rows, then tiny. */

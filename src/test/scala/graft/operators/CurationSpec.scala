@@ -727,4 +727,38 @@ class CurationSpec extends SparkSuite {
       "large-k sample must still equal the naive window")
   }
 
+  test("mixturePlan (q215): sqrt smoothing damps the big source and " +
+      "boosts the small one on a hand-computable corpus") {
+    import spark.implicits._
+    // srcA: 9 tokens total, srcB: 1 token -> sqrt weights 3 : 1
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h i"),
+      (2L, "srcB", "z")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.mixturePlan(docs, budget = 100L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_tokens") == 9L)
+    assert(a.getAs[Double]("natural_share") == 0.9)
+    assert(a.getAs[Double]("target_share") == 0.75) // 3/(3+1)
+    assert(a.getAs[Long]("planned_tokens") == 75L)
+    // big source DAMPED: planned share below natural share
+    assert(a.getAs[Double]("target_share") <
+      a.getAs[Double]("natural_share"))
+    assert(a.getAs[Double]("sample_rate") ==
+      BigDecimal(75.0 / 9.0).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getAs[Long]("epochs") == 9L) // ceil(8.33..)
+    val b = out("srcB")
+    assert(b.getAs[Long]("planned_tokens") == 25L)
+    // small source BOOSTED, heavily upsampled
+    assert(b.getAs[Double]("target_share") >
+      b.getAs[Double]("natural_share"))
+    assert(b.getAs[Double]("sample_rate") == 25.0)
+    assert(b.getAs[Long]("epochs") == 25L)
+    // smoothing never INVERTS the order: srcA still gets more tokens
+    assert(a.getAs[Long]("planned_tokens") >
+      b.getAs[Long]("planned_tokens"))
+  }
+
 }

@@ -724,6 +724,30 @@ class NearDupSpec extends SparkSuite {
     assert(rep.getAs[Double]("recall") >= 0.9)
   }
 
+  test("effectiveTokens (q216): duplicated mass drops, survivor keeps " +
+      "its tokens, unique sources retain 1.0") {
+    import spark.implicits._
+    val dup = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, "srcA", dup),              // survivor (min id): 8 tokens
+      (2L, "srcA", dup),              // exact near-dup: dropped
+      (3L, "srcA", "one two three"),  // unique: kept, 3 tokens
+      (4L, "srcB", "x y z w")         // unique source: kept, 4 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = NearDup.effectiveTokens(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_tokens_raw") == 19L)
+    assert(a.getAs[Long]("n_tokens_kept") == 11L) // doc 2's 8 dropped
+    assert(a.getAs[Double]("token_retention") ==
+      BigDecimal(11.0 / 19.0).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_tokens_kept") == 4L)
+    assert(b.getAs[Double]("token_retention") == 1.0)
+  }
+
   test("leakageFreeSplit (q214): assignments partition the corpus, NO " +
       "near-dup pair straddles a split, and the report is the " +
       "assignment rollup") {

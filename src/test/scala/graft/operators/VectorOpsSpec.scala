@@ -1154,4 +1154,47 @@ class VectorOpsSpec extends SparkSuite
     // wins: q0 retrieves v1; q1..q4 retrieve v0
     assert(out == Map(0L -> 3L, 1L -> 1L, 4L -> 1L), s"got $out")
   }
+
+  test("embeddingDiversity (q217): axis-aligned goldens hit 1/0/-1, " +
+      "singletons report null, and the O(N*d) identity matches the " +
+      "O(N^2) pair mean on the harness embeddings") {
+    // axis-aligned unit vectors: rounded components are EXACT, so the
+    // centroid-norm identity gives the textbook values with zero bias
+    val df = vecDf(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), // identical
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1), // orthogonal
+      (5L, Seq(1.0f, 0.0f), 2), (6L, Seq(-1.0f, 0.0f), 2), // opposite
+      (7L, Seq(0.6f, 0.8f), 3) // singleton
+    ))
+    val out = VectorOps.embeddingDiversity(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Double]("mean_pairwise_cosine") == 1.0)
+    assert(out(1).getAs[Double]("mean_pairwise_cosine") == 0.0)
+    assert(out(2).getAs[Double]("mean_pairwise_cosine") == -1.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("mean_pairwise_cosine")),
+      "a single-member group has no pairs")
+    assert(out(0).getAs[Long]("n_vecs") == 2L)
+    // identity vs brute force on the harness embeddings: the operator
+    // never forms a pair; the reference computation forms all of them
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = VectorOps.embeddingDiversity(emb).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("mean_pairwise_cosine"))
+      .toMap
+    val byLabel = emb.collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble)))
+      .groupBy(_._1)
+    byLabel.foreach { case (label, rows) =>
+      val units = rows.map(_._2).map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val pairs = for {
+        i <- units.indices; j <- units.indices if i < j
+      } yield units(i).zip(units(j)).map { case (a, b) => a * b }.sum
+      val want = pairs.sum / pairs.length
+      assert(math.abs(got(label) - want) < 1e-6,
+        s"label $label: identity ${got(label)} vs pair mean $want " +
+          "(bias bound is d*2e-9 ~ 1e-7)")
+    }
+  }
 }
