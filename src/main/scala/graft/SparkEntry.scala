@@ -108,6 +108,23 @@ object SparkEntry {
         tmp.getAbsolutePath)
     }
 
+  /** x47's fixture: the x44 base table WITH one append already
+    * applied — the post-maintenance state whose small tiles compaction
+    * exists to fold. Built untimed (prepare); the entry copies and
+    * measures the COMPACT alone. */
+  private def zorderAppendedFixture(s: SparkSession, d: String)
+      : java.io.File =
+    cachedFixture(d, "lineitem", "x47", "v1_b4_appended") { tmp =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+      Layout.zOrderWriteIndexed(li.filter(col("l_orderkey") > 1000L),
+        Seq("l_orderkey", "l_partkey"), tmp.getAbsolutePath)
+      Layout.zOrderAppend(s, li.filter(col("l_orderkey") <= 1000L),
+        tmp.getAbsolutePath)
+      ()
+    }
+
   /** Recursive local copy of a fixture tree into a fresh per-pass
     * table dir (x44's append mutates the table, so passes can't share
     * one). Local-filesystem by contract — fixtures live in
@@ -115,13 +132,16 @@ object SparkEntry {
   private def copyTree(from: java.io.File, to: java.io.File): Unit = {
     import scala.jdk.CollectionConverters._
     val src = from.toPath
-    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
-      val dst = to.toPath.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(dst)
-      else java.nio.file.Files.copy(p, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val walk = java.nio.file.Files.walk(src) // closed below: this runs
+    try { //   once per bench PASS — a leaked dir handle would accumulate
+      walk.iterator().asScala.foreach { p =>
+        val dst = to.toPath.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
   }
 
   /** Untimed fixture materialization — Bench calls this BEFORE its
@@ -133,6 +153,7 @@ object SparkEntry {
     mjpegFixture(s, d)
     gifFixture(s, d)
     zorderFixture(s, d)
+    zorderAppendedFixture(s, d)
     ()
   }
 
@@ -1309,6 +1330,33 @@ object SparkEntry {
               .filter(col("l_orderkey") <= 1000L),
             table.getAbsolutePath))
         StageJournal.record("x44_zorder_incremental", stages.toSeq)
+        report
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir.toPath)
+          .iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }),
+    // Small-file compaction of a maintained z-order table: fold the
+    // live files under targetRows into curve-sorted target-size files
+    // through the same manifest commit. The fixture is the x44 base
+    // WITH the append already applied (untimed prepare); the entry
+    // copies it and measures the COMPACT. Filesystem side effects ->
+    // rows-only; multiset preservation, untouched-large-files,
+    // no-op idempotence and crash safety pinned in LayoutSpec.
+    "x47_zorder_compact" -> ((s, d) => {
+      val stages = scala.collection.mutable.Buffer.empty[(String, Double)]
+      val dir = java.nio.file.Files.createTempDirectory("graft_x47")
+        .toFile
+      val table = new java.io.File(dir, "ztable")
+      try {
+        StageJournal.time(stages, "copy_fixture")(
+          copyTree(zorderAppendedFixture(s, d), table))
+        val report = StageJournal.time(stages, "compact")(
+          Layout.zOrderCompact(s, table.getAbsolutePath,
+            targetRows = 100000L))
+        StageJournal.record("x47_zorder_compact", stages.toSeq)
         report
       } finally {
         import scala.jdk.CollectionConverters._

@@ -1013,7 +1013,11 @@ object Curation {
     *
     * Scale shape: ONE map-side token-count scan folds to a bounded
     * per-source aggregate; every derivation after runs on |sources|
-    * rows with the one-row Σ broadcast. */
+    * rows with the one-row Σ broadcast.
+    *
+    * Edge contract: a source with ZERO tokens gets weight 0 (sqrt(0)),
+    * planned_tokens 0 and a NULL sample_rate/epochs (0/0 — there is
+    * nothing to sample); budget 0 plans 0 everywhere. */
   def mixturePlan(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)

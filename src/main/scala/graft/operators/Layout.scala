@@ -236,6 +236,31 @@ object Layout {
   private def manifestName(version: Long): String =
     f"$MANIFEST_PREFIX$version%08d"
 
+  /** Vacuum debris from a crashed prior append/compact: data files not
+    * in the current manifest (orphaned staged moves, undeleted
+    * superseded files), superseded manifests, and stale sibling
+    * staging dirs. Single-writer contract: everything deleted here is
+    * unreferenced by the current commit pointer. */
+  private def vacuumDebris(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Long,
+      live: Seq[String]): Unit = {
+    val liveSet = live.toSet
+    fs.listStatus(table).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = manifestVersion(n).exists(_ < version)
+      val orphan = st.isFile && !liveSet(n) && !n.startsWith("_") &&
+        !n.startsWith(".")
+      if (superseded || orphan) fs.delete(st.getPath, false)
+    }
+    val stagingPrefix = table.getName + ".zappend-staging-"
+    Option(table.getParent).filter(p => fs.exists(p)).foreach { parent =>
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(stagingPrefix))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Read an incrementally-maintained Z-order table THROUGH its
     * manifest — the consistent-snapshot read path: the file list comes
     * from the highest committed manifest, so a concurrent zOrderAppend
@@ -443,24 +468,7 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val cuts = readCuts(fs, table)
     val (version, live) = latestManifest(fs, table)
-    // vacuum debris from a crashed prior append: data files not in the
-    // current manifest (orphaned staged moves, undeleted dirty files,
-    // superseded manifests) and stale sibling staging dirs
-    val liveSet = live.toSet
-    fs.listStatus(table).foreach { st =>
-      val n = st.getPath.getName
-      val superseded = manifestVersion(n).exists(_ < version)
-      val orphan = st.isFile && !liveSet(n) && !n.startsWith("_") &&
-        !n.startsWith(".")
-      if (superseded || orphan) fs.delete(st.getPath, false)
-    }
-    val stagingPrefix = table.getName + ".zappend-staging-"
-    Option(table.getParent).filter(p => fs.exists(p)).foreach { parent =>
-      fs.listStatus(parent).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith(stagingPrefix))
-          fs.delete(st.getPath, true)
-      }
-    }
+    vacuumDebris(fs, table, version, live)
     val coded = codeWithCuts(delta, cuts)
     val deltaCodes = coded.select(col("z_code")).distinct()
       .collect().map(_.getLong(0)).sorted // ≤ 2^(bits·|cols|) values
@@ -492,8 +500,29 @@ object Layout {
       .repartitionByRange(newFiles, col("z_code"))
       .sortWithinPartitions(col("z_code"))
       .write.mode("overwrite").parquet(staging.toString)
-    // move staged parts in under fresh names — invisible to readers
-    // (not in any committed manifest) until the commit rename below
+    commitSwap(fs, table, staging, version, live, dirty, maybeFail)
+    import spark.implicits._
+    Seq((ranges.length.toLong, dirty.size.toLong,
+        (ranges.length - dirty.size).toLong, nDeltaRows,
+        nRewritten))
+      .toDF("n_files_before", "n_dirty", "n_clean", "n_delta_rows",
+        "n_rewritten_rows")
+  }
+
+  /** The shared staged-swap COMMIT (zOrderAppend + zOrderCompact):
+    * move the staged part files into the table under fresh names
+    * (invisible — not in any committed manifest), publish
+    * live′ = (live − replaced) + moved by ONE atomic manifest rename,
+    * then — only after the commit — delete the replaced files, the
+    * superseded manifest and the staging dir. A crash before the
+    * commit leaves the old manifest current; a crash after it leaves
+    * only vacuumable debris (single-writer contract; the failpoint
+    * seam is what the LayoutSpec crash tests drive). */
+  private def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path, version: Long,
+      live: Seq[String], replaced: Set[String],
+      maybeFail: String => Unit): Seq[String] = {
     val movedIn = fs.listStatus(staging).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       .map { p =>
@@ -506,21 +535,78 @@ object Layout {
     // THE commit instant: one atomic rename publishes the new file set
     writeAtomic(fs,
       new org.apache.hadoop.fs.Path(table, manifestName(version + 1)),
-      ((live.filterNot(dirty) ++ movedIn).sorted).mkString("\n"))
+      ((live.filterNot(replaced) ++ movedIn).sorted).mkString("\n"))
     maybeFail("before-cleanup")
     // cleanup AFTER the commit: everything deleted here is already
     // unreferenced, so a crash mid-cleanup only leaves vacuumable debris
-    dirty.foreach(n =>
+    replaced.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(table, n), false))
     fs.delete(new org.apache.hadoop.fs.Path(table, manifestName(version)),
       false)
     fs.delete(staging, true)
+    movedIn
+  }
+
+  /** x47: small-file COMPACTION for an incrementally-maintained
+    * Z-order table — the OPTIMIZE half x44's appends eventually need:
+    * every append rewrites its dirty tiles into fresh files, so a
+    * long run of narrow deltas accretes small files and scan task
+    * counts grow without data growing. Compaction re-tiles ONLY the
+    * live files below `targetRows` (footer row counts decide — pure
+    * metadata, files at/above target are never read or touched) into
+    * ⌈small-rows / targetRows⌉ curve-sorted files, and commits
+    * through the SAME versioned-manifest protocol as zOrderAppend:
+    * stage under a UUID dir → move in → ONE atomic manifest rename →
+    * delete old last. Readers via readZOrdered see the old complete
+    * table before the commit instant and the new complete table
+    * after; a crash on either side converges on retry (vacuum).
+    *
+    * A no-op (fewer than two small files) returns the report without
+    * writing anything — idempotent at steady state.
+    *
+    * Returns one row: files before/after, small files folded, rows
+    * rewritten. Cost ∝ the small files' rows — never the table. */
+  def zOrderCompact(spark: SparkSession, path: String,
+      targetRows: Long = 1L << 20): DataFrame =
+    zOrderCompactImpl(spark, path, targetRows, failAt = "")
+
+  private[graft] def zOrderCompactImpl(spark: SparkSession, path: String,
+      targetRows: Long, failAt: String): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    def maybeFail(point: String): Unit =
+      if (failAt == point)
+        throw new IllegalStateException(s"injected failpoint: $point")
+    val (fs, table) = hadoopFs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (version, live) = latestManifest(fs, table)
+    vacuumDebris(fs, table, version, live)
+    // footer row counts only — no data rows decide the plan
+    val ranges = live.map { name =>
+      val (_, _, n) =
+        footerRange(conf, new org.apache.hadoop.fs.Path(table, name))
+      (name, n)
+    }
+    val small = ranges.filter(_._2 < targetRows)
+    val smallRows = small.map(_._2).sum
     import spark.implicits._
-    Seq((ranges.length.toLong, dirty.size.toLong,
-        (ranges.length - dirty.size).toLong, nDeltaRows,
-        nRewritten))
-      .toDF("n_files_before", "n_dirty", "n_clean", "n_delta_rows",
-        "n_rewritten_rows")
+    def report(after: Long, folded: Long, rewritten: Long) =
+      Seq((live.size.toLong, after, folded, rewritten))
+        .toDF("n_files_before", "n_files_after", "n_small_folded",
+          "n_rows_rewritten")
+    if (small.size < 2) return report(live.size.toLong, 0L, 0L)
+    val newFiles = math.max(1L,
+      (smallRows + targetRows - 1) / targetRows).toInt
+    val staging = new org.apache.hadoop.fs.Path(
+      path + ".zappend-staging-" + java.util.UUID.randomUUID())
+    spark.read.parquet(small.map(_._1).sorted.map(n =>
+        new org.apache.hadoop.fs.Path(table, n).toString): _*)
+      .repartitionByRange(newFiles, col("z_code"))
+      .sortWithinPartitions(col("z_code"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val moved = commitSwap(fs, table, staging, version, live,
+      small.map(_._1).toSet, maybeFail)
+    report((live.size - small.size + moved.size).toLong,
+      small.size.toLong, smallRows)
   }
 
   /** x46: parquet footer statistics as a FIRST-CLASS INPUT — the
@@ -547,7 +633,12 @@ object Layout {
     * min/max — conservative, never silently skippable. String min/max
     * are as-written by the writer (the format spec allows truncation
     * of long binary stats). n_nulls is null when any row group lacked
-    * stats. */
+    * stats.
+    *
+    * Directory contract: FLAT parquet dirs (a plain Spark write or a
+    * manifest-maintained table) — hive-partitioned subdirectory trees
+    * need their leaf dirs audited per partition (which is how a
+    * partition-pruned audit should read anyway). */
   def footerStats(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val (fs, dir) = hadoopFs(spark, path)

@@ -1254,4 +1254,43 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges <= 1,
       s"only the sketch aggregate may shuffle, got $exchanges")
   }
+
+  test("q213 BM25: top-k is a TakeOrdered (never a global sort), the " +
+      "df/corpus scalars broadcast, and no product join appears") {
+    val plan = finalPlan(q("q213_bm25_search"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the final top-k must be TakeOrderedAndProject")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      "df and the (N, avgdl) scalar must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "BM25 must not plan a cartesian (the scalar crossJoin is a " +
+        "broadcast nested loop over ONE row, never a product of data)")
+  }
+
+  test("q214 leakage-free split: the pair stage is the inverted-index " +
+      "equi-join — no product join anywhere in the plan") {
+    val plan = finalPlan(q("q214_leakage_free_split"))
+    assert(!plan.contains("CartesianProduct"),
+      "split assignment inherits q29's no-cartesian contract")
+  }
+
+  test("q217 embedding diversity: NO join of data against data — the " +
+      "only joins touch |labels|-row aggregates") {
+    val df = q("q217_embedding_diversity")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("BroadcastNestedLoopJoin"),
+      "the centroid-norm identity needs no pair join")
+    // the explode shuffle is the ONLY N*d-sized exchange; the final
+    // join runs on |labels| rows (broadcast or tiny hash)
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the N*d explode aggregate, the per-label fold, the n_vecs
+    // aggregate, and the |labels|-row final join — nothing else
+    assert(exchanges.size <= 4,
+      s"explode agg + bounded-label stages only, got ${exchanges.size}")
+  }
 }

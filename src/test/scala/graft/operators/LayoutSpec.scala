@@ -475,6 +475,96 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  test("zOrderCompact (x47): folds only sub-target files, preserves the " +
+      "row multiset, leaves large files untouched, and no-ops at " +
+      "steady state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcompact")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    def dataFiles(): Map[String, Long] =
+      new java.io.File(table).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    // 12 files of ~500 rows each — all below a 2000-row target
+    Layout.zOrderWriteIndexed(li, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 12)
+    val want = Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val report = Layout.zOrderCompact(spark, table, targetRows = 2000L)
+      .head()
+    assert(report.getAs[Long]("n_small_folded") == 12L,
+      s"all 12 sub-target files must fold, got $report")
+    assert(report.getAs[Long]("n_files_after") <
+      report.getAs[Long]("n_files_before"),
+      "compaction must reduce the file count")
+    // row multiset preserved, through the manifest AND the plain dir
+    val got = Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == want.length && got.sameElements(want),
+      "compaction must preserve the row multiset")
+    assert(spark.read.parquet(table).count() == want.length.toLong,
+      "cleanup must leave no unreferenced data files")
+    assert(dataFiles().size ==
+      report.getAs[Long]("n_files_after").toInt)
+    // steady state: every file is now AT/ABOVE a smaller target — the
+    // second compact must no-op and touch NOTHING (names + mtimes)
+    val before = dataFiles()
+    val again = Layout.zOrderCompact(spark, table, targetRows = 1500L)
+      .head()
+    assert(again.getAs[Long]("n_rows_rewritten") == 0L &&
+      again.getAs[Long]("n_small_folded") == 0L,
+      s"compact over at-target files must no-op, got $again")
+    val after = dataFiles()
+    assert(after == before,
+      "a no-op compact must leave every data file untouched")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("zOrderCompact commit protocol: reader at the injected crash " +
+      "points sees a complete table; retry converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcc")
+      .toFile.getAbsolutePath
+    val table = dir + "/ztable"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    Layout.zOrderWriteIndexed(li, Seq("l_orderkey", "l_partkey"),
+      table, bits = 4, files = 8)
+    val want = Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val e1 = intercept[IllegalStateException] {
+      Layout.zOrderCompactImpl(spark, table, 100000L, "before-commit")
+    }
+    assert(e1.getMessage.contains("before-commit"))
+    assert(Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString).sameElements(want),
+      "reader before the commit sees the OLD complete table")
+    val e2 = intercept[IllegalStateException] {
+      Layout.zOrderCompactImpl(spark, table, 100000L, "before-cleanup")
+    }
+    assert(e2.getMessage.contains("before-cleanup"))
+    assert(Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString).sameElements(want),
+      "reader after the commit sees the NEW complete table")
+    // normal retry on top of the debris: vacuums, converges, and the
+    // directory ends clean
+    Layout.zOrderCompact(spark, table, 100000L)
+    assert(Layout.readZOrdered(spark, table)
+      .collect().map(_.toSeq).sortBy(_.toString).sameElements(want))
+    assert(spark.read.parquet(table).count() == want.length.toLong)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("zOrderAppend refuses a table without frozen cuts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zplain")
       .toFile.getAbsolutePath
