@@ -1302,6 +1302,13 @@ object SparkEntry {
     // collapsed-group pre-screen in front of the SemDeDup path.
     "q217_embedding_diversity" -> ((s, d) =>
       VectorOps.embeddingDiversity(t(s, d, "embeddings"))),
+    // Matryoshka truncation-recall table: exact top-k at prefix dims
+    // vs the full-dim ground truth over a bounded panel. Float ties +
+    // heap ordering are engine-shaped -> rows-only; full-dim recall
+    // == 1 and a planted truncation-blind fixture pinned in
+    // VectorOpsSpec.
+    "x48_matryoshka_eval" -> ((s, d) =>
+      VectorOps.matryoshkaEval(t(s, d, "embeddings"))),
     // Incremental Z-order maintenance: append a narrow-key delta into
     // an indexed z-order table, rewriting ONLY the curve tiles the
     // delta touches. The BASE table is an untimed prepare() fixture

@@ -73,6 +73,60 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
+  /** x48: Matryoshka truncation-recall evaluation (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): how much
+    * retrieval quality survives truncating embeddings to PREFIX
+    * dimensions — the decision table behind serving truncated vectors
+    * (d/2 halves storage, bandwidth and dot-product cost; this
+    * measures what it costs in recall). For each prefix length, the
+    * exact cosine top-k over the truncated vectors is compared
+    * against the full-dimension ground truth over a bounded query
+    * panel; one row per prefix with recall@k.
+    *
+    * Determinism: both rankings use the q30 bounded-heap contract
+    * (cosine desc, n_id tie-break), so membership — and therefore
+    * recall — is deterministic; the fractions divide exact counts.
+    *
+    * Scale shape: the panel is bounded metadata (the x26 allowance);
+    * each prefix evaluation is one annBruteForce pass — broadcast
+    * panel, map-side scoring over a corpus scan, ≤k rows per query
+    * reach the shuffle — and the loop runs |prefixes| times (≤ log d
+    * by construction). The ground-truth membership is pinned once
+    * (localCheckpoint: ≤ nQueries·k rows). At corpus-sized panels,
+    * evaluate through the IVF index instead (annIvfIndexed per
+    * prefix) — same comparison, pruned scans. */
+  def matryoshkaEval(emb: DataFrame,
+      prefixes: Seq[Int] = Seq(8, 16, 32), k: Int = 10,
+      nQueries: Int = 20): DataFrame = {
+    require(k >= 1 && nQueries >= 1, "need k >= 1 and nQueries >= 1")
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // bounded metadata: the query panel off the corpus head
+    val queryIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(nQueries).collect().map(_.getLong(0)).toSeq
+    val truth = annBruteForce(emb, queryIds, k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint() // ≤ nQueries·k rows, reused per prefix
+    val nTruth = truth.count()
+    val evalPrefixes =
+      (prefixes.filter(p => p > 0 && p < dim) :+ dim).distinct.sorted
+    val rows = evalPrefixes.map { p =>
+      val truncated = emb.withColumn("embedding",
+        slice(col("embedding"), 1, p))
+      val hits =
+        if (p == dim) nTruth // same computation by definition
+        else annBruteForce(truncated, queryIds, k)
+          .select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id")).count()
+      (p.toLong, queryIds.size.toLong, k.toLong, nTruth, hits,
+        BigDecimal(hits.toDouble / nTruth.toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("dims", "n_queries", "k", "n_truth", "n_hits",
+      "recall_at_k").orderBy(col("dims"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector, the top-k most cosine-similar vectors whose LABEL
     * differs from the query's — the "near but wrong" examples a

@@ -1155,6 +1155,45 @@ class VectorOpsSpec extends SparkSuite
     assert(out == Map(0L -> 3L, 1L -> 1L, 4L -> 1L), s"got $out")
   }
 
+  test("matryoshkaEval (x48): full-dim recall is exactly 1; a planted " +
+      "truncation-blind prefix loses the true neighbor; fractions " +
+      "divide exact counts") {
+    // dim 2; EVERY vector's first component is 1.0, so prefix-1
+    // cosine ties everywhere and the heap's n_id tie-break returns the
+    // LOWEST ids — which are the WRONG neighbors by construction:
+    // the query's true nearest (id 9) has the highest second component
+    val df = vecDf(Seq(
+      (0L, Seq(1.0f, 0.95f), 0), // query (panel head)
+      (1L, Seq(1.0f, -0.9f), 0),
+      (2L, Seq(1.0f, -0.8f), 0),
+      (9L, Seq(1.0f, 0.9f), 0)   // true top-1 at full dim
+    ))
+    val out = VectorOps.matryoshkaEval(df, prefixes = Seq(1), k = 1,
+      nQueries = 1).collect()
+      .map(r => r.getAs[Long]("dims") -> r).toMap
+    assert(out(2L).getAs[Double]("recall_at_k") == 1.0,
+      "the full-dimension row is its own ground truth")
+    assert(out(1L).getAs[Double]("recall_at_k") == 0.0,
+      "prefix-1 ties everywhere and the id tie-break picks id 1, " +
+        "not the true neighbor 9")
+    assert(out(1L).getAs[Long]("n_truth") == 1L &&
+      out(1L).getAs[Long]("n_hits") == 0L)
+    // harness embeddings: recall well-formed at every prefix, exactly
+    // 1 at the full dimension
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = VectorOps.matryoshkaEval(emb, k = 5, nQueries = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_truth") == 50L) // 10 queries x k=5
+    }
+    assert(rows.last.getAs[Long]("dims") == 64L &&
+      rows.last.getAs[Double]("recall_at_k") == 1.0)
+  }
+
   test("embeddingDiversity (q217): axis-aligned goldens hit 1/0/-1, " +
       "singletons report null, and the O(N*d) identity matches the " +
       "O(N^2) pair mean on the harness embeddings") {
