@@ -219,7 +219,9 @@ object Layout {
   }
 
   /** (current version, live data-file names) from the highest
-    * manifest. */
+    * manifest. Lines starting with '#' are commit METADATA (the
+    * streaming exactly-once tag rides inside the same atomic rename
+    * as the file list), not file names. */
   private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
     val versions = fs.listStatus(table).toSeq
@@ -230,8 +232,30 @@ object Layout {
     val v = versions.max
     val text = readUtf8(fs,
       new org.apache.hadoop.fs.Path(table, manifestName(v)))
-    (v, text.split("\n").toSeq.filter(_.nonEmpty))
+    (v, text.split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")))
   }
+
+  /** The commit tag of the CURRENT manifest, if the last append
+    * carried one — the streaming exactly-once seam: a replayed
+    * micro-batch compares its batch id against this before appending
+    * (the tag is committed in the SAME atomic rename as the file
+    * list, so "tag visible" and "rows visible" cannot diverge). */
+  def lastCommitTag(spark: SparkSession, path: String): Option[String] = {
+    val (fs, table) = hadoopFs(spark, path)
+    val versions = fs.listStatus(table).toSeq
+      .flatMap(s => manifestVersion(s.getPath.getName))
+    require(versions.nonEmpty,
+      s"$table has no $MANIFEST_PREFIX* commit pointer")
+    manifestTag(fs, table, versions.max)
+  }
+
+  private def manifestTag(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Long): Option[String] =
+    readUtf8(fs, new org.apache.hadoop.fs.Path(table,
+        manifestName(version)))
+      .split("\n").toSeq
+      .find(_.startsWith("#tag:")).map(_.drop("#tag:".length))
 
   private def manifestName(version: Long): String =
     f"$MANIFEST_PREFIX$version%08d"
@@ -452,15 +476,16 @@ object Layout {
     * accounting) — the spec pins incremental == full-rebuild row
     * multiset, clean-file untouchedness, zero clean-row reads, and
     * reader-visible completeness at every injected crash point. */
-  def zOrderAppend(spark: SparkSession, delta: DataFrame, path: String)
-      : DataFrame =
-    zOrderAppendImpl(spark, delta, path, failAt = "")
+  def zOrderAppend(spark: SparkSession, delta: DataFrame, path: String,
+      tag: Option[String] = None): DataFrame =
+    zOrderAppendImpl(spark, delta, path, failAt = "", tag)
 
   /** Test seam: `failAt` ∈ {"before-commit", "before-cleanup"} throws
     * at that point so the spec can pin what a reader (and a retry)
     * sees on either side of the commit instant. */
   private[graft] def zOrderAppendImpl(spark: SparkSession,
-      delta: DataFrame, path: String, failAt: String): DataFrame = {
+      delta: DataFrame, path: String, failAt: String,
+      tag: Option[String] = None): DataFrame = {
     def maybeFail(point: String): Unit =
       if (failAt == point)
         throw new IllegalStateException(s"injected failpoint: $point")
@@ -500,7 +525,7 @@ object Layout {
       .repartitionByRange(newFiles, col("z_code"))
       .sortWithinPartitions(col("z_code"))
       .write.mode("overwrite").parquet(staging.toString)
-    commitSwap(fs, table, staging, version, live, dirty, maybeFail)
+    commitSwap(fs, table, staging, version, live, dirty, maybeFail, tag)
     import spark.implicits._
     Seq((ranges.length.toLong, dirty.size.toLong,
         (ranges.length - dirty.size).toLong, nDeltaRows,
@@ -522,7 +547,8 @@ object Layout {
       table: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path, version: Long,
       live: Seq[String], replaced: Set[String],
-      maybeFail: String => Unit): Seq[String] = {
+      maybeFail: String => Unit,
+      tag: Option[String] = None): Seq[String] = {
     val movedIn = fs.listStatus(staging).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       .map { p =>
@@ -533,9 +559,11 @@ object Layout {
       }
     maybeFail("before-commit")
     // THE commit instant: one atomic rename publishes the new file set
+    // (and the commit tag, inseparably — the exactly-once guarantee)
     writeAtomic(fs,
       new org.apache.hadoop.fs.Path(table, manifestName(version + 1)),
-      ((live.filterNot(replaced) ++ movedIn).sorted).mkString("\n"))
+      (tag.map("#tag:" + _).toSeq ++
+        (live.filterNot(replaced) ++ movedIn).sorted).mkString("\n"))
     maybeFail("before-cleanup")
     // cleanup AFTER the commit: everything deleted here is already
     // unreferenced, so a crash mid-cleanup only leaves vacuumable debris
@@ -603,8 +631,11 @@ object Layout {
       .repartitionByRange(newFiles, col("z_code"))
       .sortWithinPartitions(col("z_code"))
       .write.mode("overwrite").parquet(staging.toString)
+    // carry the previous append's commit tag FORWARD: compaction is
+    // content-neutral, and losing the tag would blind a streaming
+    // replay guard that compares its batch id against lastCommitTag
     val moved = commitSwap(fs, table, staging, version, live,
-      small.map(_._1).toSet, maybeFail)
+      small.map(_._1).toSet, maybeFail, manifestTag(fs, table, version))
     report((live.size - small.size + moved.size).toLong,
       small.size.toLong, smallRows)
   }

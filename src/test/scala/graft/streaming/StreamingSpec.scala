@@ -673,6 +673,63 @@ class StreamingSpec extends SparkSuite {
         s"batch $i: ledger ${ledger(i)} != direct $direct")
     }
   }
+  test("streaming z-order maintenance: two micro-batch appends == " +
+      "batch base+deltas, one manifest commit per batch, and a " +
+      "REPLAYED batch is a provable no-op") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp("graft_szo")
+    val landing = base + "/landing"
+    val table = base + "/ztable"
+    val ckpt = base + "/ckpt"
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    val baseDf = li.filter(col("l_orderkey") > 1000L)
+    val d1 = li.filter(col("l_orderkey") <= 500L)
+    val d2 = li.filter(col("l_orderkey") > 500L &&
+      col("l_orderkey") <= 1000L)
+    graft.operators.Layout.zOrderWriteIndexed(baseDf,
+      Seq("l_orderkey", "l_partkey"), table)
+    // batch 0 lands, drains; batch 1 lands, drains — two commits
+    d1.write.mode("append").parquet(landing)
+    StreamingZOrder.runAvailableNow(spark, landing, table, ckpt,
+      d1.schema)
+    val tagAfter1 = graft.operators.Layout.lastCommitTag(spark, table)
+    assert(tagAfter1.exists(_.startsWith("batch-")),
+      s"the batch id must ride the manifest commit, got $tagAfter1")
+    d2.write.mode("append").parquet(landing)
+    StreamingZOrder.runAvailableNow(spark, landing, table, ckpt,
+      d2.schema)
+    def payload(): Seq[Seq[Any]] =
+      graft.operators.Layout.readZOrdered(spark, table)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val want = baseDf.unionByName(d1).unionByName(d2)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(payload() == want,
+      "streamed appends must equal the batch base+d1+d2 multiset")
+    // REPLAY: re-running the last batch's body with the same id must
+    // no-op — the tag in the manifest is the exactly-once guard
+    val lastTag = graft.operators.Layout.lastCommitTag(spark, table).get
+    val lastId = lastTag.stripPrefix("batch-").toLong
+    StreamingZOrder.processBatch(d2, lastId, table)
+    assert(payload() == want,
+      "a replayed micro-batch must not duplicate rows")
+    // a FRESH id does apply (the guard is id-specific, not a latch)
+    StreamingZOrder.processBatch(d1.limit(0), lastId + 1, table)
+    assert(payload() == want, "an empty batch is skipped entirely")
+    // compaction between batches carries the tag forward — the guard
+    // still recognizes the replay afterwards
+    graft.operators.Layout.zOrderCompact(spark, table,
+      targetRows = 100000L)
+    assert(graft.operators.Layout.lastCommitTag(spark, table)
+      .contains(lastTag), "compaction must carry the commit tag forward")
+    StreamingZOrder.processBatch(d2, lastId, table)
+    assert(payload() == want,
+      "replay after compaction must still no-op")
+  }
+
   test("corpusStats: incrementally-maintained streaming aggregate " +
       "equals the from-scratch batch aggregate over the full corpus") {
     import graft.streaming.StreamingEvents
