@@ -1372,6 +1372,30 @@ object SparkEntry {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }),
+    // Interpolated Kneser-Ney bigram cross-entropy per source: fixed
+    // absolute discount D=0.75, discounted mass redistributed by
+    // continuation probability; self-scored, so every bigram is
+    // observed. All five count statistics exact; P is a fixed IEEE
+    // parse tree mirrored literally in the oracle.
+    "q218_kn_bigram_entropy" -> ((s, d) =>
+      TextOps.knBigramEntropy(t(s, d, "documents"))),
+    // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
+    // span occurring >= 2 times keeps only its first occurrence
+    // (lowest doc_id, then lowest pos); removal is the positional
+    // union of cut spans; text rebuilt from survivors.
+    "q219_strip_dup_spans" -> ((s, d) =>
+      TextOps.stripDuplicateSpans(t(s, d, "documents"))),
+    // Winnowing (MOSS) match report: pairs sharing >= minShared
+    // selected fingerprints via the freq-capped inverted-index join.
+    // xxhash64 fingerprint values are engine-seeded -> rows-only; the
+    // w+k-1 selection guarantee is pinned in NearDupSpec.
+    "x49_winnow_matches" -> ((s, d) =>
+      NearDup.winnowMatches(t(s, d, "documents"))),
+    // Heaps-law exponent fit: per-source log-log OLS over the bucketed
+    // vocabulary-growth curve (first-occurrence trick for cumulative
+    // distinct); decimal-exact OLS sums, one fixed double parse tree.
+    "q220_heaps_fit" -> ((s, d) =>
+      TextOps.heapsLawFit(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5520,5 +5544,159 @@ object SparkEntry {
            ELSE NULL END AS mean_pairwise_cosine
          FROM ssq JOIN n ON ssq.label = n.label
          ORDER BY n.label""",
+    // Interpolated Kneser-Ney bigram cross-entropy: the five count
+    // statistics (c, c1, n1f, n1b, nt) are exact integers; P is the
+    // IDENTICAL IEEE parse tree the Spark side evaluates
+    // ((c - 0.75)/c1 + ((0.75*n1f)/c1)*(n1b/nt)); each c*log2(P) term
+    // rounds 9dp into DECIMAL(28,9) before the order-free sum
+    // (absorbing the <=1-ulp cross-engine log2 divergence); final
+    // division rounds 12.
+    "q218_kn_bigram_entropy" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         b AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         lft AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY 1, 2),
+         rgt AS (SELECT source, w2, CAST(count(*) AS BIGINT) AS n1b
+           FROM c12 GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+           FROM c12 GROUP BY 1),
+         ct AS (SELECT c12.source, tot.nt, tot.n_bigrams,
+             CAST(round(CAST(c12.c AS DOUBLE) * log2(
+               (CAST(c12.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+               ((0.75 * CAST(lft.n1f AS DOUBLE)) / CAST(lft.c1 AS DOUBLE)) *
+                 (CAST(rgt.n1b AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM c12
+           JOIN lft ON c12.source = lft.source AND c12.w1 = lft.w1
+           JOIN rgt ON c12.source = rgt.source AND c12.w2 = rgt.w2
+           JOIN tot ON c12.source = tot.source)
+         SELECT source,
+           CAST(max(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(max(nt) AS BIGINT) AS n_bigram_types,
+           round(-CAST(sum(term) AS DOUBLE) /
+             CAST(max(n_bigrams) AS DOUBLE), 12) AS h_kn_bits
+         FROM ct GROUP BY source ORDER BY source""",
+    // Exact-substring dedup transform: positional 5-gram table with
+    // multiplicity; duplicated grams keep (min doc_id, min pos within
+    // it); every other occurrence explodes to its covered token
+    // positions (the cut set, a positional union); survivors rebuild
+    // via string_agg ORDER BY position. All-integer arithmetic; the
+    // fraction rounds 12.
+    "q219_strip_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks,
+             text
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS gram
+           FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+           WHERE len(toks) >= 5),
+         dup AS (SELECT gram, min(doc_id) AS d0 FROM g
+           GROUP BY 1 HAVING count(*) >= 2),
+         ocb AS (SELECT g.doc_id, g.pos, g.gram, dup.d0
+           FROM g JOIN dup ON g.gram = dup.gram),
+         p0 AS (SELECT gram, min(pos) AS p0 FROM ocb
+           WHERE doc_id = d0 GROUP BY 1),
+         cuts AS (SELECT DISTINCT ocb.doc_id,
+             CAST(tokpos AS BIGINT) AS tokpos
+           FROM ocb JOIN p0 ON ocb.gram = p0.gram,
+             unnest(range(ocb.pos, ocb.pos + 5)) AS s(tokpos)
+           WHERE NOT (ocb.doc_id = ocb.d0 AND ocb.pos = p0.p0)),
+         dirty AS (SELECT DISTINCT doc_id FROM cuts),
+         tokpos AS (SELECT t.doc_id, CAST(i AS BIGINT) AS tokpos,
+             toks[i] AS tok
+           FROM t JOIN dirty ON t.doc_id = dirty.doc_id,
+             unnest(range(1, len(toks) + 1)) AS u(i)),
+         surv AS (SELECT tp.doc_id,
+             CAST(count(*) AS BIGINT) AS kept,
+             string_agg(tp.tok, ' ' ORDER BY tp.tokpos) AS clean
+           FROM tokpos tp
+           LEFT JOIN cuts c ON tp.doc_id = c.doc_id
+             AND tp.tokpos = c.tokpos
+           WHERE c.doc_id IS NULL
+           GROUP BY tp.doc_id)
+         SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN dirty.doc_id IS NULL THEN 0
+             ELSE len(toks) - coalesce(surv.kept, 0) END AS BIGINT)
+             AS n_removed,
+           CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE round(CAST(CASE WHEN dirty.doc_id IS NULL THEN 0
+               ELSE len(toks) - coalesce(surv.kept, 0) END AS DOUBLE) /
+               CAST(len(toks) AS DOUBLE), 12) END AS removed_frac,
+           CASE WHEN dirty.doc_id IS NULL THEN t.text
+             ELSE coalesce(surv.clean, '') END AS text_clean
+         FROM t
+         LEFT JOIN dirty ON t.doc_id = dirty.doc_id
+         LEFT JOIN surv ON t.doc_id = surv.doc_id
+         ORDER BY t.doc_id""",
+    // Heaps-law fit: integer bucket counts via the first-occurrence
+    // trick; each ln rounds 9dp into DECIMAL(12,9); the four OLS sums
+    // accumulate in exact decimal (products carry scale 18); beta and
+    // ln K are the IDENTICAL double parse tree the Spark side builds,
+    // round 12; degenerate sources (n < 2 or zero x-variance) -> NULL.
+    "q220_heaps_fit" ->
+      """WITH t AS (SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         pb AS (SELECT source, doc_id // 50 AS bucket,
+             CAST(sum(len(toks)) AS BIGINT) AS toks_b
+           FROM t GROUP BY 1, 2),
+         ft AS (SELECT source, tok, min(doc_id) AS d0
+           FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2),
+         nb AS (SELECT source, d0 // 50 AS bucket,
+             CAST(count(*) AS BIGINT) AS new_b
+           FROM ft GROUP BY 1, 2),
+         pt AS (SELECT pb.source, pb.bucket, pb.toks_b,
+             coalesce(nb.new_b, 0) AS new_b
+           FROM pb LEFT JOIN nb
+             ON pb.source = nb.source AND pb.bucket = nb.bucket),
+         cm AS (SELECT source,
+             sum(toks_b) OVER (PARTITION BY source ORDER BY bucket)
+               AS cum_tokens,
+             sum(new_b) OVER (PARTITION BY source ORDER BY bucket)
+               AS cum_vocab
+           FROM pt),
+         xy AS (SELECT source,
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
+               AS DECIMAL(12,9)) AS x,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9)
+               AS DECIMAL(12,9)) AS y
+           FROM cm WHERE cum_tokens > 0 AND cum_vocab > 0),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx
+           FROM xy GROUP BY 1)
+         SELECT source, n_points,
+           CASE WHEN n_points >= 2 AND
+               (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+             THEN round(
+               (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+             ELSE NULL END AS heaps_beta,
+           CASE WHEN n_points >= 2 AND
+               (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+             THEN round(
+               CAST(sy AS DOUBLE) / CAST(n_points AS DOUBLE) -
+               ((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+               (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 12)
+             ELSE NULL END AS heaps_ln_k
+         FROM s ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

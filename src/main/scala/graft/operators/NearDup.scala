@@ -1118,4 +1118,79 @@ object NearDup {
           col("n_lsh").cast("double"), 12).as("precision"))
   }
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprint table (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): per document, hash every k-token gram, slide
+    * a window of w consecutive gram hashes, and keep the MINIMUM hash
+    * of each window (value-dedup'd). The selection guarantee is what
+    * makes this the local-dedup sketch MinHash is not: any two
+    * documents sharing a contiguous run of ≥ w + k − 1 tokens share at
+    * least one selected fingerprint (the run contributes a full window
+    * of identical gram hashes on both sides, and a window's min is a
+    * function of its contents alone), while expected density is only
+    * ~2/(w+1) of positions — guaranteed detection of long shared
+    * spans at a tunable sketch size. MinHash (L7) samples globally and
+    * can MISS a short shared span entirely; winnowing cannot.
+    *
+    * Standard simplification (documented in the paper): fingerprints
+    * are selected VALUES, not (value, position) pairs — ties across
+    * windows collapse, which only ever under-reports density, never
+    * the guarantee.
+    *
+    * Scale shape: the entire selection is ONE map-side expression
+    * chain per document (gram hashing, sliding min, value dedup are
+    * array HOFs over the token array — zero shuffle, zero UDFs); the
+    * only exchange is the output explode's implicit partitioning.
+    * Documents with fewer than w grams contribute their global min
+    * (the paper's short-document rule); documents shorter than k
+    * tokens contribute nothing. */
+  def winnowFingerprintTable(docs: DataFrame, k: Int = 3, w: Int = 4)
+      : DataFrame = {
+    require(k >= 1, "gram size must be at least 1 token")
+    require(w >= 1, "window must span at least 1 gram")
+    val gramHash = s"""transform(
+      |  slice(_toks, 1, greatest(size(_toks) - ${k - 1}, 0)),
+      |  (t, i) -> xxhash64(concat_ws(' ', ${(0 until k).map(j =>
+           if (j == 0) "t" else s"_toks[i + $j]").mkString(", ")})))"""
+      .stripMargin
+    val fps = s"""CASE WHEN size(_h) = 0
+      |  THEN array()
+      |  ELSE array_distinct(transform(
+      |    sequence(1, greatest(size(_h) - ${w - 1}, 1)),
+      |    j -> array_min(slice(_h, j, least($w, size(_h))))))
+      |END""".stripMargin
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), expr(gramHash).as("_h"))
+      .select(col("doc_id"), explode(expr(fps)).as("fp"))
+  }
+
+  /** x49: winnowing match report — pairs of documents sharing at least
+    * `minShared` selected fingerprints, via the same freq-capped
+    * inverted-index equi-join every other pair generator here uses
+    * (never cartesian): fingerprints shared by more than `maxFpFreq`
+    * documents are boilerplate-grade and excluded from pair generation
+    * (the q29 skew guard — a corpus-hot fingerprint contributes ~0
+    * evidence but quadratic join output).
+    *
+    * Fingerprint values are xxhash64 (engine-seeded) → rows-only bench
+    * entry; the selection guarantee, density bound, and match
+    * semantics are pinned in NearDupSpec on planted fixtures. */
+  def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxFpFreq: Long = 256L): DataFrame = {
+    val fps = winnowFingerprintTable(docs, k, w)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFpFreq)
+      .select(col("fp"))
+    val capped = fps.join(rare, "fp")
+    capped.as("a").join(capped.as("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
 }

@@ -2114,6 +2114,123 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q219: exact-substring dedup TRANSFORM (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") —
+    * the REMOVAL pass the q114/q176 span profile only measures: every
+    * n-token span occurring ≥ minCount times across the corpus keeps
+    * exactly its FIRST occurrence (lowest doc_id, then lowest
+    * position within it) and every other occurrence's tokens are cut;
+    * the text is rebuilt from the surviving tokens in original order.
+    * This is the dedup memorization studies demand — document-level
+    * dedup (q28) cannot see a boilerplate span pasted into otherwise
+    * distinct pages.
+    *
+    * Removal is the positional UNION of cut spans, so overlapping
+    * duplicated spans never double-cut, and a span duplicated WITHIN
+    * the canonical document self-dedups (first position wins). The
+    * standard caveat applies: cutting interior spans can join
+    * previously non-adjacent tokens into new n-grams — one pass does
+    * not reach a fixed point (Lee et al. run one pass too).
+    *
+    * Determinism: exact integer counts and positions end-to-end; the
+    * first-occurrence rule is a total order; no floating point
+    * anywhere but the final round-12 fraction.
+    *
+    * Scale shape (the substrProfileImpl argument, plus a transform):
+    * ONE corpus scan builds the position-indexed gram table
+    * (persisted — it feeds the duplicated-gram aggregate, the
+    * canonical-position probe, and the cut-set join); duplicated
+    * grams are HAVING-filtered so only hot grams travel; the cut-set
+    * explode is bounded by n × (duplicate occurrences), NOT the
+    * corpus; the rebuild groups per document, so its sort is bounded
+    * by document length (q57's argument), and the token table is
+    * rebuilt only for DOCUMENTS THAT LOSE TOKENS — untouched docs
+    * ride the spine with their original text and never pay the
+    * explode.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * gram table (evictable MEMORY_AND_DISK) — one-shot runners sweep
+    * it; long-lived sessions clearCache() between workloads. */
+  /** Position-indexed n-token span table (doc_id, pos, gram) with
+    * multiplicity, 1-based positions — the shared front end of the
+    * batch transform (q219) and the streaming incremental form. */
+  private[graft] def spanGramTable(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  slice(_toks, 1, greatest(size(_toks) - ${n - 1}, 0)),
+             |  (t, i) -> struct(
+             |    CAST(i + 1 AS BIGINT) AS pos,
+             |    concat_ws(' ', ${(0 until n).map(k =>
+                    if (k == 0) "t" else s"_toks[i + $k]").mkString(", ")}
+             |    ) AS gram))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+  }
+
+  /** Rebuild docs minus a cut set of (doc_id, tokpos) positions —
+    * the shared back end of q219 and the streaming form. Only
+    * documents present in `cuts` pay the token explode; clean docs
+    * ride the spine untouched; a fully-cut doc goes to "". */
+  private[graft] def rebuildWithoutCuts(docs: DataFrame,
+      cuts: DataFrame): DataFrame = {
+    val dirtyIds = cuts.select(col("doc_id")).distinct()
+      .withColumn("_dirty", lit(true))
+    val rebuilt = docs.join(dirtyIds.drop("_dirty"), "doc_id")
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text")))
+        .as(Seq("_i", "tok")))
+      .select(col("doc_id"), (col("_i") + 1).cast("long").as("tokpos"),
+        col("tok"))
+      .join(cuts, Seq("doc_id", "tokpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+          e => e.getField("tok"))).as("_clean"))
+    val kept = when(col("_dirty").isNull, col("n_tokens"))
+      .otherwise(coalesce(col("_kept"), lit(0L)))
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        col("text"))
+      .join(dirtyIds, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - kept).as("n_removed"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round((col("n_tokens") - kept).cast("double") /
+            col("n_tokens").cast("double"), 12)).as("removed_frac"),
+        when(col("_dirty").isNull, col("text"))
+          .otherwise(coalesce(col("_clean"), lit(""))).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def stripDuplicateSpans(docs: DataFrame, n: Int = 5,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 2L, "a span occurring once is not a duplicate")
+    val grams = spanGramTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicated grams with their canonical document (lowest doc_id)
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_c"), min(col("doc_id")).as("_d0"))
+      .filter(col("_c") >= minCount)
+      .select(col("gram"), col("_d0"))
+    // occurrences of duplicated grams; the canonical position is the
+    // lowest pos inside the canonical doc — derived by AGGREGATE, not
+    // a per-gram window, so a corpus-hot gram partial-combines
+    // map-side instead of piling one window partition
+    val dupOcc = grams.join(dup, "gram")
+    val p0 = dupOcc.filter(col("doc_id") === col("_d0"))
+      .groupBy(col("gram")).agg(min(col("pos")).as("_p0"))
+    val cuts = dupOcc.join(p0, "gram")
+      .filter(!(col("doc_id") === col("_d0") && col("pos") === col("_p0")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
+      .distinct()
+    rebuildWithoutCuts(docs, cuts)
+  }
+
   /** PII detector patterns — dialect-portable (identical semantics under
     * Java regex and RE2): plain character classes with explicit members
     * (no \s — Java's includes U+000B vertical tab, RE2's does not),
@@ -3032,6 +3149,173 @@ object TextOps {
             col("n_sentences").cast("double")) -
           lit(84.6) * (col("n_syllables").cast("double") /
             col("n_words").cast("double")), 12).as("flesch_score"))
+      .orderBy(col("source"))
+  }
+
+  /** q220: Heaps-law vocabulary-growth exponent per source — fit
+    * V(n) = K·n^β (Heaps 1978) by ordinary least squares on the
+    * log–log bucketed growth curve: natural text sits near β ≈ 0.5;
+    * template floods and bot mills push β toward 0 (vocabulary stops
+    * growing), OCR noise and mojibake push it toward 1 (every page
+    * mints new "types"). The FITTED summary of the q71 growth curve —
+    * one number per source a composition dashboard can threshold,
+    * where the raw curve needs a human eye.
+    *
+    * Growth points: documents bucket by arrival order (doc_id div
+    * bucketDocs — q71's bucketing); per bucket, token mass and
+    * NEW-type count (a type belongs to the bucket of its FIRST
+    * containing doc — the first-occurrence trick that turns
+    * "cumulative distinct" into an ordinary aggregate); cumulative
+    * sums run over the ≤ⁿbuckets-row per-source metadata frame, never
+    * the corpus.
+    *
+    * Determinism: every count is an exact integer; each ln rounds to
+    * 9 dp into DECIMAL(12,9); the four OLS sums (Σx, Σy, Σxy, Σx²)
+    * accumulate in EXACT decimal arithmetic (products carry scale 18
+    * — no precision clipping, no float association anywhere); β and
+    * ln K are one fixed double parse tree over the exact sums,
+    * rounded 12. Sources with < 2 points or zero x-variance report
+    * NULL (a single point cannot anchor a power law).
+    *
+    * Scale shape: one corpus scan for per-doc token counts, one
+    * explode for the (source, token) → first-doc aggregate (both
+    * partial+final map-side combines); everything downstream runs on
+    * (source, bucket) metadata. The only window is the cumulative sum
+    * over ≤ ⌈maxDoc/bucketDocs⌉ rows per source. */
+  def heapsLawFit(docs: DataFrame, bucketDocs: Long = 50L): DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val dec = DecimalType(12, 9)
+    val toks = docs.select(col("source"), col("doc_id"),
+      TextFunctions.tokens(col("text")).as("_toks"))
+    val perBucketTokens = toks
+      .select(col("source"),
+        expr(s"doc_id div ${bucketDocs}L").as("bucket"),
+        size(col("_toks")).cast("long").as("_n"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("_n")).as("toks_b"))
+    val newTypes = toks
+      .select(col("source"), col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("_d0"))
+      .select(col("source"), expr(s"_d0 div ${bucketDocs}L").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("new_b"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucketTokens
+      .join(newTypes, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), col("toks_b"),
+        coalesce(col("new_b"), lit(0L)).as("new_b"))
+      .withColumn("cum_tokens", sum(col("toks_b")).over(w))
+      .withColumn("cum_vocab", sum(col("new_b")).over(w))
+      .filter(col("cum_tokens") > 0L && col("cum_vocab") > 0L)
+      .select(col("source"),
+        round(log(col("cum_tokens").cast("double")), 9).cast(dec).as("x"),
+        round(log(col("cum_vocab").cast("double")), 9).cast(dec).as("y"))
+    val sums = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+    val nD = col("n_points").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double"); val sxx = col("_sxx").cast("double")
+    val denom = nD * sxx - sx * sx
+    val beta = (nD * sxy - sx * sy) / denom
+    sums.select(col("source"), col("n_points"),
+      when(col("n_points") >= 2L && denom =!= 0.0, round(beta, 12))
+        .otherwise(lit(null).cast("double")).as("heaps_beta"),
+      when(col("n_points") >= 2L && denom =!= 0.0,
+        round(sy / nD - beta * (sx / nD), 12))
+        .otherwise(lit(null).cast("double")).as("heaps_ln_k"))
+      .orderBy(col("source"))
+  }
+
+  /** q218: interpolated Kneser–Ney bigram cross-entropy per source —
+    * the PROPER smoothed LM the q52 (add-one unigram) and q184
+    * (Stupid Backoff — unnormalized, Brants et al. 2007) scorers
+    * bracket: absolute discounting (fixed D = 0.75, the textbook
+    * default — Chen & Goodman 1999) with the discounted mass
+    * re-distributed by CONTINUATION probability — how many distinct
+    * contexts a word follows, not how often it occurs — the
+    * correction that stops high-count-but-single-context tokens
+    * ("Francisco") from soaking up backoff mass. Self-scored per
+    * source: each source's own bigrams under its own KN model, the
+    * smoothing-robust form of q211's template-collapse signal (a
+    * boilerplate mill keeps a tiny bigram-type inventory, so its
+    * discounted mass and continuation entropy both crater).
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *            + (D·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··))
+    *
+    * Every scored bigram is observed (self-scoring), so c − D ≥ 0.25
+    * and the max(·,0) clamp is vacuous; P ≤ c/c₁ ≤ 1, so the entropy
+    * is non-negative by construction.
+    *
+    * Determinism (q211's libm discipline): all five count statistics
+    * are exact integers; P is a fixed parse tree of IEEE
+    * correctly-rounded ops (two divides, two multiplies, one add —
+    * bit-identical cross-engine); each c·log₂P term rounds to 9 dp
+    * into DECIMAL(28,9) BEFORE the order-free exact sum (absorbing
+    * the ≤1-ulp log₂ divergence between engines); final division
+    * rounds 12.
+    *
+    * Scale shape: ONE corpus scan to the (source, w1, w2) count table
+    * (vocabulary²-bounded, persisted); c(w₁·) and N₁₊(w₁·) derive by
+    * re-aggregation over w1, N₁₊(·w₂) over w2, N₁₊(··) per source —
+    * the corpus is never rescanned; the scoring join runs count-table
+    * × its own two marginals on (source, word) keys; the entropy fold
+    * is a per-source aggregate. The string-keyed shuffle shares
+    * q211's trade — the x45 hashed relabeling applies verbatim if the
+    * count-table shuffle ever dominates.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * bigram count table (evictable MEMORY_AND_DISK) — one-shot
+    * runners sweep it; long-lived sessions clearCache() between
+    * workloads (sourceOverlap's note). */
+  def knBigramEntropy(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "absolute discount must sit strictly inside (0, 1)")
+    val dec = DecimalType(28, 9)
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          try_element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val c12 = docs
+      .select(col("source"), explode(pairs).as("p"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left marginal: total continuations and distinct-type fanout of w1
+    val left = c12.groupBy(col("source"), col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+    // right marginal: distinct contexts w2 follows (continuation count)
+    val right = c12.groupBy(col("source"), col("w2"))
+      .agg(count(lit(1)).as("n1b"))
+    // per-source type/token totals (tiny; broadcast into the scoring join)
+    val tot = c12.groupBy(col("source"))
+      .agg(count(lit(1)).as("nt"), sum(col("c")).as("n_bigrams"))
+    val d = lit(discount)
+    // fixed parse tree — mirrored literally in the DuckDB oracle
+    val p = (col("c").cast("double") - d) / col("c1").cast("double") +
+      ((d * col("n1f").cast("double")) / col("c1").cast("double")) *
+        (col("n1b").cast("double") / col("nt").cast("double"))
+    c12.join(left, Seq("source", "w1"))
+      .join(right, Seq("source", "w2"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("nt"), col("n_bigrams"),
+        round(col("c").cast("double") * log2(p), 9).cast(dec).as("_t"))
+      .groupBy(col("source"))
+      .agg(first(col("n_bigrams")).as("n_bigrams"),
+        first(col("nt")).as("n_bigram_types"),
+        sum(col("_t")).as("_s"))
+      .select(col("source"), col("n_bigrams"), col("n_bigram_types"),
+        round(-col("_s").cast("double") /
+          col("n_bigrams").cast("double"), 12).as("h_kn_bits"))
       .orderBy(col("source"))
   }
 }

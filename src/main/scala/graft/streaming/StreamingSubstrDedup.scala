@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextOps
+
+/** Streaming EXACT-SUBSTRING dedup — the incremental form of
+  * TextOps.stripDuplicateSpans (q219, Lee et al. 2022), the third
+  * member of the incremental-dedup family (StreamingDedup = LSH
+  * near-dup, StreamingEmbeddingDedup = cosine near-dup, this = exact
+  * span removal). Documents land as parquet; each micro-batch is:
+  *
+  *  1. probed against the accumulated GRAM INDEX (every distinct
+  *     n-token span the corpus has ever contained, in ORIGINAL text):
+  *     any batch occurrence of an indexed span is cut — its canonical
+  *     occurrence lives in an earlier batch;
+  *  2. deduplicated WITHIN itself by the batch rule for spans the
+  *     index has never seen (first occurrence by lowest doc_id, then
+  *     lowest position, survives; later ones cut);
+  *  3. rebuilt without the cut positions and appended to the clean
+  *     corpus, while the batch's distinct NEW spans append to the
+  *     gram index — the next batch probes an index that already
+  *     covers this one.
+  *
+  * Parity theorem (pinned in StreamingSpec): with arrival-ordered
+  * doc_ids (every id in batch k below every id in batch k+1) and
+  * minCount = 2, the streamed result EQUALS the batch
+  * stripDuplicateSpans of the concatenated corpus, document by
+  * document. Sketch: a span's global first occurrence is in the first
+  * batch containing it; within that batch the local rule picks
+  * exactly the global (min doc_id, min pos) canonical; every later
+  * occurrence is cut either by the local rule (same batch) or by the
+  * index probe (later batch). minCount > 2 has no incremental
+  * equivalent (an occurrence count cannot be un-spent once batches
+  * close), so this runner fixes minCount = 2 — Lee et al.'s setting.
+  *
+  * Exactly-once: both sinks write `batch=<id>` subdirectories with
+  * mode Overwrite, and accumulated reads EXCLUDE the current batchId
+  * (StreamingDedup.readAccumulated), so a replayed micro-batch
+  * recomputes the identical result against the identical prior state
+  * and overwrites its own output — idempotent by construction.
+  *
+  * Scale shape: per-batch cost is the batch's gram explode plus ONE
+  * equi-join against the gram-distinct index (probe ∝ batch grams ×
+  * hash lookup, never corpus text — the corpus is NEVER re-read);
+  * the index is the growing state, stored as append-only parquet
+  * whose `batch=` layout StreamingDedup.compactAccumulated can fold
+  * when small files accumulate. At 100 TB the index is wide but
+  * gram-distinct — the same state a suffix-array dedup service keeps,
+  * in lake form. */
+object StreamingSubstrDedup {
+
+  /** One micro-batch — extracted so replay idempotence is directly
+    * testable (same batchId twice must leave the same corpus+index). */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      cleanPath: String, gramIndexPath: String, n: Int): Unit = {
+    val s = batch.sparkSession
+    val pinned = batch.localCheckpoint()
+    val grams = TextOps.spanGramTable(pinned, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = StreamingDedup.readAccumulated(s, gramIndexPath, batchId)
+      .map(_.select(col("gram")).distinct())
+    // spans the corpus already owns: every batch occurrence is cut
+    val idxCuts = index.map(ix => grams.join(ix, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+          .as("tokpos")))
+    // spans new to the corpus: the batch-local first-occurrence rule
+    val localGrams = index match {
+      case Some(ix) => grams.join(ix, Seq("gram"), "left_anti")
+      case None => grams
+    }
+    val dup = localGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_c"), min(col("doc_id")).as("_d0"))
+      .filter(col("_c") >= 2L)
+      .select(col("gram"), col("_d0"))
+    val dupOcc = localGrams.join(dup, "gram")
+    val p0 = dupOcc.filter(col("doc_id") === col("_d0"))
+      .groupBy(col("gram")).agg(min(col("pos")).as("_p0"))
+    val localCuts = dupOcc.join(p0, "gram")
+      .filter(!(col("doc_id") === col("_d0") && col("pos") === col("_p0")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
+    val cuts = idxCuts.fold(localCuts)(_.union(localCuts)).distinct()
+    TextOps.rebuildWithoutCuts(pinned, cuts)
+      .write.mode("overwrite")
+      .parquet(StreamingDedup.subdir(cleanPath, batchId))
+    // index append: every distinct ORIGINAL-text span the index lacks
+    // (cut-or-kept is irrelevant — the batch rule and the global rule
+    // both key on original positions, which is what makes the parity
+    // theorem hold)
+    val newGrams = grams.select(col("gram")).distinct()
+    val novel = index match {
+      case Some(ix) => newGrams.join(ix, Seq("gram"), "left_anti")
+      case None => newGrams
+    }
+    novel.write.mode("overwrite")
+      .parquet(StreamingDedup.subdir(gramIndexPath, batchId))
+    grams.unpersist(blocking = false)
+  }
+
+  /** Run one AvailableNow pass over a landing directory of parquet
+    * document files. `schema` must cover (doc_id LONG, text STRING). */
+  def runAvailableNow(spark: SparkSession, landingDir: String,
+      cleanPath: String, gramIndexPath: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType, n: Int = 5)
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, cleanPath, gramIndexPath, n)
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

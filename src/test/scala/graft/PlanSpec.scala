@@ -1293,4 +1293,50 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 4,
       s"explode agg + bounded-label stages only, got ${exchanges.size}")
   }
+
+  test("q218 KN entropy: per-source totals BROADCAST into the scoring " +
+      "join; no product join anywhere") {
+    val df = q("q218_kn_bigram_entropy")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the scoring join is count-table x its own marginals — equi only")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row totals frame must broadcast, not shuffle")
+  }
+
+  test("q219 strip dup spans: no product join; no corpus-keyed window " +
+      "(canonical positions derive by AGGREGATE, the hot-gram-safe form)") {
+    val df = q("q219_strip_dup_spans")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span removal joins only on gram / (doc_id, tokpos) keys")
+    // a Window over gram would pile every occurrence of a hot gram
+    // into one partition; the aggregate form partial-combines map-side
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"no window operator expected in the removal pipeline: $windows")
+  }
+
+  test("x49 winnowing: fingerprint selection is MAP-SIDE (no exchange " +
+      "below the fingerprint table), and the match join is the capped " +
+      "inverted-index equi-join") {
+    import graft.operators.NearDup
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val fps = NearDup.winnowFingerprintTable(docs)
+    fps.collect()
+    val fpExchanges = collect(fps.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(fpExchanges.isEmpty,
+      "gram hashing, sliding min, and value dedup are array HOFs — " +
+        s"zero shuffles, got ${fpExchanges.size}")
+    val plan = finalPlan(q("x49_winnow_matches"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi-join on the fingerprint")
+  }
 }

@@ -787,4 +787,84 @@ class NearDupSpec extends SparkSuite {
     }
     assert(report.keySet == byDocs.keySet)
   }
+
+  test("winnowing (x49): the selection guarantee — two docs sharing a " +
+      "contiguous run of >= w + k - 1 tokens share at least one " +
+      "fingerprint, however hostile the surroundings") {
+    import spark.implicits._
+    // k=3, w=4: the guarantee threshold is a 6-token shared run
+    val run = "sierra tango uniform victor whiskey xray"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"aaa bbb ccc ddd $run eee fff"),
+      // disjoint-vocab control — must match NOTHING
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.winnowMatches(docs, k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "a 6-token shared run MUST produce a shared fingerprint " +
+        "(Schleimer et al. theorem 1)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint vocabulary shares no k-grams, hence no fingerprints")
+  }
+
+  test("winnowing: short-document rules — fewer grams than the window " +
+      "emits the global min; shorter than k emits nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),      // exactly one 3-gram -> one fingerprint
+      (2L, "a b"),        // shorter than k -> none
+      (3L, "a b c d")     // two grams, window 4 -> one global-min fp
+    ).toDF("doc_id", "text")
+    val fps = NearDup.winnowFingerprintTable(docs, k = 3, w = 4)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.get(1L).contains(1L))
+    assert(!fps.contains(2L))
+    assert(fps.get(3L).contains(1L),
+      "sub-window docs contribute their single global minimum")
+  }
+
+  test("winnowing: density bounds on an all-distinct doc, and identical " +
+      "docs share their full fingerprint set") {
+    import spark.implicits._
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val nGrams = 60 - k + 1
+    val nWindows = nGrams - w + 1
+    val fps = NearDup.winnowFingerprintTable(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // a selected value is the min of at most w consecutive windows, so
+    // #fps >= ceil(#windows / w); and each window selects one value,
+    // so #fps <= #windows
+    assert(perDoc(1L).size >= (nWindows + w - 1) / w,
+      s"density floor violated: ${perDoc(1L).size} of $nWindows windows")
+    assert(perDoc(1L).size <= nWindows)
+    assert(perDoc(1L) == perDoc(2L),
+      "fingerprints are a function of content alone")
+    val m = NearDup.winnowMatches(docs, k, w, minShared = 1L)
+      .collect().head
+    assert(m.getAs[Long]("n_shared") == perDoc(1L).size.toLong)
+  }
+
+  test("winnowing: the frequency cap drops boilerplate-grade " +
+      "fingerprints from pair generation") {
+    import spark.implicits._
+    // ten docs all carrying the same 6-token run: every fingerprint of
+    // the run appears in all 10 docs, so a cap of 5 excludes them all
+    val run = "golf hotel india juliet kilo lima"
+    val docs = (1L to 10L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c $run v${i}a v${i}b")).toDF("doc_id", "text")
+    val capped = NearDup.winnowMatches(docs, k = 3, w = 4,
+      minShared = 1L, maxFpFreq = 5L).collect()
+    assert(capped.isEmpty,
+      "corpus-hot fingerprints must not generate quadratic pair output")
+    val uncapped = NearDup.winnowMatches(docs, k = 3, w = 4,
+      minShared = 1L, maxFpFreq = 256L).collect()
+    assert(uncapped.length == 45,
+      s"all 10-choose-2 pairs match without the cap: ${uncapped.length}")
+  }
 }

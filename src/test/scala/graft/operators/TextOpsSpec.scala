@@ -1925,4 +1925,179 @@ class TextOpsSpec extends SparkSuite {
       "a fragment without terminal punctuation is one sentence")
     assert(b.getAs[Long]("n_syllables") == 4L)
   }
+
+  test("heapsLawFit (q220): two-point OLS is the exact chord slope; " +
+      "template floods pin beta to 0, all-new-type streams to 1; " +
+      "single-point sources report NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: bucket 0 (ids < 50) holds 2 tokens / 2 types, bucket 1
+      // adds 4 tokens / 2 new types -> points (2,2), (6,4):
+      // beta = (ln4 - ln2) / (ln6 - ln2) = ln2/ln3
+      (0L, "srcA", "a b"),
+      (50L, "srcA", "c d a b"),
+      // srcB: same text every bucket -> vocabulary flat -> beta = 0
+      (1L, "srcB", "t1 t2 t3"),
+      (51L, "srcB", "t1 t2 t3"),
+      (101L, "srcB", "t1 t2 t3"),
+      // srcC: every token new, equal bucket mass -> V(n) = n -> beta 1
+      (2L, "srcC", "u1 u2"),
+      (52L, "srcC", "u3 u4"),
+      (102L, "srcC", "u5 u6"),
+      // srcD: one bucket only -> no slope
+      (3L, "srcD", "z1 z2 z3")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.heapsLawFit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_points") == 2L)
+    val want = math.log(2) / math.log(3)
+    assert(math.abs(a.getAs[Double]("heaps_beta") - want) < 1e-7,
+      s"two-point slope: got ${a.getAs[Double]("heaps_beta")}, want $want")
+    assert(out("srcB").getAs[Double]("heaps_beta") == 0.0,
+      "constant vocabulary fits a flat power law exactly")
+    assert(math.abs(out("srcC").getAs[Double]("heaps_beta") - 1.0) < 1e-7,
+      "V(n) = n fits beta = 1")
+    assert(out("srcD").isNullAt(out("srcD").fieldIndex("heaps_beta")) &&
+      out("srcD").isNullAt(out("srcD").fieldIndex("heaps_ln_k")),
+      "a single growth point cannot anchor a power law")
+    // ln K sanity on the exact-fit source: y = beta*x + lnK through
+    // (ln2, ln2) -> lnK = ln2*(1 - beta)
+    val lnk = math.log(2) * (1 - want)
+    assert(math.abs(a.getAs[Double]("heaps_ln_k") - lnk) < 1e-7)
+  }
+
+  test("knBigramEntropy (q218): hand-computed interpolated KN golden, " +
+      "and a forced chain keeps POSITIVE entropy (the discount reserve " +
+      "q211's MLE estimate reports as exactly zero)") {
+    import spark.implicits._
+    def pKn(c: Double, c1: Double, n1f: Double, n1b: Double,
+        nt: Double): Double =
+      (c - 0.75) / c1 + ((0.75 * n1f) / c1) * (n1b / nt)
+    def lg2(x: Double): Double = math.log(x) / math.log(2)
+    val docs = Seq(
+      // srcA 'a b a b a c': bigrams (a,b)x2 (b,a)x2 (a,c)x1 — N=5, nt=3
+      // c1: a=3 (n1f=2), b=2 (n1f=1); n1b: a=1, b=1, c=1
+      (1L, "srcA", "a b a b a c"),
+      // srcB 'a b a b a b': (a,b)x3 (b,a)x2 — forced chain, N=5, nt=2
+      (2L, "srcB", "a b a b a b"),
+      // srcC: one token — no bigrams, must be ABSENT from the report
+      (3L, "srcC", "solo")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.knBigramEntropy(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("srcC"), "bigram-less sources contribute nothing")
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_bigrams") == 5L)
+    assert(a.getAs[Long]("n_bigram_types") == 3L)
+    val hA = -(2 * lg2(pKn(2, 3, 2, 1, 3)) + 2 * lg2(pKn(2, 2, 1, 1, 3)) +
+      1 * lg2(pKn(1, 3, 2, 1, 3))) / 5
+    assert(math.abs(a.getAs[Double]("h_kn_bits") - hA) < 1e-8,
+      s"KN golden: got ${a.getAs[Double]("h_kn_bits")}, want $hA")
+    val b = out("srcB")
+    // P(b|a) = 2.25/3 + (0.75/3)(1/2) = 0.875; P(a|b) = 0.8125
+    val hB = -(3 * lg2(0.875) + 2 * lg2(0.8125)) / 5
+    assert(math.abs(b.getAs[Double]("h_kn_bits") - hB) < 1e-8)
+    assert(b.getAs[Double]("h_kn_bits") > 0.0,
+      "KN reserves discounted mass: a forced chain scores ABOVE zero " +
+        "bits, where the q211 MLE estimate reports exactly zero")
+  }
+
+  test("knBigramEntropy: observed-bigram KN probabilities per context " +
+      "sum strictly below 1 (mass reserved for unseen continuations), " +
+      "and entropy is non-negative") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "a b a c b c a b"),
+      (2L, "s", "c a b b a")
+    ).toDF("doc_id", "source", "text")
+    val h = TextOps.knBigramEntropy(docs).collect().head
+      .getAs[Double]("h_kn_bits")
+    assert(h >= 0.0, "P <= c/c1 <= 1 forces non-negative entropy")
+    // rebuild the model by hand to check the per-context mass property
+    val pairs = Seq("a b a c b c a b", "c a b b a")
+      .flatMap(t => { val w = t.split(" "); w.init.zip(w.tail) })
+    val c12 = pairs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n1f = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble)
+    val n1b = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toDouble)
+    val nt = c12.size.toDouble
+    c1.keys.foreach { w1 =>
+      val mass = c12.collect { case ((a, b), c) if a == w1 =>
+        (c - 0.75) / c1(w1) + ((0.75 * n1f(w1)) / c1(w1)) * (n1b(b) / nt)
+      }.sum
+      assert(mass < 1.0 + 1e-12,
+        s"context '$w1' over-allocates probability mass: $mass")
+    }
+  }
+
+  test("stripDuplicateSpans (q219): a span pasted into a second doc is " +
+      "cut there and kept at its first occurrence; clean docs ride " +
+      "through untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x1 x2"),
+      (2L, "z1 a b c d e z2 z3"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 0L &&
+      out(1L).getAs[String]("text_clean") == "a b c d e x1 x2",
+      "the canonical (lowest doc_id) occurrence keeps its tokens")
+    assert(out(2L).getAs[Long]("n_removed") == 5L)
+    assert(out(2L).getAs[String]("text_clean") == "z1 z2 z3")
+    assert(out(2L).getAs[Double]("removed_frac") == 0.625)
+    assert(out(3L).getAs[Long]("n_removed") == 0L &&
+      out(3L).getAs[String]("text_clean") ==
+        "totally unrelated words here")
+  }
+
+  test("stripDuplicateSpans: a span duplicated WITHIN one doc " +
+      "self-dedups (first position wins)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = TextOps.stripDuplicateSpans(docs).collect().head
+    assert(r.getAs[String]("text_clean") == "a b c d e")
+    assert(r.getAs[Long]("n_removed") == 5L)
+    assert(r.getAs[Double]("removed_frac") == 0.5)
+  }
+
+  test("stripDuplicateSpans: overlapping cut spans union — tokens are " +
+      "never double-counted, and the union cuts once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "w p q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc2 hosts both duplicated 5-grams ('p q r s t' at pos 2,
+    // 'q r s t u' at pos 3); their cut spans overlap on 3..6 and the
+    // union removes positions 2..7 exactly once
+    assert(out(2L).getAs[Long]("n_removed") == 6L)
+    assert(out(2L).getAs[String]("text_clean") == "w v")
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("stripDuplicateSpans: an exactly-duplicated doc is cut to the " +
+      "empty string, not silently reverted; short docs are inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "too short"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text_clean") == "a b c d e")
+    assert(out(2L).getAs[String]("text_clean") == "")
+    assert(out(2L).getAs[Long]("n_removed") == 5L)
+    assert(out(2L).getAs[Double]("removed_frac") == 1.0)
+    assert(out(3L).getAs[Long]("n_removed") == 0L &&
+      out(3L).getAs[String]("text_clean") == "too short")
+    assert(out(4L).getAs[Long]("n_tokens") == 0L &&
+      out(4L).getAs[Double]("removed_frac") == 0.0)
+  }
 }

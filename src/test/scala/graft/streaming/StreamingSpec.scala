@@ -785,4 +785,59 @@ class StreamingSpec extends SparkSuite {
         s"batch $i: ledger ${ledger(i)} != direct $direct")
     }
   }
+
+  test("streaming exact-substring dedup: two micro-batches == batch " +
+      "stripDuplicateSpans on the union (the parity theorem), cross-" +
+      "batch spans cut by the index probe, replay no-ops") {
+    import spark.implicits._
+    val landing = tmp("sl"); val ckpt = tmp("sc")
+    val clean = tmp("sclean") + "/c"; val gramIdx = tmp("sgram") + "/g"
+    // batch 1: an in-batch duplicated span (docs 1->2) + a clean doc
+    val b1 = Seq(
+      (1L, "a b c d e x1 x2"),
+      (2L, "z1 a b c d e z2 z3"),
+      (3L, "m1 m2 m3 m4 m5 m6"))
+      .toDF("doc_id", "text")
+    // batch 2: doc 10 repeats batch-1's span (index probe must cut
+    // it), doc 11 repeats doc 3's full text (cut to ""), doc 12 clean
+    val b2 = Seq(
+      (10L, "w1 a b c d e w2"),
+      (11L, "m1 m2 m3 m4 m5 m6"),
+      (12L, "q1 q2 q3 q4 q5 q6"))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(landing)
+    StreamingSubstrDedup.runAvailableNow(spark, landing, clean, gramIdx,
+      ckpt, b1.schema)
+    b2.write.mode("append").parquet(landing)
+    StreamingSubstrDedup.runAvailableNow(spark, landing, clean, gramIdx,
+      ckpt, b1.schema)
+    def streamed(): Map[Long, (Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(clean)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("text_clean")))).toMap
+    val got = streamed()
+    // the parity theorem: streamed == batch over the concatenation
+    val direct = TextOps.stripDuplicateSpans(b1.unionByName(b2))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(got == direct,
+      s"streamed result diverged from the batch transform:\n$got\n$direct")
+    // spot goldens: the cross-batch probe and the full-doc cut
+    assert(got(10L) == ((7L, 5L, "w1 w2")))
+    assert(got(11L) == ((6L, 6L, "")))
+    assert(got(12L)._2 == 0L)
+    // the gram index holds every distinct original-text span once
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(gramIdx).collect().map(_.getString(0)).toSeq
+    assert(idx.distinct.size == idx.size, "index must stay gram-distinct")
+    val allGrams = TextOps.spanGramTable(b1.unionByName(b2), 5)
+      .select("gram").distinct().collect().map(_.getString(0)).toSet
+    assert(idx.toSet == allGrams,
+      "index == distinct spans of the ORIGINAL concatenated text")
+    // replay idempotence: re-running batch 1's work must change nothing
+    StreamingSubstrDedup.processBatch(b1, 0L, clean, gramIdx, 5)
+    assert(streamed() == got, "a replayed batch must no-op")
+  }
 }
