@@ -1396,6 +1396,24 @@ object SparkEntry {
     // distinct); decimal-exact OLS sums, one fixed double parse tree.
     "q220_heaps_fit" -> ((s, d) =>
       TextOps.heapsLawFit(t(s, d, "documents"))),
+    // Held-out Kneser-Ney scoring: train on the doc_id-mod-10 <= 7
+    // split, score every split with the UNK-extended continuation
+    // floor (exactly-normalized per seen context); per-split
+    // cross-entropy + OOV accounting.
+    "q221_kn_heldout" -> ((s, d) =>
+      TextOps.knHeldOutScore(t(s, d, "documents"))),
+    // Hashed-gram twin of q219: spans fold to 64-bit xxhash before the
+    // duplicated-gram exchange (8-byte longs vs n-token strings on the
+    // dominant shuffle); collisions only ever cut MORE. Engine-seeded
+    // -> rows-only; hashed == exact pinned in TextOpsSpec.
+    "x50_strip_dup_spans_hashed" -> ((s, d) =>
+      TextOps.stripDuplicateSpansApprox(t(s, d, "documents"))),
+    // Winnowing candidate-generator eval vs exact Jaccard pairs:
+    // recall/precision of shared-fingerprint matches against the q29
+    // ground truth. Seeded winnow side -> rows-only; report==set
+    // parity pinned in NearDupSpec.
+    "x51_winnow_eval_report" -> ((s, d) =>
+      NearDup.winnowEvalReport(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5698,5 +5716,61 @@ object SparkEntry {
                (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 12)
              ELSE NULL END AS heaps_ln_k
          FROM s ORDER BY source""",
+    // Held-out KN: model statistics from the train split only; the
+    // three scoring cases and the UNK-extended continuation floor are
+    // the IDENTICAL IEEE parse trees the Spark side evaluates; each
+    // per-occurrence log2 rounds 9dp into DECIMAL(28,9) before the
+    // order-free sum; final division rounds 12.
+    "q221_kn_heldout" ->
+      """WITH t AS (SELECT doc_id, doc_id % 10 AS m,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         b AS (SELECT m, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b WHERE m <= 7 GROUP BY 1, 2),
+         lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY 1),
+         rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+           FROM c12 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(count(DISTINCT w2) AS BIGINT) AS v
+           FROM c12),
+         sc AS (SELECT
+             CASE WHEN b.m <= 7 THEN 'train'
+               WHEN b.m = 8 THEN 'validation'
+               ELSE 'test' END AS split,
+             c12.c AS c, lft.c1 AS c1,
+             CAST(round(log2(
+               CASE WHEN c12.c IS NOT NULL THEN
+                 (CAST(c12.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+                 ((0.75 * CAST(lft.n1f AS DOUBLE)) /
+                   CAST(lft.c1 AS DOUBLE)) *
+                 ((CAST(coalesce(rgt.n1b, 0) AS DOUBLE) + 1.0) /
+                  (CAST(tot.nt AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0))
+               WHEN lft.c1 IS NOT NULL THEN
+                 ((0.75 * CAST(lft.n1f AS DOUBLE)) /
+                   CAST(lft.c1 AS DOUBLE)) *
+                 ((CAST(coalesce(rgt.n1b, 0) AS DOUBLE) + 1.0) /
+                  (CAST(tot.nt AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0))
+               ELSE
+                 ((CAST(coalesce(rgt.n1b, 0) AS DOUBLE) + 1.0) /
+                  (CAST(tot.nt AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0))
+               END), 9) AS DECIMAL(28,9)) AS lp
+           FROM b
+           LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+           LEFT JOIN lft ON b.w1 = lft.w1
+           LEFT JOIN rgt ON b.w2 = rgt.w2
+           CROSS JOIN tot)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(CASE WHEN c1 IS NULL THEN 1 END) AS BIGINT)
+             AS n_oov_context,
+           CAST(count(CASE WHEN c IS NULL AND c1 IS NOT NULL THEN 1 END)
+             AS BIGINT) AS n_unseen_bigram,
+           round(-CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+             AS h_kn_bits
+         FROM sc GROUP BY 1 ORDER BY 1""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

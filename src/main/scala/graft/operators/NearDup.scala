@@ -1193,4 +1193,33 @@ object NearDup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** x51: winnowing-as-candidate-generator self-evaluation — the x31
+    * report shape applied to winnowing: how well do shared-fingerprint
+    * pairs cover the exact n-gram-Jaccard duplicates (recall), and how
+    * much of the match output is above the Jaccard bar (precision)?
+    * Winnowing guarantees shared RUNS, not high Jaccard, so neither
+    * number is 1 by construction — this report is the tool that sizes
+    * the gap on a real corpus before swapping detectors.
+    *
+    * Scale shape: both sides are the freq-capped inverted-index joins
+    * already audited (x49 / q29); the outer-join compare runs on the
+    * two pair lists (far sub-corpus) + a one-row fold. */
+  def winnowEvalReport(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, n: Int = 3, minJ: Double = 0.7): DataFrame = {
+    val e = jaccardPairs(docs, n, minJ)
+      .select(col("a_id"), col("b_id"), lit(1).as("_e"))
+    val m = winnowMatches(docs, k, w, minShared)
+      .select(col("a_id"), col("b_id"), lit(1).as("_m"))
+    e.join(m, Seq("a_id", "b_id"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"),
+        count(col("_m")).as("n_winnow"),
+        count(when(col("_e").isNotNull && col("_m").isNotNull, lit(1)))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_winnow"), col("n_both"),
+        round(col("n_both").cast("double") /
+          col("n_exact").cast("double"), 12).as("recall"),
+        round(col("n_both").cast("double") /
+          col("n_winnow").cast("double"), 12).as("precision"))
+  }
+
 }

@@ -2207,9 +2207,32 @@ object TextOps {
   }
 
   def stripDuplicateSpans(docs: DataFrame, n: Int = 5,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    stripDuplicateSpansImpl(docs, n, minCount, hashed = false)
+
+  /** x50: the 100 TB shuffle twin of q219 — identical removal
+    * pipeline, but the gram STRING folds to a 64-bit xxhash map-side
+    * before the duplicated-gram exchange (the x22 trade applied to
+    * the TRANSFORM instead of the profile): the dominant shuffle
+    * carries 8-byte longs where the exact form ships full n-token
+    * strings. The one semantic divergence is a hash collision
+    * aliasing two distinct spans (probability ≈ (#distinct spans)²/2⁶⁵
+    * — negligible at any real corpus), and a collision only ever cuts
+    * MORE text, never less — the conservative direction for dedup.
+    * Hash values are engine-seeded → rows-only entry; hashed == exact
+    * on the harness corpus is pinned in TextOpsSpec. */
+  def stripDuplicateSpansApprox(docs: DataFrame, n: Int = 5,
+      minCount: Long = 2L): DataFrame =
+    stripDuplicateSpansImpl(docs, n, minCount, hashed = true)
+
+  private def stripDuplicateSpansImpl(docs: DataFrame, n: Int,
+      minCount: Long, hashed: Boolean): DataFrame = {
     require(minCount >= 2L, "a span occurring once is not a duplicate")
-    val grams = spanGramTable(docs, n)
+    val raw = spanGramTable(docs, n)
+    val grams = (if (hashed)
+        raw.select(col("doc_id"), col("pos"),
+          xxhash64(col("gram")).as("gram"))
+      else raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicated grams with their canonical document (lowest doc_id)
     val dup = grams.groupBy(col("gram"))
@@ -3317,5 +3340,108 @@ object TextOps {
         round(-col("_s").cast("double") /
           col("n_bigrams").cast("double"), 12).as("h_kn_bits"))
       .orderBy(col("source"))
+  }
+
+  /** q221: HELD-OUT Kneser–Ney scoring — the deployment form of q218:
+    * train the interpolated KN bigram model on the train split (the
+    * q42 doc_id-mod-10 convention: buckets ≤ 7), score EVERY split's
+    * bigram stream under it, report per-split cross-entropy — the
+    * "how well does the corpus LM explain unseen data" eval that
+    * turns the self-scored q218 into a generalization number (and the
+    * proper-LM counterpart of q184's unnormalized Stupid Backoff).
+    *
+    * Held-out scoring needs what self-scoring never meets: unseen
+    * events. Three cases, every one normalized by the UNK-extended
+    * continuation distribution Pc'(w₂) = (N₁₊(·w₂) + 1)/(nt + V + 1)
+    * (add-one over the V seen continuation types plus one UNK
+    * outcome — Σ Pc' = 1 exactly):
+    *
+    *   seen bigram:    P = (c₁₂ − D)/c₁ + λ(w₁)·Pc'(w₂)
+    *   unseen bigram,  P = λ(w₁)·Pc'(w₂)        (discount mass only)
+    *   seen context:
+    *   unseen context: P = Pc'(w₂)              (pure continuation)
+    *
+    * with λ(w₁) = D·N₁₊(w₁·)/c₁. For every SEEN context the
+    * probability over {seen continuations} ∪ {UNK} sums to EXACTLY 1
+    * ((c₁ − D·N₁₊)/c₁ + λ·ΣPc' = 1 − λ + λ — pinned in the spec), so
+    * the reported cross-entropy is a true log-loss, not a pseudo
+    * score. Deliberate divergence from q218 documented here: q218
+    * uses the textbook unsmoothed Pcont (self-scoring never needs
+    * the UNK outcome); the two collapse as nt grows.
+    *
+    * Determinism: q218's discipline — exact integer statistics, one
+    * fixed IEEE parse tree per case, per-occurrence log₂ rounds 9 dp
+    * into DECIMAL(28,9) before the order-free sum; the final division
+    * rounds 9 (see the inline note — per-occurrence summation makes
+    * round 12 sit inside the cross-engine libm flip error).
+    *
+    * Scale shape: one corpus bigram explode (persisted — it feeds the
+    * train aggregate and the scoring probe); model statistics are
+    * train-side re-aggregations; scoring is three left equi-joins
+    * against the model tables + a broadcast totals row; the report is
+    * a 3-row split aggregate. */
+  def knHeldOutScore(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "absolute discount must sit strictly inside (0, 1)")
+    val dec = DecimalType(28, 9)
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          try_element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bigrams = docs
+      .select(pmod(col("doc_id"), lit(10L)).as("_m"),
+        explode(pairs).as("p"))
+      .select(col("_m"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bigrams.filter(col("_m") <= 7)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1b"))
+    val tot = c12.agg(count(lit(1)).as("nt"),
+      countDistinct(col("w2")).as("v"))
+    val d = lit(discount)
+    val denomC = col("nt").cast("double") + col("v").cast("double") + 1.0
+    val pc = (coalesce(col("n1b"), lit(0L)).cast("double") + 1.0) / denomC
+    val lam = (d * col("n1f").cast("double")) / col("c1").cast("double")
+    val p = when(col("c").isNotNull,
+        (col("c").cast("double") - d) / col("c1").cast("double") +
+          lam * pc)
+      .when(col("c1").isNotNull, lam * pc)
+      .otherwise(pc)
+    bigrams
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(right, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        when(col("_m") <= 7, lit("train"))
+          .when(col("_m") === 8, lit("validation"))
+          .otherwise(lit("test")).as("split"),
+        col("c"), col("c1"),
+        round(log2(p), 9).cast(dec).as("_lp"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("c1").isNull, lit(1))).as("n_oov_context"),
+        count(when(col("c").isNull && col("c1").isNotNull, lit(1)))
+          .as("n_unseen_bigram"),
+        sum(col("_lp")).as("_s"))
+      .select(col("split"), col("n_bigrams"), col("n_oov_context"),
+        col("n_unseen_bigram"),
+        // 9 dp, NOT the house round-12: this aggregate sums one
+        // 9-dp-rounded log₂ PER OCCURRENCE (q211 sums per TYPE), so
+        // the expected cross-engine error of the quotient is
+        // p_flip·10⁻⁹ ≈ 10⁻¹² — independent of N, because boundary
+        // flips and the divisor both scale with N — which straddles
+        // the 5·10⁻¹³ round-12 threshold (measured: 2·10⁻¹² at
+        // sf0.01). 9 dp leaves ~500× margin.
+        round(-col("_s").cast("double") /
+          col("n_bigrams").cast("double"), 9).as("h_kn_bits"))
+      .orderBy(col("split"))
   }
 }

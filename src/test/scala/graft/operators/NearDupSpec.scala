@@ -850,6 +850,23 @@ class NearDupSpec extends SparkSuite {
     assert(m.getAs[Long]("n_shared") == perDoc(1L).size.toLong)
   }
 
+  test("winnowEvalReport (x51): report == direct set computation of " +
+      "the two pair lists") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = NearDup.jaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = NearDup.winnowMatches(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep = NearDup.winnowEvalReport(docs).collect().head
+    assert(rep.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(rep.getAs[Long]("n_winnow") == win.size.toLong)
+    assert(rep.getAs[Long]("n_both") == (exact & win).size.toLong)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("winnowing: the frequency cap drops boilerplate-grade " +
       "fingerprints from pair generation") {
     import spark.implicits._

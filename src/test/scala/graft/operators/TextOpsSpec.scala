@@ -2031,6 +2031,50 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("knHeldOutScore (q221): hand-computed goldens for all three " +
+      "scoring cases, OOV accounting, and exact per-context " +
+      "normalization over seen continuations + UNK") {
+    import spark.implicits._
+    // train (id 0): model = q218's srcA fixture; val (id 8) hits the
+    // seen-bigram case; test (id 9) hits unseen-bigram + OOV-context
+    val docs = Seq(
+      (0L, "s", "a b a b a c"),
+      (8L, "s", "a b"),
+      (9L, "s", "a z q")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.knHeldOutScore(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def lg2(x: Double): Double = math.log(x) / math.log(2)
+    // model: c12 (a,b)=2 (b,a)=2 (a,c)=1; c1 a=3 b=2; n1f a=2 b=1;
+    // n1b a=1 b=1 c=1; nt=3; V=3 -> Pc'(w) = (n1b+1)/7
+    val pSeen = (2.0 - 0.75) / 3 + ((0.75 * 2) / 3) * (2.0 / 7) // P(b|a)
+    val v = out("validation")
+    assert(v.getAs[Long]("n_bigrams") == 1L &&
+      v.getAs[Long]("n_oov_context") == 0L &&
+      v.getAs[Long]("n_unseen_bigram") == 0L)
+    assert(math.abs(v.getAs[Double]("h_kn_bits") - (-lg2(pSeen))) < 1e-8)
+    val te = out("test")
+    // (a,z): seen context, unseen bigram -> lam(a)*Pc'(z) = 0.5 * 1/7
+    // (z,q): unseen context -> Pc'(q) = 1/7
+    val hTest = -(lg2(0.5 * (1.0 / 7)) + lg2(1.0 / 7)) / 2
+    assert(te.getAs[Long]("n_bigrams") == 2L &&
+      te.getAs[Long]("n_oov_context") == 1L &&
+      te.getAs[Long]("n_unseen_bigram") == 1L)
+    assert(math.abs(te.getAs[Double]("h_kn_bits") - hTest) < 1e-8)
+    val tr = out("train")
+    assert(tr.getAs[Long]("n_bigrams") == 5L &&
+      tr.getAs[Double]("h_kn_bits") >= 0.0)
+    // exact normalization for seen context 'a': seen continuations
+    // b, c + unseen-bigram mass for a and UNK sum to exactly 1
+    val lamA = (0.75 * 2) / 3
+    val mass = pSeen +                                 // P(b|a)
+      ((1.0 - 0.75) / 3 + lamA * (2.0 / 7)) +          // P(c|a)
+      lamA * (2.0 / 7) +                               // P(a|a) unseen
+      lamA * (1.0 / 7)                                 // P(UNK|a)
+    assert(math.abs(mass - 1.0) < 1e-12,
+      s"seen-context probability must normalize exactly, got $mass")
+  }
+
   test("stripDuplicateSpans (q219): a span pasted into a second doc is " +
       "cut there and kept at its first occurrence; clean docs ride " +
       "through untouched") {
@@ -2078,6 +2122,30 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L).getAs[Long]("n_removed") == 6L)
     assert(out(2L).getAs[String]("text_clean") == "w v")
     assert(out(1L).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("stripDuplicateSpansApprox (x50): exact-equal to q219 on a " +
+      "collision-free corpus (hashing is an injective relabeling of " +
+      "the gram key there)") {
+    // ~25k distinct 5-grams vs 2^64: P(any collision) < 1e-11, so the
+    // hashed pipeline must reproduce q219 row for row
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = TextOps.stripDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    val hashed = TextOps.stripDuplicateSpansApprox(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(exact.keySet == hashed.keySet)
+    exact.foreach { case (id, want) =>
+      assert(hashed(id) == want,
+        s"x50 diverged from q219 on doc $id: ${hashed(id)} vs $want")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("stripDuplicateSpans: an exactly-duplicated doc is cut to the " +
