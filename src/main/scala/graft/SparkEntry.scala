@@ -1414,6 +1414,12 @@ object SparkEntry {
     // parity pinned in NearDupSpec.
     "x51_winnow_eval_report" -> ((s, d) =>
       NearDup.winnowEvalReport(t(s, d, "documents"))),
+    // Dedup-aware mixture plan: q215's temperature smoothing over
+    // q216's near-dup-SURVIVING token mass — the raw-count plan
+    // over-weights duplicate-heavy sources by exactly the retention
+    // factor; zero-survivor sources get zero weight and NULL rate.
+    "q222_mixture_plan_effective" -> ((s, d) =>
+      Curation.mixturePlanEffective(t(s, d, "documents"), 1000000L)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5772,5 +5778,67 @@ object SparkEntry {
            round(-CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
              AS h_kn_bits
          FROM sc GROUP BY 1 ORDER BY 1""",
+    // Dedup-aware mixture plan: q216's recursive-CTE CC + min-id
+    // survivor feeds q215's math verbatim (9dp IEEE sqrt into
+    // DECIMAL(28,9), shares/rates round 12, planned tokens floor the
+    // identical double chain); zero-survivor sources -> NULL rate.
+    "q222_mixture_plan_effective" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                    for i in range(1, len(lst) - 1)]) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS lst
+                 FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         r(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.id),
+         dropped AS (
+           SELECT id AS doc_id FROM (
+             SELECT id, min(lbl) AS cl FROM r GROUP BY id)
+           WHERE cl <> id),
+         d AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS BIGINT) AS tok
+           FROM documents),
+         eff AS (SELECT d.source,
+             CAST(sum(tok) AS BIGINT) AS n_tokens_raw,
+             CAST(sum(CASE WHEN dr.doc_id IS NULL THEN tok ELSE 0 END)
+               AS BIGINT) AS n_tokens_eff,
+             CASE WHEN sum(tok) > 0 THEN
+               round(CAST(sum(CASE WHEN dr.doc_id IS NULL THEN tok ELSE 0 END)
+                 AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 12)
+             ELSE 0.0 END AS token_retention
+           FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+           GROUP BY d.source),
+         w AS (SELECT source, n_tokens_raw, n_tokens_eff, token_retention,
+             CAST(round(sqrt(CAST(n_tokens_eff AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS w
+           FROM eff),
+         t2 AS (SELECT CAST(sum(n_tokens_eff) AS BIGINT) AS ntot,
+             sum(w) AS wtot FROM w),
+         q AS (SELECT source, n_tokens_raw, n_tokens_eff, token_retention,
+             round(CAST(n_tokens_eff AS DOUBLE) / CAST(ntot AS DOUBLE), 12)
+               AS natural_share,
+             round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 12)
+               AS target_share,
+             CAST(floor(1000000.0 * CAST(w AS DOUBLE) /
+               CAST(wtot AS DOUBLE)) AS BIGINT) AS planned_tokens
+           FROM w, t2),
+         q2 AS (SELECT *, CASE WHEN n_tokens_eff > 0 THEN
+             round(CAST(planned_tokens AS DOUBLE) /
+               CAST(n_tokens_eff AS DOUBLE), 12) END AS sample_rate
+           FROM q)
+         SELECT source, n_tokens_raw, n_tokens_eff, token_retention,
+           natural_share, target_share, planned_tokens, sample_rate,
+           CASE WHEN n_tokens_eff > 0 THEN
+             CAST(ceil(sample_rate) AS BIGINT) END AS epochs
+         FROM q2 ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1018,6 +1018,59 @@ object Curation {
     * Edge contract: a source with ZERO tokens gets weight 0 (sqrt(0)),
     * planned_tokens 0 and a NULL sample_rate/epochs (0/0 — there is
     * nothing to sample); budget 0 plans 0 everywhere. */
+  /** q222: DEDUP-AWARE mixture plan — the composition the q215/q216
+    * pair exists for: q215 consuming RAW token counts over-weights a
+    * duplicate-heavy crawl (its usable mass is smaller than its disk
+    * mass), so this plan runs the same α=0.5 temperature smoothing
+    * over the NEAR-DUP-SURVIVING token mass (q216's min-id-survivor
+    * accounting: q29 pairs → q47 CC → q49 policy). The report carries
+    * both masses and the retention ratio, so the delta against the
+    * raw-count plan is visible per source; sample_rate and epochs
+    * divide the EFFECTIVE mass — an epochs value of 2 now honestly
+    * means "the deduped source repeats twice", which the raw-count
+    * plan understated by exactly the retention factor.
+    *
+    * A fully-duplicated source (zero surviving tokens) gets zero
+    * weight, zero planned tokens, and NULL rate/epochs — it must not
+    * silently absorb budget the survivors can use.
+    *
+    * Determinism and scale shape: q216's inverted-index + pointer-
+    * jumping feeds a |sources|-row frame; everything after is q215's
+    * math verbatim (correctly-rounded IEEE sqrt rounds 9 dp into
+    * DECIMAL(28,9), shares/rates round 12, planned tokens floor the
+    * identical double chain). */
+  def mixturePlanEffective(docs: DataFrame, budget: Long, n: Int = 3,
+      minJ: Double = 0.7): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val perSource = NearDup.effectiveTokens(docs, n, minJ)
+      .select(col("source"), col("n_tokens_raw"),
+        col("n_tokens_kept").as("n_tokens_eff"), col("token_retention"),
+        round(sqrt(col("n_tokens_kept").cast("double")), 9).cast(dec)
+          .as("_w"))
+    val tot = perSource.agg(sum(col("n_tokens_eff")).as("_ntot"),
+      sum(col("_w")).as("_wtot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens_raw"), col("n_tokens_eff"),
+        col("token_retention"),
+        round(col("n_tokens_eff").cast("double") /
+          col("_ntot").cast("double"), 12).as("natural_share"),
+        round(col("_w").cast("double") /
+          col("_wtot").cast("double"), 12).as("target_share"),
+        floor(lit(budget.toDouble) * col("_w").cast("double") /
+          col("_wtot").cast("double")).cast("long").as("planned_tokens"))
+      .withColumn("sample_rate",
+        when(col("n_tokens_eff") > 0L,
+          round(col("planned_tokens").cast("double") /
+            col("n_tokens_eff").cast("double"), 12))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("epochs",
+        when(col("n_tokens_eff") > 0L,
+          ceil(col("sample_rate")).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("source"))
+  }
+
   def mixturePlan(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)

@@ -2215,7 +2215,10 @@ object TextOps {
     * before the duplicated-gram exchange (the x22 trade applied to
     * the TRANSFORM instead of the profile): the dominant shuffle
     * carries 8-byte longs where the exact form ships full n-token
-    * strings. The one semantic divergence is a hash collision
+    * strings. MEASURED (tools.ShuffleProbe, sf0.1): 1.72× fewer
+    * shuffle bytes (22.5 vs 38.7 MB) at identical record counts —
+    * the short-token harness understates the gap, which grows with
+    * token length. The one semantic divergence is a hash collision
     * aliasing two distinct spans (probability ≈ (#distinct spans)²/2⁶⁵
     * — negligible at any real corpus), and a collision only ever cuts
     * MORE text, never less — the conservative direction for dedup.

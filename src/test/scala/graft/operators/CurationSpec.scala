@@ -761,4 +761,44 @@ class CurationSpec extends SparkSuite {
       b.getAs[Long]("planned_tokens"))
   }
 
+  test("mixturePlanEffective (q222): duplicate mass carries no weight, " +
+      "epochs divide the EFFECTIVE tokens, and a zero-survivor source " +
+      "gets zero plan and NULL rate") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: an exact-dup pair — doc 1 survives, doc 2's mass drops
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c d"),
+      // srcB: unique — full retention
+      (3L, "srcB", "p q r s"),
+      // srcC: its only doc duplicates doc 1 with a HIGHER id — every
+      // token of the source is non-surviving
+      (4L, "srcC", "a b c d")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.mixturePlanEffective(docs, budget = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("srcA"); val b = out("srcB"); val c = out("srcC")
+    assert(a.getAs[Long]("n_tokens_raw") == 8L &&
+      a.getAs[Long]("n_tokens_eff") == 4L &&
+      a.getAs[Double]("token_retention") == 0.5)
+    assert(b.getAs[Long]("n_tokens_eff") == 4L &&
+      b.getAs[Double]("token_retention") == 1.0)
+    assert(c.getAs[Long]("n_tokens_eff") == 0L &&
+      c.getAs[Double]("token_retention") == 0.0)
+    // weights sqrt(4)=2, sqrt(4)=2, sqrt(0)=0: the survivors split the
+    // budget evenly, the dead source gets NOTHING
+    assert(a.getAs[Double]("target_share") == 0.5 &&
+      b.getAs[Double]("target_share") == 0.5 &&
+      c.getAs[Double]("target_share") == 0.0)
+    assert(a.getAs[Long]("planned_tokens") == 50L &&
+      b.getAs[Long]("planned_tokens") == 50L &&
+      c.getAs[Long]("planned_tokens") == 0L)
+    // sample_rate divides the EFFECTIVE mass: 50/4 = 12.5 -> 13 epochs
+    // (the raw-count plan would have claimed 50/8 -> 7 for srcA)
+    assert(a.getAs[Double]("sample_rate") == 12.5 &&
+      a.getAs[Long]("epochs") == 13L)
+    assert(c.isNullAt(c.fieldIndex("sample_rate")) &&
+      c.isNullAt(c.fieldIndex("epochs")),
+      "a zero-survivor source must report NULL, not a division artifact")
+  }
 }
