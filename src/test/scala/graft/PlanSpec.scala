@@ -1321,6 +1321,28 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"no window operator expected in the removal pipeline: $windows")
   }
 
+  test("q221 held-out KN: scoring joins are equi-joins; the only " +
+      "nested-loop is the one-row broadcast totals") {
+    val df = q("q221_kn_heldout")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+      "held-out scoring must never product-join data against data")
+    val bnlj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1,
+      s"only the broadcast totals row may nested-loop, got ${bnlj.size}")
+  }
+
+  test("q222 dedup-aware mixture plan: inherits the inverted-index " +
+      "pair join — no product join anywhere") {
+    val plan = finalPlan(q("q222_mixture_plan_effective"))
+    assert(!plan.contains("CartesianProduct"),
+      "effective-token accounting inherits q29's no-cartesian contract")
+  }
+
   test("x49 winnowing: fingerprint selection is MAP-SIDE (no exchange " +
       "below the fingerprint table), and the match join is the capped " +
       "inverted-index equi-join") {
