@@ -1420,6 +1420,11 @@ object SparkEntry {
     // factor; zero-survivor sources get zero weight and NULL rate.
     "q222_mixture_plan_effective" -> ((s, d) =>
       Curation.mixturePlanEffective(t(s, d, "documents"), 1000000L)),
+    // Packing-strategy efficiency: concat-chunk (fragmentation, tail
+    // padding) vs pad-per-doc (padding + truncation loss) at L=64,
+    // per source; the two fill ratios are the decision numbers.
+    "q223_packing_efficiency" -> ((s, d) =>
+      TextOps.packingEfficiency(t(s, d, "documents"), 64L)),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5840,5 +5845,35 @@ object SparkEntry {
            CASE WHEN n_tokens_eff > 0 THEN
              CAST(ceil(sample_rate) AS BIGINT) END AS epochs
          FROM q2 ORDER BY source""",
+    // Packing efficiency: q53's per-source prefix-sum offsets decide
+    // fragmentation; every other column is exact integer arithmetic;
+    // the two fill ratios round 12.
+    "q223_packing_efficiency" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS BIGINT) AS n
+           FROM documents),
+         nz AS (SELECT * FROM t WHERE n > 0),
+         a AS (SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS off
+           FROM nz),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN off // 64 <> (off + n - 1) // 64
+               THEN 1 END) AS BIGINT) AS frag_docs,
+             CAST(sum(CASE WHEN n > 64 THEN n - 64 ELSE 0 END)
+               AS BIGINT) AS trunc_tokens,
+             CAST(sum(CASE WHEN n < 64 THEN 64 - n ELSE 0 END)
+               AS BIGINT) AS pad_tokens
+           FROM a GROUP BY 1)
+         SELECT source, n_docs, n_tokens,
+           (n_tokens + 63) // 64 AS seqs_concat, frag_docs,
+           n_docs AS seqs_pad, pad_tokens, trunc_tokens,
+           round(CAST(n_tokens AS DOUBLE) /
+             CAST(((n_tokens + 63) // 64) * 64 AS DOUBLE), 12)
+             AS concat_fill,
+           round(CAST(n_tokens - trunc_tokens AS DOUBLE) /
+             CAST(n_docs * 64 AS DOUBLE), 12) AS pad_fill
+         FROM g ORDER BY source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -476,6 +476,59 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q223: packing-strategy efficiency report — the decision table a
+    * training run reads before choosing how to fill its L-token
+    * context windows, comparing the two standard strategies on the
+    * SAME corpus:
+    *
+    *  - CONCAT-CHUNK (q53's GPT-style packing): zero padding except
+    *    the per-source tail, but documents straddle sequence
+    *    boundaries — `frag_docs` counts them, because a split doc
+    *    leaks attention across unrelated contexts unless masked;
+    *  - PAD-PER-DOC: one document per sequence, no fragmentation,
+    *    but short docs pay `pad_tokens` of padding and docs longer
+    *    than L lose `trunc_tokens` outright (the q199 truncation-loss
+    *    number, here side-by-side with its alternative's cost).
+    *
+    * `concat_fill` and `pad_fill` are the real-token fractions of the
+    * consumed sequence budget — the two numbers to compare (pad_fill
+    * counts only non-truncated tokens as useful). Everything is exact
+    * integer arithmetic; the two fill ratios round 12 at the end.
+    *
+    * Scale shape: one corpus scan to per-doc token counts; the
+    * fragmentation count rides q53's per-source prefix-sum window
+    * (same shape, same sharding caveat); the report is one bounded
+    * per-source aggregate. */
+  def packingEfficiency(docs: DataFrame, packTokens: Long): DataFrame = {
+    require(packTokens > 0, "packTokens must be positive")
+    val assigned = packSequences(docs, packTokens)
+    assigned
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("pack_first") =!= col("pack_last"), lit(1)))
+          .as("frag_docs"),
+        sum(when(col("n_tokens") > packTokens,
+          col("n_tokens") - packTokens).otherwise(0L))
+          .as("trunc_tokens"),
+        sum(when(col("n_tokens") < packTokens,
+          lit(packTokens) - col("n_tokens")).otherwise(0L))
+          .as("pad_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${packTokens - 1}L) div ${packTokens}L")
+          .as("seqs_concat"),
+        col("frag_docs"),
+        col("n_docs").as("seqs_pad"),
+        col("pad_tokens"), col("trunc_tokens"))
+      .withColumn("concat_fill",
+        round(col("n_tokens").cast("double") /
+          (col("seqs_concat") * packTokens).cast("double"), 12))
+      .withColumn("pad_fill",
+        round((col("n_tokens") - col("trunc_tokens")).cast("double") /
+          (col("seqs_pad") * packTokens).cast("double"), 12))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------- BPE tokenizer
 
   /** A word's base symbol array: one symbol per Unicode code point —

@@ -2031,6 +2031,32 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("packingEfficiency (q223): hand-computed fragmentation, padding " +
+      "and truncation accounting at L=10") {
+    import spark.implicits._
+    def toks(n: Int, p: String): String =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // stream offsets: d1 [0,4) packs 0-0; d2 [4,12) packs 0-1 FRAG;
+      // d3 [12,24) packs 1-2 FRAG and truncates under pad-per-doc
+      (1L, "srcA", toks(4, "a")),
+      (2L, "srcA", toks(8, "b")),
+      (3L, "srcA", toks(12, "c")),
+      // zero-token doc contributes nothing (q53's drop rule)
+      (4L, "srcA", "")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.packingEfficiency(docs, 10L).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L &&
+      r.getAs[Long]("n_tokens") == 24L)
+    assert(r.getAs[Long]("seqs_concat") == 3L &&
+      r.getAs[Long]("frag_docs") == 2L)
+    assert(r.getAs[Long]("seqs_pad") == 3L &&
+      r.getAs[Long]("pad_tokens") == 8L &&
+      r.getAs[Long]("trunc_tokens") == 2L)
+    assert(r.getAs[Double]("concat_fill") == 0.8)
+    assert(math.abs(r.getAs[Double]("pad_fill") - 22.0 / 30) < 1e-12)
+  }
+
   test("knHeldOutScore (q221): hand-computed goldens for all three " +
       "scoring cases, OOV accounting, and exact per-context " +
       "normalization over seen continuations + UNK") {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.SparkSuite
-import graft.operators.{EventOps, TextOps}
+import graft.operators.{EventOps, NearDup, TextOps}
 
 /** Streaming twins vs their batch operators: identical results on the
   * same data (the streaming==batch parity that makes the incremental
@@ -838,6 +838,48 @@ class StreamingSpec extends SparkSuite {
       "index == distinct spans of the ORIGINAL concatenated text")
     // replay idempotence: re-running batch 1's work must change nothing
     StreamingSubstrDedup.processBatch(b1, 0L, clean, gramIdx, 5)
+    assert(streamed() == got, "a replayed batch must no-op")
+  }
+
+  test("streaming winnowing: union of per-batch match reports == batch " +
+      "winnowMatches on the concatenation (uncapped), and a replayed " +
+      "batch does not re-emit later batches' pairs") {
+    import spark.implicits._
+    val landing = tmp("wl"); val ckpt = tmp("wc")
+    val matches = tmp("wm") + "/m"; val fpIdx = tmp("wf") + "/f"
+    val run = "sierra tango uniform victor whiskey xray"
+    val b1 = Seq(
+      (1L, s"one two three $run four five"),
+      (2L, s"p1 p2 p3 p4 $run p5 p6"),      // within-batch match of 1
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"z1 z2 $run z3 z4"),           // cross-batch match of 1, 2
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"))
+      .toDF("doc_id", "text")
+    val noCap = Long.MaxValue
+    b1.write.mode("append").parquet(landing)
+    StreamingWinnow.runAvailableNow(spark, landing, matches, fpIdx,
+      ckpt, b1.schema, minShared = 1L, maxFpFreq = noCap)
+    b2.write.mode("append").parquet(landing)
+    StreamingWinnow.runAvailableNow(spark, landing, matches, fpIdx,
+      ckpt, b1.schema, minShared = 1L, maxFpFreq = noCap)
+    def streamed(): Map[(Long, Long), Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(matches)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+          -> r.getAs[Long]("n_shared")).toMap
+    val got = streamed()
+    val direct = NearDup.winnowMatches(b1.unionByName(b2),
+        minShared = 1L, maxFpFreq = noCap)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+        -> r.getAs[Long]("n_shared")).toMap
+    assert(got == direct,
+      s"streamed reports diverged from batch:\n$got\n$direct")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 10L)) &&
+      got.contains((2L, 10L)), "within- and cross-batch pairs expected")
+    // replay batch 0: the index now holds batch 1's fingerprints, but
+    // the later-id guard keeps doc 10's pairs out of batch 0's report
+    StreamingWinnow.processBatch(b1, 0L, matches, fpIdx, 3, 4, 1L, noCap)
     assert(streamed() == got, "a replayed batch must no-op")
   }
 }
