@@ -1425,6 +1425,11 @@ object SparkEntry {
     // per source; the two fill ratios are the decision numbers.
     "q223_packing_efficiency" -> ((s, d) =>
       TextOps.packingEfficiency(t(s, d, "documents"), 64L)),
+    // Exact-substring dedup savings by source: q91's accounting role
+    // for the span family — where duplicated text LIVES (cuts land at
+    // the later occurrence), docs touched, token mass reclaimed.
+    "q224_strip_savings_by_source" -> ((s, d) =>
+      TextOps.stripSavingsBySource(t(s, d, "documents"))),
   )
 
   // DuckDB-exactness conventions used below:
@@ -5875,5 +5880,43 @@ object SparkEntry {
            round(CAST(n_tokens - trunc_tokens AS DOUBLE) /
              CAST(n_docs * 64 AS DOUBLE), 12) AS pad_fill
          FROM g ORDER BY source""",
+    // Strip-savings rollup: q219's cut-set CTEs, then per-doc removed
+    // = |cut positions| (cuts are distinct in-range positions, so
+    // kept = n - |cuts| — no token explode needed for accounting);
+    // one per-source aggregate, rate rounds 12.
+    "q224_strip_savings_by_source" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS gram
+           FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+           WHERE len(toks) >= 5),
+         dup AS (SELECT gram, min(doc_id) AS d0 FROM g
+           GROUP BY 1 HAVING count(*) >= 2),
+         ocb AS (SELECT g.doc_id, g.pos, g.gram, dup.d0
+           FROM g JOIN dup ON g.gram = dup.gram),
+         p0 AS (SELECT gram, min(pos) AS p0 FROM ocb
+           WHERE doc_id = d0 GROUP BY 1),
+         cuts AS (SELECT DISTINCT ocb.doc_id,
+             CAST(tokpos AS BIGINT) AS tokpos
+           FROM ocb JOIN p0 ON ocb.gram = p0.gram,
+             unnest(range(ocb.pos, ocb.pos + 5)) AS s(tokpos)
+           WHERE NOT (ocb.doc_id = ocb.d0 AND ocb.pos = p0.p0)),
+         rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed
+           FROM cuts GROUP BY 1)
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN coalesce(rem.removed, 0) > 0 THEN 1 END)
+             AS BIGINT) AS docs_changed,
+           CAST(sum(len(toks)) AS BIGINT) AS tokens_raw,
+           CAST(sum(coalesce(rem.removed, 0)) AS BIGINT)
+             AS tokens_removed,
+           CASE WHEN sum(len(toks)) > 0 THEN
+             round(CAST(sum(coalesce(rem.removed, 0)) AS DOUBLE) /
+               CAST(sum(len(toks)) AS DOUBLE), 12)
+           ELSE 0.0 END AS removal_rate
+         FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id
+         GROUP BY t.source ORDER BY t.source""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

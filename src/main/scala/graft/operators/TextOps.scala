@@ -2310,6 +2310,37 @@ object TextOps {
     rebuildWithoutCuts(docs, cuts)
   }
 
+  /** q224: exact-substring dedup savings BY SOURCE — the accounting
+    * view of q219 a corpus owner actually reads (q91's role for the
+    * near-dup family): per source, how many documents the span-removal
+    * pass touches, how much token mass it reclaims, and the removal
+    * rate — the "which crawls are boilerplate mills" number, where
+    * q91 answers "which crawls are re-fetch duplicates". Spans are
+    * corpus-global (a span pasted across sources still dedups; the
+    * cut lands in whichever source holds the later occurrence), so
+    * per-source rates here measure where duplicated text LIVES, not
+    * where it originated.
+    *
+    * Scale shape: q219's pipeline verbatim, then one bounded
+    * per-source aggregate over its per-doc output joined to the
+    * source spine. */
+  def stripSavingsBySource(docs: DataFrame, n: Int = 5,
+      minCount: Long = 2L): DataFrame =
+    stripDuplicateSpans(docs, n, minCount)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_removed") > 0L, lit(1))).as("docs_changed"),
+        sum(col("n_tokens")).as("tokens_raw"),
+        sum(col("n_removed")).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("docs_changed"),
+        col("tokens_raw"), col("tokens_removed"),
+        when(col("tokens_raw") > 0L,
+          round(col("tokens_removed").cast("double") /
+            col("tokens_raw").cast("double"), 12))
+          .otherwise(lit(0d)).as("removal_rate"))
+      .orderBy(col("source"))
+
   /** PII detector patterns — dialect-portable (identical semantics under
     * Java regex and RE2): plain character classes with explicit members
     * (no \s — Java's includes U+000B vertical tab, RE2's does not),

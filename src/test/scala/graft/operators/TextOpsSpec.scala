@@ -2150,6 +2150,28 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_removed") == 0L)
   }
 
+  test("stripSavingsBySource (q224): cuts land at the LATER occurrence's " +
+      "source; clean sources report zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "a b c d e x1 x2"),      // canonical — untouched
+      (2L, "srcB", "z1 a b c d e z2 z3"),   // hosts the later copy
+      (3L, "srcC", "k1 k2 k3 k4 k5 k6")     // clean
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.stripSavingsBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("srcA").getAs[Long]("tokens_removed") == 0L &&
+      out("srcA").getAs[Long]("docs_changed") == 0L,
+      "the canonical occurrence's source pays nothing")
+    val b = out("srcB")
+    assert(b.getAs[Long]("docs_changed") == 1L &&
+      b.getAs[Long]("tokens_raw") == 8L &&
+      b.getAs[Long]("tokens_removed") == 5L)
+    assert(b.getAs[Double]("removal_rate") == 0.625)
+    assert(out("srcC").getAs[Long]("tokens_removed") == 0L &&
+      out("srcC").getAs[Double]("removal_rate") == 0.0)
+  }
+
   test("stripDuplicateSpansApprox (x50): exact-equal to q219 on a " +
       "collision-free corpus (hashing is an injective relabeling of " +
       "the gram key there)") {
