@@ -39,7 +39,8 @@ object Bench {
     * committed bench_local_rN.json ledger (full names, medians, and
     * every per-pass sample). Pure — spec-tested. */
   private[graft] def fittedLine(results: Seq[(String, Double)], iters: Int,
-      sfDir: String, budgetChars: Int = 1850): String = {
+      sfDir: String, budgetChars: Int = 1850,
+      wallSec: Double = -1.0): String = {
     val meds = results.map(_._2).sorted
     val medianQ = if (meds.isEmpty) 0.0 else meds(meds.length / 2)
     val total = results.map(_._2).sum
@@ -47,10 +48,15 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmtD(total)},""" +
       s""""unit":"sec","iters":$iters,"n_queries":${results.size},""" +
       s""""median_query":${fmtD(medianQ)},"queries":{"""
-    // reserve for the suffix with the widest possible omitted count
+    // reserve for the suffix with the widest possible omitted count;
+    // wall (the run's own clock) makes the driver-window margin
+    // visible in the artifact itself — r14 died at rc 124 with no
+    // record of how far over it was
+    val wallField =
+      if (wallSec >= 0) s""","wall":${fmtD(wallSec)}""" else ""
     def suffix(omitted: Int): String =
       s"""},"omitted_fastest":$omitted,"ledger":"bench_local",""" +
-        s""""sf":"$sfDir"}"""
+        s""""sf":"$sfDir"$wallField}"""
     val reserve = suffix(results.size).length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + reserve
@@ -184,26 +190,60 @@ object Bench {
       }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // WALL-CLOCK BUDGET: r14's bench died at the driver's ~60-min
+    // timeout (rc 124) and the ENTIRE ledger was lost — 254 of 274
+    // entries qualified for the 7-pass top-up and the recorded samples
+    // alone summed to ~2,416 s. Nothing stopped the run from
+    // overrunning; a 3-sample median for every entry beats a dead
+    // ledger for all of them. The budget counts from JVM start (sbt
+    // compile happens before this clock — the default leaves that
+    // margin against the driver's window); before every pass beyond
+    // the first, the projected pass cost (sum of current per-query
+    // medians, 1.2x inflation for noise) must fit, or the run stops
+    // sampling and emits the ledger from what it has.
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
+    def projectedPassSec(
+        subset: Seq[(String, _)]): Double =
+      1.2 * subset.map { case (n, _) =>
+        val succ = samples(n).filter(_ > 0).sorted
+        if (succ.isEmpty) 0.0 else succ(succ.length / 2)
+      }.sum
+    def budgetAllows(subset: Seq[(String, _)], what: String): Boolean = {
+      val ok = elapsedSec + projectedPassSec(subset) <= budgetSec
+      if (!ok) System.err.println(
+        f"[bench-budget] stopping before $what: elapsed $elapsedSec%.0f s" +
+          f" + projected ${projectedPassSec(subset)}%.0f s" +
+          f" > budget $budgetSec%.0f s — emitting ledger from" +
+          " samples in hand")
+      ok
+    }
+    var stopped = false
     (0 until iters).foreach { pass =>
-      runPass(pass, names).foreach { case (n, s) => samples(n) :+= s }
+      // pass 0 always runs (every query needs >= 1 sample for a
+      // ledger at all); later base passes yield to the budget
+      if (pass == 0 || (!stopped && budgetAllows(names, s"base pass $pass")))
+        runPass(pass, names).foreach { case (n, s) => samples(n) :+= s }
+      else stopped = true
     }
     // ADAPTIVE iterATIONS for the sub-second tail: at iters=3 a 0.4 s
     // median swung ±40% across rounds on byte-identical code (q09/q11/
     // q15 in r9), drowning real regressions. Queries whose provisional
     // median sits under the noise-floor threshold get topped up to
     // ≥ fastIters samples via additional interleaved passes over JUST
-    // that subset — cheap by construction (only sub-second queries
-    // qualify), and the slow tail (whose medians are already stable at
-    // iters passes) is untouched.
+    // that subset — cheap by construction, and the slow tail (whose
+    // medians are already stable at iters passes) is untouched.
+    // Defaults TIGHTENED from r14's 7 passes / 4.0 s band: that band —
+    // widened in r10 to chase one ambiguous 3 s swing — caught 254 of
+    // 274 entries and fed the timeout above. 5 passes over a 1.5 s
+    // band keeps the variance relief where per-sample noise is the
+    // same order as the median, at ~1/6 the extra-pass cost.
     val fastIters = math.max(iters,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ITERS", "7").toInt)
-    // 4.0, not 1.0: the r10 q49 "regression" (2.95→3.85 s) sat just
-    // above the old 1 s band, where 3 samples cannot separate a real
-    // 30% shift from JVM noise — widening the band tops up everything
-    // under ~4 s, and only the genuinely slow tail (whose medians are
-    // already stable at 3 passes) is excluded from the extra passes.
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ITERS", "5").toInt)
     val fastThresholdSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_SEC", "4.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_SEC", "1.5").toDouble
     val fastNames = names.filter { case (n, _) =>
       val succ = samples(n).filter(_ > 0)
       succ.nonEmpty && {
@@ -211,7 +251,9 @@ object Bench {
       }
     }
     (iters until fastIters).foreach { pass =>
-      runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
+      if (!stopped && budgetAllows(fastNames, s"top-up pass $pass"))
+        runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
+      else stopped = true
     }
     val results = names.map { case (name, _) =>
       name -> reportFor(name, samples(name))
@@ -259,6 +301,8 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_local.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"iters":$iters,"fastIters":$fastIters,""" +
+        s""""wall":${fmt(elapsedSec)},"budget":${fmt(budgetSec)},""" +
+        s""""budget_stopped":$stopped,""" +
         s""""total":${fmt(total)},"queries":$detail}""" + "\n")
     spark.stop()
     // Re-print as the ABSOLUTE last stdout act, after spark.stop()
@@ -268,7 +312,8 @@ object Bench {
     // truncated mid-line and parsed null in every round since 6. The
     // fitted line keeps headline stats + the slowest entries; the full
     // map lives in target/bench.json and the committed ledger.
-    System.out.println(fittedLine(results, iters, sfDir))
+    System.out.println(fittedLine(results, iters, sfDir,
+      wallSec = elapsedSec))
     System.out.flush()
   }
 }

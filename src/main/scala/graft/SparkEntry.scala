@@ -5677,7 +5677,9 @@ object SparkEntry {
     // trick; each ln rounds 9dp into DECIMAL(12,9); the four OLS sums
     // accumulate in exact decimal (products carry scale 18); beta and
     // ln K are the IDENTICAL double parse tree the Spark side builds,
-    // round 12; degenerate sources (n < 2 or zero x-variance) -> NULL.
+    // FINAL round 9 dp (12 dp sat inside the cross-engine libm ulp
+    // flip the driver's DuckDB exposed in r14 -- same class and same
+    // fix as q221); degenerate sources (n < 2, zero x-var) -> NULL.
     "q220_heaps_fit" ->
       """WITH t AS (SELECT source, doc_id,
              list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -5718,7 +5720,7 @@ object SparkEntry {
                (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
              ELSE NULL END AS heaps_beta,
            CASE WHEN n_points >= 2 AND
                (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
@@ -5729,7 +5731,7 @@ object SparkEntry {
                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                 (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
-               (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 12)
+               (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 9)
              ELSE NULL END AS heaps_ln_k
          FROM s ORDER BY source""",
     // Held-out KN: model statistics from the train split only; the

@@ -2281,7 +2281,14 @@ object TextOps {
       minCount: Long = 2L): DataFrame =
     stripDuplicateSpansImpl(docs, n, minCount, hashed = true)
 
-  private def stripDuplicateSpansImpl(docs: DataFrame, n: Int,
+  /** Distinct (doc_id, tokpos) cut positions of the duplicated-span
+    * removal pass — the shared middle of q219/x50 (which go on to
+    * rebuild the text) and q224 (which only COUNTS: removed tokens
+    * per doc = |cut set| per doc, since every cut position indexes a
+    * real token, so the accounting path never needs the posexplode /
+    * anti-join / per-doc array_sort reconstruction — the r14
+    * advisory). */
+  private[graft] def spanCuts(docs: DataFrame, n: Int,
       minCount: Long, hashed: Boolean): DataFrame = {
     require(minCount >= 2L, "a span occurring once is not a duplicate")
     val raw = spanGramTable(docs, n)
@@ -2302,13 +2309,16 @@ object TextOps {
     val dupOcc = grams.join(dup, "gram")
     val p0 = dupOcc.filter(col("doc_id") === col("_d0"))
       .groupBy(col("gram")).agg(min(col("pos")).as("_p0"))
-    val cuts = dupOcc.join(p0, "gram")
+    dupOcc.join(p0, "gram")
       .filter(!(col("doc_id") === col("_d0") && col("pos") === col("_p0")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
       .distinct()
-    rebuildWithoutCuts(docs, cuts)
   }
+
+  private def stripDuplicateSpansImpl(docs: DataFrame, n: Int,
+      minCount: Long, hashed: Boolean): DataFrame =
+    rebuildWithoutCuts(docs, spanCuts(docs, n, minCount, hashed))
 
   /** q224: exact-substring dedup savings BY SOURCE — the accounting
     * view of q219 a corpus owner actually reads (q91's role for the
@@ -2321,13 +2331,23 @@ object TextOps {
     * per-source rates here measure where duplicated text LIVES, not
     * where it originated.
     *
-    * Scale shape: q219's pipeline verbatim, then one bounded
-    * per-source aggregate over its per-doc output joined to the
-    * source spine. */
+    * Scale shape: q219's CUT-SET derivation only — removed tokens
+    * per doc is exactly |distinct cut positions| per doc (every cut
+    * position indexes a real token), so the accounting path stops at
+    * a per-doc count of the cut set and never pays q219's rebuild
+    * (posexplode, anti-join, per-doc array_sort, text
+    * reconstruction — the r14 advisory); then one bounded per-source
+    * aggregate over the doc spine. */
   def stripSavingsBySource(docs: DataFrame, n: Int = 5,
       minCount: Long = 2L): DataFrame =
-    stripDuplicateSpans(docs, n, minCount)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .join(spanCuts(docs, n, minCount, hashed = false)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("_cut")),
+        Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("_cut"), lit(0L)).as("n_removed"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("n_removed") > 0L, lit(1))).as("docs_changed"),
@@ -3152,7 +3172,14 @@ object TextOps {
     * length (UnsafeRow strings pay offset+length+padded bytes per
     * value, longs are a fixed 8), so the twin is the right default
     * where tokens are long or the shuffle is the network bottleneck,
-    * and the probe is the tool that decides. Entropy is invariant
+    * and the probe is the tool that decides. WALL-CLOCK caveat
+    * (measured, r14 sf0.1 local ledger): the twin is SLOWER than the
+    * exact anchor here (6.63 vs 6.05 s medians) — on a short-token
+    * single-node corpus the extra xxhash64 projection costs more CPU
+    * than the 1.31× narrower shuffle saves in I/O. Break-even moves
+    * toward the twin as token length grows or the shuffle leaves the
+    * local disk for a network; do not switch for wall time on
+    * short-token data. Entropy is invariant
     * under INJECTIVE relabeling, so the only error source is 64-bit
     * collisions
     * merging two distinct types: by the birthday bound, a corpus
@@ -3284,7 +3311,11 @@ object TextOps {
     * accumulate in EXACT decimal arithmetic (products carry scale 18
     * — no precision clipping, no float association anywhere); β and
     * ln K are one fixed double parse tree over the exact sums,
-    * rounded 12. Sources with < 2 points or zero x-variance report
+    * rounded 9 dp — NOT 12: the driver's DuckDB build resolves the
+    * final ln/round at the last of 12 decimals differently from the
+    * local build (the identical cross-libm ulp flip q221 measured
+    * and absorbed at 9 dp; β ≈ 0.01–0.04, so 9 dp loses nothing).
+    * Sources with < 2 points or zero x-variance report
     * NULL (a single point cannot anchor a power law).
     *
     * Scale shape: one corpus scan for per-doc token counts, one
@@ -3333,10 +3364,10 @@ object TextOps {
     val denom = nD * sxx - sx * sx
     val beta = (nD * sxy - sx * sy) / denom
     sums.select(col("source"), col("n_points"),
-      when(col("n_points") >= 2L && denom =!= 0.0, round(beta, 12))
+      when(col("n_points") >= 2L && denom =!= 0.0, round(beta, 9))
         .otherwise(lit(null).cast("double")).as("heaps_beta"),
       when(col("n_points") >= 2L && denom =!= 0.0,
-        round(sy / nD - beta * (sx / nD), 12))
+        round(sy / nD - beta * (sx / nD), 9))
         .otherwise(lit(null).cast("double")).as("heaps_ln_k"))
       .orderBy(col("source"))
   }

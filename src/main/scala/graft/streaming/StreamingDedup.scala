@@ -39,15 +39,26 @@ object StreamingDedup {
   private[streaming] def subdir(root: String, batchId: Long): String =
     s"$root/batch=$batchId"
 
-  /** Accumulated state = the union of every batch subdirectory EXCEPT
-    * the one being (re)written. Excluding the current batchId is what
-    * makes replay idempotent: a replayed batch must never see its own
-    * prior (possibly partial) output as "the corpus", or it would flag
-    * every one of its docs as a self-duplicate and overwrite the batch
-    * dir with an empty result. Listing goes through the Hadoop
-    * FileSystem of the path (java.io.File would silently report
-    * non-local prefixes — s3://, hdfs:// — as absent and skip corpus
-    * dedup entirely). */
+  /** Accumulated state = the union of every batch subdirectory whose
+    * id is STRICTLY EARLIER than `excludeBatchId` (pass -1 to read
+    * everything — the non-replay reader path). Excluding the current
+    * batchId is what makes replay idempotent: a replayed batch must
+    * never see its own prior (possibly partial) output as "the
+    * corpus", or it would flag every one of its docs as a
+    * self-duplicate and overwrite the batch dir with an empty result.
+    * Excluding LATER ids too (not merely the current one — the r14
+    * advisory) is what makes replay bit-exact under a finite
+    * frequency cap: a batch replayed after later batches committed
+    * otherwise evaluates its cap/dedup against an index that includes
+    * those later batches and overwrites its own `batch=<id>` dir with
+    * a SUBSET of the pairs it originally emitted. Strictly-earlier
+    * reads reconstruct exactly the original prior state. Compaction
+    * stays compatible: folded dirs keep `batch=<minFoldedId>` names,
+    * and the newest (only replayable) batch is never folded, so every
+    * folded id is strictly earlier than any id a retry can replay.
+    * Listing goes through the Hadoop FileSystem of the path
+    * (java.io.File would silently report non-local prefixes — s3://,
+    * hdfs:// — as absent and skip corpus dedup entirely). */
   private[streaming] def readAccumulated(spark: SparkSession, root: String,
       excludeBatchId: Long): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(root)
@@ -57,7 +68,17 @@ object StreamingDedup {
       val parts = fs.listStatus(path).toSeq
         .filter(_.isDirectory)
         .map(_.getPath)
-        .filter(_.getName != s"batch=$excludeBatchId")
+        .filter { p =>
+          // keep only strictly-earlier batch ids (see scaladoc); a
+          // non-batch= dir name never matches the layout and is kept
+          // for the hidden-prefix filter below to adjudicate
+          excludeBatchId < 0 || {
+            val n = p.getName
+            !n.startsWith("batch=") ||
+              scala.util.Try(n.stripPrefix("batch=").toLong)
+                .toOption.forall(_ < excludeBatchId)
+          }
+        }
         // Hadoop hidden-path convention: compaction stages its
         // consolidated output under a _-prefixed dir; readers must
         // never see an in-flight staging copy

@@ -35,15 +35,18 @@ import graft.operators.NearDup
   * candidate generator, documented rather than hidden.
   *
   * Exactly-once: both sinks write `batch=<id>` subdirectories with
-  * mode Overwrite and accumulated reads exclude the current batchId
-  * (StreamingDedup's layout); cross-matches additionally require the
-  * batch doc to carry the LATER id, so a replayed batch — which sees
-  * later batches' fingerprints in the index — drops exactly the
-  * foreign pairs those batches already own and recomputes its
-  * identical report. Replay is bit-exact in uncapped mode; with a
-  * finite `maxFpFreq` a replay evaluates the cap against the larger
-  * corpus-so-far and may emit a SUBSET of its original pairs (the cap
-  * trades exact replay for skew safety — documented, not hidden). */
+  * mode Overwrite, and accumulated reads see only batches STRICTLY
+  * EARLIER than the current batchId (StreamingDedup's layout) — a
+  * replayed batch therefore probes exactly the index it saw the
+  * first time, even when later batches have since committed, so the
+  * frequency cap evaluates against the identical corpus-so-far and
+  * replay is bit-exact in BOTH uncapped and capped modes (the r14
+  * advisory: with current-id-only exclusion a capped replay saw the
+  * later batches' fingerprints, tripped the cap early, and overwrote
+  * its own dir with a subset of its original pairs). The later-id
+  * guard on cross-matches is kept as belt-and-braces: under the
+  * arrival-order contract every index doc id is already smaller than
+  * every batch doc id, so it drops nothing in normal operation. */
 object StreamingWinnow {
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,

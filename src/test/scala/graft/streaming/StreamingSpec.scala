@@ -878,8 +878,42 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((1L, 2L)) && got.contains((1L, 10L)) &&
       got.contains((2L, 10L)), "within- and cross-batch pairs expected")
     // replay batch 0: the index now holds batch 1's fingerprints, but
-    // the later-id guard keeps doc 10's pairs out of batch 0's report
+    // strictly-earlier accumulated reads hide them, so batch 0
+    // recomputes its identical report
     StreamingWinnow.processBatch(b1, 0L, matches, fpIdx, 3, 4, 1L, noCap)
     assert(streamed() == got, "a replayed batch must no-op")
+  }
+
+  test("StreamingWinnow CAPPED replay is bit-exact: a batch replayed " +
+      "after later batches committed re-emits its original pairs " +
+      "instead of tripping the frequency cap on the larger index") {
+    import spark.implicits._
+    val matches = tmp("wcm") + "/m"; val fpIdx = tmp("wcf") + "/f"
+    val run = "sierra tango uniform victor whiskey xray"
+    // the shared run appears in docs 1, 2 (batch 0) and 10 (batch 1):
+    // at maxFpFreq = 2 the run's fingerprints are exactly at the cap
+    // within batch 0 and OVER it once batch 1's copy is indexed
+    val b1 = Seq(
+      (1L, s"one two three $run four five"),
+      (2L, s"p1 p2 p3 p4 $run p5 p6"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, s"z1 z2 $run z3 z4")).toDF("doc_id", "text")
+    StreamingWinnow.processBatch(b1, 0L, matches, fpIdx, 3, 4, 1L, 2L)
+    StreamingWinnow.processBatch(b2, 1L, matches, fpIdx, 3, 4, 1L, 2L)
+    def streamed(): Map[(Long, Long), Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(matches)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+          -> r.getAs[Long]("n_shared")).toMap
+    val got = streamed()
+    assert(got.contains((1L, 2L)),
+      s"batch 0 must emit its within-batch pair under the at-cap df: $got")
+    // crash-retry of batch 0: with current-id-only exclusion (the r14
+    // advisory's bug) the replay would see doc 10's fingerprints,
+    // evaluate df = 3 > 2, cap the run out, and OVERWRITE batch=0
+    // with an empty report — permanently losing (1, 2). The
+    // strictly-earlier read reconstructs the original empty index.
+    StreamingWinnow.processBatch(b1, 0L, matches, fpIdx, 3, 4, 1L, 2L)
+    assert(streamed() == got,
+      "capped replay must reproduce the original report bit-exactly")
   }
 }
