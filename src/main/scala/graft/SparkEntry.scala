@@ -1379,6 +1379,12 @@ object SparkEntry {
     // parse tree mirrored literally in the oracle.
     "q218_kn_bigram_entropy" -> ((s, d) =>
       TextOps.knBigramEntropy(t(s, d, "documents"))),
+    // Full recursive trigram KN (Chen & Goodman): discount at every
+    // order, continuation re-distribution at every backoff, all eight
+    // statistics from ONE trigram count table. 9 dp pre-sum AND 9 dp
+    // final (the q221 recipe; 12 dp final is the proven q220 failure).
+    "q225_kn_trigram_entropy" -> ((s, d) =>
+      TextOps.knTrigramEntropy(t(s, d, "documents"))),
     // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
     // span occurring >= 2 times keeps only its first occurrence
     // (lowest doc_id, then lowest pos); removal is the positional
@@ -1414,6 +1420,14 @@ object SparkEntry {
     // parity pinned in NearDupSpec.
     "x51_winnow_eval_report" -> ((s, d) =>
       NearDup.winnowEvalReport(t(s, d, "documents"))),
+    // Whole-document FFD bin packing (multipack): multiple whole docs
+    // per L-token sequence — no fragmentation, near-concat fill. FFD
+    // runs sharded (bins never cross shards; state bounded) as one
+    // map-side HOF fold. Rows-only: per-doc assignment order is
+    // engine-shaped; capacity/bounds/fill-dominance + hand-computed
+    // optima pinned in TextOpsSpec.
+    "x52_ffd_pack_report" -> ((s, d) =>
+      TextOps.ffdPackReport(t(s, d, "documents"))),
     // Dedup-aware mixture plan: q215's temperature smoothing over
     // q216's near-dup-SURVIVING token mass — the raw-count plan
     // over-weights duplicate-heavy sources by exactly the retention
@@ -5617,6 +5631,67 @@ object SparkEntry {
            CAST(max(nt) AS BIGINT) AS n_bigram_types,
            round(-CAST(sum(term) AS DOUBLE) /
              CAST(max(n_bigrams) AS DOUBLE), 12) AS h_kn_bits
+         FROM ct GROUP BY source ORDER BY source""",
+    // Recursive trigram Kneser-Ney: all eight count statistics from
+    // the one trigram table (exact integers); P3 is the IDENTICAL
+    // IEEE parse tree the Spark side evaluates; each c*log2(P3) term
+    // rounds 9dp into DECIMAL(28,9) before the order-free sum; final
+    // division rounds 9 (the q221 recipe — 12dp final is the proven
+    // q220 cross-libm failure).
+    "q225_kn_trigram_entropy" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         tr AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2,
+             toks[i + 2] AS w3
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3),
+         c123 AS (SELECT source, w1, w2, w3,
+             CAST(count(*) AS BIGINT) AS c
+           FROM tr GROUP BY 1, 2, 3, 4),
+         ctx AS (SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS c12,
+             CAST(count(*) AS BIGINT) AS n3f
+           FROM c123 GROUP BY 1, 2, 3),
+         c23 AS (SELECT source, w2, w3,
+             CAST(count(*) AS BIGINT) AS n1_23
+           FROM c123 GROUP BY 1, 2, 3),
+         cmid AS (SELECT source, w2, CAST(sum(n1_23) AS BIGINT) AS nmid,
+             CAST(count(*) AS BIGINT) AS n2f
+           FROM c23 GROUP BY 1, 2),
+         c3 AS (SELECT source, w3, CAST(count(*) AS BIGINT) AS n1_3
+           FROM c23 GROUP BY 1, 2),
+         tt AS (SELECT source, CAST(count(*) AS BIGINT) AS ntt
+           FROM c23 GROUP BY 1),
+         tg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             CAST(count(*) AS BIGINT) AS n_trigram_types
+           FROM c123 GROUP BY 1),
+         ct AS (SELECT c123.source, tg.n_trigrams, tg.n_trigram_types,
+             CAST(round(CAST(c123.c AS DOUBLE) * log2(
+               (CAST(c123.c AS DOUBLE) - 0.75) /
+                 CAST(ctx.c12 AS DOUBLE) +
+               ((0.75 * CAST(ctx.n3f AS DOUBLE)) /
+                 CAST(ctx.c12 AS DOUBLE)) *
+                 ((CAST(c23.n1_23 AS DOUBLE) - 0.75) /
+                    CAST(cmid.nmid AS DOUBLE) +
+                  ((0.75 * CAST(cmid.n2f AS DOUBLE)) /
+                    CAST(cmid.nmid AS DOUBLE)) *
+                    (CAST(c3.n1_3 AS DOUBLE) /
+                      CAST(tt.ntt AS DOUBLE)))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM c123
+           JOIN ctx ON c123.source = ctx.source AND c123.w1 = ctx.w1
+             AND c123.w2 = ctx.w2
+           JOIN c23 ON c123.source = c23.source AND c123.w2 = c23.w2
+             AND c123.w3 = c23.w3
+           JOIN cmid ON c123.source = cmid.source AND c123.w2 = cmid.w2
+           JOIN c3 ON c123.source = c3.source AND c123.w3 = c3.w3
+           JOIN tt ON c123.source = tt.source
+           JOIN tg ON c123.source = tg.source)
+         SELECT source,
+           CAST(max(n_trigrams) AS BIGINT) AS n_trigrams,
+           CAST(max(n_trigram_types) AS BIGINT) AS n_trigram_types,
+           round(-CAST(sum(term) AS DOUBLE) /
+             CAST(max(n_trigrams) AS DOUBLE), 9) AS h_kn3_bits
          FROM ct GROUP BY source ORDER BY source""",
     // Exact-substring dedup transform: positional 5-gram table with
     // multiplicity; duplicated grams keep (min doc_id, min pos within

@@ -529,6 +529,95 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** x52: whole-document FIRST-FIT-DECREASING bin packing
+    * ("multipack") — the third packing strategy q223's decision table
+    * brackets: concat-chunk (q53) has zero padding but fragments
+    * documents across sequence boundaries (cross-document attention
+    * unless masked); pad-per-doc never fragments but pays one
+    * sequence per document. Multipack packs MULTIPLE WHOLE documents
+    * per L-token sequence — no fragmentation AND most of
+    * concat-chunk's fill — the packed-sample construction the
+    * training stacks behind instruction tuning use (FFD is the
+    * classical 11/9·OPT+6/9 guarantee; Johnson 1973).
+    *
+    * Policy: documents longer than L truncate to L and occupy a
+    * dedicated (exactly-full) bin, mirroring q223's pad-per-doc
+    * truncation accounting; zero-token docs occupy nothing.
+    *
+    * Scale shape: FFD is inherently sequential, so the 100 TB form
+    * shards it — docs pack within (source, doc_id div shardDocs)
+    * and bins NEVER cross shards, bounding every task's state by
+    * shardDocs entries (L52's sharding argument applied to packing);
+    * the cost is at most one under-filled bin per shard, reported
+    * honestly by the fill columns. Within a shard the whole FFD fold
+    * runs MAP-SIDE as one HOF chain over the collected (bounded)
+    * length array — sort desc, then an `aggregate` that drops each
+    * doc into the first bin with room (recomputing the first-fit
+    * index inside `transform` keeps the lambda pure — no mutable
+    * binding exists in the HOF algebra). The only shuffles are the
+    * bounded per-shard collect and the |sources| report aggregate.
+    *
+    * Determinism: loads are exact integers; equal-length docs are
+    * interchangeable for bin LOADS, so the report is stable under
+    * the engine's grouping order. Rows-only x entry (per-doc bin
+    * assignment order is engine-shaped); the FFD properties —
+    * capacity, bin-count bounds, fill dominance over pad-per-doc,
+    * hand-computed optima — are pinned in TextOpsSpec. */
+  def ffdPackReport(docs: DataFrame, packTokens: Long = 64L,
+      shardDocs: Long = 4096L): DataFrame = {
+    require(packTokens > 0, "packTokens must be positive")
+    require(shardDocs > 0, "shardDocs must be positive")
+    val L = packTokens
+    val perShard = docs
+      .select(col("source"),
+        expr(s"doc_id div ${shardDocs}L").as("_shard"),
+        TextFunctions.tokenCount(col("text")).as("_len"))
+      .select(col("source"), col("_shard"), col("_len"),
+        least(col("_len"), lit(L)).as("_capped"))
+      .filter(col("_len") > 0L)
+      .groupBy(col("source"), col("_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_len")).as("raw_tokens"),
+        sum(col("_len") - col("_capped")).as("trunc_tokens"),
+        count(when(col("_len") > L, lit(1))).as("n_oversize"),
+        collect_list(col("_capped")).as("_lens"))
+      .withColumn("_bins", expr(
+        s"""aggregate(
+           |  array_sort(_lens, (l, r) ->
+           |    CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END),
+           |  CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, x) -> IF(
+           |    exists(acc, b -> b + x <= ${L}L),
+           |    transform(
+           |      zip_with(acc, sequence(1, size(acc)),
+           |        (b, i) -> named_struct('b', b, 'i', i)),
+           |      s -> IF(s.i = element_at(
+           |          filter(sequence(1, size(acc)),
+           |            j -> element_at(acc, j) + x <= ${L}L), 1),
+           |        s.b + x, s.b)),
+           |    concat(acc, array(x))))""".stripMargin))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("trunc_tokens"), col("n_oversize"),
+        size(col("_bins")).cast("long").as("n_bins"),
+        expr("aggregate(_bins, 0L, (a, b) -> a + b)").as("packed_tokens"))
+    perShard.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_oversize")).as("n_oversize"),
+        sum(col("raw_tokens")).as("raw_tokens"),
+        sum(col("trunc_tokens")).as("trunc_tokens"),
+        sum(col("packed_tokens")).as("packed_tokens"),
+        sum(col("n_bins")).as("seqs_ffd"))
+      .select(col("source"), col("n_docs"), col("n_oversize"),
+        col("raw_tokens"), col("trunc_tokens"), col("packed_tokens"),
+        col("seqs_ffd"),
+        (col("seqs_ffd") * L - col("packed_tokens")).as("pad_tokens"),
+        round(col("packed_tokens").cast("double") /
+          (col("seqs_ffd") * L).cast("double"), 12).as("ffd_fill"),
+        round(col("packed_tokens").cast("double") /
+          (col("n_docs") * L).cast("double"), 12).as("pad_per_doc_fill"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------- BPE tokenizer
 
   /** A word's base symbol array: one symbol per Unicode code point —
@@ -3561,5 +3650,119 @@ object TextOps {
         round(-col("_s").cast("double") /
           col("n_bigrams").cast("double"), 9).as("h_kn_bits"))
       .orderBy(col("split"))
+  }
+
+  /** q225: interpolated TRIGRAM Kneser–Ney cross-entropy per source —
+    * the full recursive KN chain (Chen & Goodman 1999) the bigram
+    * q218 truncates: absolute discounting at every order, each
+    * level's reserved mass re-distributed by the next-lower order's
+    * CONTINUATION distribution. This is the KenLM-class model real
+    * curation stacks (CCNet, RedPajama, FineWeb) score perplexity
+    * with (theirs is 5-gram; the recursion is identical per order
+    * and three orders already separate template mills from prose
+    * where q218's single backoff level saturates).
+    *
+    *   P₃(w₃|w₁w₂) = (c₁₂₃ − D)/c₁₂ + λ₃(w₁w₂)·P₂(w₃|w₂)
+    *   P₂(w₃|w₂)   = (N₁₊(·w₂w₃) − D)/N₁₊(·w₂·) + λ₂(w₂)·P₁(w₃)
+    *   P₁(w₃)      = N₁₊(··w₃)/N₁₊(···)
+    *
+    * with λ₃ = D·N₁₊(w₁w₂·)/c₁₂ and λ₂ = D·N₁₊(w₂··)/N₁₊(·w₂·),
+    * where the middle and lowest orders run on TYPE counts from the
+    * trigram inventory: N₁₊(·w₂w₃) = |{w₁}| preceding (w₂,w₃),
+    * N₁₊(·w₂·) = Σ_w₃ of that (distinct (w₁,w₃) pairs around w₂),
+    * N₁₊(w₂··) = distinct w₃ types after w₂, N₁₊(··w₃) = distinct
+    * (w₂) contexts... preceding w₃ among trigram-derived bigrams,
+    * N₁₊(···) = total distinct (w₂,w₃) types. Every statistic
+    * derives from the ONE (source, w₁, w₂, w₃) count table — the
+    * self-contained Chen & Goodman formulation (no separate corpus
+    * bigram pass; the two differ only at document edges, documented).
+    * Self-scored like q218: every seen trigram satisfies c ≥ 1 > D
+    * and N₁₊ ≥ 1 > D, so no max(·,0) clamps appear and P₃ > 0 always.
+    *
+    * Discount-reserve identity (pinned in the spec to 1e-12): for
+    * every seen context, Σ_seen (c₁₂₃ − D)/c₁₂ + λ₃ = 1 in exact
+    * arithmetic — the discounted mass is exactly what interpolation
+    * re-spends, making −Σ c·log₂P₃/N a true log-loss.
+    *
+    * Determinism (the q221 recipe, stated per the r14 checklist):
+    * all eight count statistics are exact integers; P₃ is ONE fixed
+    * IEEE parse tree evaluated identically by Spark and DuckDB; each
+    * per-type c·log₂(P₃) rounds 9 dp into DECIMAL(28,9) before the
+    * order-free exact sum; the FINAL division rounds 9 dp — NOT 12:
+    * 12 dp final is the proven cross-libm failure mode (q220 r14,
+    * q221's measurement), 9 dp pre-sum + 9 dp final is the proven
+    * fix.
+    *
+    * Scale shape: one corpus scan explodes trigrams to the
+    * vocab-bounded count table (persisted — it feeds five
+    * re-aggregations and the scoring join); every marginal is a
+    * partial-combine map-side aggregate of that table (never a
+    * second corpus pass); scoring is four key-bounded equi-joins
+    * plus one broadcast totals row; the report is a per-source fold.
+    * The only data-sized shuffle is the trigram hash-aggregate —
+    * string trigrams by design (q211's trade; the x45 hashed
+    * relabeling applies verbatim if that shuffle ever dominates). */
+  def knTrigramEntropy(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "absolute discount must sit strictly inside (0, 1)")
+    val dec = DecimalType(28, 9)
+    val toks = TextFunctions.tokens(col("text"))
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          try_element_at(toks, i + 2).as("w2"),
+          try_element_at(toks, i + 3).as("w3"))))
+      .otherwise(array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"))
+    val c123 = docs
+      .select(col("source"), explode(tris).as("t"))
+      .select(col("source"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .groupBy(col("source"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // trigram context marginal: total count and distinct-w3 fanout
+    val ctx = c123.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c12"), count(lit(1)).as("n3f"))
+    // middle-order continuation inventory: distinct w1 per (w2, w3)
+    val cont23 = c123.groupBy(col("source"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1_23"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // middle-order marginal: N1+(-w2-) and the w3-type fanout of w2
+    val contMid = cont23.groupBy(col("source"), col("w2"))
+      .agg(sum(col("n1_23")).as("nmid"), count(lit(1)).as("n2f"))
+    // lowest order: distinct w2 contexts preceding w3
+    val cont3 = cont23.groupBy(col("source"), col("w3"))
+      .agg(count(lit(1)).as("n1_3"))
+    // per-source totals (tiny; broadcast into the scoring join)
+    val tot = cont23.groupBy(col("source"))
+      .agg(count(lit(1)).as("ntt"))
+      .join(c123.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_trigrams"),
+          count(lit(1)).as("n_trigram_types")), "source")
+    val d = lit(discount)
+    // ONE fixed parse tree — mirrored literally in the DuckDB oracle
+    val p1 = col("n1_3").cast("double") / col("ntt").cast("double")
+    val p2 = (col("n1_23").cast("double") - d) /
+      col("nmid").cast("double") +
+      ((d * col("n2f").cast("double")) / col("nmid").cast("double")) * p1
+    val p3 = (col("c").cast("double") - d) / col("c12").cast("double") +
+      ((d * col("n3f").cast("double")) / col("c12").cast("double")) * p2
+    c123.join(ctx, Seq("source", "w1", "w2"))
+      .join(cont23, Seq("source", "w2", "w3"))
+      .join(contMid, Seq("source", "w2"))
+      .join(cont3, Seq("source", "w3"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_trigrams"), col("n_trigram_types"),
+        round(col("c").cast("double") * log2(p3), 9).cast(dec).as("_t"))
+      .groupBy(col("source"))
+      .agg(first(col("n_trigrams")).as("n_trigrams"),
+        first(col("n_trigram_types")).as("n_trigram_types"),
+        sum(col("_t")).as("_s"))
+      .select(col("source"), col("n_trigrams"), col("n_trigram_types"),
+        round(-col("_s").cast("double") /
+          col("n_trigrams").cast("double"), 9).as("h_kn3_bits"))
+      .orderBy(col("source"))
   }
 }

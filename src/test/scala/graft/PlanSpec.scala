@@ -1361,4 +1361,41 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       !plan.contains("BroadcastNestedLoopJoin"),
       "pair generation must stay an equi-join on the fingerprint")
   }
+
+  test("q225 trigram KN: all scoring joins are equi-joins, the " +
+      "per-source totals BROADCAST, and no window appears anywhere " +
+      "(every marginal is an aggregate of the one count table)") {
+    val df = q("q225_kn_trigram_entropy")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the recursion scores via key-bounded equi-joins only")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row totals frame must broadcast, not shuffle")
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"continuation counts derive by AGGREGATE, never a window: $windows")
+  }
+
+  test("x52 FFD packing: the fold is MAP-SIDE over the bounded shard " +
+      "collect — exactly the per-shard and per-source aggregate " +
+      "exchanges, no join, no window") {
+    val df = q("x52_ffd_pack_report")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Join"),
+      "packing never joins data against data")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "no window in the packing plan")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 3,
+      s"(source, shard) collect + source report (+ final sort) are the " +
+        s"only exchanges, got ${exchanges.size}")
+  }
 }

@@ -2216,4 +2216,151 @@ class TextOpsSpec extends SparkSuite {
     assert(out(4L).getAs[Long]("n_tokens") == 0L &&
       out(4L).getAs[Double]("removed_frac") == 0.0)
   }
+
+  test("knTrigramEntropy (q225): engine matches an independent " +
+      "straight-line reference implementation, the per-context " +
+      "discount-reserve identity holds to 1e-12, sub-trigram docs and " +
+      "sources are inert, and a forced chain keeps positive entropy") {
+    import spark.implicits._
+    val D = 0.75
+    // independent reference: plain Scala maps over token lists,
+    // full-precision doubles — a different code path evaluating the
+    // same Chen & Goodman recursion
+    def refH(docTexts: Seq[String]): (Double, Long, Long) = {
+      val tris = docTexts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .flatMap(ts => if (ts.length >= 3) ts.sliding(3).toList else Nil)
+      val c123 = tris.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      val keys = c123.keys.toSeq
+      val ctx = keys.groupBy(_.take(2)).map { case (k, ks) =>
+        k -> ((ks.map(c123).sum, ks.size.toLong)) }
+      val n123 = keys.map(_.drop(1)).groupBy(identity).map {
+        case (k, ks) => k -> ks.size.toLong }
+      val mid = n123.keys.toSeq.groupBy(_.head).map { case (w2, ks) =>
+        w2 -> ((ks.map(n123).sum, ks.size.toLong)) }
+      val c3 = n123.keys.toSeq.groupBy(_(1)).map { case (w3, ks) =>
+        w3 -> ks.size.toLong }
+      val ntt = n123.size.toLong
+      def lg2(x: Double): Double = math.log(x) / math.log(2)
+      val n = c123.values.sum
+      val h = -keys.map { k =>
+        val c = c123(k).toDouble
+        val (c12, n3f) = ctx(k.take(2))
+        val p1 = c3(k(2)).toDouble / ntt.toDouble
+        val (nmid, n2f) = mid(k(1))
+        val p2 = (n123(k.drop(1)).toDouble - D) / nmid.toDouble +
+          ((D * n2f.toDouble) / nmid.toDouble) * p1
+        val p3 = (c - D) / c12.toDouble +
+          ((D * n3f.toDouble) / c12.toDouble) * p2
+        c * lg2(p3)
+      }.sum / n.toDouble
+      (h, n, c123.size.toLong)
+      // reserve identity: per context the discounted seen mass plus
+      // lambda re-spends to exactly 1
+      }
+    def reserveOk(docTexts: Seq[String]): Boolean = {
+      val tris = docTexts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .flatMap(ts => if (ts.length >= 3) ts.sliding(3).toList else Nil)
+      val c123 = tris.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      c123.keys.toSeq.groupBy(_.take(2)).forall { case (_, ks) =>
+        val c12 = ks.map(c123).sum.toDouble
+        val seen = ks.map(k => (c123(k).toDouble - D) / c12).sum
+        val lam = (D * ks.size.toDouble) / c12
+        math.abs(seen + lam - 1.0) < 1e-12
+      }
+    }
+    val aDocs = Seq("a b a b a", "x y z a b a")
+    val dDocs = Seq("a b a b a b a b")
+    val docs = (aDocs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, "srcA", t) } ++
+      Seq((10L, "srcB", "a b c d"),
+        (11L, "srcC", "p q"),
+        (12L, "srcD", dDocs.head)))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.knTrigramEntropy(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("srcC"), "trigram-less sources are absent")
+    for ((src, texts) <- Seq("srcA" -> aDocs,
+        "srcB" -> Seq("a b c d"), "srcD" -> dDocs)) {
+      val (h, n, nt) = refH(texts)
+      val r = out(src)
+      assert(r.getAs[Long]("n_trigrams") == n, s"$src trigram count")
+      assert(r.getAs[Long]("n_trigram_types") == nt, s"$src type count")
+      assert(math.abs(r.getAs[Double]("h_kn3_bits") - h) < 1e-6,
+        s"$src: engine ${r.getAs[Double]("h_kn3_bits")} vs reference $h")
+      assert(reserveOk(texts), s"$src reserve identity")
+    }
+    assert(out("srcD").getAs[Double]("h_kn3_bits") > 0.0,
+      "KN reserves discounted mass: a forced chain scores above zero")
+    assert(out("srcD").getAs[Double]("h_kn3_bits") <
+      out("srcA").getAs[Double]("h_kn3_bits"),
+      "a forced chain must score below a mixed corpus")
+  }
+
+  test("ffdPackReport (x52): hand-computed FFD optimum, oversize docs " +
+      "truncate into dedicated full bins, capacity and bin-count " +
+      "bounds hold, fill dominates pad-per-doc, zero-token docs are " +
+      "inert, and shard boundaries are respected") {
+    import spark.implicits._
+    def text(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // srcA lens 5,4,3,2,1 at L=6: FFD -> bins [5+1, 4+2, 3] = 3 bins,
+    // the optimum (ceil(15/6) = 3); packed 15, pad 3
+    val docs = Seq(
+      (0L, "srcA", text(5)), (1L, "srcA", text(4)), (2L, "srcA", text(3)),
+      (3L, "srcA", text(2)), (4L, "srcA", text(1)),
+      // srcB: one oversize doc (10 > 6) + one tiny: trunc 4, the
+      // oversize bin is exactly full, tiny gets its own bin
+      (10L, "srcB", text(10)), (11L, "srcB", text(1)),
+      // srcC: only a zero-token doc -> absent from the report
+      (20L, "srcC", "")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.ffdPackReport(docs, packTokens = 6L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("srcC"), "zero-token-only sources are absent")
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") == 5L)
+    assert(a.getAs[Long]("seqs_ffd") == 3L,
+      s"FFD must hit the optimum 3 bins, got ${a.getAs[Long]("seqs_ffd")}")
+    assert(a.getAs[Long]("packed_tokens") == 15L)
+    assert(a.getAs[Long]("pad_tokens") == 3L)
+    assert(a.getAs[Long]("trunc_tokens") == 0L)
+    assert(math.abs(a.getAs[Double]("ffd_fill") - 15.0 / 18.0) < 1e-9)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_oversize") == 1L)
+    assert(b.getAs[Long]("trunc_tokens") == 4L)
+    assert(b.getAs[Long]("seqs_ffd") == 2L,
+      "a truncated oversize doc fills its own bin; 6+1 > 6 forces two")
+    assert(b.getAs[Long]("packed_tokens") == 7L)
+    // bounds + dominance on the harness documents table
+    val harness = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = TextOps.ffdPackReport(harness, packTokens = 64L).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val bins = r.getAs[Long]("seqs_ffd")
+      val packed = r.getAs[Long]("packed_tokens")
+      assert(packed <= bins * 64L,
+        s"capacity violated for ${r.getString(0)}")
+      assert(bins >= (packed + 63L) / 64L,
+        s"bin count below the volume lower bound for ${r.getString(0)}")
+      assert(bins <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("ffd_fill") >=
+        r.getAs[Double]("pad_per_doc_fill") - 1e-12,
+        "packing whole docs together can never fill WORSE than one " +
+          "sequence per doc")
+    }
+    // determinism: byte-identical report across runs
+    val rep2 = TextOps.ffdPackReport(harness, packTokens = 64L).collect()
+    assert(rep.map(_.toSeq).toSeq == rep2.map(_.toSeq).toSeq)
+    // shard boundaries: with shardDocs = 2, srcA's docs {0,1} and
+    // {2,3} and {4} pack independently -> [5,4] needs 2 bins, [3,2]
+    // fits one (5 <= 6), [1] one: 4 bins, vs 3 unsharded — the
+    // documented cost of bounded state
+    val sharded = TextOps.ffdPackReport(docs, packTokens = 6L,
+      shardDocs = 2L).collect().map(r => r.getString(0) -> r).toMap
+    assert(sharded("srcA").getAs[Long]("seqs_ffd") == 4L)
+    assert(sharded("srcA").getAs[Long]("packed_tokens") == 15L,
+      "sharding never changes the packed token mass")
+  }
 }
