@@ -1385,6 +1385,11 @@ object SparkEntry {
     // final (the q221 recipe; 12 dp final is the proven q220 failure).
     "q225_kn_trigram_entropy" -> ((s, d) =>
       TextOps.knTrigramEntropy(t(s, d, "documents"))),
+    // LM order-selection ladder: self-scored H under add-one unigram,
+    // bigram KN and trigram KN side by side + bits gained per order —
+    // the "which n to train the quality LM at" decision table.
+    "q226_kn_order_ladder" -> ((s, d) =>
+      TextOps.knOrderLadder(t(s, d, "documents"))),
     // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
     // span occurring >= 2 times keeps only its first occurrence
     // (lowest doc_id, then lowest pos); removal is the positional
@@ -5693,6 +5698,118 @@ object SparkEntry {
            round(-CAST(sum(term) AS DOUBLE) /
              CAST(max(n_trigrams) AS DOUBLE), 9) AS h_kn3_bits
          FROM ct GROUP BY source ORDER BY source""",
+    // LM order ladder: H1 (add-one unigram) + H2 (q218's bigram KN,
+    // double-rounded 12 then 9) + H3 (q225's trigram KN, 9dp) and the
+    // per-order gains; every H follows the 9dp-presum/9dp-final house
+    // recipe; sources lacking an order report NULL there and in the
+    // dependent gain.
+    "q226_kn_order_ladder" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         w AS (SELECT source, tok FROM t, unnest(toks) AS u(tok)),
+         uni AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+         ut AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v
+           FROM uni GROUP BY 1),
+         h1t AS (SELECT uni.source, ut.n_tokens,
+             CAST(round(CAST(uni.c AS DOUBLE) * log2(
+               (CAST(uni.c AS DOUBLE) + 1.0) /
+               (CAST(ut.n_tokens AS DOUBLE) + CAST(ut.v AS DOUBLE))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM uni JOIN ut ON uni.source = ut.source),
+         h1 AS (SELECT source,
+             CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+             round(-CAST(sum(term) AS DOUBLE) /
+               CAST(max(n_tokens) AS DOUBLE), 9) AS h1_bits
+           FROM h1t GROUP BY source),
+         b AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         lft AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY 1, 2),
+         rgt AS (SELECT source, w2, CAST(count(*) AS BIGINT) AS n1b
+           FROM c12 GROUP BY 1, 2),
+         tot2 AS (SELECT source, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+           FROM c12 GROUP BY 1),
+         ct2 AS (SELECT c12.source, tot2.n_bigrams,
+             CAST(round(CAST(c12.c AS DOUBLE) * log2(
+               (CAST(c12.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+               ((0.75 * CAST(lft.n1f AS DOUBLE)) /
+                 CAST(lft.c1 AS DOUBLE)) *
+                 (CAST(rgt.n1b AS DOUBLE) / CAST(tot2.nt AS DOUBLE))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM c12
+           JOIN lft ON c12.source = lft.source AND c12.w1 = lft.w1
+           JOIN rgt ON c12.source = rgt.source AND c12.w2 = rgt.w2
+           JOIN tot2 ON c12.source = tot2.source),
+         h2 AS (SELECT source,
+             CAST(max(n_bigrams) AS BIGINT) AS n_bigrams,
+             round(round(-CAST(sum(term) AS DOUBLE) /
+               CAST(max(n_bigrams) AS DOUBLE), 12), 9) AS h2_bits
+           FROM ct2 GROUP BY source),
+         tr AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2,
+             toks[i + 2] AS w3
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3),
+         c123 AS (SELECT source, w1, w2, w3,
+             CAST(count(*) AS BIGINT) AS c
+           FROM tr GROUP BY 1, 2, 3, 4),
+         ctx AS (SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS c12,
+             CAST(count(*) AS BIGINT) AS n3f
+           FROM c123 GROUP BY 1, 2, 3),
+         c23 AS (SELECT source, w2, w3,
+             CAST(count(*) AS BIGINT) AS n1_23
+           FROM c123 GROUP BY 1, 2, 3),
+         cmid AS (SELECT source, w2, CAST(sum(n1_23) AS BIGINT) AS nmid,
+             CAST(count(*) AS BIGINT) AS n2f
+           FROM c23 GROUP BY 1, 2),
+         c3 AS (SELECT source, w3, CAST(count(*) AS BIGINT) AS n1_3
+           FROM c23 GROUP BY 1, 2),
+         tt AS (SELECT source, CAST(count(*) AS BIGINT) AS ntt
+           FROM c23 GROUP BY 1),
+         tg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams
+           FROM c123 GROUP BY 1),
+         ct3 AS (SELECT c123.source, tg.n_trigrams,
+             CAST(round(CAST(c123.c AS DOUBLE) * log2(
+               (CAST(c123.c AS DOUBLE) - 0.75) /
+                 CAST(ctx.c12 AS DOUBLE) +
+               ((0.75 * CAST(ctx.n3f AS DOUBLE)) /
+                 CAST(ctx.c12 AS DOUBLE)) *
+                 ((CAST(c23.n1_23 AS DOUBLE) - 0.75) /
+                    CAST(cmid.nmid AS DOUBLE) +
+                  ((0.75 * CAST(cmid.n2f AS DOUBLE)) /
+                    CAST(cmid.nmid AS DOUBLE)) *
+                    (CAST(c3.n1_3 AS DOUBLE) /
+                      CAST(tt.ntt AS DOUBLE)))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM c123
+           JOIN ctx ON c123.source = ctx.source AND c123.w1 = ctx.w1
+             AND c123.w2 = ctx.w2
+           JOIN c23 ON c123.source = c23.source AND c123.w2 = c23.w2
+             AND c123.w3 = c23.w3
+           JOIN cmid ON c123.source = cmid.source AND c123.w2 = cmid.w2
+           JOIN c3 ON c123.source = c3.source AND c123.w3 = c3.w3
+           JOIN tt ON c123.source = tt.source
+           JOIN tg ON c123.source = tg.source),
+         h3 AS (SELECT source,
+             CAST(max(n_trigrams) AS BIGINT) AS n_trigrams,
+             round(-CAST(sum(term) AS DOUBLE) /
+               CAST(max(n_trigrams) AS DOUBLE), 9) AS h3_bits
+           FROM ct3 GROUP BY source)
+         SELECT h1.source, h1.n_tokens, h1.h1_bits,
+           h2.n_bigrams, h2.h2_bits, h3.n_trigrams, h3.h3_bits,
+           round(h1.h1_bits - h2.h2_bits, 9) AS gain_bigram,
+           round(h2.h2_bits - h3.h3_bits, 9) AS gain_trigram
+         FROM h1
+         LEFT JOIN h2 ON h1.source = h2.source
+         LEFT JOIN h3 ON h1.source = h3.source
+         ORDER BY h1.source""",
     // Exact-substring dedup transform: positional 5-gram table with
     // multiplicity; duplicated grams keep (min doc_id, min pos within
     // it); every other occurrence explodes to its covered token

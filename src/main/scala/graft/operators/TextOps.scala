@@ -3765,4 +3765,75 @@ object TextOps {
           col("n_trigrams").cast("double"), 9).as("h_kn3_bits"))
       .orderBy(col("source"))
   }
+
+  /** q226: LM ORDER-SELECTION ladder — the decision table the q52→
+    * q218→q225 model family exists to feed: per source, self-scored
+    * cross-entropy under all three orders side by side (add-one
+    * unigram H₁, interpolated bigram KN H₂, recursive trigram KN H₃)
+    * plus the BITS GAINED per added order. A corpus whose gain
+    * saturates at bigrams (g₂₃ ≈ 0) doesn't support a higher-order
+    * quality model; a template mill shows a huge g₁₂ (context makes
+    * boilerplate near-deterministic); diverse prose keeps earning at
+    * every order. This is the "which n to train the KenLM filter at"
+    * number CCNet-class pipelines pick by hand.
+    *
+    *   H₁ = −Σ c(w)·log₂((c(w)+1)/(N+V)) / N      (add-one)
+    *   H₂ = q218's h_kn_bits, re-rounded 9 dp
+    *   H₃ = q225's h_kn3_bits (already 9 dp)
+    *
+    * H₁ is NOT directly comparable to a held-out perplexity (all
+    * three are self-scored, like q218/q225) but the DIFFERENCES are
+    * exactly the marginal predictive value of added context on this
+    * corpus — the quantity the ladder reports.
+    *
+    * Determinism: H₁ follows the house recipe (per-type c·log₂ round
+    * 9 dp into DECIMAL(28,9), exact sum, final round 9); H₂ rounds
+    * q218's 12-dp value to 9 (mirrored literally in the oracle:
+    * round(round(·,12),9) — the double-round keeps the published
+    * q218 number recoverable while the ladder column carries 9-dp
+    * cross-libm margin); gains subtract bit-identical doubles and
+    * re-round 9. Sources lacking an order report NULL there and in
+    * the dependent gain.
+    *
+    * Scale shape: the three component pipelines' own shapes (each a
+    * vocab-bounded count table with marginal re-aggregations); the
+    * ladder itself is two |sources|-row left joins — nothing new
+    * shuffles at data size. */
+  def knOrderLadder(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    val dec = DecimalType(28, 9)
+    val uni = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val uniTot = uni.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v"))
+    val h1 = uni.join(broadcast(uniTot), "source")
+      .select(col("source"), col("n_tokens"), col("v"),
+        round(col("c").cast("double") * log2(
+          (col("c").cast("double") + 1.0) /
+            (col("n_tokens").cast("double") + col("v").cast("double"))),
+          9).cast(dec).as("_t"))
+      .groupBy(col("source"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(col("_t")).as("_s"))
+      .select(col("source"), col("n_tokens"),
+        round(-col("_s").cast("double") /
+          col("n_tokens").cast("double"), 9).as("h1_bits"))
+    val h2 = knBigramEntropy(docs, discount)
+      .select(col("source"), col("n_bigrams"),
+        round(col("h_kn_bits"), 9).as("h2_bits"))
+    val h3 = knTrigramEntropy(docs, discount)
+      .select(col("source"), col("n_trigrams"), col("h_kn3_bits")
+        .as("h3_bits"))
+    h1.join(h2, Seq("source"), "left")
+      .join(h3, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("h1_bits"),
+        col("n_bigrams"), col("h2_bits"),
+        col("n_trigrams"), col("h3_bits"),
+        round(col("h1_bits") - col("h2_bits"), 9).as("gain_bigram"),
+        round(col("h2_bits") - col("h3_bits"), 9).as("gain_trigram"))
+      .orderBy(col("source"))
+  }
 }

@@ -1398,4 +1398,11 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"(source, shard) collect + source report (+ final sort) are the " +
         s"only exchanges, got ${exchanges.size}")
   }
+
+  test("q226 order ladder: inherits the component no-cartesian " +
+      "contracts; the ladder joins key on source only") {
+    val plan = finalPlan(q("q226_kn_order_ladder"))
+    assert(!plan.contains("CartesianProduct"),
+      "three entropy pipelines + two |sources|-row joins — equi only")
+  }
 }

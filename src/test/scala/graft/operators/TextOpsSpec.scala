@@ -2363,4 +2363,61 @@ class TextOpsSpec extends SparkSuite {
     assert(sharded("srcA").getAs[Long]("packed_tokens") == 15L,
       "sharding never changes the packed token mass")
   }
+
+  test("knOrderLadder (q226): H1 matches a straight-line add-one " +
+      "reference, H2/H3 are consistent with the component operators, " +
+      "gains are positive on a context-rich corpus, and missing " +
+      "orders propagate NULL into exactly their own columns") {
+    import spark.implicits._
+    val docs = Seq(
+      // context-rich: trigram context nearly determines the next token
+      (1L, "srcA", "a b c a b c a b c d e f d e f"),
+      (2L, "srcA", "a b c d e f a b c"),
+      // bigrams but no trigrams (all docs exactly 2 tokens)
+      (10L, "srcB", "p q"), (11L, "srcB", "p q"),
+      // no bigrams at all (two docs of one token each: N=2, V=2,
+      // P(w) = 2/4 -> H1 = 1 bit exactly)
+      (20L, "srcC", "solo"), (21L, "srcC", "uno")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.knOrderLadder(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // straight-line add-one H1 for srcA
+    def h1Ref(texts: Seq[String]): Double = {
+      val ws = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      val c = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = ws.size.toDouble; val v = c.size.toDouble
+      -c.values.map(k => k.toDouble *
+        (math.log((k + 1.0) / (n + v)) / math.log(2))).sum / n
+    }
+    val a = out("srcA")
+    assert(math.abs(a.getAs[Double]("h1_bits") -
+      h1Ref(Seq("a b c a b c a b c d e f d e f",
+        "a b c d e f a b c"))) < 1e-6)
+    // consistency with the component operators
+    val h2c = TextOps.knBigramEntropy(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("h_kn_bits")).toMap
+    val h3c = TextOps.knTrigramEntropy(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("h_kn3_bits")).toMap
+    assert(math.abs(a.getAs[Double]("h2_bits") -
+      BigDecimal(h2c("srcA")).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(a.getAs[Double]("h3_bits") == h3c("srcA"))
+    // an order of context must EARN bits on this corpus
+    assert(a.getAs[Double]("gain_bigram") > 0.0)
+    assert(a.getAs[Double]("gain_trigram") > 0.0)
+    val b = out("srcB")
+    assert(b.getAs[Double]("h2_bits") == BigDecimal(h2c("srcB"))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(b.isNullAt(b.fieldIndex("h3_bits")) &&
+      b.isNullAt(b.fieldIndex("n_trigrams")) &&
+      b.isNullAt(b.fieldIndex("gain_trigram")),
+      "a trigram-less source reports NULL for exactly the h3 columns")
+    assert(!b.isNullAt(b.fieldIndex("gain_bigram")))
+    val cRow = out("srcC")
+    assert(cRow.isNullAt(cRow.fieldIndex("h2_bits")) &&
+      cRow.isNullAt(cRow.fieldIndex("gain_bigram")) &&
+      cRow.isNullAt(cRow.fieldIndex("gain_trigram")),
+      "a bigram-less source still reports H1 but no gains")
+    assert(cRow.getAs[Double]("h1_bits") == 1.0)
+  }
 }
