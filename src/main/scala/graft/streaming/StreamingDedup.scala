@@ -305,8 +305,14 @@ object StreamingDedup {
 
   /** One micro-batch's work — extracted so replay idempotence is
     * directly testable (calling this twice with the same batchId must
-    * leave the same corpus). The accumulated reads EXCLUDE this
-    * batchId's own subdirectories (see readAccumulated). */
+    * leave the same corpus). The accumulated reads see only batches
+    * STRICTLY EARLIER than this batchId (see readAccumulated) — a
+    * replay reconstructs exactly its original prior state even after
+    * later batches commit. (Survivor symmetry already protected this
+    * job under the old current-id-only exclusion: a later survivor is
+    * by definition not a near-dup of any earlier corpus doc, so an
+    * earlier batch's replay could never match one — the strictly-
+    * earlier read makes the property structural.) */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       corpusPath: String, bandIndexPath: String, n: Int, numHashes: Int,
       bands: Int, minJ: Double,

@@ -37,10 +37,16 @@ import graft.operators.TextOps
   * close), so this runner fixes minCount = 2 — Lee et al.'s setting.
   *
   * Exactly-once: both sinks write `batch=<id>` subdirectories with
-  * mode Overwrite, and accumulated reads EXCLUDE the current batchId
-  * (StreamingDedup.readAccumulated), so a replayed micro-batch
-  * recomputes the identical result against the identical prior state
-  * and overwrites its own output — idempotent by construction.
+  * mode Overwrite, and accumulated reads see only batches STRICTLY
+  * EARLIER than the current batchId (StreamingDedup.readAccumulated,
+  * r15 semantics), so a replayed micro-batch recomputes the identical
+  * result against the identical prior state and overwrites its own
+  * output — idempotent by construction, even when later batches have
+  * already committed (pinned in StreamingSpec; under the previous
+  * current-id-only exclusion this job was ALSO safe, but only by the
+  * subtler argument that index appends are novel-only and therefore
+  * disjoint from any earlier batch's grams — the strictly-earlier
+  * read makes the guarantee structural instead of coincidental).
   *
   * Scale shape: per-batch cost is the batch's gram explode plus ONE
   * equi-join against the gram-distinct index (probe ∝ batch grams ×
