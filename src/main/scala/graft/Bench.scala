@@ -40,7 +40,9 @@ object Bench {
     * every per-pass sample). Pure — spec-tested. */
   private[graft] def fittedLine(results: Seq[(String, Double)], iters: Int,
       sfDir: String, budgetChars: Int = 1850,
-      wallSec: Double = -1.0): String = {
+      wallSec: Double = -1.0,
+      anchors: Seq[Double] = Nil,
+      qmin: Seq[(String, Double)] = Nil): String = {
     val meds = results.map(_._2).sorted
     val medianQ = if (meds.isEmpty) 0.0 else meds(meds.length / 2)
     val total = results.map(_._2).sum
@@ -54,9 +56,29 @@ object Bench {
     // record of how far over it was
     val wallField =
       if (wallSec >= 0) s""","wall":${fmtD(wallSec)}""" else ""
+    // Self-diagnosis fields (r15: ~30 driver entries ran 5–87× their
+    // local medians and the median-only artifact could not tell a
+    // machine contention episode from a plan regression):
+    //  - "anchor": q01 re-measured immediately before EVERY pass — a
+    //    flat anchor row exonerates the code when some entries
+    //    inflate (the machine was fine; the plan regressed); a
+    //    spiking anchor localizes a contention window in time.
+    //  - "qmin": per-entry MINIMUM for entries whose median is ≥ 2×
+    //    their best sample (and ≥ 1 s) — on a healthy run this is
+    //    empty; under contention it shows the entry CAN still run at
+    //    its historical speed, which a median alone cannot.
+    // Both are capped so the suffix reserve stays bounded; both live
+    // in full in target/bench_local.json.
+    val anchorField = if (anchors.isEmpty) "" else
+      s""","anchor":[${anchors.take(16).map(v =>
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
+        .mkString(",")}]"""
+    val qminField = if (qmin.isEmpty) "" else
+      s""","qmin":{${qmin.take(12).map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" + fmtD(v) }.mkString(",")}}"""
     def suffix(omitted: Int): String =
       s"""},"omitted_fastest":$omitted,"ledger":"bench_local",""" +
-        s""""sf":"$sfDir"$wallField}"""
+        s""""sf":"$sfDir"$wallField$anchorField$qminField}"""
     val reserve = suffix(results.size).length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + reserve
@@ -87,6 +109,12 @@ object Bench {
         s"bench: non-positive timing $v for $n — refusing to emit it") }
 
   def main(args: Array[String]): Unit = {
+    // FIRST statement: the wall budget must measure the same clock the
+    // driver's timeout does. r15 captured this after session init +
+    // fixture prepare + warmup, silently spending ~1 min of the margin
+    // before the budget started counting (r15 advisory).
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val itersRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3")
@@ -168,14 +196,39 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // elapsed-seconds offset at which each sample STARTED — locates a
+    // contention window in run time when a sample is inflated
+    val sampleAt = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // q01 anchor, re-measured immediately before every pass: the run's
+    // own load probe. q01 is one single-stage scan+agg whose time is
+    // bounded by one-core parquet throughput — if the MACHINE is
+    // healthy every anchor sample sits near the first one, whatever
+    // the queries between them did; if the machine hits a
+    // contention/memory episode mid-run the anchor row spikes with it,
+    // and the stdout artifact carries the exoneration (r15's 5–87×
+    // driver tail was unattributable from medians alone).
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val anchorFn = SparkEntry.queries.get("q01_pricing_summary")
+    def runAnchor(): Unit = anchorFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      val ok = try { exec(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      anchors += (if (ok) sec else -sec)
+    }
     def runPass(pass: Int, subset: Seq[(String,
         (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       subset.map { case (name, fn) =>
+        val at = elapsedSec
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
           catch { case e: Throwable => logFailure(name, pass, e); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        sampleAt(name) :+= at
         // isolate queries: several operators persist intermediate frames
         // (LSH candidate/shingle tables); dropping them keeps each
         // measurement independent of run order. clearCache only covers
@@ -188,21 +241,19 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         name -> (if (ok) sec else -sec)
       }
-    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
     // WALL-CLOCK BUDGET: r14's bench died at the driver's ~60-min
     // timeout (rc 124) and the ENTIRE ledger was lost — 254 of 274
     // entries qualified for the 7-pass top-up and the recorded samples
     // alone summed to ~2,416 s. Nothing stopped the run from
     // overrunning; a 3-sample median for every entry beats a dead
-    // ledger for all of them. The budget counts from JVM start (sbt
-    // compile happens before this clock — the default leaves that
-    // margin against the driver's window); before every pass beyond
-    // the first, the projected pass cost (sum of current per-query
-    // medians, 1.2x inflation for noise) must fit, or the run stops
-    // sampling and emits the ledger from what it has.
-    val wallStart = System.nanoTime()
-    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    // ledger for all of them. The budget counts from main() entry
+    // (wallStart is the FIRST statement above — session init, fixture
+    // prepare and warmup all spend from it; only sbt compile precedes
+    // the clock, which is the margin the default leaves against the
+    // driver's window); before every pass beyond the first, the
+    // projected pass cost (sum of current per-query medians, 1.2x
+    // inflation for noise) must fit, or the run stops sampling and
+    // emits the ledger from what it has.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     def projectedPassSec(
@@ -224,9 +275,10 @@ object Bench {
     (0 until iters).foreach { pass =>
       // pass 0 always runs (every query needs >= 1 sample for a
       // ledger at all); later base passes yield to the budget
-      if (pass == 0 || (!stopped && budgetAllows(names, s"base pass $pass")))
+      if (pass == 0 || (!stopped && budgetAllows(names, s"base pass $pass"))) {
+        runAnchor()
         runPass(pass, names).foreach { case (n, s) => samples(n) :+= s }
-      else stopped = true
+      } else stopped = true
     }
     // ADAPTIVE iterATIONS for the sub-second tail: at iters=3 a 0.4 s
     // median swung ±40% across rounds on byte-identical code (q09/q11/
@@ -251,9 +303,10 @@ object Bench {
       }
     }
     (iters until fastIters).foreach { pass =>
-      if (!stopped && budgetAllows(fastNames, s"top-up pass $pass"))
+      if (!stopped && budgetAllows(fastNames, s"top-up pass $pass")) {
+        runAnchor()
         runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
-      else stopped = true
+      } else stopped = true
     }
     val results = names.map { case (name, _) =>
       name -> reportFor(name, samples(name))
@@ -296,13 +349,16 @@ object Bench {
     // bench_local_rN.json.
     val detail = results.map { case (k, med) =>
       val ss = samples(k).map(fmt).mkString("[", ",", "]")
-      s""""$k":{"median":${fmt(med)},"n":${samples(k).size},"samples":$ss}"""
+      val at = sampleAt(k).map(fmt).mkString("[", ",", "]")
+      s""""$k":{"median":${fmt(med)},"n":${samples(k).size},""" +
+        s""""samples":$ss,"at":$at}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_local.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"iters":$iters,"fastIters":$fastIters,""" +
         s""""wall":${fmt(elapsedSec)},"budget":${fmt(budgetSec)},""" +
         s""""budget_stopped":$stopped,""" +
+        s""""anchors":${anchors.map(fmt).mkString("[", ",", "]")},""" +
         s""""total":${fmt(total)},"queries":$detail}""" + "\n")
     spark.stop()
     // Re-print as the ABSOLUTE last stdout act, after spark.stop()
@@ -312,8 +368,17 @@ object Bench {
     // truncated mid-line and parsed null in every round since 6. The
     // fitted line keeps headline stats + the slowest entries; the full
     // map lives in target/bench.json and the committed ledger.
+    // "qmin" suspects: entries whose reported median is ≥ 2× their own
+    // best successful sample (and ≥ 1 s) — the signature of samples
+    // straddling a transient machine episode. Healthy runs emit none.
+    val qmin = results.flatMap { case (n, med) =>
+      val succ = samples(n).filter(_ > 0)
+      if (succ.size >= 2 && med >= 1.0 && med >= 2.0 * succ.min)
+        Some((n, med, succ.min)) else None
+    }.sortBy { case (_, med, _) => -med }
+      .map { case (n, _, mn) => (n, mn) }
     System.out.println(fittedLine(results, iters, sfDir,
-      wallSec = elapsedSec))
+      wallSec = elapsedSec, anchors = anchors.toSeq, qmin = qmin))
     System.out.flush()
   }
 }

@@ -5699,7 +5699,10 @@ object SparkEntry {
              CAST(max(n_trigrams) AS DOUBLE), 9) AS h_kn3_bits
          FROM ct GROUP BY source ORDER BY source""",
     // LM order ladder: H1 (add-one unigram) + H2 (q218's bigram KN,
-    // double-rounded 12 then 9) + H3 (q225's trigram KN, 9dp) and the
+    // final round DIRECTLY 9dp -- the r15 advisor retired the
+    // round(round(.,12),9) double-round: a cross-libm flip of the
+    // 12-dp intermediate near a 9-dp tie would propagate into
+    // h2_bits and both gains) + H3 (q225's trigram KN, 9dp) and the
     // per-order gains; every H follows the 9dp-presum/9dp-final house
     // recipe; sources lacking an order report NULL there and in the
     // dependent gain.
@@ -5750,8 +5753,8 @@ object SparkEntry {
            JOIN tot2 ON c12.source = tot2.source),
          h2 AS (SELECT source,
              CAST(max(n_bigrams) AS BIGINT) AS n_bigrams,
-             round(round(-CAST(sum(term) AS DOUBLE) /
-               CAST(max(n_bigrams) AS DOUBLE), 12), 9) AS h2_bits
+             round(-CAST(sum(term) AS DOUBLE) /
+               CAST(max(n_bigrams) AS DOUBLE), 9) AS h2_bits
            FROM ct2 GROUP BY source),
          tr AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2,
              toks[i + 2] AS w3
@@ -5866,12 +5869,19 @@ object SparkEntry {
          LEFT JOIN surv ON t.doc_id = surv.doc_id
          ORDER BY t.doc_id""",
     // Heaps-law fit: integer bucket counts via the first-occurrence
-    // trick; each ln rounds 9dp into DECIMAL(12,9); the four OLS sums
-    // accumulate in exact decimal (products carry scale 18); beta and
+    // trick; each ln rounds 6dp into DECIMAL(9,6); the four OLS sums
+    // accumulate in exact decimal (products carry scale 12); beta and
     // ln K are the IDENTICAL double parse tree the Spark side builds,
-    // FINAL round 9 dp (12 dp sat inside the cross-engine libm ulp
-    // flip the driver's DuckDB exposed in r14 -- same class and same
-    // fix as q221); degenerate sources (n < 2, zero x-var) -> NULL.
+    // FINAL round 6 dp then `+ 0.0`. The `+ 0.0` is the real r14/r15
+    // driver-red fix: flat-vocabulary sources produce beta = +/-1e-14
+    // cancellation noise, and round() of a tiny NEGATIVE is a
+    // signed-zero trap -- DuckDB emits -0.0 where Spark's
+    // BigDecimal-HALF_UP emits +0.0; numerically == (local compare
+    // green) but bitwise different (driver hash red). IEEE x + 0.0
+    // normalizes -0.0 to +0.0 and is exact for every other x. The
+    // 6-dp coarsening (was 9) is belt-and-braces: every point/final
+    // at all three SFs sits >= 1.7e-4 scaled units from a rounding
+    // boundary, ~1e5x any cross-libm ulp.
     "q220_heaps_fit" ->
       """WITH t AS (SELECT source, doc_id,
              list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -5895,10 +5905,10 @@ object SparkEntry {
                AS cum_vocab
            FROM pt),
          xy AS (SELECT source,
-             CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
-               AS DECIMAL(12,9)) AS x,
-             CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9)
-               AS DECIMAL(12,9)) AS y
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6)
+               AS DECIMAL(9,6)) AS x,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 6)
+               AS DECIMAL(9,6)) AS y
            FROM cm WHERE cum_tokens > 0 AND cum_vocab > 0),
          s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
@@ -5912,7 +5922,7 @@ object SparkEntry {
                (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
              ELSE NULL END AS heaps_beta,
            CASE WHEN n_points >= 2 AND
                (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
@@ -5923,7 +5933,7 @@ object SparkEntry {
                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                 (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
-               (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 9)
+               (CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE)), 6) + 0.0
              ELSE NULL END AS heaps_ln_k
          FROM s ORDER BY source""",
     // Held-out KN: model statistics from the train split only; the

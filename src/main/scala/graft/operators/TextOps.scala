@@ -556,6 +556,13 @@ object TextOps {
     * index inside `transform` keeps the lambda pure — no mutable
     * binding exists in the HOF algebra). The only shuffles are the
     * bounded per-shard collect and the |sources| report aggregate.
+    * COST BOUND on shardDocs: the first-fit inner fold scans the
+    * bin accumulator per doc (`exists` + `filter`), so each shard
+    * pays O(shardDocs²) HOF steps worst-case — ~17M at the 4096
+    * default (fine; measured sub-second per task), but the growth is
+    * quadratic: raising shardDocs to 64k makes it ~4B steps per task
+    * and stalls the stage (the q53/q66 window-shard caveat, packing
+    * edition). Prefer more shards over bigger ones.
     *
     * Determinism: loads are exact integers; equal-length docs are
     * interchangeable for bin LOADS, so the report is stable under
@@ -3397,13 +3404,25 @@ object TextOps {
     *
     * Determinism: every count is an exact integer; each ln rounds to
     * 9 dp into DECIMAL(12,9); the four OLS sums (Σx, Σy, Σxy, Σx²)
-    * accumulate in EXACT decimal arithmetic (products carry scale 18
+    * accumulate in EXACT decimal arithmetic (products carry scale 12
     * — no precision clipping, no float association anywhere); β and
     * ln K are one fixed double parse tree over the exact sums,
-    * rounded 9 dp — NOT 12: the driver's DuckDB build resolves the
-    * final ln/round at the last of 12 decimals differently from the
-    * local build (the identical cross-libm ulp flip q221 measured
-    * and absorbed at 9 dp; β ≈ 0.01–0.04, so 9 dp loses nothing).
+    * rounded 6 dp — and then NORMALIZED by `+ 0.0`. The `+ 0.0` is
+    * the actual r14/r15 driver-red fix: degenerate sources (flat
+    * vocabulary) produce β = ±1e-14 cancellation noise, and
+    * `round(-1e-14, d)` is a SIGNED-ZERO trap — DuckDB's
+    * multiply/round/divide yields -0.0 while Spark's
+    * BigDecimal-HALF_UP yields +0.0; the values compare == but hash
+    * differently at the bit level (local numeric compare green,
+    * driver bitwise hash red, deterministically, two rounds running
+    * — no dp coarsening could ever have fixed it). IEEE `x + 0.0`
+    * maps -0.0 to +0.0 and is exact for every other x; both engines
+    * apply it to both finals. The 6-dp point/final coarsening (was
+    * 9 dp) is belt-and-braces per the r15 brief: measured at all
+    * three SFs, every ln() point sits ≥ 1.7e-4 scaled units from a
+    * 6-dp rounding boundary and every final ≥ 2.1e-3 (tools note in
+    * TextOpsSpec) — ~1e5× any cross-libm ulp, so no point or final
+    * can flip between builds (β ≈ 0.001–0.12, 6 dp loses nothing).
     * Sources with < 2 points or zero x-variance report
     * NULL (a single point cannot anchor a power law).
     *
@@ -3414,7 +3433,7 @@ object TextOps {
     * over ≤ ⌈maxDoc/bucketDocs⌉ rows per source. */
   def heapsLawFit(docs: DataFrame, bucketDocs: Long = 50L): DataFrame = {
     require(bucketDocs > 0, "bucketDocs must be positive")
-    val dec = DecimalType(12, 9)
+    val dec = DecimalType(9, 6)
     val toks = docs.select(col("source"), col("doc_id"),
       TextFunctions.tokens(col("text")).as("_toks"))
     val perBucketTokens = toks
@@ -3440,8 +3459,8 @@ object TextOps {
       .withColumn("cum_vocab", sum(col("new_b")).over(w))
       .filter(col("cum_tokens") > 0L && col("cum_vocab") > 0L)
       .select(col("source"),
-        round(log(col("cum_tokens").cast("double")), 9).cast(dec).as("x"),
-        round(log(col("cum_vocab").cast("double")), 9).cast(dec).as("y"))
+        round(log(col("cum_tokens").cast("double")), 6).cast(dec).as("x"),
+        round(log(col("cum_vocab").cast("double")), 6).cast(dec).as("y"))
     val sums = pts.groupBy(col("source"))
       .agg(count(lit(1)).as("n_points"),
         sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
@@ -3453,10 +3472,11 @@ object TextOps {
     val denom = nD * sxx - sx * sx
     val beta = (nD * sxy - sx * sy) / denom
     sums.select(col("source"), col("n_points"),
-      when(col("n_points") >= 2L && denom =!= 0.0, round(beta, 9))
+      when(col("n_points") >= 2L && denom =!= 0.0,
+        round(beta, 6) + lit(0.0))
         .otherwise(lit(null).cast("double")).as("heaps_beta"),
       when(col("n_points") >= 2L && denom =!= 0.0,
-        round(sy / nD - beta * (sx / nD), 9))
+        round(sy / nD - beta * (sx / nD), 6) + lit(0.0))
         .otherwise(lit(null).cast("double")).as("heaps_ln_k"))
       .orderBy(col("source"))
   }
@@ -3503,10 +3523,11 @@ object TextOps {
     * bigram count table (evictable MEMORY_AND_DISK) — one-shot
     * runners sweep it; long-lived sessions clearCache() between
     * workloads (sourceOverlap's note). */
-  def knBigramEntropy(docs: DataFrame, discount: Double = 0.75)
-      : DataFrame = {
+  def knBigramEntropy(docs: DataFrame, discount: Double = 0.75,
+      finalDp: Int = 12): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       "absolute discount must sit strictly inside (0, 1)")
+    require(finalDp > 0 && finalDp <= 12, "finalDp must sit in (0, 12]")
     val dec = DecimalType(28, 9)
     val toks = TextFunctions.tokens(col("text"))
     val pairs = when(size(toks) >= 2,
@@ -3545,7 +3566,7 @@ object TextOps {
         sum(col("_t")).as("_s"))
       .select(col("source"), col("n_bigrams"), col("n_bigram_types"),
         round(-col("_s").cast("double") /
-          col("n_bigrams").cast("double"), 12).as("h_kn_bits"))
+          col("n_bigrams").cast("double"), finalDp).as("h_kn_bits"))
       .orderBy(col("source"))
   }
 
@@ -3778,7 +3799,7 @@ object TextOps {
     * number CCNet-class pipelines pick by hand.
     *
     *   H₁ = −Σ c(w)·log₂((c(w)+1)/(N+V)) / N      (add-one)
-    *   H₂ = q218's h_kn_bits, re-rounded 9 dp
+    *   H₂ = q218's pipeline, final round 9 dp (finalDp = 9)
     *   H₃ = q225's h_kn3_bits (already 9 dp)
     *
     * H₁ is NOT directly comparable to a held-out perplexity (all
@@ -3787,13 +3808,16 @@ object TextOps {
     * corpus — the quantity the ladder reports.
     *
     * Determinism: H₁ follows the house recipe (per-type c·log₂ round
-    * 9 dp into DECIMAL(28,9), exact sum, final round 9); H₂ rounds
-    * q218's 12-dp value to 9 (mirrored literally in the oracle:
-    * round(round(·,12),9) — the double-round keeps the published
-    * q218 number recoverable while the ladder column carries 9-dp
-    * cross-libm margin); gains subtract bit-identical doubles and
-    * re-round 9. Sources lacking an order report NULL there and in
-    * the dependent gain.
+    * 9 dp into DECIMAL(28,9), exact sum, final round 9); H₂ is
+    * q218's pipeline rounded DIRECTLY at 9 dp (finalDp = 9 — NOT
+    * round(round(·,12),9): the r15 advisor flagged the 12-dp
+    * intermediate as the q220 rounding class, where a cross-libm
+    * flip of the 12-dp value near a 9-dp tie would propagate into
+    * h2_bits and both gains; the single round removes that seam, at
+    * the documented cost that h2_bits may differ from q218's
+    * published 12-dp h_kn_bits in the 10th+ decimal); gains subtract
+    * bit-identical doubles and re-round 9. Sources lacking an order
+    * report NULL there and in the dependent gain.
     *
     * Scale shape: the three component pipelines' own shapes (each a
     * vocab-bounded count table with marginal re-aggregations); the
@@ -3821,9 +3845,9 @@ object TextOps {
       .select(col("source"), col("n_tokens"),
         round(-col("_s").cast("double") /
           col("n_tokens").cast("double"), 9).as("h1_bits"))
-    val h2 = knBigramEntropy(docs, discount)
+    val h2 = knBigramEntropy(docs, discount, finalDp = 9)
       .select(col("source"), col("n_bigrams"),
-        round(col("h_kn_bits"), 9).as("h2_bits"))
+        col("h_kn_bits").as("h2_bits"))
     val h3 = knTrigramEntropy(docs, discount)
       .select(col("source"), col("n_trigrams"), col("h_kn3_bits")
         .as("h3_bits"))

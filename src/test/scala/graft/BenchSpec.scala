@@ -86,6 +86,31 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("fittedLine self-diagnosis fields: anchors and qmin survive in " +
+      "the suffix (capped), short-keyed, inside the char budget — and " +
+      "are absent entirely on a healthy run") {
+    val results = (1 to 300).map(i => (f"q$i%03d_synthetic_name" -> i * 0.01))
+    // 20 anchor passes (cap 16) and 15 suspects (cap 12), slowest first
+    val anchors = (1 to 20).map(i => 1.0 + i * 0.01)
+    val qmin = (1 to 15).map(i => (f"q${301 - i}%03d_synthetic_name",
+      (301 - i) * 0.005))
+    val line = Bench.fittedLine(results, iters = 3, sfDir = "/sf", 1850,
+      wallSec = 432.1, anchors = anchors, qmin = qmin)
+    assert(line.length <= 1850, s"line is ${line.length} chars")
+    assert(line.contains("\"anchor\":[1.01,"), "anchors present, 2 dp")
+    assert("\"anchor\":\\[([0-9.,]+)\\]".r.findFirstMatchIn(line)
+      .get.group(1).split(',').length == 16, "anchor row capped at 16")
+    assert(line.contains("\"qmin\":{\"q300\":1.500,"),
+      "qmin present, short keys, slowest first")
+    assert("\"qmin\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
+      .get.group(1).split(',').length == 12, "qmin capped at 12")
+    // the diagnostic suffix costs tail entries, never the headline
+    assert(line.contains("\"q300\":3.000") && line.contains("\"wall\":432.100"))
+    // healthy run: no anchors recorded, no suspects -> fields absent
+    val clean = Bench.fittedLine(results, iters = 3, sfDir = "/sf", 1850)
+    assert(!clean.contains("\"anchor\"") && !clean.contains("\"qmin\""))
+  }
+
   test("assertPositive rejects zero and negative timings") {
     Bench.assertPositive(Seq("a" -> 0.001, "b" -> 12.0)) // fine
     intercept[IllegalArgumentException] {

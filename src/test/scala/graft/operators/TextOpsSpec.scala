@@ -1952,11 +1952,21 @@ class TextOpsSpec extends SparkSuite {
     val a = out("srcA")
     assert(a.getAs[Long]("n_points") == 2L)
     val want = math.log(2) / math.log(3)
-    assert(math.abs(a.getAs[Double]("heaps_beta") - want) < 1e-7,
+    // 1e-5, not 1e-7: points and finals round 6 dp (the r16 driver-
+    // determinism coarsening), so the fit carries up to ~5e-6 error.
+    assert(math.abs(a.getAs[Double]("heaps_beta") - want) < 1e-5,
       s"two-point slope: got ${a.getAs[Double]("heaps_beta")}, want $want")
     assert(out("srcB").getAs[Double]("heaps_beta") == 0.0,
       "constant vocabulary fits a flat power law exactly")
-    assert(math.abs(out("srcC").getAs[Double]("heaps_beta") - 1.0) < 1e-7,
+    // ... and bitwise POSITIVE zero: flat-vocabulary sources produce
+    // beta = +/-1e-14 cancellation noise, and a rounded -0.0 is the
+    // exact bit the driver's hash flagged for two rounds (DuckDB's
+    // round emits -0.0, Spark's +0.0; == but not bit-equal). The
+    // engine normalizes with `+ 0.0`; pin the raw sign bit here.
+    assert(java.lang.Double.doubleToRawLongBits(
+      out("srcB").getAs[Double]("heaps_beta")) == 0L,
+      "flat-vocabulary beta must be bitwise +0.0, never -0.0")
+    assert(math.abs(out("srcC").getAs[Double]("heaps_beta") - 1.0) < 1e-5,
       "V(n) = n fits beta = 1")
     assert(out("srcD").isNullAt(out("srcD").fieldIndex("heaps_beta")) &&
       out("srcD").isNullAt(out("srcD").fieldIndex("heaps_ln_k")),
@@ -1964,7 +1974,7 @@ class TextOpsSpec extends SparkSuite {
     // ln K sanity on the exact-fit source: y = beta*x + lnK through
     // (ln2, ln2) -> lnK = ln2*(1 - beta)
     val lnk = math.log(2) * (1 - want)
-    assert(math.abs(a.getAs[Double]("heaps_ln_k") - lnk) < 1e-7)
+    assert(math.abs(a.getAs[Double]("heaps_ln_k") - lnk) < 1e-5)
   }
 
   test("knBigramEntropy (q218): hand-computed interpolated KN golden, " +
@@ -2393,21 +2403,25 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(a.getAs[Double]("h1_bits") -
       h1Ref(Seq("a b c a b c a b c d e f d e f",
         "a b c d e f a b c"))) < 1e-6)
-    // consistency with the component operators
-    val h2c = TextOps.knBigramEntropy(docs).collect()
+    // consistency with the component operators: h2 is the q218
+    // pipeline rounded DIRECTLY at 9 dp (finalDp = 9 — the r15
+    // advisor retired the round(round(·,12),9) double-round), so it
+    // must be BIT-equal to the component at finalDp = 9 and within
+    // 5e-10 of q218's published 12-dp value
+    val h2c9 = TextOps.knBigramEntropy(docs, finalDp = 9).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("h_kn_bits")).toMap
+    val h2c12 = TextOps.knBigramEntropy(docs).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("h_kn_bits")).toMap
     val h3c = TextOps.knTrigramEntropy(docs).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("h_kn3_bits")).toMap
-    assert(math.abs(a.getAs[Double]("h2_bits") -
-      BigDecimal(h2c("srcA")).setScale(9,
-        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(a.getAs[Double]("h2_bits") == h2c9("srcA"))
+    assert(math.abs(a.getAs[Double]("h2_bits") - h2c12("srcA")) < 5e-10)
     assert(a.getAs[Double]("h3_bits") == h3c("srcA"))
     // an order of context must EARN bits on this corpus
     assert(a.getAs[Double]("gain_bigram") > 0.0)
     assert(a.getAs[Double]("gain_trigram") > 0.0)
     val b = out("srcB")
-    assert(b.getAs[Double]("h2_bits") == BigDecimal(h2c("srcB"))
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(b.getAs[Double]("h2_bits") == h2c9("srcB"))
     assert(b.isNullAt(b.fieldIndex("h3_bits")) &&
       b.isNullAt(b.fieldIndex("n_trigrams")) &&
       b.isNullAt(b.fieldIndex("gain_trigram")),
