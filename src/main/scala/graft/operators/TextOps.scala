@@ -3721,8 +3721,18 @@ object TextOps {
     * second corpus pass); scoring is four key-bounded equi-joins
     * plus one broadcast totals row; the report is a per-source fold.
     * The only data-sized shuffle is the trigram hash-aggregate —
-    * string trigrams by design (q211's trade; the x45 hashed
-    * relabeling applies verbatim if that shuffle ever dominates). */
+    * string trigrams by design. The x45 hashed relabeling was
+    * MEASURED here (r16, sf0.1, graft.tools.ShuffleProbe +
+    * 5-interleaved-pass bench medians with flat q01 anchors):
+    * xxhash64-relabeling w1/w2/w3 at the explode ships 1.57× fewer
+    * shuffle bytes (16.0 → 10.2 MB at identical ~581k records) but
+    * runs 1.25× SLOWER end-to-end (6.89 → 8.58 s median) — three
+    * hash calls per trigram on the explode path cost more than the
+    * narrower exchange saves on short tokens, x45's lesson verbatim.
+    * Decision: keep strings (wall AND oracle exactness win; bytes
+    * alone don't). Re-measure before any 100× corpus where network,
+    * not CPU, bounds the exchange — the relabel is a two-line swap
+    * at the c123 select. */
   def knTrigramEntropy(docs: DataFrame, discount: Double = 0.75)
       : DataFrame = {
     require(discount > 0.0 && discount < 1.0,
