@@ -303,10 +303,14 @@ object Bench {
       }
     }
     (iters until fastIters).foreach { pass =>
-      if (!stopped && budgetAllows(fastNames, s"top-up pass $pass")) {
+      // skip entirely when no query qualifies — an empty pass would
+      // still run (and record) an anchor sample, diluting the anchor
+      // row's meaning of "immediately before a measured pass"
+      if (fastNames.nonEmpty && !stopped &&
+          budgetAllows(fastNames, s"top-up pass $pass")) {
         runAnchor()
         runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
-      } else stopped = true
+      } else if (fastNames.nonEmpty) stopped = true
     }
     val results = names.map { case (name, _) =>
       name -> reportFor(name, samples(name))

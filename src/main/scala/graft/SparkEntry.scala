@@ -1390,6 +1390,13 @@ object SparkEntry {
     // the "which n to train the quality LM at" decision table.
     "q226_kn_order_ladder" -> ((s, d) =>
       TextOps.knOrderLadder(t(s, d, "documents"))),
+    // Per-document KN perplexity + CCNet head/middle/tail tertiles:
+    // ONE corpus-trained bigram KN model scores every doc
+    // (bits/bigram), each source's docs cut into equal thirds by
+    // score — q192's bucketing on the PROPER LM instead of the
+    // unigram proxy (Wenzek et al. tier on a KenLM score).
+    "q227_kn_perplexity_buckets" -> ((s, d) =>
+      TextOps.knPerplexityBuckets(t(s, d, "documents"))),
     // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
     // span occurring >= 2 times keeps only its first occurrence
     // (lowest doc_id, then lowest pos); removal is the positional
@@ -5813,6 +5820,60 @@ object SparkEntry {
          LEFT JOIN h2 ON h1.source = h2.source
          LEFT JOIN h3 ON h1.source = h3.source
          ORDER BY h1.source""",
+    // Per-doc KN perplexity + CCNet tertiles: ONE corpus-global bigram
+    // KN model (no per-source key), every doc scored under the
+    // IDENTICAL parse tree the Spark side builds; each -log2 p rounds
+    // 9dp into DECIMAL(28,9) before the per-doc exact sum; the ntile
+    // key is one IEEE division of exact sums with doc_id tiebreak;
+    // bucket means divide exact sums, round 9; lo/hi round the
+    // deterministic per-doc doubles 9. All values strictly positive
+    // (p < 1 always) -- no signed-zero exposure.
+    "q227_kn_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         b AS (SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY 1),
+         rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+           FROM c12 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+         sc AS (SELECT b.doc_id, b.source,
+             CAST(round(-log2(
+               (CAST(c12.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+               ((0.75 * CAST(lft.n1f AS DOUBLE)) /
+                 CAST(lft.c1 AS DOUBLE)) *
+                 (CAST(rgt.n1b AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM b
+           JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+           JOIN lft ON b.w1 = lft.w1
+           JOIN rgt ON b.w2 = rgt.w2
+           CROSS JOIN tot),
+         pd AS (SELECT doc_id, source, sum(term) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sc GROUP BY 1, 2),
+         tb AS (SELECT source, doc_id, s, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS bits,
+             ntile(3) OVER (PARTITION BY source
+               ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ASC,
+                 doc_id) AS tt
+           FROM pd)
+         SELECT source,
+           CASE WHEN tt = 1 THEN 'head' WHEN tt = 2 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 9)
+             AS mean_kn_bits,
+           round(min(bits), 9) AS lo_kn_bits,
+           round(max(bits), 9) AS hi_kn_bits
+         FROM tb GROUP BY 1, 2
+         ORDER BY source, bucket""",
     // Exact-substring dedup transform: positional 5-gram table with
     // multiplicity; duplicated grams keep (min doc_id, min pos within
     // it); every other occurrence explodes to its covered token

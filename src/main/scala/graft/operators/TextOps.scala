@@ -3870,4 +3870,107 @@ object TextOps {
         round(col("h2_bits") - col("h3_bits"), 9).as("gain_trigram"))
       .orderBy(col("source"))
   }
+
+  /** q227: PER-DOCUMENT Kneser–Ney perplexity with CCNet bucketing —
+    * the proper-LM upgrade of q192 (Wenzek et al. 2020 run their
+    * head/middle/tail cut on a KenLM score, not a unigram proxy; q192
+    * keeps the q113 unigram proxy for the cheap pass, THIS is the
+    * model CCNet actually tiers on). One interpolated KN bigram model
+    * (q218's Chen & Goodman 1999 form — absolute discount D, backoff
+    * mass re-spent by continuation probability) is trained on the
+    * WHOLE corpus, every document is scored under it (per-doc
+    * cross-entropy in bits/bigram — self-contained corpora make every
+    * doc bigram a seen event, so q218's unsmoothed continuation floor
+    * applies and no UNK case arises, unlike held-out q221), and each
+    * SOURCE's documents split into equal-count head/middle/tail
+    * thirds by score. Reported per (source, bucket): docs,
+    * bigram-weighted mean bits, and the bucket's score range. A
+    * template mill's head bucket craters toward 0 bits (its docs are
+    * mutually predictable); diverse prose keeps all three buckets in
+    * a narrow band. Docs with < 2 tokens have no bigram events and
+    * never enter (q192's empty-doc semantics, one order up).
+    *
+    * Determinism: integer model statistics are exact; each
+    * per-occurrence −log₂ p rounds 9 dp into DECIMAL(28,9) before
+    * the order-free per-doc sum (q221's driver-proven recipe); the
+    * ntile ORDER key is one correctly-rounded IEEE division of the
+    * exact decimal sum by the exact count, with doc_id tiebreak —
+    * bit-reproducible cut (q192's discipline); bucket means divide
+    * exact sums once and round 9; lo/hi round the deterministic
+    * per-doc doubles 9 dp. Every published value is strictly
+    * positive (p < 1 always: the continuation term is < λ), so the
+    * q220 signed-zero trap cannot arise here.
+    *
+    * Scale shape: ONE corpus bigram explode (persisted — it feeds
+    * the model aggregate AND the scoring probe, q221's shape); model
+    * marginals are vocab-bounded re-aggregations; scoring is three
+    * key-bounded equi-joins plus one broadcast totals row; the
+    * per-doc fold collapses to |docs| metadata rows (doc_id, source,
+    * decimal, count) and ONLY that frame enters the per-source ntile
+    * window (partitionBy source — parallel across sources, CCNet ran
+    * exactly this per-language). Output is |sources|×3.
+    *
+    * Caching contract: the returned frame is LAZY over the persisted
+    * bigram stream (evictable MEMORY_AND_DISK) — one-shot runners
+    * sweep after execution; long-lived sessions clearCache() between
+    * workloads (sourceOverlap's note). */
+  def knPerplexityBuckets(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "absolute discount must sit strictly inside (0, 1)")
+    val dec = DecimalType(28, 9)
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(try_element_at(toks, i + 1).as("w1"),
+          try_element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val big = docs
+      .select(col("doc_id"), col("source"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus-global model statistics (q218's shapes, without the
+    // per-source key: ONE model scores every document)
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = c12.agg(count(lit(1)).as("nt"))
+    val d = lit(discount)
+    // fixed parse tree — mirrored literally in the DuckDB oracle
+    val p = (col("c").cast("double") - d) / col("c1").cast("double") +
+      ((d * col("n1f").cast("double")) / col("c1").cast("double")) *
+        (col("n1b").cast("double") / col("nt").cast("double"))
+    val perDoc = big
+      .join(c12, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        round(-log2(p), 9).cast(dec).as("_b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("_b")).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_bits",
+        col("_s").cast("double") / col("_n").cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_bits").asc, col("doc_id"))
+    perDoc
+      .withColumn("_t", ntile(3).over(w))
+      .groupBy(col("source"), col("_t"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_s")).as("_ss"), sum(col("_n")).as("_sn"),
+        min(col("_bits")).as("_lo"), max(col("_bits")).as("_hi"))
+      .select(col("source"),
+        when(col("_t") === 1, lit("head"))
+          .when(col("_t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_docs"),
+        round(col("_ss").cast("double") / col("_sn").cast("double"), 9)
+          .as("mean_kn_bits"),
+        round(col("_lo"), 9).as("lo_kn_bits"),
+        round(col("_hi"), 9).as("hi_kn_bits"))
+      .orderBy(col("source"), col("bucket"))
+  }
 }

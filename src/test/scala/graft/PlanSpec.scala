@@ -1405,4 +1405,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!plan.contains("CartesianProduct"),
       "three entropy pipelines + two |sources|-row joins — equi only")
   }
+
+  test("q227 KN perplexity buckets: scoring joins are equi-joins, the " +
+      "1-row totals broadcast, and the ONLY window is the per-source " +
+      "ntile over the per-doc metadata frame (never a global sort)") {
+    val df = q("q227_kn_perplexity_buckets")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      "model statistics join back by key; the totals row broadcasts")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the 1-row nt totals frame must arrive as a broadcast")
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"exactly the ntile window: $windows")
+    assert(windows.head.partitionSpec.nonEmpty,
+      "the ntile window must partition by source — a global " +
+        "single-partition window would serialize the corpus")
+  }
 }

@@ -2434,4 +2434,62 @@ class TextOpsSpec extends SparkSuite {
       "a bigram-less source still reports H1 but no gains")
     assert(cRow.getAs[Double]("h1_bits") == 1.0)
   }
+
+  test("knPerplexityBuckets (q227): hand-computed KN doc scores land " +
+      "in ordered tertiles, the model is corpus-GLOBAL, and " +
+      "bigram-less docs never enter") {
+    import spark.implicits._
+    // CORPUS-GLOBAL model over ALL six scored docs:
+    //   bigrams (x,y)x3 (docs 1,2,10), (x,z)x1 (doc 3), (q,r)x2
+    //   (docs 11,12) -> c1(x)=4, N1+(x.)=2; c1(q)=2, N1+(q.)=1;
+    //   every continuation type unique -> N1+(.w)=1; nt=3, D=0.75
+    //   P(y|x) = (3-.75)/4 + (.75*2/4)*(1/3) = 0.6875
+    //   P(z|x) = (1-.75)/4 + (.75*2/4)*(1/3) = 0.1875
+    //   P(r|q) = (2-.75)/2 + (.75*1/2)*(1/3) = 0.75
+    // doc 4 ("solo") has no bigram and must not appear anywhere.
+    // srcB's (x y) doc proves the model ignores source boundaries:
+    // it scores EXACTLY srcA's (x y) bits — per-source training
+    // (c(x,y)=1, c1(x)=1 within srcB) could not produce that.
+    val docs = Seq(
+      (1L, "srcA", "x y"), (2L, "srcA", "x y"), (3L, "srcA", "x z"),
+      (4L, "srcA", "solo"),
+      (10L, "srcB", "x y"), (11L, "srcB", "q r"), (12L, "srcB", "q r")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.knPerplexityBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def bits(p: Double): Double = -math.log(p) / math.log(2)
+    val bitsXY = bits(0.6875)
+    val bitsXZ = bits(0.1875)
+    val bitsQR = bits(0.75)
+    // srcA: three scored docs -> 1 per bucket, ascending bits
+    assert(out(("srcA", "head")).getAs[Long]("n_docs") == 1L)
+    assert(out(("srcA", "middle")).getAs[Long]("n_docs") == 1L)
+    assert(out(("srcA", "tail")).getAs[Long]("n_docs") == 1L)
+    assert(math.abs(out(("srcA", "head"))
+      .getAs[Double]("mean_kn_bits") - bitsXY) < 1e-6,
+      "head holds the most predictable doc (x y)")
+    assert(math.abs(out(("srcA", "tail"))
+      .getAs[Double]("mean_kn_bits") - bitsXZ) < 1e-6,
+      "tail holds the rare-continuation doc (x z)")
+    // the bigram-less doc 4 is excluded: bucket counts sum to 3
+    assert(Seq("head", "middle", "tail")
+      .map(b => out(("srcA", b)).getAs[Long]("n_docs")).sum == 3L,
+      "a doc with < 2 tokens has no bigram events and never enters")
+    // corpus-global model: srcB's boilerplate pair heads (0.415 bits),
+    // and its (x y) doc lands in the TAIL at exactly srcA's bits
+    assert(math.abs(out(("srcB", "head"))
+      .getAs[Double]("mean_kn_bits") - bitsQR) < 1e-6)
+    assert(math.abs(out(("srcB", "tail"))
+      .getAs[Double]("mean_kn_bits") - bitsXY) < 1e-6,
+      "one corpus model scores every source (not per-source training)")
+    // lo <= mean <= hi within each bucket; buckets ordered across
+    Seq("srcA", "srcB").foreach { s =>
+      val hd = out((s, "head")); val tl = out((s, "tail"))
+      assert(hd.getAs[Double]("lo_kn_bits") <=
+        hd.getAs[Double]("mean_kn_bits") + 1e-9)
+      assert(hd.getAs[Double]("hi_kn_bits") <=
+        tl.getAs[Double]("lo_kn_bits") + 1e-9,
+        s"$s: head's range must sit at or below tail's")
+    }
+  }
 }
