@@ -1397,6 +1397,11 @@ object SparkEntry {
     // unigram proxy (Wenzek et al. tier on a KenLM score).
     "q227_kn_perplexity_buckets" -> ((s, d) =>
       TextOps.knPerplexityBuckets(t(s, d, "documents"))),
+    // KN-tier retention accounting: CCNet keeps head+middle and drops
+    // the tail — per source: scored/unscored docs, token mass in and
+    // kept, kept fraction, and the bits threshold the cut induces.
+    "q228_kn_retention" -> ((s, d) =>
+      TextOps.knPerplexityRetention(t(s, d, "documents"))),
     // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
     // span occurring >= 2 times keeps only its first occurrence
     // (lowest doc_id, then lowest pos); removal is the positional
@@ -5874,6 +5879,76 @@ object SparkEntry {
            round(max(bits), 9) AS hi_kn_bits
          FROM tb GROUP BY 1, 2
          ORDER BY source, bucket""",
+    // KN-tier retention: q227's model/score/ntile CTEs verbatim, plus
+    // per-doc token counts; kept = tertiles 1-2 (CCNet drops the
+    // tail); unscorable (< 2 token) docs counted but outside the cut;
+    // kept_token_frac is one IEEE division round 12; cut_bits rounds
+    // the worst KEPT doc's deterministic bits 9.
+    "q228_kn_retention" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         nt AS (SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS ntok FROM t),
+         b AS (SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c12 GROUP BY 1),
+         rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+           FROM c12 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+         sc AS (SELECT b.doc_id, b.source,
+             CAST(round(-log2(
+               (CAST(c12.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+               ((0.75 * CAST(lft.n1f AS DOUBLE)) /
+                 CAST(lft.c1 AS DOUBLE)) *
+                 (CAST(rgt.n1b AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+             ), 9) AS DECIMAL(28,9)) AS term
+           FROM b
+           JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+           JOIN lft ON b.w1 = lft.w1
+           JOIN rgt ON b.w2 = rgt.w2
+           CROSS JOIN tot),
+         pd AS (SELECT doc_id, source, sum(term) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sc GROUP BY 1, 2),
+         tb AS (SELECT source, doc_id,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS bits,
+             ntile(3) OVER (PARTITION BY source
+               ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ASC,
+                 doc_id) AS tt
+           FROM pd),
+         sa AS (SELECT tb.source,
+             CAST(count(*) AS BIGINT) AS scored_docs,
+             CAST(sum(nt.ntok) AS BIGINT) AS scored_tokens,
+             CAST(count(*) FILTER (WHERE tt <= 2) AS BIGINT)
+               AS kept_docs,
+             CAST(coalesce(sum(nt.ntok) FILTER (WHERE tt <= 2), 0)
+               AS BIGINT) AS kept_tokens,
+             max(bits) FILTER (WHERE tt <= 2) AS cut
+           FROM tb
+           JOIN nt ON tb.doc_id = nt.doc_id AND tb.source = nt.source
+           GROUP BY 1),
+         us AS (SELECT source, CAST(count(*) AS BIGINT) AS u
+           FROM nt WHERE ntok < 2 GROUP BY 1)
+         SELECT coalesce(sa.source, us.source) AS source,
+           coalesce(sa.scored_docs, 0) AS scored_docs,
+           coalesce(us.u, 0) AS unscored_docs,
+           coalesce(sa.scored_tokens, 0) AS scored_tokens,
+           coalesce(sa.kept_tokens, 0) AS kept_tokens,
+           coalesce(sa.kept_docs, 0) AS kept_docs,
+           CASE WHEN sa.scored_tokens IS NOT NULL
+               AND sa.scored_tokens > 0
+             THEN round(CAST(sa.kept_tokens AS DOUBLE) /
+               CAST(sa.scored_tokens AS DOUBLE), 12)
+             ELSE NULL END AS kept_token_frac,
+           round(sa.cut, 9) AS cut_bits
+         FROM sa FULL OUTER JOIN us ON sa.source = us.source
+         ORDER BY 1""",
     // Exact-substring dedup transform: positional 5-gram table with
     // multiplicity; duplicated grams keep (min doc_id, min pos within
     // it); every other occurrence explodes to its covered token

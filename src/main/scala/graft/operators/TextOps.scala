@@ -3914,8 +3914,12 @@ object TextOps {
     * bigram stream (evictable MEMORY_AND_DISK) — one-shot runners
     * sweep after execution; long-lived sessions clearCache() between
     * workloads (sourceOverlap's note). */
-  def knPerplexityBuckets(docs: DataFrame, discount: Double = 0.75)
-      : DataFrame = {
+  /** Shared middle of q227/q228: the per-document KN score frame —
+    * (doc_id, source, _s exact decimal bit-sum, _n bigrams, _bits
+    * IEEE division) for every doc with ≥ 1 bigram event, under ONE
+    * corpus-global interpolated KN bigram model. Persists the bigram
+    * stream (model aggregate + scoring probe both consume it). */
+  private def knDocBits(docs: DataFrame, discount: Double): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       "absolute discount must sit strictly inside (0, 1)")
     val dec = DecimalType(28, 9)
@@ -3943,7 +3947,7 @@ object TextOps {
     val p = (col("c").cast("double") - d) / col("c1").cast("double") +
       ((d * col("n1f").cast("double")) / col("c1").cast("double")) *
         (col("n1b").cast("double") / col("nt").cast("double"))
-    val perDoc = big
+    big
       .join(c12, Seq("w1", "w2"))
       .join(left, Seq("w1"))
       .join(right, Seq("w2"))
@@ -3954,6 +3958,11 @@ object TextOps {
       .agg(sum(col("_b")).as("_s"), count(lit(1)).as("_n"))
       .withColumn("_bits",
         col("_s").cast("double") / col("_n").cast("double"))
+  }
+
+  def knPerplexityBuckets(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    val perDoc = knDocBits(docs, discount)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("_bits").asc, col("doc_id"))
     perDoc
@@ -3972,5 +3981,71 @@ object TextOps {
         round(col("_lo"), 9).as("lo_kn_bits"),
         round(col("_hi"), 9).as("hi_kn_bits"))
       .orderBy(col("source"), col("bucket"))
+  }
+
+  /** q228: KN perplexity-tier RETENTION — the transform the q227
+    * report exists to gate: CCNet (Wenzek et al. 2020 §4.3) KEEPS the
+    * head and middle tertiles and DROPS the tail, and this is the
+    * per-source accounting of exactly that cut — scored/unscored
+    * docs, token mass in and kept, the kept fraction, and the bits
+    * threshold the cut induces (`cut_bits` = the worst kept doc's
+    * score: the number to quote as "we kept everything under X
+    * bits/bigram"). The token numbers here are what a mixture plan
+    * (q215/q222) should consume if curation tiers on perplexity —
+    * raw per-source counts overstate a source whose mass sits in the
+    * dropped tail.
+    *
+    * Unscorable docs (< 2 tokens — no bigram event, q227's exclusion
+    * rule) are COUNTED (`unscored_docs`) but take no part in the cut
+    * or the token fractions: CCNet cannot score them either, and
+    * hiding them entirely would make kept_frac lie about the corpus.
+    *
+    * Determinism: counts and token sums are exact integers;
+    * kept_token_frac is one correctly-rounded IEEE division (round
+    * 12); cut_bits rounds the deterministic per-doc double 9 dp
+    * (strictly positive — no signed-zero exposure); the tier cut
+    * inherits q227's bit-reproducible ntile key. Sources with zero
+    * scored docs report NULL frac/cut (never a division artifact).
+    *
+    * Scale shape: q227's scored frame (persisted bigram stream, one
+    * per-source ntile over |docs| metadata) + one map-side token
+    * count joined by doc_id on that same metadata frame; the report
+    * is a |sources|-row aggregate joined to a |sources|-row
+    * unscored-count aggregate. */
+  def knPerplexityRetention(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    val nt = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("_ntok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_bits").asc, col("doc_id"))
+    val tiered = knDocBits(docs, discount)
+      .withColumn("_t", ntile(3).over(w))
+    val kept = col("_t") <= 2
+    val scored = tiered
+      .join(nt, Seq("doc_id", "source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("scored_docs"),
+        sum(col("_ntok")).as("scored_tokens"),
+        count(when(kept, lit(1))).as("kept_docs"),
+        coalesce(sum(when(kept, col("_ntok"))), lit(0L))
+          .as("kept_tokens"),
+        max(when(kept, col("_bits"))).as("_cut"))
+    val unscored = nt.filter(col("_ntok") < 2L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("_u"))
+    scored.join(unscored, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("scored_docs"), lit(0L)).as("scored_docs"),
+        coalesce(col("_u"), lit(0L)).as("unscored_docs"),
+        coalesce(col("scored_tokens"), lit(0L)).as("scored_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        when(col("scored_tokens").isNotNull &&
+            col("scored_tokens") > 0L,
+          round(col("kept_tokens").cast("double") /
+            col("scored_tokens").cast("double"), 12))
+          .otherwise(lit(null).cast("double")).as("kept_token_frac"),
+        round(col("_cut"), 9).as("cut_bits"))
+      .orderBy(col("source"))
   }
 }

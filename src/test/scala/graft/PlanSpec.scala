@@ -1424,4 +1424,19 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "the ntile window must partition by source — a global " +
         "single-partition window would serialize the corpus")
   }
+
+  test("q228 KN retention: inherits q227's contracts — no cartesian " +
+      "beyond the broadcast totals, one source-partitioned ntile " +
+      "window, and the report joins are |sources|-row frames") {
+    val df = q("q228_kn_retention")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      "scoring joins key-bounded; the full-outer report join keys " +
+        "on source")
+    val windows = collect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"exactly the per-source ntile window: $windows")
+  }
 }

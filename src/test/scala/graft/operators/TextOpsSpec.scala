@@ -2492,4 +2492,39 @@ class TextOpsSpec extends SparkSuite {
         s"$s: head's range must sit at or below tail's")
     }
   }
+
+  test("knPerplexityRetention (q228): head+middle kept, the tail's " +
+      "tokens dropped from the kept mass, unscorable docs counted " +
+      "but outside the cut, and cut_bits is the worst KEPT score") {
+    import spark.implicits._
+    // q227's fixture: srcA docs 1,2 score bits(0.6875), doc 3 scores
+    // bits(0.1875) (the tail); doc 4 is unscorable (1 token). srcB:
+    // docs 11,12 score bits(0.75) (kept), doc 10 bits(0.6875) (tail).
+    val docs = Seq(
+      (1L, "srcA", "x y"), (2L, "srcA", "x y"), (3L, "srcA", "x z"),
+      (4L, "srcA", "solo"),
+      (10L, "srcB", "x y"), (11L, "srcB", "q r"), (12L, "srcB", "q r")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.knPerplexityRetention(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def bits(p: Double): Double = -math.log(p) / math.log(2)
+    val a = out("srcA")
+    assert(a.getAs[Long]("scored_docs") == 3L &&
+      a.getAs[Long]("unscored_docs") == 1L,
+      "doc 4 (one token) is counted unscorable, never scored")
+    assert(a.getAs[Long]("scored_tokens") == 6L &&
+      a.getAs[Long]("kept_tokens") == 4L &&
+      a.getAs[Long]("kept_docs") == 2L,
+      "the tail doc's 2 tokens leave the kept mass")
+    assert(math.abs(a.getAs[Double]("kept_token_frac") - 4.0 / 6.0)
+      < 1e-9)
+    assert(math.abs(a.getAs[Double]("cut_bits") - bits(0.6875)) < 1e-6,
+      "cut_bits = the worst kept doc's score (docs 1-2)")
+    val b = out("srcB")
+    assert(b.getAs[Long]("unscored_docs") == 0L)
+    assert(b.getAs[Long]("kept_docs") == 2L &&
+      b.getAs[Long]("kept_tokens") == 4L)
+    assert(math.abs(b.getAs[Double]("cut_bits") - bits(0.75)) < 1e-6,
+      "srcB keeps its two cheap (q r) docs; the (x y) doc is its tail")
+  }
 }
