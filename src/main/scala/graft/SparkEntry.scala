@@ -1402,6 +1402,11 @@ object SparkEntry {
     // kept, kept fraction, and the bits threshold the cut induces.
     "q228_kn_retention" -> ((s, d) =>
       TextOps.knPerplexityRetention(t(s, d, "documents"))),
+    // Sliding-window chunking with overlap (HF stride semantics):
+    // 64-token windows every 48 tokens — one row per window with
+    // position/length/text; the within-doc dual of q53's packing.
+    "q229_chunk_overlap" -> ((s, d) =>
+      TextOps.chunkWithOverlap(t(s, d, "documents"))),
     // Exact-substring dedup TRANSFORM (Lee et al. 2022): every 5-token
     // span occurring >= 2 times keeps only its first occurrence
     // (lowest doc_id, then lowest pos); removal is the positional
@@ -5949,6 +5954,24 @@ object SparkEntry {
            round(sa.cut, 9) AS cut_bits
          FROM sa FULL OUTER JOIN us ON sa.source = us.source
          ORDER BY 1""",
+    // Sliding-window chunking: windows of 64 starting every 48 while
+    // start < n_tokens; tail window shorter; zero-token docs emit
+    // nothing. Pure integer positional arithmetic + string re-joins.
+    "q229_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
+             CAST(i * 48 AS BIGINT) AS start_tok,
+             CAST(least(64, len(toks) - i * 48) AS BIGINT) AS n_tok,
+             array_to_string(list_slice(toks, i * 48 + 1,
+               i * 48 + least(64, len(toks) - i * 48)), ' ')
+               AS text_chunk
+           FROM t, unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS u(i)
+           WHERE len(toks) > 0)
+         SELECT doc_id, source, chunk_id, start_tok, n_tok,
+           n_tok = 64 AS is_full, text_chunk
+         FROM c ORDER BY doc_id, chunk_id""",
     // Exact-substring dedup transform: positional 5-gram table with
     // multiplicity; duplicated grams keep (min doc_id, min pos within
     // it); every other occurrence explodes to its covered token

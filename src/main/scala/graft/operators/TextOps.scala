@@ -4048,4 +4048,62 @@ object TextOps {
         round(col("_cut"), 9).as("cut_bits"))
       .orderBy(col("source"))
   }
+
+  /** q229: SLIDING-WINDOW chunking with overlap — the per-document
+    * context-window transform RAG indexing and long-document
+    * pretraining both apply (HF `return_overflowing_tokens` with
+    * `stride`): windows of `chunkTokens` starting every
+    * `strideTokens` (overlap = chunk − stride), the tail window
+    * shorter, never empty. q53 (concat-chunk) and x52 (multipack)
+    * pack MANY docs into fixed windows; this is the within-doc dual
+    * — one long doc into many windows whose overlap preserves
+    * context across the cut (the reason a retriever's answer spans a
+    * boundary and survives). Emits one row per window: position,
+    * length, the window text, and `is_full` (tail windows are the
+    * truncation-accounting complement q223 tracks corpus-wide).
+    *
+    * Start rule: starts at 0, S, 2S, … while start < n_tokens — every
+    * token lands in ≥ 1 window, consecutive windows share exactly
+    * chunk − stride tokens (while both full), and a doc with
+    * n ≤ chunk tokens emits exactly one window (itself). Zero-token
+    * docs emit nothing (q192's empty-doc rule).
+    *
+    * Determinism: pure integer positional arithmetic + string
+    * re-joins — no floats anywhere.
+    *
+    * Scale shape: ONE map-side projection (a transform/explode over
+    * each doc's own token array — no corpus-wide state, no shuffle
+    * except the verification sort); output rows ∝ Σ n/S, each
+    * bounded by the doc it came from. The 100 TB form is the same
+    * plan with the sort dropped. */
+  def chunkWithOverlap(docs: DataFrame, chunkTokens: Int = 64,
+      strideTokens: Int = 48): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      "stride must sit in (0, chunkTokens] — a larger stride would " +
+        "drop tokens between windows")
+    val L = chunkTokens; val S = strideTokens
+    val toks = TextFunctions.tokens(col("text"))
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0),
+        floor((size(toks) - lit(1)).cast("double") / lit(S))
+          .cast("int")), i =>
+        struct(i.cast("long").as("chunk_id"),
+          (i * S).cast("long").as("start_tok"),
+          least(lit(L), size(toks) - i * S).cast("long").as("n_tok"),
+          concat_ws(" ", slice(toks, i * S + 1,
+            least(lit(L), size(toks) - i * S))).as("text_chunk"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_id:bigint,start_tok:bigint," +
+          "n_tok:bigint,text_chunk:string>>"))
+    docs
+      .select(col("doc_id"), col("source"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.chunk_id").as("chunk_id"),
+        col("c.start_tok").as("start_tok"),
+        col("c.n_tok").as("n_tok"),
+        (col("c.n_tok") === L).as("is_full"),
+        col("c.text_chunk").as("text_chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

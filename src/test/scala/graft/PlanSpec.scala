@@ -1439,4 +1439,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
       s"exactly the per-source ntile window: $windows")
   }
+
+  test("q229 chunk-with-overlap: one map-side transform/explode — no " +
+      "join, no window, no aggregate; the only exchange is the " +
+      "verification sort") {
+    val df = q("q229_chunk_overlap")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Join"),
+      "chunking consults no corpus-wide state")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "positional arithmetic, never a window")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 1,
+      s"only the output sort may exchange, got ${exchanges.size}")
+  }
 }

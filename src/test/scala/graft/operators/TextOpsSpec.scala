@@ -2527,4 +2527,47 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(b.getAs[Double]("cut_bits") - bits(0.75)) < 1e-6,
       "srcB keeps its two cheap (q r) docs; the (x y) doc is its tail")
   }
+
+  test("chunkWithOverlap (q229): hand-computed windows — overlap " +
+      "preserved across cuts, short docs emit themselves once, the " +
+      "tail window is honest, empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "t1 t2 t3 t4 t5 t6 t7"), // L=4,S=3: 3 windows
+      (2L, "srcA", "a b"),                  // n <= L: itself, once
+      (3L, "srcA", ""),                     // empty: nothing
+      (4L, "srcA", "u1 u2 u3 u4 u5 u6")     // n=6: [1..4],[4..6]
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.chunkWithOverlap(docs, chunkTokens = 4,
+      strideTokens = 3).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L), "zero-token docs emit nothing")
+    val d1 = byDoc(1L).map(r => (r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"),
+      r.getAs[Boolean]("is_full"), r.getAs[String]("text_chunk")))
+    assert(d1.toSeq == Seq(
+      (0L, 0L, 4L, true, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, true, "t4 t5 t6 t7"),
+      (2L, 6L, 1L, false, "t7")),
+      s"stride-3 windows over 7 tokens share exactly 1 token: " +
+        s"${d1.toSeq}")
+    assert(byDoc(2L).map(_.getAs[String]("text_chunk")).toSeq ==
+      Seq("a b"), "a doc shorter than the window emits itself once")
+    assert(byDoc(4L).map(_.getAs[String]("text_chunk")).toSeq ==
+      Seq("u1 u2 u3 u4", "u4 u5 u6"))
+    // every token of doc 1 is covered by >= 1 window
+    val covered = byDoc(1L).flatMap(r =>
+      r.getAs[Long]("start_tok") until
+        (r.getAs[Long]("start_tok") + r.getAs[Long]("n_tok"))).toSet
+    assert(covered == (0L until 7L).toSet,
+      "the start rule never drops a token between windows")
+    // stride == chunk degenerates to disjoint partition (q53's cut)
+    val disjoint = TextOps.chunkWithOverlap(docs, 4, 4).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getAs[String]("text_chunk")).toSeq
+    assert(disjoint == Seq("t1 t2 t3 t4", "t5 t6 t7"))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWithOverlap(docs, 4, 5)
+    }
+  }
 }
