@@ -41,8 +41,10 @@ object Bench {
   private[graft] def fittedLine(results: Seq[(String, Double)], iters: Int,
       sfDir: String, budgetChars: Int = 1850,
       wallSec: Double = -1.0,
-      anchors: Seq[Double] = Nil,
-      qmin: Seq[(String, Double)] = Nil): String = {
+      anchors: Seq[(Double, Double)] = Nil,
+      qmin: Seq[(String, Double)] = Nil,
+      slowAt: Seq[(String, Seq[Double])] = Nil,
+      unsampled: Int = 0): String = {
     val meds = results.map(_._2).sorted
     val medianQ = if (meds.isEmpty) 0.0 else meds(meds.length / 2)
     val total = results.map(_._2).sum
@@ -56,29 +58,47 @@ object Bench {
     // record of how far over it was
     val wallField =
       if (wallSec >= 0) s""","wall":${fmtD(wallSec)}""" else ""
-    // Self-diagnosis fields (r15: ~30 driver entries ran 5–87× their
+    // Self-diagnosis fields (r15/r16: driver entries ran 5–87× their
     // local medians and the median-only artifact could not tell a
-    // machine contention episode from a plan regression):
-    //  - "anchor": q01 re-measured immediately before EVERY pass — a
-    //    flat anchor row exonerates the code when some entries
-    //    inflate (the machine was fine; the plan regressed); a
-    //    spiking anchor localizes a contention window in time.
+    // machine contention episode from a plan regression — and r16's
+    // single-pass run carried ONE pre-pass anchor, which cannot
+    // adjudicate anything that happens DURING the pass):
+    //  - "anchor": [offset_sec, q01_sec] pairs, re-measured before
+    //    every pass AND mid-pass every ~90 s of run time — a flat
+    //    series exonerates the code when some entries inflate (the
+    //    machine was fine; the plan regressed); a spiking series
+    //    localizes a contention window in run time even when the
+    //    budget allows only one pass.
     //  - "qmin": per-entry MINIMUM for entries whose median is ≥ 2×
     //    their best sample (and ≥ 1 s) — on a healthy run this is
     //    empty; under contention it shows the entry CAN still run at
     //    its historical speed, which a median alone cannot.
-    // Both are capped so the suffix reserve stays bounded; both live
-    // in full in target/bench_local.json.
+    //  - "slow_at": start offsets (whole seconds) of every sample of
+    //    the slowest entries — lines an inflated entry up against the
+    //    anchor series in time.
+    //  - "unsampled": entries cut by the mid-pass HARD budget stop
+    //    (absent when zero — every healthy run).
+    // All capped so the suffix reserve stays bounded; all live in
+    // full in target/bench_local.json.
     val anchorField = if (anchors.isEmpty) "" else
-      s""","anchor":[${anchors.take(16).map(v =>
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
-        .mkString(",")}]"""
+      s""","anchor":[${anchors.take(36).map { case (at, v) =>
+        "[" + String.format(java.util.Locale.ROOT, "%.0f", Double.box(at)) +
+          "," + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) +
+          "]" }.mkString(",")}]"""
     val qminField = if (qmin.isEmpty) "" else
       s""","qmin":{${qmin.take(12).map { case (k, v) =>
         "\"" + shortKey(k) + "\":" + fmtD(v) }.mkString(",")}}"""
+    val slowAtField = if (slowAt.isEmpty) "" else
+      s""","slow_at":{${slowAt.take(12).map { case (k, ats) =>
+        "\"" + shortKey(k) + "\":[" + ats.map(a => String.format(
+          java.util.Locale.ROOT, "%.0f", Double.box(a))).mkString(",") +
+          "]" }.mkString(",")}}"""
+    val unsampledField =
+      if (unsampled <= 0) "" else s""","unsampled":$unsampled"""
     def suffix(omitted: Int): String =
       s"""},"omitted_fastest":$omitted,"ledger":"bench_local",""" +
-        s""""sf":"$sfDir"$wallField$anchorField$qminField}"""
+        s""""sf":"$sfDir"$wallField$anchorField$qminField$slowAtField""" +
+        s"""$unsampledField}"""
     val reserve = suffix(results.size).length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + reserve
@@ -202,44 +222,86 @@ object Bench {
     // contention window in run time when a sample is inflated
     val sampleAt = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    // q01 anchor, re-measured immediately before every pass: the run's
-    // own load probe. q01 is one single-stage scan+agg whose time is
-    // bounded by one-core parquet throughput — if the MACHINE is
-    // healthy every anchor sample sits near the first one, whatever
-    // the queries between them did; if the machine hits a
-    // contention/memory episode mid-run the anchor row spikes with it,
-    // and the stdout artifact carries the exoneration (r15's 5–87×
-    // driver tail was unattributable from medians alone).
-    val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // q01 anchor, re-measured before every pass AND mid-pass every
+    // ~90 s of run time: the run's own load probe. q01 is one
+    // single-stage scan+agg whose time is bounded by one-core parquet
+    // throughput — if the MACHINE is healthy every anchor sample sits
+    // near the first one, whatever the queries between them did; if
+    // the machine hits a contention/memory episode mid-run the anchor
+    // series spikes with it, and the stdout artifact carries the
+    // exoneration. The mid-pass cadence is the r16 lesson: a 5×-slow
+    // host guarantees ONE pass, and a once-per-pass anchor then
+    // yields a single sample taken before the episode — the artifact
+    // could not prove its own exoneration. Each sample is an
+    // (offset-at-start, seconds) pair so a spike is PLACED in run
+    // time next to the entries that straddled it (~26 samples on a
+    // 2,400 s run, ~1.5 s each ≈ 2% overhead).
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val anchorFn = SparkEntry.queries.get("q01_pricing_summary")
-    def runAnchor(): Unit = anchorFn.foreach { fn =>
+    val anchorEverySec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_ANCHOR_SEC", "90").toDouble
+    var lastAnchorAt = 0.0
+    def runAnchor(where: String): Unit = anchorFn.foreach { fn =>
+      val at = elapsedSec
       val t0 = System.nanoTime()
+      // a failing anchor is a diagnostic event, not a silent negative:
+      // route it through the same trail as query failures (r16 advice)
       val ok = try { exec(fn(spark, sfDir)); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          logFailure(s"anchor_q01[$where]", -1, e); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      anchors += (if (ok) sec else -sec)
+      lastAnchorAt = elapsedSec
+      anchors += ((at, if (ok) sec else -sec))
     }
+    // HARD wall stop, checked before every ENTRY (not just every
+    // pass): r16's pass 1 overran the soft budget by 284 s and only
+    // luck kept the run inside the driver's window — a slightly
+    // slower host turns rc 0 into rc 124 and loses the whole ledger.
+    // Crossing hardBudgetSec mid-pass abandons the remaining entries
+    // and emits the partial ledger from samples in hand (entries
+    // never reached are counted as "unsampled" in the artifact —
+    // a partial ledger beats a dead one for every entry in it).
+    // Default 3000 s: above the soft budget's 2100 (so a healthy or
+    // r16-grade run is never cut) and ~10 min under the driver's
+    // observed window net of sbt compile.
+    val hardBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_SEC", "3000").toDouble
+    var hardStopped = false
     def runPass(pass: Int, subset: Seq[(String,
         (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
-      subset.map { case (name, fn) =>
-        val at = elapsedSec
-        val t0 = System.nanoTime()
-        val ok = try { exec(fn(spark, sfDir)); true }
-          catch { case e: Throwable => logFailure(name, pass, e); false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        sampleAt(name) :+= at
-        // isolate queries: several operators persist intermediate frames
-        // (LSH candidate/shingle tables); dropping them keeps each
-        // measurement independent of run order. clearCache only covers
-        // catalog-cached plans — localCheckpoint blocks (the streaming
-        // entries pin micro-batches that way) sit in the block manager
-        // until the ContextCleaner gets around to them, and that heap
-        // debt otherwise lands on whatever query runs next.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> (if (ok) sec else -sec)
+      subset.flatMap { case (name, fn) =>
+        if (hardStopped) None
+        else if (elapsedSec > hardBudgetSec) {
+          hardStopped = true
+          System.err.println(
+            f"[bench-budget] HARD stop mid-pass $pass before $name: " +
+              f"elapsed $elapsedSec%.0f s > hard budget " +
+              f"$hardBudgetSec%.0f s — emitting partial ledger")
+          None
+        } else {
+          val at = elapsedSec
+          val t0 = System.nanoTime()
+          val ok = try { exec(fn(spark, sfDir)); true }
+            catch { case e: Throwable => logFailure(name, pass, e); false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          sampleAt(name) :+= at
+          // isolate queries: several operators persist intermediate frames
+          // (LSH candidate/shingle tables); dropping them keeps each
+          // measurement independent of run order. clearCache only covers
+          // catalog-cached plans — localCheckpoint blocks (the streaming
+          // entries pin micro-batches that way) sit in the block manager
+          // until the ContextCleaner gets around to them, and that heap
+          // debt otherwise lands on whatever query runs next.
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          // mid-pass anchor: keep the load-probe series alive through
+          // a long pass (the pre-pass anchor covers the start)
+          if (elapsedSec - lastAnchorAt >= anchorEverySec)
+            runAnchor(s"mid-pass $pass")
+          Some(name -> (if (ok) sec else -sec))
+        }
       }
     // WALL-CLOCK BUDGET: r14's bench died at the driver's ~60-min
     // timeout (rc 124) and the ENTIRE ledger was lost — 254 of 274
@@ -257,11 +319,18 @@ object Bench {
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     def projectedPassSec(
-        subset: Seq[(String, _)]): Double =
-      1.2 * subset.map { case (n, _) =>
+        subset: Seq[(String, _)]): Double = {
+      val queriesSec = 1.2 * subset.map { case (n, _) =>
         val succ = samples(n).filter(_ > 0).sorted
         if (succ.isEmpty) 0.0 else succ(succ.length / 2)
       }.sum
+      // the pass also runs anchors the query medians never see (r16
+      // advice): one pre-pass + one per ~anchorEverySec of pass time,
+      // each costing about the median anchor sample so far
+      val aSucc = anchors.map(_._2).filter(_ > 0).sorted
+      val aMed = if (aSucc.isEmpty) 0.0 else aSucc(aSucc.length / 2)
+      queriesSec + aMed * (1.0 + queriesSec / anchorEverySec)
+    }
     def budgetAllows(subset: Seq[(String, _)], what: String): Boolean = {
       val ok = elapsedSec + projectedPassSec(subset) <= budgetSec
       if (!ok) System.err.println(
@@ -274,9 +343,11 @@ object Bench {
     var stopped = false
     (0 until iters).foreach { pass =>
       // pass 0 always runs (every query needs >= 1 sample for a
-      // ledger at all); later base passes yield to the budget
-      if (pass == 0 || (!stopped && budgetAllows(names, s"base pass $pass"))) {
-        runAnchor()
+      // ledger at all — unless the HARD stop cuts it mid-pass); later
+      // base passes yield to the budget
+      if (pass == 0 || (!stopped && !hardStopped &&
+          budgetAllows(names, s"base pass $pass"))) {
+        runAnchor(s"pre-pass $pass")
         runPass(pass, names).foreach { case (n, s) => samples(n) :+= s }
       } else stopped = true
     }
@@ -306,15 +377,26 @@ object Bench {
       // skip entirely when no query qualifies — an empty pass would
       // still run (and record) an anchor sample, diluting the anchor
       // row's meaning of "immediately before a measured pass"
-      if (fastNames.nonEmpty && !stopped &&
+      if (fastNames.nonEmpty && !stopped && !hardStopped &&
           budgetAllows(fastNames, s"top-up pass $pass")) {
-        runAnchor()
+        runAnchor(s"pre-pass $pass")
         runPass(pass, fastNames).foreach { case (n, s) => samples(n) :+= s }
       } else if (fastNames.nonEmpty) stopped = true
     }
-    val results = names.map { case (name, _) =>
-      name -> reportFor(name, samples(name))
+    // Entries the HARD stop cut before their FIRST sample carry no
+    // timing at all — they are excluded from the ledger and counted
+    // as "unsampled" (a partial ledger beats rc 124 losing all of
+    // it). An entry WITH samples but zero successes still aborts the
+    // run via reportFor: that is a correctness failure, not a budget
+    // artifact.
+    val results = names.flatMap { case (name, _) =>
+      if (samples(name).isEmpty) None
+      else Some(name -> reportFor(name, samples(name)))
     }
+    val unsampled = names.size - results.size
+    require(unsampled == 0 || hardStopped,
+      "bench: an entry has zero samples outside a hard budget stop — " +
+        "the pass loop is broken")
     assertPositive(results)
     // Fixed 3-decimal formatting: full-precision doubles made the JSON
     // line long enough that the driver's stdout tail-capture truncated
@@ -357,12 +439,16 @@ object Bench {
       s""""$k":{"median":${fmt(med)},"n":${samples(k).size},""" +
         s""""samples":$ss,"at":$at}"""
     }.mkString("{", ",", "}")
+    val anchorsJson = anchors.map { case (at, v) =>
+      s"[${fmt(at)},${fmt(v)}]" }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_local.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"iters":$iters,"fastIters":$fastIters,""" +
         s""""wall":${fmt(elapsedSec)},"budget":${fmt(budgetSec)},""" +
         s""""budget_stopped":$stopped,""" +
-        s""""anchors":${anchors.map(fmt).mkString("[", ",", "]")},""" +
+        s""""hard_budget":${fmt(hardBudgetSec)},""" +
+        s""""hard_stopped":$hardStopped,"unsampled":$unsampled,""" +
+        s""""anchors":$anchorsJson,""" +
         s""""total":${fmt(total)},"queries":$detail}""" + "\n")
     spark.stop()
     // Re-print as the ABSOLUTE last stdout act, after spark.stop()
@@ -381,8 +467,14 @@ object Bench {
         Some((n, med, succ.min)) else None
     }.sortBy { case (_, med, _) => -med }
       .map { case (n, _, mn) => (n, mn) }
+    // start offsets of every sample of the slowest entries: paired
+    // with the anchor series, an inflated entry is placed in run time
+    // (did it straddle an anchor spike, or run on a healthy machine?)
+    val slowAt = results.sortBy { case (n, med) => (-med, n) }.take(12)
+      .map { case (n, _) => (n, sampleAt(n)) }
     System.out.println(fittedLine(results, iters, sfDir,
-      wallSec = elapsedSec, anchors = anchors.toSeq, qmin = qmin))
+      wallSec = elapsedSec, anchors = anchors.toSeq, qmin = qmin,
+      slowAt = slowAt, unsampled = unsampled))
     System.out.flush()
   }
 }

@@ -86,29 +86,43 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
-  test("fittedLine self-diagnosis fields: anchors and qmin survive in " +
-      "the suffix (capped), short-keyed, inside the char budget — and " +
-      "are absent entirely on a healthy run") {
+  test("fittedLine self-diagnosis fields: anchor series, qmin, slow_at " +
+      "and unsampled survive in the suffix (capped), short-keyed, " +
+      "inside the char budget — and are absent entirely on a healthy run") {
     val results = (1 to 300).map(i => (f"q$i%03d_synthetic_name" -> i * 0.01))
-    // 20 anchor passes (cap 16) and 15 suspects (cap 12), slowest first
-    val anchors = (1 to 20).map(i => 1.0 + i * 0.01)
+    // 40 anchor samples (cap 36) and 15 suspects (cap 12), slowest first
+    val anchors = (1 to 40).map(i => ((i - 1) * 90.0, 1.0 + i * 0.01))
     val qmin = (1 to 15).map(i => (f"q${301 - i}%03d_synthetic_name",
       (301 - i) * 0.005))
+    val slowAt = (0 until 14).map(i => (f"q${300 - i}%03d_synthetic_name",
+      Seq(10.0 + i, 400.0 + i)))
     val line = Bench.fittedLine(results, iters = 3, sfDir = "/sf", 1850,
-      wallSec = 432.1, anchors = anchors, qmin = qmin)
+      wallSec = 432.1, anchors = anchors, qmin = qmin, slowAt = slowAt,
+      unsampled = 7)
     assert(line.length <= 1850, s"line is ${line.length} chars")
-    assert(line.contains("\"anchor\":[1.01,"), "anchors present, 2 dp")
-    assert("\"anchor\":\\[([0-9.,]+)\\]".r.findFirstMatchIn(line)
-      .get.group(1).split(',').length == 16, "anchor row capped at 16")
+    // (offset, seconds) pairs: offsets whole seconds, values 2 dp
+    assert(line.contains("\"anchor\":[[0,1.01],[90,1.02],"),
+      "anchor series present as [offset,sec] pairs")
+    assert("\"anchor\":\\[(\\[[0-9.,]+\\],?)+\\]".r.findFirstMatchIn(line)
+      .get.matched.count(_ == '[') == 37, "anchor series capped at 36")
     assert(line.contains("\"qmin\":{\"q300\":1.500,"),
       "qmin present, short keys, slowest first")
     assert("\"qmin\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
       .get.group(1).split(',').length == 12, "qmin capped at 12")
+    // slow_at: per-entry sample start offsets, whole seconds, cap 12
+    assert(line.contains("\"slow_at\":{\"q300\":[10,400],"),
+      "slow_at present, short keys")
+    assert("\"slow_at\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
+      .get.group(1).count(_ == '[') == 12, "slow_at capped at 12 entries")
+    assert(line.contains("\"unsampled\":7"))
     // the diagnostic suffix costs tail entries, never the headline
     assert(line.contains("\"q300\":3.000") && line.contains("\"wall\":432.100"))
-    // healthy run: no anchors recorded, no suspects -> fields absent
+    // still structurally valid JSON despite the nested arrays
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // healthy run: no anchors, no suspects, nothing cut -> fields absent
     val clean = Bench.fittedLine(results, iters = 3, sfDir = "/sf", 1850)
-    assert(!clean.contains("\"anchor\"") && !clean.contains("\"qmin\""))
+    assert(!clean.contains("\"anchor\"") && !clean.contains("\"qmin\"") &&
+      !clean.contains("\"slow_at\"") && !clean.contains("\"unsampled\""))
   }
 
   test("assertPositive rejects zero and negative timings") {
