@@ -1406,6 +1406,28 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "three entropy pipelines + two |sources|-row joins — equi only")
   }
 
+  test("q226 order ladder tokenizes the corpus ONCE: all three " +
+      "component pipelines read the persisted token frame (r16 " +
+      "verdict: three independent corpus scans + tokenizations)") {
+    val df = q("q226_kn_order_ladder")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val cacheScans = collect(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        => s
+    }
+    assert(cacheScans.size >= 3,
+      s"unigram/bigram/trigram explodes must all scan the shared " +
+        s"token cache, got ${cacheScans.size} cache scans")
+    val fileScans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fileScans.isEmpty,
+      s"the documents source is read only through the token cache — " +
+        s"a file scan in the final plan means a pipeline re-tokenizes: " +
+        s"${fileScans.map(_.nodeName)}")
+  }
+
   test("q227 KN perplexity buckets: scoring joins are equi-joins, the " +
       "1-row totals broadcast, and the ONLY window is the per-source " +
       "ntile over the per-doc metadata frame (never a global sort)") {
