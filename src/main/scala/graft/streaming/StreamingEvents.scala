@@ -259,7 +259,14 @@ object StreamingEvents {
     * `nBatches` deterministic doc_id-mod drops through a checkpointed
     * AvailableNow pass each; the returned frame is the LATEST
     * snapshot per source, which StreamingSpec pins equal to the batch
-    * aggregate over the full table — incremental == from-scratch. */
+    * aggregate over the full table — incremental == from-scratch.
+    *
+    * Measurement: per-stage walls (each drop's landing write, each
+    * checkpointed streaming pass, the snapshot collect) land in
+    * target/stage_journal.jsonl (StageJournal) — the r16 verdict: the
+    * x32 bench median tripled on samples spread 6.6–28 s with no code
+    * change, and unlike x26 (journaled since r14) nothing attributed
+    * checkpoint-I/O variance from compute. */
   def corpusStatsStatic(spark: SparkSession, docs: DataFrame,
       nBatches: Int = 3): DataFrame = {
     require(nBatches >= 1, "nBatches must be positive")
@@ -268,6 +275,9 @@ object StreamingEvents {
     val ledger = base + "/ledger"
     val ckpt = base + "/ckpt"
     val src = docs.select(col("doc_id"), col("source"), col("text"))
+    val stages = scala.collection.mutable.Buffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A =
+      graft.StageJournal.time(stages, name)(f)
     // try/finally: dispose the scratch dirs on ANY exit (same r13 fix
     // as StreamingQuality.qualityGateStatic)
     val (rows, schema) =
@@ -275,26 +285,28 @@ object StreamingEvents {
         (0 until nBatches).foreach { i =>
           // one file per drop + one-file trigger: batch ↔ drop identity
           // enforced, same reasoning as mixDriftStatic
-          src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
-            .coalesce(1).write.mode("append").parquet(landing)
-          spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", "1").parquet(landing)
-            .groupBy(col("source"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(graft.functions.TextFunctions.tokenCount(col("text")))
-                .as("n_tokens"),
-              sum(length(col("text")).cast("long")).as("n_chars"))
-            .writeStream
-            .outputMode("update")
-            .trigger(
-              org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .option("checkpointLocation", ckpt)
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              batch.withColumn("_batch_id", lit(batchId))
-                .write.mode("append").parquet(ledger)
-              ()
-            }
-            .start().awaitTermination()
+          timed(s"land_b$i")(
+            src.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+              .coalesce(1).write.mode("append").parquet(landing))
+          timed(s"stream_b$i")(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(landing)
+              .groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(graft.functions.TextFunctions.tokenCount(col("text")))
+                  .as("n_tokens"),
+                sum(length(col("text")).cast("long")).as("n_chars"))
+              .writeStream
+              .outputMode("update")
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (batch: DataFrame, batchId: Long) =>
+                batch.withColumn("_batch_id", lit(batchId))
+                  .write.mode("append").parquet(ledger)
+                ()
+              }
+              .start().awaitTermination())
         }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("_batch_id").desc)
@@ -306,8 +318,12 @@ object StreamingEvents {
           .filter(col("_rn") === 1)
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("n_chars"))
-        (snap.collect().toSeq, snap.schema)
-      } finally Scratch.dispose(base)
+        timed("snapshot")((snap.collect().toSeq, snap.schema))
+      } finally {
+        Scratch.dispose(base)
+        graft.StageJournal.record("x32_streaming_corpus_stats",
+          stages.toSeq)
+      }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema).orderBy(col("source"))
   }

@@ -35,14 +35,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
+    # mirror check_oracle.py's calling convention: a missing arg prints
+    # usage and exits 2 instead of dying with an IndexError (r16 advice)
+    if len(sys.argv) < 3:
+        print("usage: scan_signed_zero.py <sfdir> <verify_outdir>",
+              file=sys.stderr)
+        sys.exit(2)
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    oracle_path = f"{outdir}/oracle_sql.json"
+    if not os.path.exists(oracle_path):
+        print(f"missing {oracle_path} — run graft.Verify first",
+              file=sys.stderr)
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    oracle = json.load(open(oracle_path))
     neg = tiny = errs = 0
     for name in sorted(oracle):
         try:
