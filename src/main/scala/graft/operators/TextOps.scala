@@ -3957,7 +3957,19 @@ object TextOps {
     * (doc_id, source, _s exact decimal bit-sum, _n bigrams, _bits
     * IEEE division) for every doc with ≥ 1 bigram event, under ONE
     * corpus-global interpolated KN bigram model. Persists the bigram
-    * stream (model aggregate + scoring probe both consume it). */
+    * stream (model aggregate + scoring probe both consume it).
+    *
+    * The x45 hashed relabeling of w1/w2 was MEASURED at this seam
+    * (r17, sf0.1, graft.tools.ShuffleProbe): total shuffle write is
+    * 0.39 MB as-is vs 0.36 MB hashed (1.08×, identical 13.8k records)
+    * — the vocab-bounded model tables BROADCAST into the scoring
+    * joins, so the data-sized bigram stream never crosses an exchange
+    * and the relabel has nothing to narrow; only the map-side partial
+    * aggregates ship, and those are already vocab-bounded. Decision:
+    * keep strings (oracle exactness wins; there are no bytes to buy).
+    * Re-measure only if a 100× vocabulary pushes the model tables
+    * past the broadcast threshold — the stream would then shuffle on
+    * (w1, w2) and the x45 trade reopens. */
   private def knDocBits(docs: DataFrame, discount: Double): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       "absolute discount must sit strictly inside (0, 1)")
