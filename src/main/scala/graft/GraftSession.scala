@@ -24,6 +24,22 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate synthesizes size(arr)>0/isnotnull
+      // filters under every explode; when the array is COMPUTED
+      // (tokens/shingles/n-gram transforms — this engine's dominant
+      // shape), filter pushdown inlines the whole array expression a
+      // second time below the exchange, re-tokenizing the corpus on
+      // the scan stage (measured r17: a duplicated 3.6 s one-task
+      // gram build in q114; same pattern in every explode-of-computed-
+      // array plan). The rule only pays off when the filter can prune
+      // a STORED column at the source, which never applies here —
+      // excluded as a pure plan optimization (no result change).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // guide §3.1/§9: allow shuffled-hash when its size conditions
+      // hold (no sort on either side); AQE still plans/validates the
+      // choice at runtime. Join STRATEGY never changes results.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

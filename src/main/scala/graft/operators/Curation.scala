@@ -47,8 +47,12 @@ object Curation {
     * statistics see un-redacted text, scrub BEFORE dedup so docs
     * differing only in redacted PII collapse as near-dups). */
   def prepare(docs: DataFrame): DataFrame =
+    // unsplittable-input guard (guide §2.5): four regex scrub passes +
+    // rule metrics per row — the pipeline's dominant map stage, and
+    // the persisted scrubbed frame downstream inherits this
+    // partitioning (x15: oneTaskShare 0.72 before)
     TextOps.filterQuality(
-      docs.withColumn("text",
+      ScanParallelism.widen(docs, "doc_id").withColumn("text",
         graft.functions.GraftFunctions.normalizeText(
           TextOps.markupCleanText(col("text")))))
       .withColumn("text", TextOps.piiCleanText(col("text")))
@@ -200,8 +204,12 @@ object Curation {
     * side explodes only the 10% test slice; one semi join on gram
     * shuffles each stream once; per-doc accounting is a bounded
     * aggregate. Nothing all-pairs, nothing data-sized on the driver. */
-  def splitContamination(docs: DataFrame, n: Int = 8): DataFrame = {
+  def splitContamination(docs0: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 1, "n must be positive")
+    // unsplittable-input guard (guide §2.5): materializing 8-token
+    // gram strings per position is the dominant CPU (StageProbe r17:
+    // oneTaskShare = 1.00, a single 6.3 s one-task gram build)
+    val docs = ScanParallelism.widen(docs0, "doc_id")
     val withSplit = docs.select(col("doc_id"),
       TextFunctions.shingles(col("text"), n).as("_g"),
       pmod(col("doc_id"), lit(10L)).as("_m"))
@@ -256,10 +264,11 @@ object Curation {
     // price); the twin rides 63-bit hashes end to end (x22's trade —
     // same distinct-set semantics, so per-doc counts are identical
     // modulo 2^-64-scale collisions)
-    val withSplit = docs.select(col("doc_id"),
-      GraftFunctions.shingleHashes(col("text"), n, Long.MaxValue)
-        .as("_g"),
-      pmod(col("doc_id"), lit(10L)).as("_m"))
+    val withSplit = ScanParallelism.widen(docs, "doc_id")
+      .select(col("doc_id"),
+        GraftFunctions.shingleHashes(col("text"), n, Long.MaxValue)
+          .as("_g"),
+        pmod(col("doc_id"), lit(10L)).as("_m"))
     val bloom = withSplit.filter(col("_m") <= 7)
       .select(explode(col("_g")).as("_h"))
       .agg(graft.functions.GraftFunctions.bloomAgg(col("_h"),

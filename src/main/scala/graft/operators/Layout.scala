@@ -143,7 +143,13 @@ object Layout {
     * single-column sort cannot have — which is exactly what parquet
     * row-group min/max stats need for two-sided data skipping. */
   def zOrderCells(lineitem: DataFrame, bits: Int = 4): DataFrame =
-    zOrderCode(lineitem.select(col("l_orderkey"), col("l_partkey")),
+    // unsplittable-input guard (guide §2.5): the per-row bucket fold
+    // (2×15 cut comparisons) + morton interleave over the whole fact
+    // table serializes on a one-split scan; two narrow longs per row
+    // make the guarded fan-out shuffle trivially cheap
+    zOrderCode(ScanParallelism.widen(
+        lineitem.select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey"),
       Seq("l_orderkey", "l_partkey"), bits)
       .groupBy(col("z_code"))
       .agg(count(lit(1)).as("n_rows"),

@@ -57,7 +57,10 @@ object NearDup {
 
   /** Inverted index: (doc_id, shingle hash), distinct per doc. */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    // unsplittable-input guard (guide §2.5): the shingle explode is
+    // the dominant per-row work of every inverted-index pair source —
+    // never serialize it on a one-split scan
+    ScanParallelism.widen(docs, "doc_id").select(col("doc_id"),
       explode(GraftFunctions.shingleHashes(col("text"), n, IdentityMod))
         .as("shingle"))
 
@@ -634,7 +637,9 @@ object NearDup {
   def minHashSignatures(docs: DataFrame, n: Int,
       numHashes: Int): DataFrame = {
     val (aS, bS) = seedPairs(numHashes)
-    docs
+    // unsplittable-input guard (guide §2.5): numHashes×|shingles|
+    // min-hash work per doc — the heaviest map stage of the LSH path
+    ScanParallelism.widen(docs, "doc_id")
       .withColumn("_sh_hashes",
         GraftFunctions.shingleHashes(col("text"), n, P))
       .filter(size(col("_sh_hashes")) > 0)
@@ -831,7 +836,8 @@ object NearDup {
 
   /** doc_id + simhash, map-side only. */
   def simHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simHash(col("text")).as("simhash"))
+    ScanParallelism.widen(docs, "doc_id")
+      .select(col("doc_id"), simHash(col("text")).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance <= maxHamming, found via
     * chunk blocking (pigeonhole: with 7 chunks of 9 bits, any pair within
@@ -1160,7 +1166,7 @@ object NearDup {
       |    sequence(1, greatest(size(_h) - ${w - 1}, 1)),
       |    j -> array_min(slice(_h, j, least($w, size(_h))))))
       |END""".stripMargin
-    docs
+    ScanParallelism.widen(docs, "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), expr(gramHash).as("_h"))
       .select(col("doc_id"), explode(expr(fps)).as("fp"))

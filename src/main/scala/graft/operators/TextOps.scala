@@ -1736,7 +1736,7 @@ object TextOps {
     // persisted: feeds both the df aggregate and the join-back probe —
     // without it the corpus is re-shingled per consumer (same bounded
     // cache-lifecycle note as NearDup.minHashLshPairs)
-    val sh = docs
+    val sh = ScanParallelism.widen(docs, "doc_id")
       .select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1779,8 +1779,9 @@ object TextOps {
     // persisted: feeds both the bloom scalar subquery and the probe
     // aggregate — the same two-consumer shape the exact twin persists
     // for (without it the corpus re-shingles per consumer)
-    val sh = docs.select(col("doc_id"),
-      explode(GraftFunctions.shingleHashes(col("text"), n, mod)).as("sh"))
+    val sh = ScanParallelism.widen(docs, "doc_id")
+      .select(col("doc_id"),
+        explode(GraftFunctions.shingleHashes(col("text"), n, mod)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)
@@ -1808,7 +1809,7 @@ object TextOps {
     * and rejoining the rest reconstructs a well-defined cleaned text.
     * Zero-token docs have no lines and drop out (q63's convention). */
   private def lineTable(docs: DataFrame, w: Int): DataFrame =
-    docs
+    ScanParallelism.widen(docs, "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
       .filter(size(col("_t")) > 0)
       .select(col("doc_id"), posexplode(transform(
@@ -2213,9 +2214,12 @@ object TextOps {
     * position-indexed gram table (evictable MEMORY_AND_DISK) —
     * one-shot runners sweep it; long-lived sessions clearCache()
     * between workloads (sourceOverlap's note). */
-  private def substrProfileImpl(docs: DataFrame, n: Int,
+  private def substrProfileImpl(docs0: DataFrame, n: Int,
       minCount: Long, hashed: Boolean): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
+    // unsplittable-input guard (guide §2.5): the gram-string explode
+    // is the dominant CPU — never serialize it on a one-split scan
+    val docs = ScanParallelism.widen(docs0, "doc_id")
     // persisted: the position-indexed gram table feeds BOTH the
     // duplicated-gram aggregate and the join-back probe (q52/q63's
     // shared-intermediate pattern) — without it the gram-string
@@ -2305,7 +2309,7 @@ object TextOps {
     * batch transform (q219) and the streaming incremental form. */
   private[graft] def spanGramTable(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
-    docs
+    ScanParallelism.widen(docs, "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
         explode(expr(
@@ -3298,8 +3302,11 @@ object TextOps {
     * re-aggregate for conditionals, and fold the 9-dp-decimal entropy
     * sums — the relabeling happens map-side BEFORE the groupBy, so
     * the twin's shuffle never carries the strings. */
-  private def entropyFromBigramPairs(docs: DataFrame,
+  private def entropyFromBigramPairs(docs0: DataFrame,
       relabel: DataFrame => DataFrame): DataFrame = {
+    // unsplittable-input guard (guide §2.5): the pair explode is the
+    // heaviest stage — never let it serialize on a one-split scan
+    val docs = ScanParallelism.widen(docs0, "doc_id")
     val dec = DecimalType(28, 9)
     val toks = TextFunctions.tokens(col("text"))
     val pairs = when(size(toks) >= 2,
@@ -3525,8 +3532,9 @@ object TextOps {
     * workloads (sourceOverlap's note). */
   def knBigramEntropy(docs: DataFrame, discount: Double = 0.75,
       finalDp: Int = 12): DataFrame =
-    knBigramEntropyToks(docs.select(col("source"),
-      TextFunctions.tokens(col("text")).as("_toks")), discount, finalDp)
+    knBigramEntropyToks(ScanParallelism.widen(docs, "doc_id")
+      .select(col("source"),
+        TextFunctions.tokens(col("text")).as("_toks")), discount, finalDp)
 
   /** q218's pipeline over a PRE-TOKENIZED (source, _toks) frame — the
     * seam through which q226 shares ONE corpus tokenization across its
@@ -3619,10 +3627,14 @@ object TextOps {
     * train-side re-aggregations; scoring is three left equi-joins
     * against the model tables + a broadcast totals row; the report is
     * a 3-row split aggregate. */
-  def knHeldOutScore(docs: DataFrame, discount: Double = 0.75)
+  def knHeldOutScore(docs0: DataFrame, discount: Double = 0.75)
       : DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       "absolute discount must sit strictly inside (0, 1)")
+    // unsplittable-input guard (guide §2.5) — same rationale as
+    // knDocBits: the persisted split bigram stream feeds concurrent
+    // model builds
+    val docs = ScanParallelism.widen(docs0, "doc_id")
     val dec = DecimalType(28, 9)
     val toks = TextFunctions.tokens(col("text"))
     val pairs = when(size(toks) >= 2,
@@ -3746,8 +3758,9 @@ object TextOps {
     * at the c123 select. */
   def knTrigramEntropy(docs: DataFrame, discount: Double = 0.75)
       : DataFrame =
-    knTrigramEntropyToks(docs.select(col("source"),
-      TextFunctions.tokens(col("text")).as("_toks")), discount)
+    knTrigramEntropyToks(ScanParallelism.widen(docs, "doc_id")
+      .select(col("source"),
+        TextFunctions.tokens(col("text")).as("_toks")), discount)
 
   /** q225's pipeline over a PRE-TOKENIZED (source, _toks) frame — same
     * shared-tokenization seam as knBigramEntropyToks (q226). */
@@ -3867,8 +3880,9 @@ object TextOps {
   def knOrderLadder(docs: DataFrame, discount: Double = 0.75)
       : DataFrame = {
     val dec = DecimalType(28, 9)
-    val toksDf = docs.select(col("source"),
-      TextFunctions.tokens(col("text")).as("_toks"))
+    val toksDf = ScanParallelism.widen(docs, "doc_id")
+      .select(col("source"),
+        TextFunctions.tokens(col("text")).as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toksDf
       .select(col("source"), explode(col("_toks")).as("w"))
@@ -3970,9 +3984,15 @@ object TextOps {
     * Re-measure only if a 100× vocabulary pushes the model tables
     * past the broadcast threshold — the stream would then shuffle on
     * (w1, w2) and the x45 trade reopens. */
-  private def knDocBits(docs: DataFrame, discount: Double): DataFrame = {
+  private def knDocBits(docs0: DataFrame, discount: Double): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       "absolute discount must sit strictly inside (0, 1)")
+    // unsplittable-input guard (guide §2.5): the persisted bigram
+    // stream inherits the scan's partitioning, and its concurrent
+    // model-side broadcast builds serialize behind one block lock on
+    // a one-partition cache (StageProbe r17: five back-to-back ~3.9 s
+    // one-task stages inside a single q227 run)
+    val docs = ScanParallelism.widen(docs0, "doc_id")
     val dec = DecimalType(28, 9)
     val toks = TextFunctions.tokens(col("text"))
     val pairs = when(size(toks) >= 2,

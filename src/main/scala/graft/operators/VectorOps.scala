@@ -63,7 +63,10 @@ object VectorOps {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
-    val scored = emb.select(col("vec_id"), col("embedding"),
+    // unsplittable-input guard (guide §2.5): |queries| dot products
+    // per corpus vector on the stream side of the broadcast join
+    val scored = ScanParallelism.widen(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_nrm"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -162,8 +165,12 @@ object VectorOps {
     * doc; LSH/IVF bucketing is the scale path. Norms are computed n times
     * (not n²): once per side before the join. */
   def cosineSimilarityJoin(emb: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("_n"))
+    // unsplittable-input guard (guide §2.5): the registered quadratic
+    // anchor evaluates |n|²/2 cosines on the STREAM side of the
+    // nested-loop join — a one-split scan serializes all of it
+    val withNorm = ScanParallelism.widen(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_n"))
     val a = withNorm.select(col("vec_id").as("a_id"),
       col("embedding").as("e_a"), col("_n").as("_na"))
     val b = withNorm.select(col("vec_id").as("b_id"),
@@ -198,7 +205,10 @@ object VectorOps {
     * (cosineLshJoinAgainst) instead of re-hashing the corpus. */
   def hyperplaneBandTable(emb: DataFrame, bands: Int = 12,
       rowsPerBand: Int = 3): DataFrame =
-    emb.select(col("vec_id"),
+    // unsplittable-input guard (guide §2.5): bands×rowsPerBand dot
+    // products per vector — the heaviest map stage of the cosine-LSH
+    // path; never serialize it on a one-split scan
+    ScanParallelism.widen(emb, "vec_id").select(col("vec_id"),
       posexplode(GraftFunctions.hyperplaneBits(col("embedding"), bands,
         rowsPerBand, 0x5eedL)).as(Seq("band", "bits")))
 
@@ -344,7 +354,7 @@ object VectorOps {
     // argmax (an array_sort over a transform'd struct array here would
     // be CodegenFallback: an interpreted per-row sort of the codebook
     // on the corpus-touching path)
-    val assigned = emb
+    val assigned = ScanParallelism.widen(emb, "vec_id")
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_en"))
       .crossJoin(broadcast(packCentroidsFlat(centroids)))

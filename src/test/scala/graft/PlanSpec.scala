@@ -75,7 +75,9 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "query vectors must be broadcast, data side never shuffled for the join")
     val exchanges = collect(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }
+    }.filterNot(_.toString.contains("REPARTITION_BY_NUM"))
+    // ScanParallelism.widen's guarded input fan-out (raw scan rows,
+    // no-op on a many-file corpus) is tolerated above the scan
     assert(exchanges.size <= 2,
       s"expected ≤2 shuffles (rank by q_id + output sort), got ${exchanges.size}")
   }
@@ -219,7 +221,13 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     val exchanges = collect(sigs.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
-    assert(exchanges.isEmpty,
+    // the only tolerated exchange is ScanParallelism.widen's guarded
+    // input fan-out (REPARTITION_BY_NUM of the RAW doc rows straight
+    // off the one-split scan — a no-op on a many-file corpus); the
+    // pin's intent is that SIGNATURES/shingles never shuffle
+    val nonWiden = exchanges.filterNot(
+      _.toString.contains("REPARTITION_BY_NUM"))
+    assert(nonWiden.isEmpty,
       "signature computation must not shuffle")
   }
 
@@ -1352,7 +1360,10 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     fps.collect()
     val fpExchanges = collect(fps.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }
+    }.filterNot(_.toString.contains("REPARTITION_BY_NUM"))
+    // ScanParallelism.widen's guarded input fan-out (raw doc rows off
+    // the one-split scan) is tolerated; fingerprints themselves never
+    // shuffle below the table
     assert(fpExchanges.isEmpty,
       "gram hashing, sliding min, and value dedup are array HOFs — " +
         s"zero shuffles, got ${fpExchanges.size}")
