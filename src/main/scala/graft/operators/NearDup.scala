@@ -637,9 +637,12 @@ object NearDup {
   def minHashSignatures(docs: DataFrame, n: Int,
       numHashes: Int): DataFrame = {
     val (aS, bS) = seedPairs(numHashes)
-    // unsplittable-input guard (guide §2.5): numHashes×|shingles|
-    // min-hash work per doc — the heaviest map stage of the LSH path
-    ScanParallelism.widen(docs, "doc_id")
+    // NO widen here (measured, r17): parallelizing the signature map
+    // stage inflated x02's wall 2.94→4.12 s — the per-doc min-hash
+    // fold is cheap enough that 32-way task overhead beats the serial
+    // saving on a one-split corpus, and composed callers (x15) hand
+    // this an already-widened frame anyway
+    docs
       .withColumn("_sh_hashes",
         GraftFunctions.shingleHashes(col("text"), n, P))
       .filter(size(col("_sh_hashes")) > 0)

@@ -63,9 +63,11 @@ object VectorOps {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"))
-    // unsplittable-input guard (guide §2.5): |queries| dot products
-    // per corpus vector on the stream side of the broadcast join
-    val scored = ScanParallelism.widen(emb, "vec_id")
+    // NO widen here (measured, r17): q106's three fused brute-force
+    // rankings ran 2.38→3.08 s with a widened stream side — the panel
+    // is ≤ tens of queries, so the per-row work is too small to beat
+    // 32-way task overhead on a one-split corpus
+    val scored = emb
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_nrm"))
       .crossJoin(broadcast(queries))
