@@ -40,6 +40,14 @@ object GraftSession {
       // hold (no sort on either side); AQE still plans/validates the
       // choice at runtime. Join STRATEGY never changes results.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // ScanParallelism.widen's data-size term: one fan-out task per
+      // this many bytes of leaf input (guide §2, partition
+      // right-sizing — r17's unconditional defaultParallelism target
+      // over-fanned small inputs; see ScanParallelism.scala). The env
+      // override exists for local A/B sweeps only; the driver never
+      // sets it.
+      .config("spark.graft.widen.bytesPerTask",
+        sys.env.getOrElse("SPARK_GRAFT_WIDEN_BPT", "32768"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

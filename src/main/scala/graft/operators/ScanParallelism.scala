@@ -21,13 +21,29 @@ import org.apache.spark.sql.functions.col
   * behind one block lock (five back-to-back ~3.9 s one-task stages
   * inside a single q227 run).
   *
-  * `widen` redistributes the input by a DETERMINISTIC key to the
-  * session's default parallelism — but ONLY when the frame's own
-  * partitioning is below it. On a real many-file corpus (splits ≥
-  * cores) the guard makes it a provable no-op: no exchange is ever
-  * added at 100 TB, and the local exchange it does add carries the
-  * raw (sub-MB) document bytes exactly once before the fan-out work.
-  * The target is `sparkContext.defaultParallelism`, so the driver's
+  * `widen` redistributes the input by a DETERMINISTIC key — but ONLY
+  * when the frame's own partitioning is below the target, and the
+  * target is sized to the DATA, not the core count:
+  *
+  *   target = min(defaultParallelism, ceil(inputBytes / bytesPerTask))
+  *
+  * The r17 form used defaultParallelism unconditionally and the r17
+  * driver's 8-core scaling run showed why that over-fans: 14 widened
+  * entries ran FASTER at 8 cores than 32 (q219 ratio 0.49, q218 0.42 —
+  * a 580 KB corpus split 32 ways is ~18 KB per task, so per-task
+  * overhead, 32× shuffle blocks and 32-partition persisted caches cost
+  * more than the extra cores buy). The input-size term caps the
+  * fan-out at one task per `spark.graft.widen.bytesPerTask` of leaf
+  * input (default 32 KB — A/B-measured at sf0.1 across a
+  * 16/32/64/128 KB sweep, see OPTIMIZATION_r18.md; production corpora
+  * never hit this clamp because the defaultParallelism term saturates
+  * first).
+  *
+  * On a real many-file corpus (splits ≥ cores) the partitioning guard
+  * makes widen a provable no-op: no exchange is ever added at 100 TB,
+  * and the local exchange it does add carries the raw (sub-MB)
+  * document bytes exactly once before the fan-out work. Both terms
+  * follow the session (core count and scanned bytes), so the driver's
   * lower-core bench runs scale the same way — nothing here is a
   * local[32] constant.
   *
@@ -39,9 +55,12 @@ import org.apache.spark.sql.functions.col
   *
   * Determinism: hash-partitioning by an explicit key column is stable
   * across retries and runs (no round-robin, no rand()); every caller
-  * keys by the row's primary id. Results are unaffected — every
-  * downstream aggregate in this codebase is partition-order-free by
-  * the oracle-parity design (exact decimal sums, explicit tiebreak
+  * keys by the row's primary id. A caller whose preferred key is
+  * absent gets its frame back unchanged (the r17 all-columns fallback
+  * hashed full document text as the partition key and would fail
+  * analysis on a map column — ADVICE r17). Results are unaffected —
+  * every downstream aggregate in this codebase is partition-order-free
+  * by the oracle-parity design (exact decimal sums, explicit tiebreak
   * orderings).
   */
 object ScanParallelism {
@@ -64,21 +83,36 @@ object ScanParallelism {
     case _ => false
   }
 
-  /** Repartition `df` to the session's default parallelism by the
-    * first of `preferred` key columns present (falling back to ALL
-    * columns — still deterministic), but only when the frame is a
-    * narrow chain over one leaf AND its scan partitioning is below
-    * the target. */
+  /** Leaf input size in bytes, from the ANALYZED plan's relation
+    * statistics (file-size metadata — no job, no split enumeration;
+    * ADVICE r17 flagged the `.rdd` guard's planning cost, so the
+    * size term comes from stats and `.rdd` is consulted only when a
+    * fan-out is actually warranted). */
+  private def leafBytes(p: LogicalPlan): BigInt =
+    p.collectLeaves().map(_.stats.sizeInBytes).sum
+
+  /** Fan-out width for `bytes` of leaf input: one task per
+    * `spark.graft.widen.bytesPerTask` (conf, default 64 KB), capped by
+    * the session's default parallelism. */
+  private def targetFor(df: DataFrame, bytes: BigInt): Int = {
+    val sc = df.sparkSession.sparkContext
+    val perTask = BigInt(df.sparkSession.conf
+      .get("spark.graft.widen.bytesPerTask", "32768").toLong.max(1L))
+    val byData = (bytes + perTask - 1) / perTask
+    byData.min(BigInt(sc.defaultParallelism)).toInt
+  }
+
+  /** Repartition `df` by the first of `preferred` key columns present
+    * to min(defaultParallelism, leaf-input-bytes / bytesPerTask), but
+    * only when the frame is a narrow chain over one leaf AND its scan
+    * partitioning is below that target. No present key → no-op. */
   def widen(df: DataFrame, preferred: String*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (target <= 1 || !narrowOverLeaf(df.queryExecution.analyzed)) df
-    else if (df.rdd.getNumPartitions >= target) df
+    val keys = preferred.filter(df.columns.contains).map(col)
+    if (keys.isEmpty || !narrowOverLeaf(df.queryExecution.analyzed)) df
     else {
-      val keys = preferred.filter(df.columns.contains) match {
-        case ks if ks.nonEmpty => ks.map(col)
-        case _ => df.columns.toSeq.map(col)
-      }
-      df.repartition(target, keys: _*)
+      val target = targetFor(df, leafBytes(df.queryExecution.analyzed))
+      if (target <= 1 || df.rdd.getNumPartitions >= target) df
+      else df.repartition(target, keys: _*)
     }
   }
 }

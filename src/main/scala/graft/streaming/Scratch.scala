@@ -30,10 +30,28 @@ private[streaming] object Scratch {
       snap.forEach(p => deleteRecursively(p))
     }))
 
+  /** RAM-backed scratch root when the platform offers one (guide §6):
+    * the static streaming entries' cost is dominated by Structured-
+    * Streaming fixed machinery — offset/commit logs, state checkpoint
+    * and micro-batch landing/output parquet, all of it tiny and
+    * deleted within the entry's lifetime — so there is nothing durable
+    * to lose by keeping it off disk. /dev/shm is tmpfs on every
+    * mainstream Linux; anywhere it is absent (or not writable) the JVM
+    * temp dir is used exactly as before. Results never depend on the
+    * location — only the entry's I/O latency does. */
+  private lazy val root: Option[Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+    else None
+  }
+
   /** A fresh temp dir, deleted (recursively) at JVM exit. */
   def scratch(prefix: String): String = {
     hookInstalled
-    val p = Files.createTempDirectory(prefix)
+    val p = root match {
+      case Some(r) => Files.createTempDirectory(r, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     pending.add(p)
     p.toString
   }

@@ -19,6 +19,23 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Is this exchange exactly ScanParallelism.widen's guarded input
+    * fan-out — an explicit REPARTITION_BY_NUM sitting DIRECTLY over
+    * the file scan (narrow map-side chain, no other exchange below)?
+    * The r17 pins string-matched REPARTITION_BY_NUM alone, which
+    * would also tolerate a future mid-pipeline explicit repartition —
+    * the exact regression class the pins guard (ADVICE r17). */
+  private def widenFanOut(
+      e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike)
+      : Boolean =
+    e.toString.contains("REPARTITION_BY_NUM") &&
+      collect(e.child) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.nonEmpty &&
+      collect(e.child) {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => x
+      }.isEmpty
+
   test("q02: filters and projection reach the parquet scan") {
     val plan = finalPlan(q("q02_filter_project"))
     assert(plan.contains("PushedFilters: ["),
@@ -75,7 +92,7 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       "query vectors must be broadcast, data side never shuffled for the join")
     val exchanges = collect(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.filterNot(_.toString.contains("REPARTITION_BY_NUM"))
+    }.filterNot(widenFanOut)
     // ScanParallelism.widen's guarded input fan-out (raw scan rows,
     // no-op on a many-file corpus) is tolerated above the scan
     assert(exchanges.size <= 2,
@@ -225,8 +242,7 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // input fan-out (REPARTITION_BY_NUM of the RAW doc rows straight
     // off the one-split scan — a no-op on a many-file corpus); the
     // pin's intent is that SIGNATURES/shingles never shuffle
-    val nonWiden = exchanges.filterNot(
-      _.toString.contains("REPARTITION_BY_NUM"))
+    val nonWiden = exchanges.filterNot(widenFanOut)
     assert(nonWiden.isEmpty,
       "signature computation must not shuffle")
   }
@@ -1360,7 +1376,7 @@ class PlanSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     fps.collect()
     val fpExchanges = collect(fps.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.filterNot(_.toString.contains("REPARTITION_BY_NUM"))
+    }.filterNot(widenFanOut)
     // ScanParallelism.widen's guarded input fan-out (raw doc rows off
     // the one-split scan) is tolerated; fingerprints themselves never
     // shuffle below the table
